@@ -1,0 +1,61 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line.
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver-side materialization cost). Timing includes plan + execution,
+excludes session bootstrap. Output:
+{"metric": "suite_seconds", "value": N, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_spark_assignment_spark.plans import REGISTRY  # noqa: E402
+from bigdata_spark_assignment_spark.session import get_session  # noqa: E402
+
+# Queries excluded from the bench suite (eager/driver-side by design,
+# e.g. random-split counts) — everything else runs.
+BENCH_EXCLUDE: set[str] = {"q11_random_split_sizes"}
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session(app_name="bench")
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        if name in BENCH_EXCLUDE:
+            continue
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(sf_dir),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Schema'd sources & sinks (SURVEY.md §2.1, S1-S8).
+
+The reference loads CSV with ``header=true`` and **no schema** so every
+column arrives as a string (``Main.scala:59,86``) and gets typed late
+and by hand (``Main.scala:217-222``). We do the opposite: every table
+has an explicit ``StructType`` and schema-on-read validation, so type
+errors surface at load, not at column 37 of a cleaning chain.
+
+Sources: parquet (driver testdata), CSV (reference-shaped fixtures),
+JSON; a multi-input union that implements the *intent* of the
+reference's buggy multi-file loop (``Main.scala:70-76`` overwrites
+``df`` per iteration instead of unioning — S5 in SURVEY.md).
+
+100 TB notes: parquet scans here are plain ``spark.read.parquet`` so
+Catalyst predicate pushdown / column pruning / partition pruning all
+apply; nothing is materialized at load. ``load_table`` validates the
+declared schema against the parquet footer only (no data pass).
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Declared schemas for the driver's tables (FIXTURES.md §B).
+# ---------------------------------------------------------------------------
+
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType([
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]),
+    "nation": T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]),
+    "customer": T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]),
+    "supplier": T.StructType([
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]),
+    "part": T.StructType([
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("p_name", T.StringType()),
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("p_type", T.StringType()),
+        T.StructField("p_size", T.IntegerType()),
+        T.StructField("p_retailprice", T.DoubleType()),
+    ]),
+    "orders": T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampNTZType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]),
+    "lineitem": T.StructType([
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_suppkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_tax", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampNTZType()),
+    ]),
+    "events": T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]),
+    "documents": T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]),
+    "embeddings": T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]),
+}
+
+TABLE_NAMES = tuple(TABLE_SCHEMAS)
+
+
+class SchemaMismatchError(ValueError):
+    """Raised when a loaded table's schema deviates from the declared one."""
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               validate: bool = True) -> DataFrame:
+    """Parquet scan of one driver table with schema-on-read validation.
+
+    We intentionally do NOT pass ``.schema(...)`` to the parquet reader:
+    parquet is self-describing, and forcing a schema can silently
+    up/down-cast. Instead we read, then check names + types, so a
+    mismatch is an error rather than a coercion. Validation only looks
+    at the footer schema — no data is read.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if validate:
+        declared = TABLE_SCHEMAS.get(name)
+        if declared is not None:
+            got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            want = {f.name: f.dataType.simpleString() for f in declared.fields}
+            if got != want:
+                raise SchemaMismatchError(
+                    f"{name}: schema drift — expected {want}, got {got}")
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType | None = None,
+             header: bool = True, **options) -> DataFrame:
+    """CSV scan (reference S1/S2, ``Main.scala:59,86``) with an explicit
+    schema when the caller has one — unlike the reference, which reads
+    everything as StringType and casts 200 lines later."""
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def union_all(dfs: Iterable[DataFrame]) -> DataFrame:
+    """Multi-input concatenation (S5 *intent*).
+
+    The reference's multi-dataset loop (``Main.scala:70-76``) rebinds
+    ``df`` each iteration so only the last CLI argument survives; the
+    report describes a union. This implements the documented intent:
+    name-based union with missing columns disallowed (strict).
+    """
+    dfs = list(dfs)
+    if not dfs:
+        raise ValueError("union_all of zero inputs")
+    return functools.reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: tuple[str, ...] = ()) -> None:
+    """Persistent sink (S8 — absent in the reference, which only prints).
+
+    100 TB notes: callers partition by a low-cardinality business key
+    (e.g. date) so downstream scans partition-prune; never by a
+    high-cardinality key (small-files problem).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,11 @@
+"""Named-query surface: importing this package populates REGISTRY.
+
+Each submodule registers its queries on import; ``__spark_entry__.py``
+exposes the registry to the driver.
+"""
+
+from .registry import REGISTRY, Query, oracle_dict, queries_dict  # noqa: F401
+
+from . import relational  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "Query", "queries_dict", "oracle_dict"]

@@ -1,0 +1,67 @@
+"""Named-query registry — the driver-facing contract surface.
+
+Every engine operator lands here as a named query over the driver's
+TPC-H-ish tables, together with the ANSI-SQL oracle DuckDB runs
+side-by-side (SURVEY.md §5.2). Column names are aliased identically on
+both sides because the driver's compare sorts columns by name before
+hashing values.
+
+Float discipline: Spark and DuckDB may disagree in the last ulp of a
+double aggregate (different partial-sum order), so every floating
+aggregate exposed to the oracle is rounded to a fixed number of
+decimals ON BOTH SIDES (helper ``fround``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Query:
+    """One named engine query plus its DuckDB oracle (None → rows-only)."""
+
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+# Round floating aggregates to this many decimals on both engine and
+# oracle side so partial-sum order can't flip the value hash.
+FLOAT_DECIMALS = 4
+
+
+def register(name: str, oracle: str | None = None, doc: str = "",
+             tags: tuple[str, ...] = ()):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle,
+                               doc=doc or (fn.__doc__ or ""), tags=tuple(tags))
+        return fn
+
+    return deco
+
+
+def fround(col: Column | str, decimals: int = FLOAT_DECIMALS) -> Column:
+    """Engine-side float stabilizer; oracle SQL mirrors with ROUND(x, n)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, decimals)
+
+
+def queries_dict() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_dict() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle}

@@ -1,0 +1,377 @@
+"""Relational core queries (SURVEY.md §2.1-2.5, M0/M1).
+
+Covers the reference's relational surface as named, oracle-checked
+queries over the driver tables: projection/drop (P1/P6,
+``Main.scala:96-97``), SQL-string & column predicates (P2-P5,
+``Main.scala:104,113,303``), casts & derived date arithmetic (P9-P12,
+``Main.scala:220,284``), conditional expressions (P10,
+``Main.scala:285``), inner equi-join incl. broadcast (J1,
+``Main.scala:136``), group-by aggregation (A1/A2, ``Main.scala:133``),
+distinct-count with null-as-a-group semantics (A3,
+``Main.scala:133,192``), Pearson correlation (A4,
+``Main.scala:229-247``), union-by-name (S5 intent,
+``Main.scala:70-76``), random split (P14, ``Main.scala:434``).
+
+100 TB notes per query are in the individual docstrings; the common
+themes: dimension joins are explicitly broadcast, fact-fact joins are
+plain equi-joins so AQE can pick sort-merge + skew splitting, every
+aggregate is a hash agg with map-side partials, and all filters are
+native column predicates (no UDFs) so they push into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table, union_all
+from ..operators.relational import distinct_count_expr
+from .registry import fround, register
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("flagship", "scan", "filter", "agg", "sort"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary (scan→filter→agg→sort).
+
+    100 TB notes: filter + 7-column projection push into the parquet
+    scan; the groupBy key has 6 groups so partial aggregation collapses
+    virtually all rows map-side before the single shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fround(F.sum("l_quantity")).alias("sum_qty"),
+            fround(F.sum("l_extendedprice")).alias("sum_base_price"),
+            fround(F.sum(disc_price)).alias("sum_disc_price"),
+            fround(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            fround(F.avg("l_quantity")).alias("avg_qty"),
+            fround(F.avg("l_extendedprice")).alias("avg_price"),
+            fround(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q02_filter_project",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    WHERE o_orderstatus <> 'O' AND o_totalprice > 150000.0
+    """,
+    tags=("filter", "project"),
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string predicate + projection (P2/P6; ``Main.scala:104``).
+
+    Uses the reference's filter idiom (a SQL string) on one conjunct and
+    a Column predicate on the other — both compile to the same pushed
+    filter. 100 TB notes: both predicates and the 3-column projection
+    reach the parquet scan (PushedFilters / ReadSchema).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter("o_orderstatus <> 'O'")
+        .filter(F.col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_orderstatus",
+                fround(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
+@register(
+    "q03_cast_derived_dates",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate)  AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           CAST(GREATEST(2026 - year(o_orderdate), 0) AS INTEGER) AS order_age_years,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 250000 THEN 'mid'
+                ELSE 'high' END AS price_band
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+    tags=("cast", "dates", "conditional"),
+)
+def cast_derived_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts, date extraction, arithmetic, conditional banding
+    (P9-P12; reference ``Main.scala:220,284-285``).
+
+    The ``order_age_years`` column is the reference's PlaneAge pattern:
+    ``greatest(anchor_year - year(date_col), 0)`` — derived-year
+    subtraction with a clamp at zero (``Main.scala:284-285``).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.month("o_orderdate").cast("int").alias("o_month"),
+            F.greatest(F.lit(2026) - F.year("o_orderdate"), F.lit(0))
+             .cast("int").alias("order_age_years"),
+            F.floor("o_totalprice").alias("price_floor"),
+            F.when(F.col("o_totalprice") < 100000, "low")
+             .when(F.col("o_totalprice") < 250000, "mid")
+             .otherwise("high").alias("price_band"),
+        )
+    )
+
+
+@register(
+    "q04_join_broadcast_dims",
+    oracle="""
+    SELECT r_name,
+           CAST(COUNT(*) AS BIGINT)   AS n_customers,
+           ROUND(SUM(c_acctbal), 4)   AS total_acctbal,
+           ROUND(AVG(c_acctbal), 4)   AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("join", "broadcast", "agg"),
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dimension join with explicit broadcast (J1 scaled up;
+    reference joins a 5k-row plane dim at ``Main.scala:136``).
+
+    100 TB notes: nation (25 rows) and region (5 rows) are broadcast so
+    the fact side never shuffles for the join; the only shuffle is the
+    final 5-group aggregation, which partial-aggregates map-side.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer
+        .join(F.broadcast(nation),
+              customer.c_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region),
+              nation.n_regionkey == region.r_regionkey, "inner")
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            fround(F.sum("c_acctbal")).alias("total_acctbal"),
+            fround(F.avg("c_acctbal")).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "q05_join_fact_fact",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT)                          AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "agg"),
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join + aggregation.
+
+    100 TB notes: no broadcast hint — at scale both sides are large, so
+    the right plan is a shuffled join on the join key with AQE skew
+    splitting; at test scale AQE will demote it to broadcast on its
+    own. The date filter pushes below the join into the orders scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        .groupBy("o_orderpriority")
+        .agg(
+            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q06_distinct_count_null_as_group",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT o_orderpriority FROM orders))  AS BIGINT) AS n_priorities,
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT c_mktsegment    FROM customer)) AS BIGINT) AS n_segments,
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT NULLIF(o_orderstatus, 'P') FROM orders)) AS BIGINT) AS n_status_with_null
+    """,
+    tags=("agg", "distinct"),
+)
+def distinct_count_null_as_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count where NULL counts as a value (A3).
+
+    The reference's idiom is ``groupBy(c).count().groupBy(c).count()
+    .count()`` (``Main.scala:133,192``) — two shuffles per column, and
+    unlike ``count_distinct`` it counts NULL as a group. Our operator
+    (``operators.relational.distinct_count``) keeps the null-as-a-group
+    semantics in ONE shuffle. The third column manufactures a NULL (via
+    nullif) to prove the semantics differ from COUNT(DISTINCT).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    orders_agg = orders.agg(
+        distinct_count_expr(F.col("o_orderpriority")).alias("n_priorities"),
+        distinct_count_expr(
+            F.nullif(F.col("o_orderstatus"), F.lit("P"))
+        ).alias("n_status_with_null"),
+    )
+    cust_agg = customer.agg(
+        distinct_count_expr(F.col("c_mktsegment")).alias("n_segments"))
+    return orders_agg.crossJoin(cust_agg)
+
+
+@register(
+    "q07_correlation",
+    oracle="""
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(corr(l_discount, l_tax), 4)           AS corr_disc_tax,
+           ROUND(corr(l_extendedprice, l_tax), 4)      AS corr_price_tax
+    FROM lineitem
+    """,
+    tags=("agg", "statistics"),
+)
+def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation, several pairs in ONE aggregation job (A4).
+
+    The reference runs 28 separate ``df.stat.corr`` jobs
+    (``Main.scala:229-247``) — one full pass over the data per pair.
+    Expressing the pairs as one multi-aggregate shares a single scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        fround(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        fround(F.corr("l_discount", "l_tax")).alias("corr_disc_tax"),
+        fround(F.corr("l_extendedprice", "l_tax")).alias("corr_price_tax"),
+    )
+
+
+@register(
+    "q08_union_by_name",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM (
+      SELECT * FROM orders WHERE o_totalprice > 200000.0
+      UNION ALL
+      SELECT * FROM orders WHERE o_totalprice <= 200000.0 AND o_orderstatus = 'F'
+    )
+    GROUP BY o_orderstatus
+    """,
+    tags=("setops", "agg"),
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-input concatenation, the S5 *intent* (``Main.scala:70-76``
+    rebinds instead of unioning — we implement the documented union).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 200000.0)
+    lo_f = orders.filter((F.col("o_totalprice") <= 200000.0)
+                         & (F.col("o_orderstatus") == "F"))
+    return (
+        union_all([hi, lo_f])
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             fround(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+@register(
+    "q09_global_agg",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)                  AS n_rows,
+           ROUND(SUM(l_quantity), 4)                 AS sum_qty,
+           ROUND(AVG(l_extendedprice), 4)            AS avg_price,
+           ROUND(MIN(l_extendedprice), 4)            AS min_price,
+           ROUND(MAX(l_extendedprice), 4)            AS max_price,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) multi-measure aggregate incl. exact distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        fround(F.sum("l_quantity")).alias("sum_qty"),
+        fround(F.avg("l_extendedprice")).alias("avg_price"),
+        fround(F.min("l_extendedprice")).alias("min_price"),
+        fround(F.max("l_extendedprice")).alias("max_price"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@register(
+    "q10_topk_orders",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("sort", "limit"),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k by value with a deterministic tie-break.
+
+    100 TB notes: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject
+    — each partition keeps its local top-k, only k rows per partition
+    reach the driver-side merge. No full sort, no full shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey",
+                fround(F.col("o_totalprice")).alias("o_totalprice"),
+                "o_orderpriority")
+    )
+
+
+@register(
+    "q11_random_split_sizes",
+    oracle=None,  # seeded RNG is engine-specific; driver records rows-only
+    tags=("split", "ml"),
+)
+def random_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """70/30 random split with fixed seed (P14; ``Main.scala:434-435``).
+
+    Not SQL-expressible (Spark's split hashes rows with its own RNG), so
+    rows-only: returns split sizes plus a sanity total.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    train, test = orders.randomSplit([0.7, 0.3], seed=10)
+    n_train, n_test = train.count(), test.count()
+    return spark.createDataFrame(
+        [(n_train, n_test, n_train + n_test)],
+        "n_train long, n_test long, n_total long",
+    )
