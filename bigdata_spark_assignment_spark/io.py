@@ -120,7 +120,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     mismatch is an error rather than a coercion. Validation only looks
     at the footer schema — no data is read.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as a long,
+        # then rebuild a microsecond-precision timestamp_ntz. Runtime
+        # conf — works under any caller's session (incl. the driver's).
+        # NOTE: nanosecond sub-precision is truncated; oracle-checked
+        # queries must compare *derived* time values (hour, date_trunc
+        # minute, ...), never the raw ts, because DuckDB keeps nanos.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            .cast("timestamp_ntz"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if validate:
         declared = TABLE_SCHEMAS.get(name)
         if declared is not None:

@@ -1,0 +1,166 @@
+"""Cleaning / feature-engineering operators (SURVEY.md §2.2-2.3, M2).
+
+Reusable, native-expression versions of the reference's cleaning UDFs
+and loops. The reference implements these as row-at-a-time Scala UDFs
+marked ``.asNondeterministic()`` (``Main.scala:13-38``) — which blocks
+Catalyst pushdown through them — and applies them in per-column
+``withColumn`` loops (quadratic plan growth). Here every op is a
+``when``-chain Column expression applied in ONE ``withColumns`` pass,
+so filters still push down and whole-stage codegen fuses the chain.
+
+100 TB notes: all ops in this module are narrow (no shuffle) except
+``prune_constant_columns`` / ``impute_*`` which each run exactly one
+aggregation over the input (the reference runs 2 shuffle jobs PER
+COLUMN for the prune, ``Main.scala:184-208``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .relational import distinct_count_expr
+
+# Reference value lists (``Main.scala:13-25``): tokens normalized to
+# "unknown" (U1) and the missing-data sentinel (U2). "Unknow" is the
+# reference's sic spelling — reproduced on purpose.
+UNKNOWN_TOKENS = ("Unknow", "None", "", " ")
+NA_TOKEN = "NA"
+
+
+def null_to_unknown_expr(col: Column) -> Column:
+    """U1 (``Main.scala:13-18``): null / "Unknow" / "None" / "" / " "
+    → "unknown", else identity."""
+    return (
+        F.when(col.isNull() | col.isin(*UNKNOWN_TOKENS), F.lit("unknown"))
+        .otherwise(col)
+    )
+
+
+def na_to_null_expr(col: Column) -> Column:
+    """U2 (``Main.scala:20-25``): literal "NA" → NULL, else identity."""
+    return F.nullif(col, F.lit(NA_TOKEN))
+
+
+def null_to_unknown(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    return df.withColumns({c: null_to_unknown_expr(F.col(c)) for c in cols})
+
+
+def na_to_null(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Applies U2 to ``cols`` (default: all string columns).
+
+    The reference's loop bound is miscomputed (``Main.scala:170`` —
+    Scala ``Array.drop`` iterates a prefix of columns, not "all except
+    ArrDelay"); we implement the documented intent (Report §4): NA→null
+    on every requested column, in one pass.
+    """
+    if cols is None:
+        cols = [f.name for f in df.schema.fields
+                if f.dataType.simpleString() == "string"]
+    return df.withColumns({c: na_to_null_expr(F.col(c)) for c in cols})
+
+
+def bucketize_expr(col: Column, edges: Sequence[float],
+                   labels: Sequence[str], default: str | None = "") -> Column:
+    """General value bucketing: half-open intervals
+    ``[edges[i], edges[i+1]) → labels[i]`` (the LAST interval is
+    closed: ``[edges[-2], edges[-1]]``), anything else → ``default``.
+
+    Pure ``when`` chain — pushdown- and codegen-friendly, and exactly
+    expressible as a SQL CASE for the oracle.
+    """
+    if len(labels) != len(edges) - 1:
+        raise ValueError("need len(labels) == len(edges) - 1")
+    expr = None
+    for i, label in enumerate(labels):
+        lo, hi = edges[i], edges[i + 1]
+        upper = (col <= hi) if i == len(labels) - 1 else (col < hi)
+        cond = (col >= lo) & upper
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr.otherwise(F.lit(default))
+
+
+# U3 (``Main.scala:27-38``): hhmm integer → 8 day-part buckets.
+DAY_PART_EDGES = (0, 500, 800, 1200, 1400, 1700, 1900, 2100, 2400)
+DAY_PART_LABELS = ("lateNight", "earlyMorning", "lateMorning",
+                   "earlyAfternoon", "lateAfternoon", "earlyEvening",
+                   "lateEvening", "earlyNight")
+
+
+def day_part_expr(hhmm: Column) -> Column:
+    """U3: the reference's canonical bucketing (out-of-range → "")."""
+    return bucketize_expr(hhmm, DAY_PART_EDGES, DAY_PART_LABELS, default="")
+
+
+def distinct_counts(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """One row with the distinct-value count (NULL counted as a value)
+    of every requested column — the decision input for the constant
+    prune, computed in a SINGLE aggregation pass.
+
+    The reference pays 2 shuffle jobs per column here
+    (``Main.scala:190-206``: ``groupBy(c).count().groupBy(c).count()
+    .count()`` in a loop); this is one job total.
+    """
+    cols = list(cols or df.columns)
+    return df.agg(*[distinct_count_expr(F.col(c)).alias(c) for c in cols])
+
+
+def prune_constant_columns(df: DataFrame, force_keep: Sequence[str] = ()) -> DataFrame:
+    """P15 (``Main.scala:184-208``): drop every column with ≤1 distinct
+    value (nulls counted as a value), except ``force_keep`` (the
+    reference force-keeps ``Year``, ``Main.scala:192``)."""
+    counts = distinct_counts(df).first().asDict()
+    drop = [c for c, n in counts.items() if n <= 1 and c not in force_keep]
+    return df.drop(*drop) if drop else df
+
+
+def impute_mean(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A5/M2 (``Main.scala:273-275``): replace NULLs with the column
+    mean. One aggregation job producing a 1-row frame, broadcast back —
+    the scalar-subquery pattern, no driver round-trip in the plan.
+    """
+    means = df.agg(*[F.avg(c).alias(f"__mean_{c}") for c in cols])
+    out = df.crossJoin(F.broadcast(means))
+    out = out.withColumns(
+        {c: F.coalesce(F.col(c), F.col(f"__mean_{c}")) for c in cols})
+    return out.drop(*[f"__mean_{c}" for c in cols])
+
+
+def mode_of(df: DataFrame, col: str) -> DataFrame:
+    """A6: most frequent non-null value, ties broken by the smaller
+    value (deterministic — the reference's Imputer breaks ties
+    arbitrarily; we pin the semantics so an oracle can express it)."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col).agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col(col).asc())
+        .limit(1)
+        .select(F.col(col).alias(f"__mode_{col}"))
+    )
+
+
+def impute_mode(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A6/M1 (``Main.scala:262-267``): replace NULLs with the column
+    mode (deterministic tie-break, see ``mode_of``)."""
+    out = df
+    for c in cols:
+        out = out.crossJoin(F.broadcast(mode_of(df, c)))
+    out = out.withColumns(
+        {c: F.coalesce(F.col(c), F.col(f"__mode_{c}")) for c in cols})
+    return out.drop(*[f"__mode_{c}" for c in cols])
+
+
+def derived_age_expr(anchor_year: Column, date_str: Column,
+                     fmt: str = "M/d/y") -> Column:
+    """The reference's PlaneAge pattern (``Main.scala:283-285``):
+    ``anchor_year - year(to_date(date_str, fmt))`` clamped at 0.
+
+    NULL propagates (unparseable/missing date → NULL age), matching the
+    reference's ``when(col < 0, 0).otherwise(col)`` — NULL fails the
+    ``< 0`` test and falls through unchanged. ``greatest(x, 0)`` would
+    instead coerce NULL to 0.
+    """
+    raw = anchor_year - F.year(F.to_date(date_str, fmt))
+    return F.when(raw < 0, F.lit(0)).otherwise(raw)

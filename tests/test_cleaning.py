@@ -1,0 +1,100 @@
+"""Unit tests for cleaning operators on tiny literal DataFrames —
+nulls, "NA", hhmm boundaries, empty input, all-null columns
+(SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_spark_assignment_spark.operators.cleaning import (
+    bucketize_expr,
+    day_part_expr,
+    derived_age_expr,
+    distinct_counts,
+    impute_mean,
+    impute_mode,
+    na_to_null,
+    null_to_unknown,
+    prune_constant_columns,
+)
+
+
+def test_null_to_unknown_all_tokens(spark):
+    df = spark.createDataFrame(
+        [(None,), ("Unknow",), ("None",), ("",), (" ",), ("ok",), ("NA",)],
+        "v string")
+    out = [r.v for r in null_to_unknown(df, ["v"]).collect()]
+    assert out == ["unknown"] * 5 + ["ok", "NA"]
+
+
+def test_na_to_null_and_default_cols(spark):
+    df = spark.createDataFrame([("NA", "NA", 1), ("na", "x", 2)],
+                               "a string, b string, n int")
+    out = na_to_null(df).orderBy("n").collect()
+    assert (out[0].a, out[0].b) == (None, None)
+    assert (out[1].a, out[1].b) == ("na", "x")  # case-sensitive, like the reference
+    only_a = na_to_null(df, ["a"]).orderBy("n").collect()
+    assert only_a[0].b == "NA"
+
+
+@pytest.mark.parametrize("hhmm,expected", [
+    (0, "lateNight"), (459, "lateNight"), (500, "earlyMorning"),
+    (759, "earlyMorning"), (800, "lateMorning"), (1199, "lateMorning"),
+    (1200, "earlyAfternoon"), (1399, "earlyAfternoon"),
+    (1400, "lateAfternoon"), (1699, "lateAfternoon"),
+    (1700, "earlyEvening"), (1899, "earlyEvening"),
+    (1900, "lateEvening"), (2099, "lateEvening"),
+    (2100, "earlyNight"), (2400, "earlyNight"),  # last bucket closed
+    (2401, ""), (-1, ""), (None, ""),
+])
+def test_day_part_boundaries(spark, hhmm, expected):
+    df = spark.createDataFrame([(hhmm,)], "t int")
+    assert df.select(day_part_expr(F.col("t")).alias("p")).first().p == expected
+
+
+def test_bucketize_validates_shape():
+    with pytest.raises(ValueError):
+        bucketize_expr(F.col("x"), [0, 1, 2], ["only_one_label_short"][:0])
+
+
+def test_prune_constant_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "x", None, 7), (2, "x", None, 7)],
+        "id int, const string, allnull string, kept int")
+    pruned = prune_constant_columns(df, force_keep=("kept",))
+    assert pruned.columns == ["id", "kept"]
+
+
+def test_prune_constant_columns_empty_input(spark):
+    df = spark.createDataFrame([], "a int, b string")
+    # zero rows → every column has 0 distinct values → all dropped
+    assert prune_constant_columns(df).columns == []
+
+
+def test_distinct_counts_nulls_count_as_value(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "v string")
+    assert distinct_counts(df).first().v == 3  # a, b, NULL
+
+
+def test_impute_mean(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,)], "x double")
+    vals = sorted(r.x for r in impute_mean(df, ["x"]).collect())
+    assert vals == [1.0, 2.0, 3.0]
+
+
+def test_impute_mode_tie_breaks_to_smaller(spark):
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), (None,)], "x string")
+    vals = sorted(r.x for r in impute_mode(df, ["x"]).collect())
+    assert vals == ["a", "a", "a", "b", "b"]  # tie a/b → 'a' wins
+
+
+def test_derived_age_clamps_and_propagates_null(spark):
+    df = spark.createDataFrame(
+        [(2008, "6/5/1995"), (2000, "1/1/2005"), (2008, None)],
+        "y int, d string")
+    out = df.select(
+        derived_age_expr(F.col("y"), F.col("d")).alias("age")).collect()
+    assert [r.age for r in out] == [13, 0, None]
