@@ -6,6 +6,7 @@ exposes the registry to the driver.
 
 from .registry import REGISTRY, Query, oracle_dict, queries_dict  # noqa: F401
 
+from . import analytic  # noqa: E402,F401
 from . import cleaning  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 

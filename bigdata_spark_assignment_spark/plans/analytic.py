@@ -1,0 +1,389 @@
+"""Analytic query surface (SURVEY.md §2.6 + M3) — windows, rollup/
+cube/grouping sets, set ops, semi/anti/outer joins, pivot, JSON,
+string & array functions, sessionization.
+
+All absent from the reference (it has no orderBy/limit/window/set-op
+at all, SURVEY.md §2.6) but required for a complete engine; every
+query here is DuckDB-oracle-checked.
+
+Timestamp discipline: events.ts carries nanosecond precision that
+Spark truncates to micros at load (io.py), so every oracle touching
+ts arithmetic/ordering wraps it in CAST(ts AS TIMESTAMP) to get the
+same micro truncation; intra-user orderings tie-break on event_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.relational import top_k_per_group
+from .registry import fround, register
+
+
+@register(
+    "q18_window_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice, rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority via a ranking window (deterministic
+    tie-break on the unique key).
+
+    100 TB notes: one shuffle on the partition key; per-partition sort
+    only. For k≪group size this dominates global sort approaches.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        orders, ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], k=3)
+    return out.select(
+        "o_orderpriority", "o_orderkey",
+        fround(F.col("o_totalprice")).alias("o_totalprice"),
+        F.col("rn").cast("int").alias("rn"))
+
+
+@register(
+    "q19_window_running_and_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_total,
+           ROUND(LAG(value) OVER (PARTITION BY user_id ORDER BY event_id), 4)
+             AS prev_value,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT)
+             AS seq
+    FROM events
+    """,
+    tags=("window", "frame"),
+)
+def window_running_and_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with an explicit ROWS frame + lag + row_number
+    over the same window spec — one shuffle serves all three."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "event_id", "user_id",
+        fround(F.sum("value").over(frame)).alias("running_total"),
+        fround(F.lag("value").over(w)).alias("prev_value"),
+        F.row_number().over(w).cast("int").alias("seq"),
+    )
+
+
+@register(
+    "q20_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT)  AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (flag → flag+status → grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(fround(F.sum("l_quantity")).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q21_cube",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT)  AS n,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY CUBE (CAST(year(o_orderdate) AS INTEGER), o_orderstatus)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations of (year, status)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .cube("o_year", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             fround(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+@register(
+    "q22_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 4) AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets — via SQL, the one shape the DataFrame
+    API doesn't expose directly (rollup/cube are special cases)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 4) AS total_price
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
+
+
+@register(
+    "q23_semi_anti_join",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS BIGINT)
+        AS n_with_orders,
+      CAST((SELECT COUNT(*) FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS BIGINT)
+        AS n_without_orders
+    """,
+    tags=("join", "semi", "anti"),
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left-semi and left-anti joins.
+
+    100 TB notes: semi/anti joins shuffle only the join key columns and
+    short-circuit on first match — far cheaper than inner-join+distinct.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = customer.c_custkey == orders.o_custkey
+    with_orders = customer.join(orders, cond, "left_semi") \
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    without = customer.join(orders, cond, "left_anti") \
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    return with_orders.crossJoin(without)
+
+
+@register(
+    "q24_left_outer_join",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) FILTER (WHERE li.l_partkey IS NULL) AS BIGINT) AS n_unsold,
+           ROUND(SUM(COALESCE(li.l_quantity, 0)), 4) AS qty_sold
+    FROM part
+    LEFT JOIN (SELECT l_partkey, l_quantity FROM lineitem WHERE l_quantity > 45) li
+      ON p_partkey = li.l_partkey
+    GROUP BY p_brand
+    """,
+    tags=("join", "outer"),
+)
+def left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched build-side rows (the
+    lineitem side is pre-filtered so some parts genuinely miss)."""
+    part = load_table(spark, sf_dir, "part")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_quantity") > 45)
+          .select("l_partkey", "l_quantity"))
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count(F.when(F.col("l_partkey").isNull(), 1)).alias("n_unsold"),
+            fround(F.sum(F.coalesce(F.col("l_quantity"), F.lit(0.0)))).alias("qty_sold"),
+        )
+    )
+
+
+@register(
+    "q25_intersect_except",
+    oracle="""
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    SELECT
+      CAST((SELECT COUNT(*) FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)) AS BIGINT) AS n_both,
+      CAST((SELECT COUNT(*) FROM (SELECT * FROM y95 EXCEPT   SELECT * FROM y96)) AS BIGINT) AS n_only_95
+    """,
+    tags=("setops",),
+)
+def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over customer key sets from two order years."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    n_both = y95.intersect(y96).agg(F.count(F.lit(1)).alias("n_both"))
+    n_only = y95.exceptAll(y96).agg(F.count(F.lit(1)).alias("n_only_95"))
+    return n_both.crossJoin(n_only)
+
+
+@register(
+    "q26_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json",),
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the events.props string column
+    (the engine's semi-structured surface, FIXTURES.md)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             fround(F.avg(k)).alias("avg_k"),
+             F.max(k).cast("int").alias("max_k"))
+    )
+
+
+@register(
+    "q27_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS "O",
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS "F"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("pivot",),
+)
+def pivot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list so the plan
+    needs no pre-pass to discover pivot values — required at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (li.groupBy("l_returnflag")
+           .pivot("l_linestatus", ["O", "F"])
+           .sum("l_quantity"))
+    return out.select("l_returnflag",
+                      fround(F.col("O")).alias("O"),
+                      fround(F.col("F")).alias("F"))
+
+
+@register(
+    "q28_string_functions",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)), 4) AS avg_words,
+           ROUND(AVG(CAST(length(text) AS DOUBLE)), 4) AS avg_chars,
+           CAST(COUNT(*) FILTER (WHERE contains(lower(text), 'data')) AS BIGINT) AS n_mention_data
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("strings",),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface: split/size, length, lower/contains."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), r"\s+"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fround(F.avg(words.cast("double"))).alias("avg_words"),
+            fround(F.avg(F.length("text").cast("double"))).alias("avg_chars"),
+            F.count(F.when(F.lower(F.col("text")).contains("data"), 1))
+             .alias("n_mention_data"),
+        )
+    )
+
+
+@register(
+    "q29_array_functions",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_component
+    FROM embeddings
+    """,
+    tags=("arrays", "vectors"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column surface over embeddings: size, element access,
+    higher-order transform/aggregate (L2 norm stays JVM-side — no UDF).
+
+    Elements are float32; both sides cast to double BEFORE arithmetic
+    so the accumulation error profile matches the oracle exactly.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform(F.col("embedding"),
+                     lambda x: x.cast("double") * x.cast("double"))
+    l2 = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+    return emb.select(
+        "vec_id", "label",
+        F.size("embedding").cast("int").alias("dim"),
+        fround(l2).alias("l2_norm"),
+        fround(F.element_at("embedding", 1).cast("double")).alias("first_component"),
+    )
+
+
+@register(
+    "q30_sessionization",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts_us FROM events),
+    gaps AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    sess AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps)
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id
+    """,
+    tags=("window", "sessionization"),
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + cumulative
+    sum — the batch mirror of streaming session_window (plans.streaming).
+
+    100 TB notes: one shuffle on user_id serves both windows; per-user
+    state never materializes beyond the sort — no driver involvement.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # micros, not cast-to-long (seconds) — must match the oracle's
+    # micro-precision interval comparison
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(cum))
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
