@@ -1,0 +1,259 @@
+"""Deduplication operators — exact, fingerprint, MinHash-LSH, SimHash
+(SURVEY.md §2.9 north star; no reference precedent).
+
+Design for 100 TB from the start:
+
+* Exact dedup = hash-partition on the dedup key (one shuffle), pick a
+  canonical row per group with a ranking window. Never `distinct()` on
+  wide rows — group on the key/hash, keep the smallest id.
+* MinHash-LSH = per-row signatures (narrow), explode only (band_id,
+  band_hash, doc_id) triples — NOT the shingle sets — so shuffle volume
+  is O(docs × bands), independent of document length. Candidate pairs
+  then re-join the shingle table by id for exact-Jaccard verification.
+* SimHash = one 64-bit signature per row; candidates via 4×16-bit
+  chunk equality (any pair within Hamming distance 3 shares ≥1 exact
+  chunk by pigeonhole; we use distance ≤ 6 with verification, trading
+  a little recall for zero tuning), verified with bit_count(xor).
+
+Everything is native Spark expressions — xxhash64 / arrays / windows;
+no Python in the hot path, no driver-side state.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..session import exclude_infer_filters_from_generate
+from .textual import shingles_expr
+
+
+def dedup_exact(df: DataFrame, subset: list[str],
+                canonical_order: list[Column] | None = None,
+                copies_col: str | None = None) -> DataFrame:
+    """Keep one canonical row per distinct ``subset`` value.
+
+    Canonical = first row under ``canonical_order`` (default: the first
+    subset column ascending — callers should pass a unique key for
+    deterministic output). Optionally annotates the group size.
+    """
+    order = canonical_order or [F.col(subset[0]).asc()]
+    w = W.partitionBy(*subset).orderBy(*order)
+    out = df.withColumn("__rn", F.row_number().over(w))
+    if copies_col:
+        out = out.withColumn(copies_col,
+                             F.count(F.lit(1)).over(W.partitionBy(*subset)))
+    return out.filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature_expr(shingles: Column, num_hashes: int = 48) -> Column:
+    """MinHash signature: element i = min over shingles of
+    xxhash64(shingle, i). Index-salting one fast multi-arg hash
+    replaces the classic (a·x+b mod p) family — same collision
+    statistics, one expression, zero constants to ship. Empty shingle
+    set → NULL mins (filtered out by callers)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_band_hashes_expr(shingles: Column, bands: int, rows: int) -> Column:
+    """LSH band hashes computed DIRECTLY from the shingle set: band b =
+    xxhash64 of the array of minhash values for hash-family indices
+    [b·rows, (b+1)·rows). Two docs are candidates iff they agree on at
+    least one band.
+
+    Why not compose ``band_hashes(minhash_signature_expr(...))``:
+    Catalyst inlines the signature into the banding lambda
+    (CollapseProject), and interpreted higher-order functions re-eval
+    the lambda body per element — the full signature would be
+    recomputed once PER BAND, a bands× blow-up (measured 100×+ wall
+    clock at sf0.01). This formulation evaluates each of the
+    bands×rows family members exactly once per row.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.transform(
+                F.sequence(b * rows, b * rows + (rows - 1)),
+                lambda i: F.array_min(
+                    F.transform(shingles, lambda s: F.xxhash64(s, i))))),
+    )
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+
+
+def neardup_pairs_minhash(docs: DataFrame, id_col: str, text_col: str,
+                          threshold: float = 0.6, k_shingle: int = 3,
+                          num_hashes: int = 48, bands: int = 24,
+                          parallelism: int | None = None) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
+    MinHash banding + exact verification.
+
+    Recall: P(miss) = (1 − t^rows)^bands; at t=0.6, 24 bands × 2 rows →
+    ~2e-5 per pair. Precision: exact (every candidate is re-verified on
+    the true shingle sets).
+
+    The signature stage is the CPU hot spot (num_hashes × shingles
+    interpreted hash evals per row) and is narrow — a small input file
+    would otherwise pin it to one task, so we repartition to
+    ``parallelism`` (default: the cluster's default parallelism)
+    before it.
+
+    100 TB path: `exploded` shuffles only (band_hash, id) pairs; the
+    candidate join is equi on band hash; the verify join re-reads the
+    (id → shingles) table, so no shingle array ever rides the LSH
+    shuffle. Skewed bands (e.g. boilerplate headers) would hot-spot a
+    band hash — AQE skew-join handles moderate skew; extreme skew wants
+    a frequency cap on band buckets (drop buckets > N docs, the
+    classic "stop-shingle" trick).
+    """
+    rows = num_hashes // bands
+    exclude_infer_filters_from_generate(docs.sparkSession)
+    n_parts = parallelism or docs.sparkSession.sparkContext.defaultParallelism
+    shingled = (docs
+                .select(F.col(id_col).alias("id"),
+                        shingles_expr(F.col(text_col), k_shingle).alias("sh"))
+                .filter(F.size("sh") > 0)
+                .repartition(n_parts, "id"))
+    sig = shingled.select(
+        "id", "sh",
+        minhash_band_hashes_expr(F.col("sh"), bands, rows).alias("bh"))
+
+    exploded = sig.select(
+        "id", F.posexplode("bh").alias("band", "band_hash"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh_a = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sh_a, "id_a").join(sh_b, "id_b")
+        .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def neardup_pairs_exact_jaccard(docs: DataFrame, id_col: str, text_col: str,
+                                threshold: float = 0.6,
+                                k_shingle: int = 3) -> DataFrame:
+    """Brute-force n-gram Jaccard pairs via a shingle inverted index
+    (explode → self-join on shingle → count common). The LSH oracle /
+    recall baseline. O(pairs sharing any shingle) — fine at test scale,
+    the thing LSH exists to avoid at 100 TB."""
+    shingled = (docs
+                .select(F.col(id_col).alias("id"),
+                        shingles_expr(F.col(text_col), k_shingle).alias("sh"))
+                .filter(F.size("sh") > 0))
+    ex = shingled.select("id", F.size("sh").alias("sz"),
+                         F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"),
+             F.first("a.sz").alias("sa"), F.first("b.sz").alias("sb"))
+        .withColumn("jaccard",
+                    F.col("common") / (F.col("sa") + F.col("sb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+# bit weights for packing a 64-bit signature into a signed long:
+# bit 63 is the sign bit, so it contributes -(2^63)
+_BIT_WEIGHTS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def simhash_expr(tokens: Column) -> Column:
+    """64-bit SimHash of a token array: bit b is 1 iff the sum over
+    tokens of ±1 (sign = bit b of xxhash64(token)) is positive.
+
+    Expression-shape matters here (interpreted higher-order functions
+    re-evaluate lambda bodies per element, and Catalyst inlines
+    single-use aliases): the token hashes are materialized as the
+    aggregate's INPUT array (each token hashed exactly once), the
+    per-token vote update references only lambda variables (cheap), and
+    the threshold+pack step runs in the aggregate's ``finish`` lambda —
+    a let-binding that evaluates the 64-element vote array once, not
+    once per packed bit.
+    """
+    return F.aggregate(
+        F.transform(tokens, lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda a, b: a + F.getbit(h, b) * 2 - 1),
+        lambda votes: functools.reduce(
+            lambda packed, iw: packed + F.when(
+                F.element_at(votes, iw[0] + 1) > 0,
+                F.lit(iw[1]).cast("long")).otherwise(F.lit(0).cast("long")),
+            enumerate(_BIT_WEIGHTS),
+            F.lit(0).cast("long")),
+    )
+
+
+def neardup_pairs_simhash(docs: DataFrame, id_col: str, text_col: str,
+                          max_hamming: int = 6,
+                          parallelism: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidates: equality on any of the 4 16-bit chunks (pigeonhole-
+    complete for distance ≤ 3; a recall-vs-cost tradeoff above that),
+    then exact verification with bit_count(a XOR b). Signatures are the
+    narrow CPU hot spot — repartitioned like the MinHash path.
+    """
+    from .textual import words_expr
+    exclude_infer_filters_from_generate(docs.sparkSession)
+    n_parts = parallelism or docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        simhash_expr(words_expr(F.col(text_col))).alias("sim"))
+    chunks = sh.select(
+        "id", "sim",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("sim"), c * 16).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ])).alias("chunk_id", "chunk_val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sim").alias("sim_a"), F.col("b.sim").alias("sim_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming",
+                        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

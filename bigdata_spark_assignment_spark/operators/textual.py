@@ -1,0 +1,133 @@
+"""Text-analysis operators (SURVEY.md §2.9 north star; no reference
+precedent — the reference processes no free text).
+
+Everything is a native Column expression (split/regexp/transform), so
+it stays inside whole-stage codegen and is exactly mirrorable in the
+DuckDB oracle. No Python touches the hot path.
+
+100 TB notes: all ops here are narrow, per-row transforms — they scale
+embarrassingly. The only caveat is shingle explosion (k-shingles
+multiply row width by ~word count); downstream consumers (dedup LSH)
+explode them, so keep the shingle arrays deduplicated (array_distinct)
+to bound the blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def words_expr(text: Column) -> Column:
+    """Lower-cased whitespace tokenization."""
+    return F.split(F.lower(text), r"\s+")
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count (the cheap proxy used for corpus stats)."""
+    return F.size(words_expr(text))
+
+
+def bpe_ish_token_count_expr(text: Column) -> Column:
+    """BPE-ish token estimate: count of word pieces after splitting on
+    whitespace AND punctuation boundaries, ~GPT-2 pre-tokenizer shape.
+    Heuristic, but deterministic and oracle-expressible."""
+    return F.size(
+        F.filter(
+            F.split(F.lower(text), r"[\s\.,;:!\?\(\)\[\]\{\}\"']+"),
+            lambda t: t != "",
+        )
+    )
+
+
+def shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles: ["the quick brown", "quick brown fox",
+    ...]. Documents with fewer than k words yield an empty array (they
+    can't participate in shingle-based similarity).
+    """
+    w = words_expr(text)
+    make = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+        )
+    )
+    return F.when(F.size(w) >= k, make).otherwise(
+        F.array().cast("array<string>"))
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-collapsed,
+    lower-cased text — catches case/whitespace-only duplicates that
+    byte-exact dedup misses."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+# Marker words per language for the n-gram/stopword heuristic.
+# Deliberately tiny: the point is a deterministic, oracle-expressible
+# scoring rule, not linguistic accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "que", "los", "una"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "et", "les", "des", "une"],
+}
+
+
+def lang_score_expr(text: Column, lang: str) -> Column:
+    """Count of word-boundary marker-word hits for one language."""
+    markers = LANG_MARKERS[lang]
+    total = F.lit(0)
+    for m in markers:
+        total = total + F.regexp_count(text, F.lit(rf"\b{m}\b"))
+    return total
+
+
+def cjk_count_expr(text: Column) -> Column:
+    """Count of CJK-ideograph characters (the 'zh' signal)."""
+    return F.regexp_count(text, F.lit(r"[一-鿿]"))
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Heuristic language ID: any CJK chars → zh; otherwise the
+    max-scoring marker language, ties broken in fixed order
+    en > es > de > fr; all-zero → 'und' (undetermined).
+
+    The CASE chain IS the tie-break definition — the oracle mirrors it
+    verbatim, so the semantics are pinned, not incidental.
+    """
+    lowered = F.lower(text)
+    s = {lang: lang_score_expr(lowered, lang) for lang in LANG_MARKERS}
+    return (
+        F.when(cjk_count_expr(text) > 0, "zh")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"])
+              & (s["en"] > 0), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] > 0), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] > 0), "de")
+        .when(s["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite document-quality score in [0, 1]:
+
+      0.25 · length_ok   (120 ≤ chars ≤ 20000)
+    + 0.25 · (1 − punct_ratio · 5, clamped ≥ 0)
+    + 0.25 · stopword_hit (≥ 2 common-word hits)
+    + 0.25 · alpha_ratio  (letters / chars)
+
+    The exact recipe is arbitrary (as all quality heuristics are); what
+    matters is each component is a native expression the oracle can
+    replicate digit-for-digit.
+    """
+    n = F.length(text).cast("double")
+    length_ok = F.when((n >= 120) & (n <= 20000), 1.0).otherwise(0.0)
+    punct = F.regexp_count(text, F.lit(r"[\.,;:!\?]")).cast("double")
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - (punct / n) * 5.0)
+    stop_hits = lang_score_expr(F.lower(text), "en")
+    stop_term = F.when(stop_hits >= 2, 1.0).otherwise(0.0)
+    alpha = F.regexp_count(text, F.lit(r"[A-Za-z]")).cast("double")
+    alpha_term = alpha / n
+    return (length_ok + punct_term + stop_term + alpha_term) * 0.25

@@ -1,0 +1,178 @@
+"""Text-analysis queries (SURVEY.md §2.9): language ID, quality
+scoring, token counting, fingerprint stats, multimodal byte columns.
+
+The lang-ID / quality oracles are *generated from the same marker
+tables* as the Spark expressions (operators.textual.LANG_MARKERS), so
+the two sides cannot drift apart by transcription error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.textual import (
+    LANG_MARKERS,
+    bpe_ish_token_count_expr,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+from .registry import fround, register
+
+
+def _duck_marker_score(lang: str) -> str:
+    """DuckDB expression mirroring operators.textual.lang_score_expr."""
+    terms = [rf"len(regexp_extract_all(lower(text), '\b{m}\b'))"
+             for m in LANG_MARKERS[lang]]
+    return " + ".join(terms)
+
+
+def _duck_lang_id_case() -> str:
+    """DuckDB CASE mirroring operators.textual.lang_id_expr (same
+    tie-break order)."""
+    return f"""
+      CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+           WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+           WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+           WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+           WHEN s_fr > 0 THEN 'fr'
+           ELSE 'und' END
+    """
+
+
+_LANG_ID_ORACLE = f"""
+    WITH s AS (
+      SELECT lang, text,
+             {_duck_marker_score('en')} AS s_en,
+             {_duck_marker_score('es')} AS s_es,
+             {_duck_marker_score('de')} AS s_de,
+             {_duck_marker_score('fr')} AS s_fr
+      FROM documents)
+    SELECT lang, {_duck_lang_id_case()} AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s
+    GROUP BY 1, 2
+"""
+
+
+@register("q36_lang_id_confusion", oracle=_LANG_ID_ORACLE, tags=("text", "langid"))
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the labeled lang column — a confusion
+    table. (Accuracy is whatever the marker lists earn; determinism and
+    oracle parity are the contract.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_expr(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_QUALITY_ORACLE = f"""
+    WITH q AS (
+      SELECT source,
+             (CASE WHEN length(text) BETWEEN 120 AND 20000 THEN 1.0 ELSE 0.0 END
+              + GREATEST(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE)
+                                     / CAST(length(text) AS DOUBLE)) * 5.0)
+              + CASE WHEN {_duck_marker_score('en')} >= 2 THEN 1.0 ELSE 0.0 END
+              + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE)
+             ) * 0.25 AS quality
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)   AS n_docs,
+           ROUND(AVG(quality), 4)     AS avg_quality,
+           ROUND(MIN(quality), 4)     AS min_quality,
+           ROUND(MAX(quality), 4)     AS max_quality
+    FROM q
+    GROUP BY source
+"""
+
+
+@register("q37_quality_scores", oracle=_QUALITY_ORACLE, tags=("text", "quality"))
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length / punctuation / stopword /
+    alpha-ratio terms) aggregated per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score_expr(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             fround(F.avg(q)).alias("avg_quality"),
+             fround(F.min(q)).alias("min_quality"),
+             fround(F.max(q)).alias("max_quality"))
+    )
+
+
+@register(
+    "q38_token_and_fingerprint_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE)), 4)
+             AS avg_ws_tokens,
+           ROUND(AVG(CAST(len(list_filter(
+                 string_split_regex(lower(text), '[\\s\\.,;:!\\?\\(\\)\\[\\]\\{\\}"'']+'),
+                 x -> x <> '')) AS DOUBLE)), 4)
+             AS avg_bpe_ish_tokens,
+           CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS BIGINT)
+             AS n_fingerprints
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "tokens"),
+)
+def token_and_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish punctuation-aware) and
+    rolling-fingerprint cardinality per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fround(F.avg(token_count_expr(F.col("text")).cast("double")))
+             .alias("avg_ws_tokens"),
+            fround(F.avg(bpe_ish_token_count_expr(F.col("text")).cast("double")))
+             .alias("avg_bpe_ish_tokens"),
+            F.countDistinct(fingerprint_expr(F.col("text")))
+             .alias("n_fingerprints"),
+        )
+    )
+
+
+@register(
+    "q39_multimodal_binary_columns",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+           -- Spark side digests the binary payload with sha2; DuckDB's
+           -- sha256 is VARCHAR-only, but utf-8 encoding is injective so
+           -- distinct-text count equals distinct-payload-digest count.
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_payloads
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("multimodal", "binary"),
+)
+def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-payload plumbing (the multimodal column pattern):
+    text → binary payload + typed metadata (byte size, content digest).
+    The decode stage for real image/audio payloads is a mapInPandas
+    stub (operators.multimodal); the schema/partition mechanics here
+    are the real, tested part."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(payload)).alias("total_bytes"),
+            F.max(F.length(payload)).alias("max_bytes"),
+            F.countDistinct(F.sha2(payload, 256)).alias("n_distinct_payloads"),
+        )
+    )

@@ -27,6 +27,34 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Catalyst's InferFiltersFromGenerate adds `size(genChild) > 0` above
+# every explode; predicate pushdown then substitutes aliases, so when
+# the generator child is an expensive expression (LSH signatures,
+# bucket arrays) the ENTIRE expression is re-evaluated inside a filter
+# that lands below the repartition — i.e. once more, single-partition.
+# Measured 6× wall-clock on the MinHash operator (18.8s → 3.0s at
+# sf0.001). The rule only prunes empty-array rows early — a micro-win
+# we happily give up. Operators that explode expensive arrays call
+# exclude_infer_filters_from_generate defensively because the driver
+# runs them under ITS session, not ours.
+_INFER_FILTERS_FROM_GENERATE = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+
+
+def exclude_infer_filters_from_generate(spark: SparkSession) -> None:
+    """Append InferFiltersFromGenerate to excludedRules (idempotent,
+    preserves any rules the session already excludes)."""
+    try:
+        current = spark.conf.get("spark.sql.optimizer.excludedRules")
+    except Exception:
+        current = None
+    if not current:
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+                       _INFER_FILTERS_FROM_GENERATE)
+    elif _INFER_FILTERS_FROM_GENERATE not in current:
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+                       f"{current},{_INFER_FILTERS_FROM_GENERATE}")
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -50,4 +78,5 @@ def get_session(app_name: str = "bigdata_spark_assignment_spark",
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    exclude_infer_filters_from_generate(spark)
     return spark

@@ -34,12 +34,15 @@ def norm(v):
 
 qs, oracles = mod.queries(), mod.oracle_sql()
 results = {}
+import time
 for name, fn in sorted(qs.items()):
+    t0 = time.time()
     sdf = fn(spark, SF)
     scols = sorted(sdf.columns)
     srows = sorted([tuple(norm(r[c]) for c in scols) for r in (row.asDict() for row in sdf.collect())], key=repr)
     if name not in oracles:
         results[name] = f"rows-only: {len(srows)} rows OK"
+        print(f"  [{time.time()-t0:6.1f}s] {name}: {results[name]}", flush=True)
         continue
     res = con.execute(oracles[name])
     dcols_raw = [d[0] for d in res.description]
@@ -52,5 +55,6 @@ for name, fn in sorted(qs.items()):
         diff = [(a,b) for a,b in zip(srows,drows) if a!=b][:2]
         results[name] = f"FAIL values {diff}"
     else: results[name] = f"MATCH ({len(srows)} rows)"
+    print(f"  [{time.time()-t0:6.1f}s] {name}: {results[name]}", flush=True)
 for k,v in results.items(): print(f"  {k}: {v}")
 print("ALL-MATCH:", all(("MATCH" in v or "rows-only" in v) for v in results.values()))

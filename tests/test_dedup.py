@@ -1,0 +1,81 @@
+"""Unit/property tests for dedup operators on controlled corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_spark_assignment_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_expr,
+    neardup_pairs_exact_jaccard,
+    neardup_pairs_minhash,
+    neardup_pairs_simhash,
+    simhash_expr,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different content about distributed query engines and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "ab"),                                                               # < 3 words
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_exact_picks_min_id(spark):
+    out = dedup_exact(_docs_df(spark), ["text"],
+                      canonical_order=[F.col("doc_id").asc()],
+                      copies_col="n")
+    rows = {r.doc_id: r.n for r in out.collect()}
+    assert 1 in rows and rows[1] == 2     # doc 4 collapsed into doc 1
+    assert 4 not in rows
+    assert len(rows) == 4
+
+
+def test_neardup_bruteforce_finds_pair(spark):
+    out = neardup_pairs_exact_jaccard(_docs_df(spark), "doc_id", "text",
+                                      threshold=0.5)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
+def test_minhash_matches_bruteforce(spark):
+    df = _docs_df(spark)
+    exact = {(r.id_a, r.id_b) for r in
+             neardup_pairs_exact_jaccard(df, "doc_id", "text", 0.5).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           neardup_pairs_minhash(df, "doc_id", "text", 0.5).collect()}
+    assert lsh == exact
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = _docs_df(spark)
+    out = {(r.id_a, r.id_b): r.hamming
+           for r in neardup_pairs_simhash(df, "doc_id", "text", 10).collect()}
+    assert out.get((1, 4)) == 0            # identical text → identical simhash
+    if (1, 2) in out:                      # near-dup should be close if found
+        assert out[(1, 2)] <= 10
+    assert not any(3 in p for p in out)    # unrelated doc stays unpaired
+
+
+def test_simhash_deterministic(spark):
+    df = _docs_df(spark).select(
+        simhash_expr(F.split(F.lower("text"), r"\s+")).alias("h"))
+    a = [r.h for r in df.collect()]
+    b = [r.h for r in df.collect()]
+    assert a == b
+
+
+def test_jaccard_expr_basics(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["a", "b", "c"]),
+         (["a", "b"], ["c", "d"])],
+        "x array<string>, y array<string>")
+    vals = [r.j for r in df.select(jaccard_expr(F.col("x"), F.col("y")).alias("j")).collect()]
+    assert vals[0] == 1.0 and vals[1] == 0.0

@@ -1,0 +1,60 @@
+"""Similarity-operator tests: exactness of cosine math, LSH recall@k
+against the brute-force baseline (the approx-op contract, SURVEY.md
+§7 hard part 4)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bigdata_spark_assignment_spark.io import load_table
+from bigdata_spark_assignment_spark.operators.similarity import (
+    ann_topk_lsh,
+    brute_force_topk,
+    cosine_expr,
+)
+
+
+def test_cosine_expr_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]),
+         ([1.0, 0.0], [0.0, 1.0]),
+         ([1.0, 1.0], [1.0, 0.0])],
+        "a array<float>, b array<float>")
+    vals = [r.c for r in df.select(cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert vals[0] == 1.0
+    assert vals[1] == 0.0
+    assert math.isclose(vals[2], 1 / math.sqrt(2), rel_tol=1e-12)
+
+
+def test_brute_force_topk_shape(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, queries, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+    for rows in by_q.values():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ann_lsh_recall_at_10(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = ann_topk_lsh(emb, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set())) / 10
+               for q in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.6, f"mean recall@10 {recalls}"
