@@ -20,9 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bigdata_spark_assignment_spark.plans import REGISTRY  # noqa: E402
 from bigdata_spark_assignment_spark.session import get_session  # noqa: E402
 
-# Queries excluded from the bench suite (eager/driver-side by design,
-# e.g. random-split counts) — everything else runs.
-BENCH_EXCLUDE: set[str] = {"q11_random_split_sizes"}
+# Queries excluded from the bench suite: eager/driver-side by design
+# (random-split counts) and ML model TRAINING (q43-q45 measure
+# estimator fit time, not query throughput — tracked by tests instead).
+BENCH_EXCLUDE: set[str] = {"q11_random_split_sizes",
+                           "q43_linear_regression_metrics",
+                           "q44_feature_pipeline_shape",
+                           "q45_cv_decision_tree"}
 
 
 def sf_from_dir(sf_dir: str) -> float:

@@ -1,0 +1,91 @@
+"""M4 golden-range tests (SURVEY.md §5.2): the E1 pipeline on the
+reference-shaped synthetic fixture must recover the planted linear
+signal (ArrDelay ≈ DepDelay + 0.05·TaxiOut + N(0,8)).
+
+Reference-published values (real year-2000 data, SURVEY.md §6) are
+data-dependent; the portable assertions are metric RANGES, never
+hashes (ML training is seed-sensitive — §7 hard part 1).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdata_spark_assignment_spark.fixtures import (
+    FORBIDDEN_COLUMNS,
+    make_flights,
+    make_planes,
+)
+from bigdata_spark_assignment_spark.ml.flight_delay import (
+    FlightDelayPipeline,
+    clean_flights,
+    featurize,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_tables(spark):
+    flights = make_flights(spark, n=4000).cache()
+    planes = make_planes(spark, n=800).cache()
+    yield flights, planes
+    flights.unpersist()
+    planes.unpersist()
+
+
+def test_clean_flights_contract(spark, fixture_tables):
+    flights, planes = fixture_tables
+    df = clean_flights(flights, planes).cache()
+    cols = set(df.columns)
+    # leakage + post-outcome columns are gone
+    assert not cols & set(FORBIDDEN_COLUMNS)
+    assert not cols & {"Cancelled", "CancellationCode", "FlightNum", "TailNum"}
+    # label is a non-null int; derived columns exist
+    assert dict(df.dtypes)["ArrDelay"] == "int"
+    assert df.filter(F.col("ArrDelay").isNull()).count() == 0
+    assert {"PlaneAge", "DepTimeDayPart", "CRSArrTimeDayPart"} <= cols
+    # PlaneAge clamped at 0, never negative (Main.scala:285 semantics)
+    assert df.filter(F.col("PlaneAge") < 0).count() == 0
+    # day-part buckets only contain the 8 labels (dirty hhmm filtered)
+    parts = {r[0] for r in df.select("DepTimeDayPart").distinct().collect()}
+    assert parts <= {"lateNight", "earlyMorning", "lateMorning",
+                     "earlyAfternoon", "lateAfternoon", "earlyEvening",
+                     "lateEvening", "earlyNight"}
+    # imputation left no nulls in feature numerics
+    for c in ("DepDelay", "TaxiOut", "Distance"):
+        assert df.filter(F.col(c).isNull()).count() == 0
+    assert df.count() > 2000  # most clean rows survive
+    df.unpersist()
+
+
+def test_featurize_produces_norm_vectors(spark, fixture_tables):
+    flights, planes = fixture_tables
+    df = featurize(clean_flights(flights, planes))
+    row = df.select("features", "normFeatures").first()
+    assert row.features.size == row.normFeatures.size
+    # L1 normalization: component sum ≈ 1 (Normalizer p=1.0, M6)
+    assert abs(sum(abs(v) for v in row.normFeatures.toArray()) - 1.0) < 1e-9
+
+
+def test_linear_regression_recovers_signal(spark, fixture_tables):
+    flights, planes = fixture_tables
+    pipe = FlightDelayPipeline(selector_mode="fdr", cv_folds=3)
+    prepared = pipe.prepare(flights, planes).cache()
+    metrics = pipe.fit_evaluate(prepared, models=("lr",))
+    prepared.unpersist()
+    # planted noise σ=8 over DepDelay σ≈25 ⇒ R² ≈ 1 - 64/689 ≈ 0.9;
+    # generous band for fixture size + OHE noise features
+    assert metrics["lr"]["r2"] > 0.6, metrics
+    assert metrics["lr"]["rmse"] < 16, metrics
+
+
+def test_tree_models_run_and_beat_constant_baseline(spark, fixture_tables):
+    flights, planes = fixture_tables
+    pipe = FlightDelayPipeline(selector_mode=None, cv_folds=2)
+    prepared = pipe.prepare(flights, planes).cache()
+    metrics = pipe.fit_evaluate(prepared, models=("dtr", "rf"))
+    prepared.unpersist()
+    for name in ("dtr", "rf"):
+        assert metrics[name]["r2"] > 0.0, metrics
+        assert metrics[name]["rmse"] > 0.0
