@@ -131,9 +131,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        # integer `div`, NOT `/`: float division of ~1.7e18 nanos loses
+        # precision beyond double's 53-bit mantissa (±1 µs drift vs the
+        # oracle's exact truncation)
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            F.timestamp_micros(F.expr("ts div 1000"))
             .cast("timestamp_ntz"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

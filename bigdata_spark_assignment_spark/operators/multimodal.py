@@ -1,0 +1,147 @@
+"""Multimodal (binary-payload) columns (SURVEY.md §2.9 north star;
+no reference precedent — the reference is tabular-only).
+
+Pattern: media assets ride Spark as an opaque ``binary`` payload
+column plus typed metadata (modality, byte size, content digest),
+exactly like a training-data lake stores images/audio next to text.
+All *plumbing* — schema, partitioning, Arrow batch shape, UDF
+signatures — is real and tested; only the codec step is stubbed
+(the container has no image/audio libraries), clearly marked and
+deterministic so tests can assert end-to-end.
+
+100 TB notes: payloads dominate row width, so (a) metadata-only
+queries must prune the payload column — keep payload in its own
+parquet column so column pruning skips the bytes entirely; (b)
+decode/feature-extract runs via ``mapInPandas`` (Arrow batches,
+bounded memory via batch size) and is embarrassingly parallel; (c)
+never groupBy/join ON a payload — always on the digest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MODALITIES = ("text", "image", "audio", "video")
+
+# Asset = payload + typed metadata. Struct (not top-level columns) so a
+# table can carry several assets per row (e.g. image + thumbnail).
+ASSET_SCHEMA = T.StructType([
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("modality", T.StringType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("digest", T.StringType()),
+])
+
+
+def asset_expr(payload: Column, modality: str, mime: str) -> Column:
+    """Pack a binary payload into the asset struct; size + sha256
+    digest are computed JVM-side (codegen, no Python)."""
+    if modality not in MODALITIES:
+        raise ValueError(f"modality must be one of {MODALITIES}")
+    return F.struct(
+        payload.alias("payload"),
+        F.lit(modality).alias("modality"),
+        F.lit(mime).alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+    )
+
+
+def text_as_asset(df: DataFrame, text_col: str = "text",
+                  out_col: str = "asset") -> DataFrame:
+    """Demo wiring over the driver's documents table: utf-8 bytes as
+    the payload (the only modality the container can really encode)."""
+    return df.withColumn(
+        out_col, asset_expr(F.encode(F.col(text_col), "utf-8"),
+                            "text", "text/plain"))
+
+
+# ---------------------------------------------------------------------------
+# Decode / feature-extract over mapInPandas (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("digest", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("feat_mean", T.DoubleType()),
+    T.StructField("feat_std", T.DoubleType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def _decode_stub(payload: bytes, modality: str) -> dict:
+    """STUB codec: the container has no image/audio libraries, so this
+    computes a deterministic fake 'decode' — byte-level statistics and
+    a fake geometry derived from the length. Swap for PIL / torchaudio
+    / pyav in a real deployment; the Spark-side plumbing (schema,
+    batching, partitioning) is unchanged by that swap.
+    """
+    if modality not in MODALITIES:
+        raise NotImplementedError(f"no codec for modality {modality!r}")
+    if not payload:
+        return {"feat_mean": 0.0, "feat_std": 0.0, "width": 0, "height": 0}
+    n = len(payload)
+    mean = sum(payload) / n
+    var = sum((b - mean) ** 2 for b in payload) / n
+    side = max(1, int(n ** 0.5))
+    return {"feat_mean": mean, "feat_std": var ** 0.5,
+            "width": side, "height": (n + side - 1) // side}
+
+
+def extract_features(assets: DataFrame, id_col: str = "doc_id",
+                     asset_col: str = "asset",
+                     batch_size: int = 256) -> DataFrame:
+    """Decode + featurize assets via ``mapInPandas``.
+
+    The iterator-of-batches shape keeps peak memory at one Arrow batch
+    of payloads per task regardless of partition size —
+    the pattern real media decode needs at 100 TB. Batch size is
+    plumbed through ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    by callers when payloads are large.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(bytes(p) if p is not None else b"", m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            out = pd.DataFrame({
+                "doc_id": pdf["id"].astype("int64"),
+                "digest": pdf["digest"],
+                "n_bytes": pdf["n_bytes"].astype("int64"),
+                "feat_mean": [f["feat_mean"] for f in feats],
+                "feat_std": [f["feat_std"] for f in feats],
+                "width": pd.array([f["width"] for f in feats], dtype="int32"),
+                "height": pd.array([f["height"] for f in feats], dtype="int32"),
+            })
+            yield out
+
+    flat = assets.select(
+        F.col(id_col).alias("id"),
+        F.col(f"{asset_col}.payload").alias("payload"),
+        F.col(f"{asset_col}.modality").alias("modality"),
+        F.col(f"{asset_col}.digest").alias("digest"),
+        F.col(f"{asset_col}.n_bytes").alias("n_bytes"),
+    )
+    return flat.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def dedup_assets_by_digest(assets: DataFrame, id_col: str = "doc_id",
+                           asset_col: str = "asset") -> DataFrame:
+    """Exact media dedup on the content digest — the shuffle carries
+    (digest, id), never the payload bytes."""
+    from pyspark.sql import Window as W
+    w = W.partitionBy(F.col(f"{asset_col}.digest")).orderBy(F.col(id_col))
+    return (assets
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))

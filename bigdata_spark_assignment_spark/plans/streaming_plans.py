@@ -1,0 +1,89 @@
+"""Window-op queries (SURVEY.md §2.8/M6) — the STREAMING transformations
+run on batch input.
+
+Each query calls the exact function the streaming tests run
+incrementally (streaming/ops.py); Structured Streaming's contract is
+that the converged stream result equals this batch result, so the
+DuckDB oracle checks the semantics once and the streaming tests check
+the incremental path against the same functions
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..streaming.ops import session_agg, sliding_counts, tumbling_counts
+from .registry import register
+
+
+@register(
+    "q46_tumbling_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS win_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window"),
+)
+def tumbling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows via ``F.window`` — same function the
+    stream runs (streaming/ops.py:tumbling_counts)."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q47_sliding_window_counts",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS s FROM events
+      UNION ALL
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' FROM events)
+    SELECT s AS win_start, s + INTERVAL '10 minutes' AS win_end,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM starts GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window"),
+)
+def sliding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10/5-minute windows — every event lands in exactly two
+    windows (width/slide); oracle enumerates both starts per event."""
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q48_session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events),
+    marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '5 minutes'
+                     THEN 1 ELSE 0 END AS brk
+      FROM o),
+    sess AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT MIN(ts) AS sess_start,
+           MAX(ts) + INTERVAL '5 minutes' AS sess_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session"),
+)
+def session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (``session_window``, 5-minute gap).
+    Spark defines session end = last event + gap; the oracle rebuilds
+    the same islands with a lag/cumsum breakpoint scan."""
+    return session_agg(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,70 @@
+"""Replay a static table as a file stream + drive a stream to a sink.
+
+The driver's ``events`` parquet is batch data; to exercise the real
+streaming engine (state store, watermarks, incremental triggers) we
+re-write it as N chunk files in event-time order and read the
+directory with ``readStream`` + ``maxFilesPerTrigger=1`` — each
+micro-batch then observes a time-ordered slice, which is what makes
+watermark/late-data behavior meaningful in tests.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def replay_as_stream(spark: SparkSession, df: DataFrame,
+                     order_col: str = "ts", n_chunks: int = 8,
+                     dir_path: str | None = None,
+                     files_per_trigger: int = 1) -> DataFrame:
+    """Materialize ``df`` as ``n_chunks`` files in ``order_col`` order
+    and open them as a file-source stream (one file per micro-batch by
+    default)."""
+    dir_path = dir_path or tempfile.mkdtemp(prefix="spark_replay_")
+    data_dir = os.path.join(dir_path, "data")
+    # Watermarks demand TIMESTAMP (with zone); driver parquet carries
+    # TIMESTAMP_NTZ. Session TZ is pinned UTC (session.py), so the cast
+    # is value-preserving — done once here at replay-write time.
+    ntz_cols = [f.name for f in df.schema.fields
+                if f.dataType.simpleString() == "timestamp_ntz"]
+    out = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+    # one file per range-partition => files are time-ordered chunks
+    (out.repartitionByRange(n_chunks, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite").parquet(data_dir))
+    # FileStreamSource orders files by MODIFICATION time, but one write
+    # job stamps every part file at once — chunks could replay out of
+    # event-time order, advancing the watermark past earlier chunks.
+    # part-0000i == i-th range partition, so restamp mtimes to match.
+    import glob
+    import time as _time
+    base = _time.time()
+    for i, path in enumerate(sorted(glob.glob(
+            os.path.join(data_dir, "part-*.parquet")))):
+        os.utime(path, times=(base + i, base + i))
+    return (spark.readStream
+            .schema(out.schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(data_dir))
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str,
+                       output_mode: str = "append",
+                       timeout_s: int = 120) -> DataFrame:
+    """Run a streaming query to completion (availableNow trigger) into
+    an in-memory table and return it as a DataFrame. Test harness only
+    — memory sinks collect to the driver; production sinks are
+    kafka/parquet/delta via ``writeStream``."""
+    q = (stream_df.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_s)
+    spark = stream_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,100 @@
+"""M6 batch-equivalence tests: each streaming op, run incrementally
+(file replay, one file per micro-batch, availableNow) must converge to
+the same final result as the identical transformation on the static
+DataFrame (SURVEY.md §7 M6 contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdata_spark_assignment_spark.io import load_table
+from bigdata_spark_assignment_spark.streaming import (
+    dedup_events,
+    replay_as_stream,
+    run_to_memory_sink,
+    session_agg,
+    sliding_counts,
+    tumbling_counts,
+    with_watermark,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "events").cache()
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_counts_batch_equivalence(spark, events, tmp_path):
+    stream = replay_as_stream(spark, events, n_chunks=6,
+                              dir_path=str(tmp_path))
+    out = run_to_memory_sink(
+        tumbling_counts(with_watermark(stream, delay="10 minutes")),
+        "t_tumbling", output_mode="complete")
+    batch = tumbling_counts(events)
+    cols = ["win_start", "win_end", "event_type", "n_events", "sum_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+    assert out.count() > 0
+
+
+def test_sliding_counts_batch_equivalence(spark, events, tmp_path):
+    stream = replay_as_stream(spark, events, n_chunks=4,
+                              dir_path=str(tmp_path))
+    out = run_to_memory_sink(
+        sliding_counts(with_watermark(stream, delay="10 minutes")),
+        "t_sliding", output_mode="complete")
+    batch = sliding_counts(events)
+    cols = ["win_start", "win_end", "event_type", "n_events"]
+    assert _rows(out, cols) == _rows(batch, cols)
+    # each event lands in width/slide = 2 windows
+    assert out.agg(F.sum("n_events")).first()[0] == 2 * events.count()
+
+
+def test_session_agg_batch_equivalence(spark, events, tmp_path):
+    stream = replay_as_stream(spark, events, n_chunks=4,
+                              dir_path=str(tmp_path))
+    out = run_to_memory_sink(
+        session_agg(with_watermark(stream, delay="10 minutes")),
+        "t_session", output_mode="complete")
+    batch = session_agg(events)
+    cols = ["sess_start", "sess_end", "user_id", "n_events", "sum_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_stream_dedup_batch_equivalence(spark, events, tmp_path):
+    # plant duplicates: every event twice (same event_id)
+    doubled = events.unionByName(events)
+    stream = replay_as_stream(spark, doubled.orderBy("ts"), n_chunks=4,
+                              dir_path=str(tmp_path))
+    out = run_to_memory_sink(dedup_events(stream), "t_dedup",
+                             output_mode="append")
+    assert out.count() == events.count()
+    assert _rows(out.select("event_id"), ["event_id"]) == \
+        _rows(events.select("event_id"), ["event_id"])
+
+
+def test_late_data_dropped_beyond_watermark(spark, events, tmp_path):
+    """A watermark must bound state: with a tiny delay and time-ordered
+    replay, every window still closes correctly under availableNow
+    (all data eventually arrives; equivalence holds because replay is
+    in order — THE documented precondition)."""
+    stream = replay_as_stream(spark, events, n_chunks=6,
+                              dir_path=str(tmp_path))
+    out = run_to_memory_sink(
+        tumbling_counts(with_watermark(stream, delay="1 minutes")),
+        "t_late", output_mode="append")
+    # append mode only emits CLOSED windows; the final (still-open at
+    # end-of-stream) windows are withheld => strictly fewer or equal
+    batch = tumbling_counts(events)
+    assert 0 < out.count() <= batch.count()
+    # emitted windows match batch values exactly
+    cols = ["win_start", "win_end", "event_type", "n_events", "sum_value"]
+    emitted = {t[:3]: t for t in _rows(out, cols)}
+    batch_map = {t[:3]: t for t in _rows(batch, cols)}
+    for key, row in emitted.items():
+        assert batch_map[key] == row
