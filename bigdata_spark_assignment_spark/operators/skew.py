@@ -1,0 +1,55 @@
+"""Skew-mitigation helpers (SURVEY.md §4.3 — 100 TB design).
+
+AQE's skew-join splitting (on by default in session.py) handles
+moderate skew at runtime; these helpers are for the pathological case
+a static plan must survive — a handful of hot keys holding a large
+fraction of a 100 TB fact table, where one shuffle partition would
+otherwise receive the whole hot key.
+
+``salted_join``: fact rows get a uniform salt in [0, salt); the dim
+side is replicated once per salt value, so the join key becomes
+(key, salt) and each hot key fans out over ``salt`` partitions. Cost:
+dim side × salt (keep dim small — if it broadcasts, you don't need
+salting at all, use ``F.broadcast``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt: int, col_name: str = "__salt",
+              seed: int = 42) -> DataFrame:
+    """Uniform salt column in [0, salt). ``rand`` is seeded for test
+    reproducibility; salting only needs uniformity, not determinism."""
+    return df.withColumn(col_name, (F.rand(seed) * salt).cast("int"))
+
+
+def replicate_per_salt(df: DataFrame, salt: int,
+                       col_name: str = "__salt") -> DataFrame:
+    """Cross the (small) side with salt values 0..salt-1 — one replica
+    per salt bucket, via explode (no driver round-trip)."""
+    return df.withColumn(
+        col_name, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, on: list[str] | str,
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join with the fact side salted against hot-key skew.
+
+    Result is row-identical to ``fact.join(dim, on, how)`` (asserted in
+    tests); only the shuffle distribution changes: each (key, salt)
+    pair forms its own partition, bounding any single task at
+    ~|hot key| / salt rows.
+
+    Supported how: inner / left / left_outer (the dim replicas are
+    identical, so fact-preserving joins stay exact; right/full would
+    multiply unmatched dim rows by ``salt`` and are rejected).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    f = with_salt(fact, salt)
+    d = replicate_per_salt(dim, salt)
+    return f.join(d, keys + ["__salt"], how).drop("__salt")

