@@ -63,6 +63,7 @@ from ..operators.cleaning import (
     null_to_unknown,
     prune_constant_columns,
 )
+from ..operators.relational import join_guarded
 
 LABEL = "ArrDelay"
 
@@ -104,8 +105,10 @@ def clean_flights(flights: DataFrame, planes: DataFrame) -> DataFrame:
         F.col("issue_date").isNotNull()
         & ~F.col("issue_date").isin("None", "NA")
         & F.col("manufacturer").isNotNull())
-    df = df.join(F.broadcast(dim), df["TailNum"] == dim["tailnum"], "inner") \
-           .drop("tailnum")
+    # J2 join guard (Main.scala:132-139): only join when TailNum
+    # actually discriminates (>1 distinct value)
+    df = join_guarded(df, dim.withColumnRenamed("tailnum", "TailNum"),
+                      "TailNum")
 
     df = na_to_null(df)
     df = df.withColumns({c: F.col(c).cast("int") for c in NUMERIC_COLS})

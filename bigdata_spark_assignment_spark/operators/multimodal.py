@@ -78,25 +78,6 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def _decode_stub(payload: bytes, modality: str) -> dict:
-    """STUB codec: the container has no image/audio libraries, so this
-    computes a deterministic fake 'decode' — byte-level statistics and
-    a fake geometry derived from the length. Swap for PIL / torchaudio
-    / pyav in a real deployment; the Spark-side plumbing (schema,
-    batching, partitioning) is unchanged by that swap.
-    """
-    if modality not in MODALITIES:
-        raise NotImplementedError(f"no codec for modality {modality!r}")
-    if not payload:
-        return {"feat_mean": 0.0, "feat_std": 0.0, "width": 0, "height": 0}
-    n = len(payload)
-    mean = sum(payload) / n
-    var = sum((b - mean) ** 2 for b in payload) / n
-    side = max(1, int(n ** 0.5))
-    return {"feat_mean": mean, "feat_std": var ** 0.5,
-            "width": side, "height": (n + side - 1) // side}
-
-
 def extract_features(assets: DataFrame, id_col: str = "doc_id",
                      asset_col: str = "asset",
                      batch_size: int = 256) -> DataFrame:
@@ -107,15 +88,40 @@ def extract_features(assets: DataFrame, id_col: str = "doc_id",
     the pattern real media decode needs at 100 TB. Batch size is
     plumbed through ``spark.sql.execution.arrow.maxRecordsPerBatch``
     by callers when payloads are large.
+
+    The UDF closure is deliberately SELF-CONTAINED (stub + imports
+    inside): cloudpickle ships it by value, so executors never need
+    this package importable — required because the engine runs under
+    driver-owned sessions launched from arbitrary working directories.
     """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        def decode_stub(payload: bytes, modality: str) -> dict:
+            # STUB codec: the container has no image/audio libraries —
+            # deterministic byte statistics + fake geometry stand in for
+            # PIL/torchaudio/pyav; swapping the codec changes nothing on
+            # the Spark side (schema, batching, partitioning).
+            if modality not in ("text", "image", "audio", "video"):
+                raise NotImplementedError(f"no codec for {modality!r}")
+            if not payload:
+                return {"feat_mean": 0.0, "feat_std": 0.0,
+                        "width": 0, "height": 0}
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            side = max(1, int(len(arr) ** 0.5))
+            return {"feat_mean": float(arr.mean()),
+                    "feat_std": float(arr.std()),
+                    "width": side,
+                    "height": (len(arr) + side - 1) // side}
+
         for pdf in batches:
             feats = [
-                _decode_stub(bytes(p) if p is not None else b"", m)
+                decode_stub(bytes(p) if p is not None else b"", m)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
-            out = pd.DataFrame({
+            yield pd.DataFrame({
                 "doc_id": pdf["id"].astype("int64"),
                 "digest": pdf["digest"],
                 "n_bytes": pdf["n_bytes"].astype("int64"),
@@ -124,7 +130,6 @@ def extract_features(assets: DataFrame, id_col: str = "doc_id",
                 "width": pd.array([f["width"] for f in feats], dtype="int32"),
                 "height": pd.array([f["height"] for f in feats], dtype="int32"),
             })
-            yield out
 
     flat = assets.select(
         F.col(id_col).alias("id"),

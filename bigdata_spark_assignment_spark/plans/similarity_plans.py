@@ -12,7 +12,7 @@ from ..io import load_table
 from ..operators.similarity import (
     ann_topk_lsh,
     brute_force_topk,
-    neardup_pairs_cosine,
+    neardup_pairs_cosine_vectorized,
 )
 from .registry import fround, register
 
@@ -76,11 +76,13 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "neardup"),
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs embedding near-dup at cosine ≥ 0.4 (brute force — the
-    driver corpus is small; the 100 TB path blocks on an LSH bucket,
-    see operators.similarity.neardup_pairs_cosine)."""
+    """All-pairs embedding near-dup at cosine ≥ 0.4 via the block-matrix
+    numpy path (Arrow + applyInPandas, one matmul per chunk-pair block;
+    ~50× the interpreted array-expression formulation at sf0.1). Still
+    O(n²) — the 100 TB path blocks on an LSH bucket instead
+    (operators.similarity.neardup_pairs_cosine with block_col)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = neardup_pairs_cosine(emb, threshold=0.4)
+    out = neardup_pairs_cosine_vectorized(emb, threshold=0.4)
     return out.select("id_a", "id_b", fround(F.col("cosine")).alias("cosine"))
 
 

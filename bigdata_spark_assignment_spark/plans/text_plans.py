@@ -176,3 +176,27 @@ def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.sha2(payload, 256)).alias("n_distinct_payloads"),
         )
     )
+
+
+@register(
+    "q49_multimodal_feature_extract",
+    oracle=None,  # mapInPandas decode stub: rows-only (values are
+                  # deterministic but not SQL-expressible)
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary assets
+    (operators.multimodal.extract_features via mapInPandas) — the
+    plumbing a real image/audio pipeline uses, with the codec stubbed
+    (deterministic byte statistics; see _decode_stub). Aggregated per
+    language so the output is compact and shape-stable."""
+    from ..operators.multimodal import extract_features, text_as_asset
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(text_as_asset(docs))
+    joined = feats.join(docs.select("doc_id", "lang"), "doc_id")
+    return (joined.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_assets"),
+                 F.round(F.avg("feat_mean"), 4).alias("avg_feat_mean"),
+                 F.round(F.avg("feat_std"), 4).alias("avg_feat_std"),
+                 F.max("width").alias("max_width")))

@@ -58,3 +58,21 @@ def test_ann_lsh_recall_at_10(spark, sf_smoke):
     recalls = [len(exact_sets[q] & approx_sets.get(q, set())) / 10
                for q in exact_sets]
     assert sum(recalls) / len(recalls) >= 0.6, f"mean recall@10 {recalls}"
+
+
+def test_neardup_cosine_vectorized_equals_expression(spark, sf_smoke):
+    """Block-matrix numpy path must emit exactly the expression path's
+    pair set (same ids, cosine within float reassociation tolerance)."""
+    from bigdata_spark_assignment_spark.operators.similarity import (
+        neardup_pairs_cosine,
+        neardup_pairs_cosine_vectorized,
+    )
+    emb = load_table(spark, sf_smoke, "embeddings")
+    expr = {(r.id_a, r.id_b): r.cosine
+            for r in neardup_pairs_cosine(emb, threshold=0.4).collect()}
+    vec = {(r.id_a, r.id_b): r.cosine
+           for r in neardup_pairs_cosine_vectorized(
+               emb, threshold=0.4, n_chunks=4).collect()}
+    assert set(expr) == set(vec)
+    for k in expr:
+        assert math.isclose(expr[k], vec[k], rel_tol=1e-9), k
