@@ -291,9 +291,12 @@ def neardup_pairs_simhash(docs: DataFrame, id_col: str, text_col: str,
     from .textual import words_expr
     exclude_infer_filters_from_generate(docs.sparkSession)
     n_parts = parallelism or docs.sparkSession.sparkContext.defaultParallelism
+    # persist: the (id, sim) frame is tiny (two longs/row) and feeds
+    # both self-join sides — without it the signature aggregate runs
+    # twice
     sh = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("id"),
-        simhash_expr(words_expr(F.col(text_col))).alias("sim"))
+        simhash_expr(words_expr(F.col(text_col))).alias("sim")).persist()
     chunks = sh.select(
         "id", "sim",
         F.posexplode(F.array(*[

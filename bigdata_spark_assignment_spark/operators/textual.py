@@ -89,12 +89,12 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def lang_score_expr(text: Column, lang: str) -> Column:
-    """Count of word-boundary marker-word hits for one language."""
+    """Count of word-boundary marker-word hits for one language — ONE
+    alternation regex per language (a per-marker loop costs 5 full
+    text scans per language; the alternation is a single scan with
+    identical match counts since markers are distinct whole words)."""
     markers = LANG_MARKERS[lang]
-    total = F.lit(0)
-    for m in markers:
-        total = total + F.regexp_count(text, F.lit(rf"\b{m}\b"))
-    return total
+    return F.regexp_count(text, F.lit(rf"\b({'|'.join(markers)})\b"))
 
 
 def cjk_count_expr(text: Column) -> Column:

@@ -375,3 +375,33 @@ def random_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_train, n_test, n_train + n_test)],
         "n_train long, n_test long, n_total long",
     )
+
+
+@register(
+    "q50_salted_join_hot_keys",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 4) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "skew"),
+)
+def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (operators.skew.salted_join): fact
+    rows fan out over (key, salt) partitions, dim replicated per salt —
+    row-identical to the plain join, which is exactly what the oracle
+    asserts. At 100 TB this is the fallback when one order key holds a
+    measurable fraction of the fact table and AQE's skew splitting
+    isn't enough (SURVEY.md §4.3).
+    """
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders") \
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    joined = salted_join(li, orders, "l_orderkey", salt=8)
+    return (joined.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 fround(F.sum("l_extendedprice")).alias("total_price")))

@@ -24,10 +24,10 @@ from .registry import fround, register
 
 
 def _duck_marker_score(lang: str) -> str:
-    """DuckDB expression mirroring operators.textual.lang_score_expr."""
-    terms = [rf"len(regexp_extract_all(lower(text), '\b{m}\b'))"
-             for m in LANG_MARKERS[lang]]
-    return " + ".join(terms)
+    """DuckDB expression mirroring operators.textual.lang_score_expr
+    (one alternation regex per language, same match counts)."""
+    alternation = "|".join(LANG_MARKERS[lang])
+    return rf"len(regexp_extract_all(lower(text), '\b({alternation})\b'))"
 
 
 def _duck_lang_id_case() -> str:

@@ -15,3 +15,4 @@ from .ops import (  # noqa: F401
     with_watermark,
 )
 from .replay import replay_as_stream, run_to_memory_sink  # noqa: F401
+from .stateful import running_totals  # noqa: F401

@@ -98,3 +98,29 @@ def test_late_data_dropped_beyond_watermark(spark, events, tmp_path):
     batch_map = {t[:3]: t for t in _rows(batch, cols)}
     for key, row in emitted.items():
         assert batch_map[key] == row
+
+
+def test_stateful_running_totals_batch_equivalence(spark, events, tmp_path):
+    """applyInPandasWithState: the last per-key emission must equal the
+    batch aggregate (totals are monotone, so last = max n_events)."""
+    from bigdata_spark_assignment_spark.streaming.stateful import (
+        running_totals,
+    )
+    stream = replay_as_stream(spark, events, n_chunks=5,
+                              dir_path=str(tmp_path))
+    out = run_to_memory_sink(running_totals(stream), "t_stateful",
+                             output_mode="update")
+    # several emissions per key (one per touching batch); take the last
+    final = {}
+    for r in out.collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.sum_value)
+    batch = {r.user_id: (r.n_events, r.sum_value)
+             for r in running_totals(events).collect()}
+    assert set(final) == set(batch)
+    for k in batch:
+        assert final[k][0] == batch[k][0], k
+        assert abs(final[k][1] - batch[k][1]) < 1e-6, k
+    # incremental emissions actually happened (more rows than keys)
+    assert out.count() > len(batch)
