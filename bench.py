@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bigdata_spark_assignment_spark.plans import REGISTRY  # noqa: E402
@@ -37,9 +39,23 @@ def sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def _warmup(spark) -> None:
+    """Pay one-time costs before the timing loop: JVM first-job (~5s)
+    and Python-worker spin-up for pandas UDFs — otherwise they land on
+    whichever query runs first and misattribute ~6s."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(1000).select(_noop("id").alias("v")).count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session(app_name="bench")
+    _warmup(spark)
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):

@@ -264,3 +264,67 @@ def neardup_pairs_cosine(emb: DataFrame, threshold: float = 0.4,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_cells: int = 16, n_probe: int = 4,
+                 seed: int = 7) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse
+    quantizer assigns every corpus vector to a cell; each query probes
+    its ``n_probe`` nearest cells and reranks those candidates with
+    exact cosine.
+
+    Pure Spark-first composition: ``pyspark.ml.clustering.KMeans`` fits
+    the quantizer (one pass over the corpus), cell assignment is the
+    model transform, candidate generation is an equi-join on cell id —
+    the corpus shuffles once by cell, queries broadcast. Recall@k vs
+    brute force is the test contract, tunable via n_cells/n_probe
+    (probing all cells == exact search).
+
+    100 TB path: fit the quantizer on a sample (KMeans does this
+    naturally), write the corpus bucketed by cell id, and the per-query
+    work becomes n_probe partition-pruned scans — the classic
+    FAISS-IVF layout expressed relationally.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(F.col(vec_col)).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features",
+                predictionCol="cell")
+    model = km.fit(corpus_v)
+    c_cells = model.transform(corpus_v).select("neighbor_id", "c_vec", "cell")
+
+    # n_probe nearest centroids per query, computed driver-side on the
+    # (tiny) centroid matrix, shipped as a broadcast-joined literal set
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    q_rows = queries.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("q_vec")).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r.q_vec, dtype=np.float64)
+        d = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_rows.append((r.query_id, list(map(float, r.q_vec)),
+                               int(cell)))
+    spark = corpus.sparkSession
+    q_probes = spark.createDataFrame(
+        probe_rows, f"query_id long, q_vec array<float>, cell int")
+
+    cands = (c_cells.join(F.broadcast(q_probes), "cell")
+             .filter(F.col("neighbor_id") != F.col("query_id")))
+    scored = cands.withColumn("cosine",
+                              cosine_expr(F.col("c_vec"), F.col("q_vec")))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -10,6 +10,7 @@ from . import analytic  # noqa: E402,F401
 from . import cleaning  # noqa: E402,F401
 from . import dedup_plans  # noqa: E402,F401
 from . import ml_plans  # noqa: E402,F401
+from . import pipeline_plans  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import similarity_plans  # noqa: E402,F401
 from . import streaming_plans  # noqa: E402,F401

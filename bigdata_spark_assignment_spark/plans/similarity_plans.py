@@ -98,3 +98,21 @@ def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ann_topk_lsh(emb, queries, k=10)
+
+
+@register(
+    "q51_ann_topk_ivf",
+    oracle=None,  # approximate (quantizer-dependent); recall asserted
+                  # vs q40 in tests/test_similarity.py
+    tags=("similarity", "topk", "ivf"),
+)
+def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: KMeans coarse quantizer + n_probe-cell
+    candidate scan + exact rerank (operators.similarity.ann_topk_ivf).
+    The FAISS-IVF layout expressed relationally: corpus shuffles once
+    by cell, probes are an equi-join."""
+    from ..operators.similarity import ann_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_topk_ivf(emb, queries, k=10, n_cells=16, n_probe=6)

@@ -76,3 +76,40 @@ def test_neardup_cosine_vectorized_equals_expression(spark, sf_smoke):
     assert set(expr) == set(vec)
     for k in expr:
         assert math.isclose(expr[k], vec[k], rel_tol=1e-9), k
+
+
+def test_ann_ivf_recall_at_10(spark, sf_smoke):
+    """IVF quantizer + n_probe cells: recall@10 vs brute force. With
+    16 cells and 6 probes on weakly-clustered data, most true
+    neighbors' cells are probed."""
+    from bigdata_spark_assignment_spark.operators.similarity import (
+        ann_topk_ivf,
+    )
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = ann_topk_ivf(emb, queries, k=10, n_cells=16, n_probe=6).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set())) / 10
+               for q in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.5, f"mean recall@10 {recalls}"
+
+
+def test_ann_ivf_full_probe_is_exact(spark, sf_smoke):
+    """Probing every cell must reproduce the exact top-k (IVF's
+    correctness limit case)."""
+    from bigdata_spark_assignment_spark.operators.similarity import (
+        ann_topk_ivf,
+    )
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    full = {(r.query_id, r.rank): r.neighbor_id
+            for r in ann_topk_ivf(emb, queries, k=5,
+                                  n_cells=8, n_probe=8).collect()}
+    assert exact == full
