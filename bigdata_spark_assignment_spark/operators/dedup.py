@@ -318,3 +318,55 @@ def neardup_pairs_simhash(docs: DataFrame, id_col: str, text_col: str,
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph → (id,
+    cluster_id) with cluster_id = min id reachable through pairs.
+
+    Iterative min-label propagation on DataFrames: each round every
+    vertex takes the min of its own label and its neighbors' labels;
+    convergence when no label changes (diameter-bounded, ≤ max_iter).
+    ``localCheckpoint`` cuts the lineage each round — without it the
+    plan doubles per iteration and the driver dies on analysis cost
+    long before the data does.
+
+    100 TB notes: each round is one join + one aggregate on the edge
+    list (shuffle on vertex id). For web-scale graphs swap in
+    large-star/small-star (fewer rounds on high-diameter graphs); for
+    near-dup graphs the diameter is tiny (duplicates form cliques-ish
+    blobs), so plain propagation converges in a handful of rounds.
+    Only vertices that appear in SOME pair are returned — singletons
+    are the caller's identity mapping.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels,
+                                   edges["dst"] == labels["id"])
+                        .groupBy("src")
+                        .agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels["id"] == neighbor_min["src"],
+                                  "left")
+                      .select(labels["id"],
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nmin"),
+                                                 F.col("label")))
+                              .alias("label")))
+        new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -152,3 +152,38 @@ def neardup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64, which no oracle reproduces."""
     docs = load_table(spark, sf_dir, "documents")
     return neardup_pairs_simhash(docs, "doc_id", "text", max_hamming=6)
+
+
+@register(
+    "q53_neardup_clusters",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT src AS id FROM edges)
+    , reach AS (
+      WITH RECURSIVE r(id, label) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.src, r.label
+        FROM edges e JOIN r ON e.dst = r.id
+        WHERE r.label < e.src)
+      SELECT id, MIN(label) AS cluster_id FROM r GROUP BY id)
+    SELECT CAST(id AS BIGINT) AS id, CAST(cluster_id AS BIGINT) AS cluster_id
+    FROM reach
+    """,
+    tags=("dedup", "neardup", "clustering"),
+)
+def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pair graph —
+    iterative min-label propagation (operators.dedup.neardup_clusters)
+    must agree with DuckDB's recursive-CTE reachability on every
+    (vertex, min-reachable-id) row. Iterative DataFrame algorithm vs
+    recursive SQL: the strongest cross-paradigm differential here."""
+    from ..operators.dedup import neardup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup_pairs_minhash(docs, "doc_id", "text", threshold=0.6)
+    return neardup_clusters(pairs)

@@ -79,3 +79,20 @@ def test_jaccard_expr_basics(spark):
         "x array<string>, y array<string>")
     vals = [r.j for r in df.select(jaccard_expr(F.col("x"), F.col("y")).alias("j")).collect()]
     assert vals[0] == 1.0 and vals[1] == 0.0
+
+
+def test_neardup_clusters_transitive(spark):
+    """A~B and B~C (but never A~C directly) must land in ONE cluster —
+    the property pair-dropping can't give you."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        neardup_clusters,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8),        # chain 1-2-3
+         (10, 11, 0.95),                   # pair
+         (20, 21, 0.7), (21, 22, 0.7), (22, 23, 0.7), (20, 23, 0.9)],
+        "id_a long, id_b long, jaccard double")
+    out = {r.id: r.cluster_id
+           for r in neardup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
