@@ -387,3 +387,48 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("session_id").alias("n_sessions"),
              F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "q54_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "percentiles"),
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` aggregate ==
+    DuckDB ``quantile_cont``, both linear interpolation). At 100 TB use
+    q55's approx sketch instead — exact percentile must materialize the
+    per-group value multiset."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(fround(F.percentile("l_extendedprice", 0.25)).alias("p25"),
+                 fround(F.percentile("l_extendedprice", 0.50)).alias("p50"),
+                 fround(F.percentile("l_extendedprice", 0.75)).alias("p75"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "q55_approx_sketches",
+    oracle=None,  # approximate by design (HLL++ / KLL); relative-error
+                  # contract asserted in tests/test_analytic_sketches.py
+    tags=("aggregation", "sketch", "approx"),
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB aggregation path: HLL++ distinct counts
+    (``approx_count_distinct``, mergeable partial sketches — one pass,
+    no distinct shuffle) and quantile sketches (``percentile_approx``)
+    per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+                 F.percentile_approx("l_extendedprice", 0.5, 1000)
+                  .alias("approx_median"),
+                 F.count(F.lit(1)).alias("n")))

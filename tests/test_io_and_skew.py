@@ -94,3 +94,38 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(fact, dim, "k", salt=3, how="left").collect()
     assert len(out) == 3
     assert {r.k: r.d for r in out}[99] is None
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_smoke, tmp_path):
+    """Bucketed tables co-locate join keys at WRITE time — the
+    fact-fact join then plans with NO Exchange on either side (the
+    100 TB strategy for repeated joins on the same key)."""
+    import uuid
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    orders = load_table(spark, sf_smoke, "orders")
+    suffix = uuid.uuid4().hex[:8]
+    t_li, t_ord = f"li_b_{suffix}", f"ord_b_{suffix}"
+    # at fixture scale the dim broadcasts (BroadcastExchange) and the
+    # planner skips bucketing; force the sort-merge path the bucketing
+    # exists for at 100 TB
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+           .mode("overwrite").saveAsTable(t_li))
+        (orders.withColumnRenamed("o_orderkey", "l_orderkey")
+               .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+               .mode("overwrite").saveAsTable(t_ord))
+        joined = spark.table(t_li).join(spark.table(t_ord), "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and the result is still correct
+        expected = li.join(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "l_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_ord}")
