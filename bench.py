@@ -28,7 +28,10 @@ from bigdata_spark_assignment_spark.session import get_session  # noqa: E402
 BENCH_EXCLUDE: set[str] = {"q11_random_split_sizes",
                            "q43_linear_regression_metrics",
                            "q44_feature_pipeline_shape",
-                           "q45_cv_decision_tree"}
+                           "q45_cv_decision_tree",
+                           # IVF index BUILD (KMeans fit) dominates — an
+                           # estimator fit, not query throughput
+                           "q51_ann_topk_ivf"}
 
 
 def sf_from_dir(sf_dir: str) -> float:

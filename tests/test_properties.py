@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the scalar cleaning/text ops:
+each Spark expression is checked against a straight-line Python
+reference on randomized inputs — the survey-§5 rigor the reference
+repo never had.
+
+Examples are batched into one DataFrame per hypothesis case to keep
+Spark round-trips bounded; deadlines are disabled (JVM warm-up noise).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from bigdata_spark_assignment_spark.operators.cleaning import (
+    DAY_PART_EDGES,
+    DAY_PART_LABELS,
+    bucketize_expr,
+    na_to_null_expr,
+    null_to_unknown_expr,
+)
+from bigdata_spark_assignment_spark.operators.textual import (
+    fingerprint_expr,
+    token_count_expr,
+)
+
+SETTINGS = settings(max_examples=12, deadline=None)
+
+
+def _day_part_ref(v: int | None) -> str | None:
+    if v is None:
+        return ""  # NULL fails every WHEN → default, same as SQL CASE
+    for i, label in enumerate(DAY_PART_LABELS):
+        lo, hi = DAY_PART_EDGES[i], DAY_PART_EDGES[i + 1]
+        if (lo <= v < hi) or (i == len(DAY_PART_LABELS) - 1 and lo <= v <= hi):
+            return label
+    return ""
+
+
+@SETTINGS
+@given(st.lists(st.one_of(st.none(),
+                          st.integers(min_value=-100, max_value=2600)),
+                min_size=1, max_size=40))
+def test_day_part_matches_reference(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v int")
+    out = [r.b for r in df.select(
+        bucketize_expr(F.col("v"), DAY_PART_EDGES, DAY_PART_LABELS,
+                       default="").alias("b")).collect()]
+    assert out == [_day_part_ref(v) for v in values]
+
+
+@SETTINGS
+@given(st.lists(st.one_of(st.none(), st.text(max_size=8),
+                          st.just("NA"), st.just("Unknow"),
+                          st.just(""), st.just(" ")),
+                min_size=1, max_size=40))
+def test_na_and_unknown_normalization(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    out = df.select(
+        na_to_null_expr(F.col("v")).alias("na"),
+        null_to_unknown_expr(F.col("v")).alias("unk")).collect()
+    for v, r in zip(values, out):
+        assert r.na == (None if v == "NA" else v)
+        expected_unk = ("unknown"
+                        if v is None or v in ("Unknow", "None", "", " ")
+                        else v)
+        assert r.unk == expected_unk
+
+
+@SETTINGS
+@given(st.lists(st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ",
+    min_size=1, max_size=60), min_size=1, max_size=20))
+def test_fingerprint_invariance(spark, texts):
+    """fingerprint(text) == fingerprint(mangled text) for case and
+    whitespace-run mangling, and equals the Python md5 reference.
+    ASCII alphabet: non-ASCII case mapping isn't round-trippable
+    ('ß'.upper() == 'SS') and Java/Python lowercasing differ on exotic
+    code points — the operator's contract is byte-stable normalization,
+    not Unicode case folding."""
+    rows = [(t, "  " + t.upper().replace(" ", "   ") + " ") for t in texts]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = df.select(fingerprint_expr(F.col("a")).alias("fa"),
+                    fingerprint_expr(F.col("b")).alias("fb")).collect()
+    for (a, _), r in zip(rows, out):
+        ref = hashlib.md5(
+            re.sub(r"\s+", " ", a.lower()).strip().encode()).hexdigest()
+        assert r.fa == ref
+        assert r.fb == ref
+
+
+@SETTINGS
+@given(st.lists(st.text(alphabet="ab c\t", min_size=1, max_size=30),
+                min_size=1, max_size=20))
+def test_token_count_matches_split(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = [r.n for r in df.select(
+        token_count_expr(F.col("t")).alias("n")).collect()]
+    for t, n in zip(texts, out):
+        assert n == len(re.split(r"\s+", t.lower()))
