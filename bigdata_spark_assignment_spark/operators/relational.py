@@ -65,3 +65,90 @@ def join_guarded(fact: DataFrame, dim: DataFrame, on: str,
         return fact
     right = F.broadcast(dim) if broadcast_dim else dim
     return fact.join(right, on, how)
+
+
+def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
+              ts_col: str = "ts", right_value_cols: list[str] | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """As-of join: for every left row, the most recent right row with
+    ``right.ts <= left.ts`` within the same key (NULLs where no right
+    row precedes). The operator Spark lacks natively, composed from
+    built-ins.
+
+    Shape: union both sides tagged, ONE window sort per key carrying
+    the last-seen right values forward (``last(..., ignorenulls)``),
+    then keep left rows. Cost: a single shuffle on key_cols + a
+    per-partition sort — same complexity class as one sort-merge join,
+    and NO range-explosion (a naive ``l.ts >= r.ts`` theta join is a
+    per-key cross product).
+
+    Tie rule: right rows sort BEFORE left rows at equal ts, so an
+    exactly-simultaneous right row is visible ("at or before") —
+    matching DuckDB's ASOF semantics (the q56 oracle). Right rows must
+    be unique per (key, ts); pre-aggregate otherwise.
+
+    100 TB notes: partitions by key; a single hot key serializes into
+    one task's sort — mitigate by sub-bucketing time ranges per key
+    (carry the last value across bucket boundaries with a second
+    small window) — documented, not needed at driver scale.
+    """
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in key_cols and c != ts_col]
+    l = left.withColumn("__is_left", F.lit(1))
+    r = right.select(
+        *key_cols, ts_col,
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols]) \
+        .withColumn("__is_left", F.lit(0))
+    for c in left.columns:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in r.columns:
+        if c not in l.columns:
+            l = l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
+    unioned = l.unionByName(r.select(*l.columns))
+    w = (W.partitionBy(*key_cols)
+         .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    carried = unioned.withColumns({
+        f"{c}{suffix}": F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+        for c in right_value_cols})
+    carried = carried.withColumn(
+        f"{ts_col}{suffix}",
+        F.last(F.when(F.col("__is_left") == 0, F.col(ts_col)),
+               ignorenulls=True).over(w))
+    return (carried.filter(F.col("__is_left") == 1)
+            .drop("__is_left"))
+
+
+def range_join_binned(left: DataFrame, intervals: DataFrame,
+                      ts_col: str, start_col: str, end_col: str,
+                      bin_seconds: int = 900,
+                      extra_keys: list[str] | None = None) -> DataFrame:
+    """Range join (point-in-interval) without the cross product:
+    both sides are binned to ``bin_seconds`` buckets, the join is EQUI
+    on (bin [, extra_keys]), and exact containment is a cheap post
+    filter. Each left row has exactly one bin, so no dedup is needed.
+
+    A naive ``l.ts BETWEEN r.start AND r.end`` theta join plans as
+    BroadcastNestedLoop (O(|L|·|R|)); this shape shuffles
+    O(|L| + |R|·intervals_per_bin) rows and stays a hash join. Pick
+    ``bin_seconds`` ≈ median interval length: shorter bins replicate
+    intervals more, longer bins inflate the post-filter.
+
+    100 TB notes: this is the standard "bin-and-refine" spatial/time
+    join; AQE handles bin skew, and bins compose with partition
+    pruning when the fact table is date-partitioned.
+    """
+    extra_keys = extra_keys or []
+    lb = left.withColumn(
+        "__bin", F.floor(F.unix_timestamp(F.col(ts_col)) / bin_seconds))
+    ib = intervals.withColumn(
+        "__bin",
+        F.explode(F.sequence(
+            F.floor(F.unix_timestamp(F.col(start_col)) / bin_seconds),
+            F.floor(F.unix_timestamp(F.col(end_col)) / bin_seconds))))
+    joined = lb.join(ib, ["__bin", *extra_keys])
+    return (joined
+            .filter((F.col(ts_col) >= F.col(start_col))
+                    & (F.col(ts_col) <= F.col(end_col)))
+            .drop("__bin"))

@@ -432,3 +432,82 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.percentile_approx("l_extendedprice", 0.5, 1000)
                   .alias("approx_median"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "q56_asof_join",
+    oracle="""
+    WITH views AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'view'),
+    purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             MAX(value) AS pvalue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2)
+    SELECT v.event_id, v.user_id,
+           p.ts AS ts_asof,
+           ROUND(p.pvalue, 4) AS value_asof
+    FROM views v
+    ASOF LEFT JOIN purchases p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+    tags=("join", "asof"),
+)
+def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.relational.asof_join): every 'view' event
+    annotated with the latest 'purchase' at-or-before it per user —
+    checked against DuckDB's NATIVE ASOF JOIN. Purchases pre-aggregated
+    to one row per (user, ts) so tie-breaks can't differ between
+    engines."""
+    from ..operators.relational import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view") \
+                  .select("event_id", "user_id", "ts")
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("pvalue")))
+    out = asof_join(views, purchases, ["user_id"], "ts",
+                    right_value_cols=["pvalue"])
+    return out.select("event_id", "user_id",
+                      F.col("ts_asof"),
+                      fround(F.col("pvalue_asof")).alias("value_asof"))
+
+
+@register(
+    "q57_range_join_binned",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             MIN(CAST(ts AS TIMESTAMP)) AS w_start,
+             MIN(CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS w_end
+      FROM events GROUP BY user_id)
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_in_window,
+           ROUND(SUM(e.value), 4) AS sum_in_window
+    FROM events e JOIN iv ON e.user_id = iv.user_id
+      AND CAST(e.ts AS TIMESTAMP) >= iv.w_start
+      AND CAST(e.ts AS TIMESTAMP) <= iv.w_end
+    GROUP BY e.user_id
+    """,
+    tags=("join", "range"),
+)
+def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (operators.relational.range_join_binned):
+    events inside each user's first-hour window, counted per user. The
+    oracle is the plain inequality join — the operator must be
+    row-identical while planning as a hash join on (bin, user) instead
+    of a nested loop."""
+    from ..operators.relational import range_join_binned
+
+    events = load_table(spark, sf_dir, "events")
+    iv = (events.groupBy("user_id")
+          .agg(F.min("ts").alias("w_start"))
+          .withColumn("w_end",
+                      F.col("w_start") + F.expr("INTERVAL 1 HOUR")))
+    joined = range_join_binned(events, iv, "ts", "w_start", "w_end",
+                               bin_seconds=900, extra_keys=["user_id"])
+    return (joined.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_in_window"),
+                 fround(F.sum("value")).alias("sum_in_window")))

@@ -129,3 +129,28 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_smoke, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {t_li}")
         spark.sql(f"DROP TABLE IF EXISTS {t_ord}")
+
+
+def test_asof_join_semantics(spark):
+    """Tie (equal ts) is visible; no predecessor -> NULLs; latest
+    predecessor wins."""
+    import datetime as dt
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        asof_join,
+    )
+    t = lambda s: dt.datetime(2024, 1, 1, 0, s)
+    left = spark.createDataFrame(
+        [(1, 1, t(5)), (2, 1, t(10)), (3, 1, t(2)), (4, 2, t(7))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t(3), 30.0), (1, t(5), 50.0), (1, t(9), 90.0),
+         (2, t(8), 80.0)],
+        "user_id long, ts timestamp, pvalue double")
+    out = {r.event_id: (r.pvalue_asof, r.ts_asof)
+           for r in asof_join(left, right, ["user_id"], "ts",
+                              right_value_cols=["pvalue"]).collect()}
+    assert out[1] == (50.0, t(5))   # tie at ts=5 -> visible
+    assert out[2] == (90.0, t(9))   # latest predecessor
+    assert out[3] == (None, None)   # nothing at-or-before ts=2
+    assert out[4] == (None, None)   # user 2: purchase at 8 > view at 7
