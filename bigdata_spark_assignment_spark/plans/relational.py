@@ -22,6 +22,7 @@ native column predicates (no UDFs) so they push into the parquet scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table, union_all
@@ -405,3 +406,109 @@ def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_items"),
                  fround(F.sum("l_extendedprice")).alias("total_price")))
+
+
+@register(
+    "q58_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "tpch"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, selective filters on both fact and
+    dim, grouped revenue, global top-10. The dims broadcast; the
+    fact-fact join shuffles on orderkey; top-k is sort+limit (no full
+    result materialization)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-03-15").cast("timestamp_ntz")
+    out = (li.filter(F.col("l_shipdate") > cut)
+           .join(orders.filter(F.col("o_orderdate") < cut),
+                 li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+                 orders.o_custkey == cust.c_custkey)
+           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(fround(F.sum(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")))).alias("revenue"))
+           .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+           .limit(10))
+    return out.select("l_orderkey", "revenue", "o_orderdate",
+                      "o_orderpriority")
+
+
+@register(
+    "q59_returned_item_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "tpch"),
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way snowflake join (fact → orders → customer
+    → nation), returned-items filter pushed into the lineitem scan,
+    top-20 customers by lost revenue."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (li.filter(F.col("l_returnflag") == "R")
+           .join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+           .groupBy("c_custkey", "c_name", "n_name")
+           .agg(fround(F.sum(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")))).alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"))
+           .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+           .limit(20))
+    return out.select("c_custkey", "c_name", "n_name", "revenue", "n_items")
+
+
+@register(
+    "q60_above_segment_average",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment, AVG(c_acctbal) AS seg_avg FROM customer
+      GROUP BY c_mktsegment)
+    SELECT c.c_custkey, c.c_mktsegment,
+           ROUND(c.c_acctbal, 4) AS acctbal,
+           ROUND(s.seg_avg, 4) AS seg_avg
+    FROM customer c JOIN seg s ON c.c_mktsegment = s.c_mktsegment
+    WHERE c.c_acctbal > s.seg_avg
+    """,
+    tags=("subquery", "window"),
+)
+def above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate pattern (customers above their segment's
+    average balance) — expressed as a window aggregate (one shuffle,
+    no self-join), where the SQL formulation is a grouped subquery."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment")
+    return (cust.withColumn("seg_avg", F.avg("c_acctbal").over(w))
+            .filter(F.col("c_acctbal") > F.col("seg_avg"))
+            .select("c_custkey", "c_mktsegment",
+                    fround(F.col("c_acctbal")).alias("acctbal"),
+                    fround(F.col("seg_avg")).alias("seg_avg")))

@@ -88,3 +88,28 @@ def dedup_events(df: DataFrame, keys: list[str] | None = None,
         return df.withWatermark(ts_col, delay) \
                  .dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def join_purchases_after_views(views: DataFrame, purchases: DataFrame,
+                               horizon: str = "10 minutes") -> DataFrame:
+    """Stream-stream (or batch-batch — same code) inner join: purchases
+    within ``horizon`` AFTER a view by the same user.
+
+    On streams both inputs must carry watermarks (caller applies
+    ``with_watermark``); the time-range condition lets Spark bound the
+    join state — each side's buffer is evicted once the other side's
+    watermark passes the range. Without the range bound, stream-stream
+    join state grows forever.
+    """
+    v = views.alias("v")
+    p = purchases.alias("p")
+    cond = ((F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("v.ts"))
+            & (F.col("p.ts") <= F.col("v.ts") + F.expr(f"INTERVAL {horizon}")))
+    return v.join(p, cond).select(
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.round(F.col("p.value"), 4).alias("purchase_value"))

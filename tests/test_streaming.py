@@ -124,3 +124,26 @@ def test_stateful_running_totals_batch_equivalence(spark, events, tmp_path):
         assert abs(final[k][1] - batch[k][1]) < 1e-6, k
     # incremental emissions actually happened (more rows than keys)
     assert out.count() > len(batch)
+
+
+def test_stream_stream_join_batch_equivalence(spark, events, tmp_path):
+    """Stream-stream time-range join == the same join on static frames
+    (append mode; the range condition bounds both buffers)."""
+    from bigdata_spark_assignment_spark.streaming.ops import (
+        join_purchases_after_views,
+    )
+    stream = replay_as_stream(spark, events, n_chunks=5,
+                              dir_path=str(tmp_path))
+    sv = with_watermark(stream.filter(F.col("event_type") == "view"),
+                        delay="30 minutes")
+    sp = with_watermark(stream.filter(F.col("event_type") == "purchase"),
+                        delay="30 minutes")
+    out = run_to_memory_sink(join_purchases_after_views(sv, sp),
+                             "t_ssjoin", output_mode="append")
+    batch_events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    bv = batch_events.filter(F.col("event_type") == "view")
+    bp = batch_events.filter(F.col("event_type") == "purchase")
+    batch = join_purchases_after_views(bv, bp)
+    cols = ["user_id", "view_id", "purchase_id", "purchase_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+    assert out.count() > 0
