@@ -144,3 +144,37 @@ def quality_score_expr(text: Column) -> Column:
     alpha = F.regexp_count(text, F.lit(r"[A-Za-z]")).cast("double")
     alpha_term = alpha / n
     return (length_ok + punct_term + stop_term + alpha_term) * 0.25
+
+
+def tf_idf_terms(docs, id_col: str = "doc_id", text_col: str = "text",
+                 min_term_len: int = 2):
+    """Per-(doc, term) TF-IDF as pure relational algebra — explode
+    tokens, count term frequency per doc, document frequency per term,
+    ``idf = ln((N+1)/(df+1)) + 1`` (smooth, sklearn-style). Returns
+    (doc_id, term, tf, df, tfidf).
+
+    Fully SQL-expressible (the oracle re-derives it), unlike
+    ``HashingTF`` whose bucket collisions are implementation-defined.
+
+    100 TB notes: two shuffles (doc-term group, term group); the df
+    side is a broadcast-friendly aggregate (|vocab| rows). The classic
+    scale hazard is stop-term df rows being hot keys in the join —
+    broadcast the df table (vocab-sized) and there is no skew at all.
+    """
+    from pyspark.sql import functions as F
+
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_expr(F.col(text_col))).alias("term"))
+    tokens = tokens.filter(F.length("term") >= min_term_len)
+    tf = tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(id_col).distinct().count()
+    df_tab = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    return (tf.join(F.broadcast(df_tab), "term")
+            .withColumn("tfidf",
+                        F.col("tf") * (F.log((F.lit(float(n_docs + 1)))
+                                             / (F.col("df") + 1)) + 1))
+            .select("doc_id", "term", "tf", "df",
+                    F.round("tfidf", 4).alias("tfidf")))

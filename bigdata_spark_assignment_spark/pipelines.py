@@ -53,17 +53,20 @@ def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
     spark = docs.sparkSession
     counts: list[tuple[str, int]] = [("input", docs.count())]
 
-    # 1. exact dedup on normalized fingerprint
+    # 1. exact dedup on normalized fingerprint.
+    # persist: every later stage AND its observability count() would
+    # otherwise re-run the whole upstream chain (4× at the last stage)
     with_fp = docs.withColumn("__fp", fingerprint_expr(F.col(text_col)))
     exact = dedup_exact(with_fp, ["__fp"],
-                        canonical_order=[F.col(id_col).asc()]).drop("__fp")
+                        canonical_order=[F.col(id_col).asc()]).drop("__fp") \
+        .persist()
     counts.append(("exact_dedup", exact.count()))
 
     # 2. near-dup pruning: drop the larger id of every pair ≥ threshold
     pairs = neardup_pairs_minhash(exact, id_col, text_col,
                                   threshold=neardup_threshold)
     drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    deduped = exact.join(drop_ids, id_col, "left_anti")
+    deduped = exact.join(drop_ids, id_col, "left_anti").persist()
     counts.append(("neardup_prune", deduped.count()))
 
     # 3-4. language + quality annotation, then filter

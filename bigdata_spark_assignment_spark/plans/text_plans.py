@@ -200,3 +200,45 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("feat_mean"), 4).alias("avg_feat_mean"),
                  F.round(F.avg("feat_std"), 4).alias("avg_feat_std"),
                  F.max("width").alias("max_width")))
+
+
+@register(
+    "q61_tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents),
+    toks AS (SELECT * FROM tokens WHERE length(term) >= 2),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM scored WHERE doc_id < 20)
+    SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (first 20 docs) — relational
+    TF-IDF (operators.textual.tf_idf_terms), checked digit-for-digit
+    against the oracle's re-derivation. Deterministic tie-break on
+    term."""
+    from pyspark.sql import Window as W
+
+    from ..operators.textual import tf_idf_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tf_idf_terms(docs).filter(F.col("doc_id") < 20)
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= 3))
