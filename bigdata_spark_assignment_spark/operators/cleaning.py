@@ -164,3 +164,39 @@ def derived_age_expr(anchor_year: Column, date_str: Column,
     """
     raw = anchor_year - F.year(F.to_date(date_str, fmt))
     return F.when(raw < 0, F.lit(0)).otherwise(raw)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, seed: int = 42) -> DataFrame:
+    """Stratified Bernoulli sampling (``sampleBy``) — the
+    corpus-balancing op (e.g. downsample over-represented languages).
+    Deterministic per seed but engine-specific (Spark's sampler), so
+    driver checks are rows-only; tests assert per-stratum counts within
+    binomial tolerance.
+
+    100 TB notes: narrow (no shuffle) — each task flips seeded coins
+    per row; exact stratum sizes need a follow-up count, not a pass of
+    faith."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def hash_split_expr(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic split bucket in [0, n_buckets): first 8 hex chars
+    of md5(key) mod n_buckets. md5 (not xxhash64) so any engine —
+    including the DuckDB oracle — reproduces the assignment bit-for-bit;
+    the split survives reruns, engine swaps, and repartitioning, which
+    is the property a train/val split must have."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10) \
+            .cast("long") % n_buckets
+
+
+def deterministic_split(df: DataFrame, key_col: str,
+                        train_pct: int = 80,
+                        split_col: str = "split") -> DataFrame:
+    """Reproducible train/eval split: bucket = md5-hash of the KEY (not
+    row position), so membership is stable under reordering, appends,
+    and distributed execution — unlike ``randomSplit``, whose
+    assignment depends on partitioning."""
+    bucket = hash_split_expr(F.col(key_col))
+    return df.withColumn(
+        split_col, F.when(bucket < train_pct, "train").otherwise("eval"))

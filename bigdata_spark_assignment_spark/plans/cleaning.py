@@ -214,3 +214,50 @@ def impute_mode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prio")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q62_deterministic_hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents)
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train' ELSE 'eval' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY 1, 2
+    """,
+    tags=("split", "sampling"),
+)
+def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/eval split on md5(doc_id) buckets
+    (operators.cleaning.deterministic_split) — the oracle recomputes
+    the SAME assignment, proving the split is engine-independent (the
+    property randomSplit lacks). Counted per (lang, split)."""
+    from ..operators.cleaning import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = deterministic_split(docs, "doc_id", train_pct=80)
+    return (out.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "q63_stratified_sample_counts",
+    oracle=None,  # Spark's seeded Bernoulli sampler is engine-specific;
+                  # per-stratum tolerance asserted in tests
+    tags=("sampling",),
+)
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus balancing: downsample en/zh to 50%, keep the
+    rest (operators.cleaning.stratified_sample); per-lang counts out.
+    Deterministic per seed, rows-only for the driver."""
+    from ..operators.cleaning import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang",
+        {"en": 0.5, "zh": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0}, seed=42)
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))

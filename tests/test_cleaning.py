@@ -98,3 +98,43 @@ def test_derived_age_clamps_and_propagates_null(spark):
     out = df.select(
         derived_age_expr(F.col("y"), F.col("d")).alias("age")).collect()
     assert [r.age for r in out] == [13, 0, None]
+
+
+def test_deterministic_split_stability(spark, sf_smoke):
+    """Same key -> same split under reordering/repartitioning; ~80/20."""
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.cleaning import (
+        deterministic_split,
+    )
+    docs = load_table(spark, sf_smoke, "documents")
+    a = {r.doc_id: r.split
+         for r in deterministic_split(docs, "doc_id").collect()}
+    b = {r.doc_id: r.split
+         for r in deterministic_split(
+             docs.repartition(7).orderBy(F.desc("n_chars")),
+             "doc_id").collect()}
+    assert a == b
+    train_frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < train_frac < 0.9
+
+
+def test_stratified_sample_tolerance(spark, sf_smoke):
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.cleaning import (
+        stratified_sample,
+    )
+    docs = load_table(spark, sf_smoke, "documents")
+    full = {r.lang: r.n for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sampled = {r.lang: r.n for r in
+               stratified_sample(docs, "lang", {"en": 0.5, "zh": 0.5,
+                                                "de": 1.0, "fr": 1.0,
+                                                "es": 1.0}, seed=42)
+               .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang in ("de", "fr", "es"):
+        assert sampled[lang] == full[lang]
+    for lang in ("en", "zh"):
+        # binomial(n, 0.5): allow 4 sigma
+        import math
+        sigma = math.sqrt(full[lang] * 0.25)
+        assert abs(sampled[lang] - full[lang] * 0.5) < 4 * sigma + 1
