@@ -223,8 +223,9 @@ def neardup_pairs_exact_jaccard(docs: DataFrame, id_col: str, text_col: str,
                 .select(F.col(id_col).alias("id"),
                         shingles_expr(F.col(text_col), k_shingle).alias("sh"))
                 .filter(F.size("sh") > 0))
+    # persist: both self-join sides read the exploded index
     ex = shingled.select("id", F.size("sh").alias("sz"),
-                         F.explode("sh").alias("shingle"))
+                         F.explode("sh").alias("shingle")).persist()
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
