@@ -511,3 +511,103 @@ def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_in_window"),
                  fround(F.sum("value")).alias("sum_in_window")))
+
+
+@register(
+    "q64_quantile_buckets",
+    oracle="""
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 4) AS lo,
+           ROUND(MAX(o_totalprice), 4) AS hi
+    FROM (
+      SELECT o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    GROUP BY bucket
+    """,
+    tags=("window", "quantile"),
+)
+def quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing via ``ntile`` (the relational form of
+    QuantileDiscretizer — deterministic with a total order, unlike the
+    ML estimator's approximate splits). Per-bucket count + range.
+
+    100 TB notes: ntile needs a global sort (single ordering) — at
+    scale switch to percentile_approx split points + a when-chain
+    bucketizer (q55's sketch path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (orders.withColumn("bucket", F.ntile(4).over(w))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 fround(F.min("o_totalprice")).alias("lo"),
+                 fround(F.max("o_totalprice")).alias("hi")))
+
+
+@register(
+    "q65_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k
+      FROM events WHERE event_id < 200),
+    b AS (
+      SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_type
+      FROM events GROUP BY 1)
+    SELECT a.event_id, a.k, b.n_type
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("join", "null-semantics"),
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``eqNullSafe`` / SQL ``IS NOT DISTINCT
+    FROM``): NULL keys MATCH each other — the semantics plain equality
+    silently drops. Keys are nulled-out 'error' types so the NULL
+    bucket is exercised."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("event_type") == "error", None) \
+         .otherwise(F.col("event_type"))
+    a = events.filter(F.col("event_id") < 200) \
+              .select("event_id", k.alias("k"))
+    b = (events.select(k.alias("k"))
+         .groupBy("k").agg(F.count(F.lit(1)).alias("n_type")))
+    return a.join(F.broadcast(b), a["k"].eqNullSafe(b["k"])) \
+            .select("event_id", a["k"].alias("k"), "n_type")
+
+
+@register(
+    "q66_trailing_time_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_last_10m,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4)
+             AS sum_last_10m
+    FROM events
+    """,
+    tags=("window", "range-frame"),
+)
+def trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-minute RANGE frame per user (count + sum of events
+    in the last 600s, inclusive) — the time-decayed-feature pattern.
+    Range frames need a numeric ordering key: epoch seconds on both
+    engines."""
+    events = load_table(spark, sf_dir, "events")
+    # fractional epoch seconds (cast ts->double), NOT unix_timestamp:
+    # that truncates to whole seconds and shifts frame boundaries vs
+    # the oracle's epoch() at sub-second offsets
+    w = (W.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("timestamp").cast("double"))
+         .rangeBetween(-600, 0))
+    return events.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_10m"),
+        fround(F.sum("value").over(w)).alias("sum_last_10m"))
