@@ -23,15 +23,28 @@ from bigdata_spark_assignment_spark.plans import REGISTRY  # noqa: E402
 from bigdata_spark_assignment_spark.session import get_session  # noqa: E402
 
 # Queries excluded from the bench suite: eager/driver-side by design
-# (random-split counts) and ML model TRAINING (q43-q45 measure
-# estimator fit time, not query throughput — tracked by tests instead).
-BENCH_EXCLUDE: set[str] = {"q11_random_split_sizes",
-                           "q43_linear_regression_metrics",
+# (random-split counts) and ML model TRAINING (estimator fit time, not
+# query throughput — tracked by tests instead).
+BENCH_EXCLUDE: set[str] = {"q11_split_sample_counts",
+                           "q43_model_metrics_suite",
                            "q44_feature_pipeline_shape",
-                           "q45_cv_decision_tree",
                            # IVF index BUILD (KMeans fit) dominates — an
                            # estimator fit, not query throughput
-                           "q51_ann_topk_ivf"}
+                           "q42_ann_methods_recall",
+                           # deliberate O(pairs) recall oracle for q34/q35;
+                           # scale-killer by construction — excluded from the
+                           # scaled bench per VERDICT.md r1 plan audit
+                           "q33_neardup_jaccard_bruteforce",
+                           # incremental micro-batch replay: measures stream
+                           # scheduling, not query throughput
+                           "q68_stream_replay_equivalence"}
+
+# The driver records only the trailing 2000 chars of stdout and parses
+# the JSON line out of that window (BENCH_r01.json: the line was 2011
+# chars and lost its first 11 chars → "parsed": null). Keep the line
+# comfortably inside the window, dropping the fastest per-query entries
+# if ever needed.
+MAX_LINE_CHARS = 1800
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -71,13 +84,30 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
-        "metric": "suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_from_dir(sf_dir),
-    }))
+
+    def line_for(qs: dict[str, float]) -> str:
+        return json.dumps({
+            "metric": "suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": qs,
+            "sf": sf_from_dir(sf_dir),
+        }, separators=(",", ":"))
+
+    # Full per-query record goes to a sidecar file; the stdout line is
+    # trimmed (slowest-first) if it would overflow the driver's window.
+    compact = {k: round(v, 2) for k, v in timings.items()}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump({"suite_seconds": total, "queries": timings,
+                   "sf": sf_from_dir(sf_dir)}, f, indent=1, sort_keys=True)
+    line = line_for(compact)
+    while len(line) > MAX_LINE_CHARS and compact:
+        fastest = min(compact, key=compact.get)
+        del compact[fastest]
+        line = line_for(compact)
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
