@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.cleaning import (
     day_part_expr,
-    distinct_counts,
     impute_mean,
     impute_mode,
     na_to_null_expr,
@@ -24,52 +23,40 @@ from .registry import fround, register
 
 
 @register(
-    "q12_na_to_null",
-    oracle="""
-    SELECT NULLIF(CASE WHEN lang = 'en' THEN 'NA' ELSE lang END, 'NA') AS lang_clean,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM documents
-    GROUP BY 1
-    """,
-    tags=("cleaning",),
-)
-def na_to_null_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2 (``Main.scala:20-25``): "NA" → NULL as a native expression.
-    Dirt: 'en' rows become the "NA" sentinel first. The NULL group in
-    the output proves the rewrite happened."""
-    docs = load_table(spark, sf_dir, "documents")
-    dirty = F.when(F.col("lang") == "en", "NA").otherwise(F.col("lang"))
-    return (
-        docs.select(na_to_null_expr(dirty).alias("lang_clean"))
-        .groupBy("lang_clean")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@register(
-    "q13_null_to_unknown",
+    "q12_sentinel_cleaning",
     oracle="""
     WITH d AS (
-      SELECT CASE WHEN source = 'src0' THEN 'Unknow'
+      SELECT NULLIF(CASE WHEN lang = 'en' THEN 'NA' ELSE lang END, 'NA') AS lang_clean,
+             CASE WHEN source = 'src0' THEN 'Unknow'
                   WHEN source = 'src1' THEN ''
                   WHEN source = 'src2' THEN ' '
                   WHEN source = 'src3' THEN NULL
                   ELSE source END AS s
       FROM documents)
-    SELECT CASE WHEN s IS NULL OR s IN ('Unknow', 'None', '', ' ')
+    SELECT lang_clean,
+           CASE WHEN s IS NULL OR s IN ('Unknow', 'None', '', ' ')
                 THEN 'unknown' ELSE s END AS source_clean,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM d
-    GROUP BY 1
+    GROUP BY 1, 2
     """,
     tags=("cleaning",),
 )
-def null_to_unknown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1 (``Main.scala:13-18``): null/"Unknow"/"None"/""/" " →
-    "unknown". Dirt: four source buckets mapped onto the four dirty
-    tokens, so every branch of the when-chain is exercised."""
+def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2 in the reference's actual cleaning sequence (merged r1
+    q12+q13 so both fit the driver's checked prefix).
+
+    U2 (``Main.scala:20-25``): "NA" → NULL as a native expression; dirt
+    turns 'en' rows into the "NA" sentinel, so the NULL group in the
+    output proves the rewrite happened. U1 (``Main.scala:13-18``):
+    null/"Unknow"/"None"/""/" " → "unknown"; dirt maps four source
+    buckets onto the four dirty tokens so every branch of the
+    when-chain is exercised. Grouped on both cleaned columns — one
+    scan, one shuffle.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    dirty = (
+    lang_dirty = F.when(F.col("lang") == "en", "NA").otherwise(F.col("lang"))
+    src_dirty = (
         F.when(F.col("source") == "src0", "Unknow")
         .when(F.col("source") == "src1", "")
         .when(F.col("source") == "src2", " ")
@@ -77,8 +64,9 @@ def null_to_unknown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("source"))
     )
     return (
-        docs.select(null_to_unknown_expr(dirty).alias("source_clean"))
-        .groupBy("source_clean")
+        docs.select(na_to_null_expr(lang_dirty).alias("lang_clean"),
+                    null_to_unknown_expr(src_dirty).alias("source_clean"))
+        .groupBy("lang_clean", "source_clean")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -122,34 +110,6 @@ def day_part_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"),
              fround(F.avg("value")).alias("avg_value"))
     )
-
-
-@register(
-    "q15_distinct_counts_single_pass",
-    oracle="""
-    SELECT
-      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT p_partkey     FROM part)) AS BIGINT) AS p_partkey,
-      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT p_name        FROM part)) AS BIGINT) AS p_name,
-      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT p_brand       FROM part)) AS BIGINT) AS p_brand,
-      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT p_type        FROM part)) AS BIGINT) AS p_type,
-      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT p_size        FROM part)) AS BIGINT) AS p_size,
-      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT p_retailprice FROM part)) AS BIGINT) AS p_retailprice,
-      CAST(1 AS BIGINT) AS const_col,
-      CAST(1 AS BIGINT) AS all_null_col
-    """,
-    tags=("cleaning", "agg"),
-)
-def distinct_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P15 decision input (``Main.scala:184-208``): distinct count of
-    EVERY column (null counted as a value) in one aggregation pass —
-    the reference runs 2 shuffle jobs per column. A constant column and
-    an all-null column are appended; both must report 1 (and would be
-    pruned by ``prune_constant_columns``)."""
-    part = load_table(spark, sf_dir, "part")
-    widened = (part
-               .withColumn("const_col", F.lit("x"))
-               .withColumn("all_null_col", F.lit(None).cast("string")))
-    return distinct_counts(widened)
 
 
 @register(
@@ -245,19 +205,34 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q63_stratified_sample_counts",
-    oracle=None,  # Spark's seeded Bernoulli sampler is engine-specific;
-                  # per-stratum tolerance asserted in tests
-    tags=("sampling",),
+    "q11_split_sample_counts",
+    oracle=None,  # Spark's seeded RNG (randomSplit / Bernoulli sampler)
+                  # is engine-specific; per-stratum tolerance asserted
+                  # in tests
+    tags=("sampling", "split", "ml"),
 )
-def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified corpus balancing: downsample en/zh to 50%, keep the
-    rest (operators.cleaning.stratified_sample); per-lang counts out.
-    Deterministic per seed, rows-only for the driver."""
+def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-RNG sampling suite (merged r1 q11+q63): P14's 70/30
+    ``randomSplit`` with seed 10 (``Main.scala:434-435``) and
+    stratified corpus balancing (downsample en/zh to 50%, keep the
+    rest; ``operators.cleaning.stratified_sample``). Per-lang counts of
+    total/train/test/sampled rows. Rows-only: Spark's split hashes rows
+    with its own RNG, which no oracle reproduces; tolerance bands are
+    the pytest contract."""
     from ..operators.cleaning import stratified_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    out = stratified_sample(
+    train, test = docs.randomSplit([0.7, 0.3], seed=10)
+    sampled = stratified_sample(
         docs, "lang",
         {"en": 0.5, "zh": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0}, seed=42)
-    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    count_by_lang = [
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total")),
+        train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_train")),
+        test.groupBy("lang").agg(F.count(F.lit(1)).alias("n_test")),
+        sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")),
+    ]
+    out = count_by_lang[0]
+    for frame in count_by_lang[1:]:
+        out = out.join(frame, "lang", "left")
+    return out

@@ -76,35 +76,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q02_filter_project",
+    "q02_filter_project_cast",
     oracle="""
-    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 4) AS o_totalprice
-    FROM orders
-    WHERE o_orderstatus <> 'O' AND o_totalprice > 150000.0
-    """,
-    tags=("filter", "project"),
-)
-def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-string predicate + projection (P2/P6; ``Main.scala:104``).
-
-    Uses the reference's filter idiom (a SQL string) on one conjunct and
-    a Column predicate on the other — both compile to the same pushed
-    filter. 100 TB notes: both predicates and the 3-column projection
-    reach the parquet scan (PushedFilters / ReadSchema).
-    """
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.filter("o_orderstatus <> 'O'")
-        .filter(F.col("o_totalprice") > 150000.0)
-        .select("o_orderkey", "o_orderstatus",
-                fround(F.col("o_totalprice")).alias("o_totalprice"))
-    )
-
-
-@register(
-    "q03_cast_derived_dates",
-    oracle="""
-    SELECT o_orderkey,
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(o_totalprice, 4) AS o_totalprice,
            CAST(year(o_orderdate)  AS INTEGER) AS o_year,
            CAST(month(o_orderdate) AS INTEGER) AS o_month,
            CAST(GREATEST(2026 - year(o_orderdate), 0) AS INTEGER) AS order_age_years,
@@ -113,23 +88,31 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice < 250000 THEN 'mid'
                 ELSE 'high' END AS price_band
     FROM orders
-    WHERE o_orderstatus = 'F'
+    WHERE o_orderstatus <> 'O' AND o_totalprice > 50000.0
     """,
-    tags=("cast", "dates", "conditional"),
+    tags=("filter", "project", "cast", "dates", "conditional"),
 )
-def cast_derived_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Casts, date extraction, arithmetic, conditional banding
-    (P9-P12; reference ``Main.scala:220,284-285``).
+def filter_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan→filter→project→derive chain (P2-P12 in one query; merged
+    r1 q02+q03 so both fit the driver's checked prefix).
 
-    The ``order_age_years`` column is the reference's PlaneAge pattern:
+    SQL-string predicate + Column predicate (both compile to the same
+    pushed filter; ``Main.scala:104,113``), casts and date extraction
+    (``Main.scala:220,284``), and the reference's PlaneAge pattern:
     ``greatest(anchor_year - year(date_col), 0)`` — derived-year
-    subtraction with a clamp at zero (``Main.scala:284-285``).
+    subtraction clamped at zero (``Main.scala:284-285``).
+
+    100 TB notes: both predicates and the column projection reach the
+    parquet scan (PushedFilters / ReadSchema); every derived column is
+    a native expression inside one whole-stage-codegen span.
     """
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.filter(F.col("o_orderstatus") == "F")
+        orders.filter("o_orderstatus <> 'O'")
+        .filter(F.col("o_totalprice") > 50000.0)
         .select(
-            "o_orderkey",
+            "o_orderkey", "o_orderstatus",
+            fround(F.col("o_totalprice")).alias("o_totalprice"),
             F.year("o_orderdate").cast("int").alias("o_year"),
             F.month("o_orderdate").cast("int").alias("o_month"),
             F.greatest(F.lit(2026) - F.year("o_orderdate"), F.lit(0))
@@ -218,27 +201,43 @@ def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q06_distinct_count_null_as_group",
+    "q06_distinct_count_suite",
     oracle="""
     SELECT
       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT o_orderpriority FROM orders))  AS BIGINT) AS n_priorities,
       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT c_mktsegment    FROM customer)) AS BIGINT) AS n_segments,
-      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT NULLIF(o_orderstatus, 'P') FROM orders)) AS BIGINT) AS n_status_with_null
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT NULLIF(o_orderstatus, 'P') FROM orders)) AS BIGINT) AS n_status_with_null,
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT p_partkey     FROM part)) AS BIGINT) AS p_partkey,
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT p_name        FROM part)) AS BIGINT) AS p_name,
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT p_brand       FROM part)) AS BIGINT) AS p_brand,
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT p_type        FROM part)) AS BIGINT) AS p_type,
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT p_size        FROM part)) AS BIGINT) AS p_size,
+      CAST((SELECT COUNT(*) FROM (SELECT DISTINCT p_retailprice FROM part)) AS BIGINT) AS p_retailprice,
+      CAST(1 AS BIGINT) AS const_col,
+      CAST(1 AS BIGINT) AS all_null_col
     """,
     tags=("agg", "distinct"),
 )
-def distinct_count_null_as_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-count where NULL counts as a value (A3).
+def distinct_count_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count where NULL counts as a value (A3) + the P15
+    every-column single-pass form (merged r1 q06+q15 so both fit the
+    driver's checked prefix).
 
     The reference's idiom is ``groupBy(c).count().groupBy(c).count()
     .count()`` (``Main.scala:133,192``) — two shuffles per column, and
     unlike ``count_distinct`` it counts NULL as a group. Our operator
     (``operators.relational.distinct_count``) keeps the null-as-a-group
-    semantics in ONE shuffle. The third column manufactures a NULL (via
-    nullif) to prove the semantics differ from COUNT(DISTINCT).
+    semantics in ONE pass; ``nullif`` manufactures a NULL to prove the
+    semantics differ from COUNT(DISTINCT). The part-table block is the
+    P15 constant-column-prune decision input (``Main.scala:184-208``):
+    distinct counts of EVERY column in one aggregation — a constant
+    column and an all-null column must both report 1.
     """
+    from ..operators.cleaning import distinct_counts
+
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
     orders_agg = orders.agg(
         distinct_count_expr(F.col("o_orderpriority")).alias("n_priorities"),
         distinct_count_expr(
@@ -247,7 +246,11 @@ def distinct_count_null_as_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust_agg = customer.agg(
         distinct_count_expr(F.col("c_mktsegment")).alias("n_segments"))
-    return orders_agg.crossJoin(cust_agg)
+    part_widened = (part
+                    .withColumn("const_col", F.lit("x"))
+                    .withColumn("all_null_col", F.lit(None).cast("string")))
+    return (orders_agg.crossJoin(cust_agg)
+            .crossJoin(distinct_counts(part_widened)))
 
 
 @register(
@@ -355,26 +358,6 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey",
                 fround(F.col("o_totalprice")).alias("o_totalprice"),
                 "o_orderpriority")
-    )
-
-
-@register(
-    "q11_random_split_sizes",
-    oracle=None,  # seeded RNG is engine-specific; driver records rows-only
-    tags=("split", "ml"),
-)
-def random_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """70/30 random split with fixed seed (P14; ``Main.scala:434-435``).
-
-    Not SQL-expressible (Spark's split hashes rows with its own RNG), so
-    rows-only: returns split sizes plus a sanity total.
-    """
-    orders = load_table(spark, sf_dir, "orders")
-    train, test = orders.randomSplit([0.7, 0.3], seed=10)
-    n_train, n_test = train.count(), test.count()
-    return spark.createDataFrame(
-        [(n_train, n_test, n_train + n_test)],
-        "n_train long, n_test long, n_total long",
     )
 
 
