@@ -300,21 +300,28 @@ def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     model = km.fit(corpus_v)
     c_cells = model.transform(corpus_v).select("neighbor_id", "c_vec", "cell")
 
-    # n_probe nearest centroids per query, computed driver-side on the
-    # (tiny) centroid matrix, shipped as a broadcast-joined literal set
-    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
-    q_rows = queries.select(F.col(id_col).alias("query_id"),
-                            F.col(vec_col).alias("q_vec")).collect()
-    probe_rows = []
-    for r in q_rows:
-        qv = np.asarray(r.q_vec, dtype=np.float64)
-        d = ((centers - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:n_probe]:
-            probe_rows.append((r.query_id, list(map(float, r.q_vec)),
-                               int(cell)))
-    spark = corpus.sparkSession
-    q_probes = spark.createDataFrame(
-        probe_rows, f"query_id long, q_vec array<float>, cell int")
+    # n_probe nearest centroids per query: the (tiny) centroid matrix
+    # rides into an Arrow-batched pandas UDF closure, so probe-cell
+    # selection runs executor-side — the query table never collects to
+    # the driver and can itself be arbitrarily large.
+    from pyspark.sql.functions import pandas_udf
+
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+        C = np.asarray(centers, dtype=np.float64)          # (cells, dim)
+        M = np.stack(vecs.to_numpy()).astype(np.float64)   # (n, dim)
+        # ||m - c||² = ||m||² - 2 m·c + ||c||²; ||m||² is rank-constant
+        d = (C * C).sum(axis=1)[None, :] - 2.0 * (M @ C.T)
+        idx = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(idx))
+
+    q_probes = (queries
+                .select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("q_vec"))
+                .withColumn("cell", F.explode(probe_cells(F.col("q_vec")))))
 
     cands = (c_cells.join(F.broadcast(q_probes), "cell")
              .filter(F.col("neighbor_id") != F.col("query_id")))

@@ -10,8 +10,11 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.similarity import (
+    _hyperplanes,
     ann_topk_lsh,
     brute_force_topk,
+    lsh_bucket_expr,
+    neardup_pairs_cosine,
     neardup_pairs_cosine_vectorized,
 )
 from .registry import fround, register
@@ -87,32 +90,87 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q42_ann_topk_lsh",
-    oracle=None,  # approximate; recall@k vs q40 asserted in tests
-    tags=("similarity", "topk", "lsh"),
+    "q42_ann_methods_recall",
+    oracle=None,  # approximate methods; the query computes its own
+                  # recall against the exact result, tests assert bands
+    tags=("similarity", "topk", "lsh", "ivf"),
 )
-def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH (4 tables × 8
-    planes). Rows-only by nature; tests assert recall@10 ≥ 0.6 against
-    the brute-force baseline at this corpus size."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return ann_topk_lsh(emb, queries, k=10)
-
-
-@register(
-    "q51_ann_topk_ivf",
-    oracle=None,  # approximate (quantizer-dependent); recall asserted
-                  # vs q40 in tests/test_similarity.py
-    tags=("similarity", "topk", "ivf"),
-)
-def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: KMeans coarse quantizer + n_probe-cell
-    candidate scan + exact rerank (operators.similarity.ann_topk_ivf).
-    The FAISS-IVF layout expressed relationally: corpus shuffles once
-    by cell, probes are an equi-join."""
+def ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN method suite (merged r1 q42+q51): random-hyperplane LSH
+    (multi-probe, 8 tables) and IVF (KMeans quantizer + 6-cell probes)
+    top-10, each scored against the exact brute-force top-10 IN the
+    query — output is one row per method with hit counts and recall@10.
+    Rows-only for the driver (approximate by nature); tests assert
+    recall bands per method."""
     from ..operators.similarity import ann_topk_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ann_topk_ivf(emb, queries, k=10, n_cells=16, n_probe=6)
+    truth = (brute_force_topk(emb, queries, k=10)
+             .select("query_id", "neighbor_id")
+             .withColumn("hit", F.lit(1)))
+    lsh = (ann_topk_lsh(emb, queries, k=10)
+           .select(F.lit("lsh").alias("method"), "query_id", "neighbor_id"))
+    ivf = (ann_topk_ivf(emb, queries, k=10, n_cells=16, n_probe=6)
+           .select(F.lit("ivf").alias("method"), "query_id", "neighbor_id"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (lsh.unionByName(ivf)
+            .join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+            .groupBy("method")
+            .agg(F.count(F.lit(1)).alias("n_returned"),
+                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+            .crossJoin(F.broadcast(n_truth))
+            .withColumn("recall",
+                        F.round(F.col("n_hits") / F.col("n_truth"), 4)))
+
+
+def _duck_dot(vec_sql: str, plane: list[float]) -> str:
+    """DuckDB dot product of a float-list column against a literal
+    plane, double-accumulated element-wise — mirrors
+    operators.similarity.dot_expr against the SAME literals."""
+    lits = "[" + ",".join(repr(float(v)) for v in plane) + "]"
+    return (f"list_sum([CAST({vec_sql}[i] AS DOUBLE) * ({lits})[i] "
+            f"for i in generate_series(1, len({vec_sql}))])")
+
+
+def _blocked_oracle(planes: list[list[float]]) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN {_duck_dot('embedding', p)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes))
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings),
+    a AS (SELECT vec_id AS id_a, embedding AS va, bucket FROM b),
+    c AS (SELECT vec_id AS id_b, embedding AS vb, bucket FROM b),
+    pairs AS (
+      SELECT id_a, id_b, {_DUCK_COS.format(a='va', b='vb')} AS cos
+      FROM a JOIN c USING (bucket) WHERE id_a < id_b)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           ROUND(cos, 4) AS cosine
+    FROM pairs WHERE cos >= 0.4
+    """
+
+
+_BLOCK_PLANES = _hyperplanes(64, 3, seed=7)
+
+
+@register(
+    "q67_blocked_cosine_neardup",
+    oracle=_blocked_oracle(_BLOCK_PLANES),
+    tags=("similarity", "neardup", "lsh"),
+)
+def blocked_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB-safe all-pairs form: cosine near-dup restricted to an
+    LSH bucket (``neardup_pairs_cosine`` with ``block_col`` fed by
+    ``lsh_bucket_expr``) — the equi-join-on-bucket plan whose shuffle
+    is O(rows), not O(rows²). The oracle recomputes the SAME hyperplane
+    buckets from inlined plane literals and restricts the exact pair
+    SQL to within-bucket pairs, so the hash check proves bucket parity
+    AND pair parity. Recall vs the unblocked q41 is the pytest contract
+    (single-table blocking trades recall for linear shuffle; production
+    unions multiple tables like ann_topk_lsh to recover it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = emb.withColumn(
+        "blk", lsh_bucket_expr(F.col("embedding"), _BLOCK_PLANES))
+    out = neardup_pairs_cosine(blocked, threshold=0.4, block_col="blk")
+    return out.select("id_a", "id_b", fround(F.col("cosine")).alias("cosine"))
