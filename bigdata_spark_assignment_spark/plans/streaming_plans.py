@@ -12,6 +12,7 @@ the incremental path against the same functions
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..streaming.ops import session_agg, sliding_counts, tumbling_counts
@@ -61,12 +62,17 @@ def sliding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q48_session_windows",
     oracle="""
     WITH o AS (
-      SELECT user_id, ts, value,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      -- CAST(ts AS TIMESTAMP): micro-truncate like Spark's load (io.py
+      -- rule — DuckDB keeps nanos otherwise); break on >= because
+      -- session_window's end is EXCLUSIVE (an event exactly gap after
+      -- its predecessor starts a NEW session)
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                              ORDER BY CAST(ts AS TIMESTAMP)) AS prev_ts
       FROM events),
     marked AS (
       SELECT *, CASE WHEN prev_ts IS NULL
-                       OR ts - prev_ts > INTERVAL '5 minutes'
+                       OR ts - prev_ts >= INTERVAL '5 minutes'
                      THEN 1 ELSE 0 END AS brk
       FROM o),
     sess AS (
@@ -87,3 +93,42 @@ def session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark defines session end = last event + gap; the oracle rebuilds
     the same islands with a lag/cumsum breakpoint scan."""
     return session_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q68_stream_replay_equivalence",
+    oracle=None,  # exercises the incremental engine itself; the query
+                  # computes its own stream-vs-batch differential
+    tags=("streaming", "replay"),
+)
+def stream_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL incremental path, driver-visible: events replayed as a
+    time-ordered file stream (``readStream`` + maxFilesPerTrigger=1, 6
+    micro-batches), the same ``tumbling_counts`` transformation, run to
+    completion — then differenced against the batch result. Output is
+    one row: stream/batch row counts and exceptAll diffs (both must be
+    0 — Structured Streaming's convergence guarantee, asserted here
+    rather than only in pytest).
+
+    Watermark + append-mode finalization is covered by
+    tests/test_streaming.py; this query runs complete-mode so the
+    converged table is comparable row-for-row with batch."""
+    from ..streaming.replay import replay_as_stream, run_to_memory_sink
+
+    events = load_table(spark, sf_dir, "events")
+    stream = replay_as_stream(spark, events, n_chunks=6)
+    stream_final = run_to_memory_sink(
+        tumbling_counts(stream), "q68_sink", output_mode="complete")
+    batch = tumbling_counts(
+        events.withColumn("ts", F.col("ts").cast("timestamp")))
+    n_stream = stream_final.agg(F.count(F.lit(1)).alias("n_stream_rows"))
+    n_batch = batch.agg(F.count(F.lit(1)).alias("n_batch_rows"))
+    only_s = stream_final.exceptAll(batch) \
+        .agg(F.count(F.lit(1)).alias("n_only_stream"))
+    only_b = batch.exceptAll(stream_final) \
+        .agg(F.count(F.lit(1)).alias("n_only_batch"))
+    return (n_stream.crossJoin(n_batch).crossJoin(only_s).crossJoin(only_b)
+            .withColumn("converged",
+                        (F.col("n_only_stream") == 0)
+                        & (F.col("n_only_batch") == 0)
+                        & (F.col("n_stream_rows") == F.col("n_batch_rows"))))
