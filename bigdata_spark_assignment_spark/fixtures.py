@@ -111,7 +111,9 @@ def make_flights(spark: SparkSession, n: int = 4000, year: int = 2000,
             "DepTime": "NA" if rng.random() < 0.03 else str(dep_time),
             "CRSDepTime": str(_hhmm(rng)),
             "ArrTime": str(_hhmm(rng)),
-            "CRSArrTime": str(crs_arr),
+            # NA dirt here pins the impute-then-filter ORDER: the mean
+            # must fill these before the <=2400 range filter sees them
+            "CRSArrTime": "NA" if rng.random() < 0.02 else str(crs_arr),
             "UniqueCarrier": rng.choice(CARRIERS),
             "FlightNum": str(rng.randrange(1, 9999)),
             "TailNum": f"N{rng.randrange(0, n_tails):04d}X",

@@ -72,7 +72,14 @@ NUMERIC_COLS = ["Year", "Month", "DayofMonth", "DayOfWeek", "DepTime",
                 "CRSDepTime", "CRSArrTime", "ArrDelay", "DepDelay",
                 "Distance", "TaxiOut"]
 MODE_IMPUTE_COLS = ["Year", "Month", "DayofMonth", "DayOfWeek"]
-MEAN_IMPUTE_COLS = ["DepTime", "CRSDepTime", "DepDelay", "Distance", "TaxiOut"]
+# Reference numColsMean (Main.scala:273-275): DepTime, CRSArrTime,
+# DepDelay, Distance, TaxiOut. CRSArrTime matters for ORDER semantics:
+# impute BEFORE the <=2400 range filter, so an NA-sourced null becomes
+# the mean and survives, instead of silently failing the predicate
+# (ADVICE r1). CRSDepTime is kept additionally so no numeric feature
+# reaches VectorAssembler nullable.
+MEAN_IMPUTE_COLS = ["DepTime", "CRSDepTime", "CRSArrTime", "DepDelay",
+                    "Distance", "TaxiOut"]
 CATEGORICAL_COLS = ["UniqueCarrier", "Origin", "Dest", "type", "manufacturer",
                     "model", "aircraft_type", "engine_type",
                     "DepTimeDayPart", "CRSArrTimeDayPart"]

@@ -142,13 +142,61 @@ def mode_of(df: DataFrame, col: str) -> DataFrame:
 
 
 def impute_mode(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """A6/M1 (``Main.scala:262-267``): replace NULLs with the column
-    mode (deterministic tie-break, see ``mode_of``)."""
-    out = df
-    for c in cols:
-        out = out.crossJoin(F.broadcast(mode_of(df, c)))
+    """A6/M1 (``Main.scala:262-267``): replace NULLs with each column's
+    mode (deterministic tie-break: highest count, then smallest value —
+    see ``mode_of``), ALL columns in one aggregation pipeline.
+
+    Single-pass: rows explode to (column, value) pairs → one grouped
+    count → one window pick per column → one global aggregate collapses
+    the per-column modes into a 1-row frame that is broadcast back.
+    The r1 form looped one aggregation job + one crossJoin per column
+    (the reference's own per-column-job smell, SURVEY.md §4.1).
+
+    Values ride the pair frame as strings (Spark's casts round-trip
+    for numeric/date/string types) but the tie-break orders by the
+    NATIVE value (numeric columns by double, others lexically), so
+    semantics match ``mode_of`` exactly. A column with zero non-null
+    values yields a NULL mode and its NULLs are left in place — the
+    1-row global aggregate cannot annihilate the crossJoin the way an
+    empty per-column mode frame could.
+    """
+    from pyspark.sql import Window as W
+
+    cols = list(cols)
+    if not cols:
+        return df
+    numeric = {f.name for f in df.schema.fields
+               if f.dataType.typeName() in
+               ("byte", "short", "integer", "long", "float", "double",
+                "decimal")}
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(c).cast("string").alias("val"),
+            (F.col(c).cast("double") if c in numeric
+             else F.lit(None).cast("double")).alias("dkey"),
+        ) for c in cols])).alias("p")) \
+        .select("p.col", "p.val", "p.dkey") \
+        .filter(F.col("val").isNotNull())
+    counts = pairs.groupBy("col", "val").agg(
+        F.count(F.lit(1)).alias("n"), F.first("dkey").alias("dkey"))
+    w = W.partitionBy("col").orderBy(
+        F.col("n").desc(),
+        F.col("dkey").asc_nulls_last(),
+        F.col("val").asc())
+    top = counts.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") == 1)
+    # global aggregate → exactly ONE row even if every column was
+    # all-null (ADVICE r1: an empty mode frame must not wipe the data)
+    modes = top.agg(*[
+        F.max(F.when(F.col("col") == c, F.col("val")))
+        .cast("string").alias(f"__mode_{c}") for c in cols])
+    out = df.crossJoin(F.broadcast(modes))
     out = out.withColumns(
-        {c: F.coalesce(F.col(c), F.col(f"__mode_{c}")) for c in cols})
+        {c: F.coalesce(
+            F.col(c),
+            F.col(f"__mode_{c}").cast(df.schema[c].dataType))
+         for c in cols})
     return out.drop(*[f"__mode_{c}" for c in cols])
 
 

@@ -33,6 +33,28 @@ from pyspark.sql import functions as F
 from ..session import exclude_infer_filters_from_generate
 from .textual import shingles_expr
 
+# Persisted intermediates (signature/index frames) registered here so
+# long-lived sessions can release them deterministically instead of
+# waiting for LRU pressure (ADVICE r1): call ``unpersist_dedup_caches``
+# after the consuming action — pipelines.prepare_corpus does.
+_PERSISTED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def unpersist_dedup_caches() -> int:
+    """Release every intermediate this module persisted; returns the
+    count. Safe to call while results are still referenced — Spark
+    recomputes on next use."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
 
 def dedup_exact(df: DataFrame, subset: list[str],
                 canonical_order: list[Column] | None = None,
@@ -189,7 +211,7 @@ def neardup_pairs_minhash(docs: DataFrame, id_col: str, text_col: str,
     # scan→shingle→hash→Python. MEMORY_AND_DISK ≈ shingle+sig size
     # (~4× text bytes) — the standard dedup-pipeline trade. LRU evicts
     # across repeated calls.
-    sig = sig.persist()
+    sig = _track_persist(sig)
 
     exploded = sig.select(
         "id", F.posexplode("bh").alias("band", "band_hash"))
@@ -224,8 +246,9 @@ def neardup_pairs_exact_jaccard(docs: DataFrame, id_col: str, text_col: str,
                         shingles_expr(F.col(text_col), k_shingle).alias("sh"))
                 .filter(F.size("sh") > 0))
     # persist: both self-join sides read the exploded index
-    ex = shingled.select("id", F.size("sh").alias("sz"),
-                         F.explode("sh").alias("shingle")).persist()
+    ex = _track_persist(
+        shingled.select("id", F.size("sh").alias("sz"),
+                        F.explode("sh").alias("shingle")))
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -297,7 +320,8 @@ def neardup_pairs_simhash(docs: DataFrame, id_col: str, text_col: str,
     # twice
     sh = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("id"),
-        simhash_expr(words_expr(F.col(text_col))).alias("sim")).persist()
+        simhash_expr(words_expr(F.col(text_col))).alias("sim"))
+    sh = _track_persist(sh)
     chunks = sh.select(
         "id", "sim",
         F.posexplode(F.array(*[
@@ -349,6 +373,7 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
               .withColumn("label", F.col("id")))
     labels = labels.localCheckpoint()
 
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels,
                                    edges["dst"] == labels["id"])
@@ -370,4 +395,13 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # ADVICE r1: silent non-convergence returned wrong cluster_ids
+        # with no signal when the graph diameter exceeded max_iter.
+        import warnings
+        warnings.warn(
+            f"neardup_clusters: {changed} labels still changing after "
+            f"max_iter={max_iter} rounds — cluster_ids are NOT converged; "
+            f"raise max_iter (graph diameter exceeds it)",
+            RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster_id"))

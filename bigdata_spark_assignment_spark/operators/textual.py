@@ -160,6 +160,10 @@ def tf_idf_terms(docs, id_col: str = "doc_id", text_col: str = "text",
     side is a broadcast-friendly aggregate (|vocab| rows). The classic
     scale hazard is stop-term df rows being hot keys in the join —
     broadcast the df table (vocab-sized) and there is no skew at all.
+    The corpus size N enters as a broadcast 1-row aggregate (the
+    scalar-subquery pattern, like ``impute_mean``), NOT an eager
+    ``count()`` — the operator stays fully lazy and composes into a
+    single-pass pipeline with no hidden pre-scan.
     """
     from pyspark.sql import functions as F
 
@@ -169,12 +173,14 @@ def tf_idf_terms(docs, id_col: str = "doc_id", text_col: str = "text",
     tokens = tokens.filter(F.length("term") >= min_term_len)
     tf = tokens.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select(id_col).distinct().count()
+    n_docs = docs.agg(
+        F.count_distinct(F.col(id_col)).alias("__n_docs"))
     df_tab = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"))
     return (tf.join(F.broadcast(df_tab), "term")
+            .crossJoin(F.broadcast(n_docs))
             .withColumn("tfidf",
-                        F.col("tf") * (F.log((F.lit(float(n_docs + 1)))
+                        F.col("tf") * (F.log((F.col("__n_docs") + 1)
                                              / (F.col("df") + 1)) + 1))
             .select("doc_id", "term", "tf", "df",
                     F.round("tfidf", 4).alias("tfidf")))

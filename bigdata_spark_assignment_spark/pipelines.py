@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators.dedup import dedup_exact, neardup_pairs_minhash
+from .operators.dedup import (
+    dedup_exact,
+    neardup_pairs_minhash,
+    unpersist_dedup_caches,
+)
 from .operators.textual import (
     bpe_ish_token_count_expr,
     fingerprint_expr,
@@ -68,6 +72,10 @@ def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
     drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     deduped = exact.join(drop_ids, id_col, "left_anti").persist()
     counts.append(("neardup_prune", deduped.count()))
+    # the MinHash signature cache served its purpose (the count above
+    # materialized `deduped`); release it instead of leaving it to LRU
+    unpersist_dedup_caches()
+    exact.unpersist()
 
     # 3-4. language + quality annotation, then filter
     annotated = deduped.withColumns({

@@ -138,3 +138,75 @@ def test_stratified_sample_tolerance(spark, sf_smoke):
         import math
         sigma = math.sqrt(full[lang] * 0.25)
         assert abs(sampled[lang] - full[lang] * 0.5) < 4 * sigma + 1
+
+
+def test_impute_mode_single_pass_semantics(spark):
+    from bigdata_spark_assignment_spark.operators.cleaning import impute_mode
+
+    # numeric tie: 2 and 10 both appear twice — mode must be the
+    # NUMERICALLY smaller (2), not the lexically smaller ("10")
+    df = spark.createDataFrame(
+        [(10,), (10,), (2,), (2,), (7,), (None,)], "x int")
+    out = impute_mode(df, ["x"])
+    vals = sorted(r.x for r in out.collect())
+    assert vals == [2, 2, 2, 7, 10, 10]
+    assert dict(out.dtypes)["x"] == "int"
+
+
+def test_impute_mode_multi_column_and_types(spark):
+    from bigdata_spark_assignment_spark.operators.cleaning import impute_mode
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (None, "a", None), (1, None, 2.5), (2, "b", 1.5)],
+        "i int, s string, d double")
+    out = impute_mode(df, ["i", "s", "d"]).collect()
+    by = {tuple(r) for r in out}
+    assert (1, "a", 1.5) in by
+    # nulls filled with per-column modes: i→1, s→"a", d→1.5
+    assert (1, "a", 1.5) in by and (1, "a", 2.5) in by
+    assert not any(v is None for r in out for v in r)
+
+
+def test_impute_mode_all_null_column_is_left_alone(spark):
+    """ADVICE r1: an all-null column must NOT annihilate the dataset
+    (the r1 per-column crossJoin with an empty mode frame did)."""
+    from bigdata_spark_assignment_spark.operators.cleaning import impute_mode
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (None, None)],
+        "x int, dead int")
+    out = impute_mode(df, ["x", "dead"]).collect()
+    assert len(out) == 3  # nothing annihilated
+    assert sorted(r.x for r in out) == [1, 1, 2]  # x imputed with mode 1
+    assert all(r.dead is None for r in out)  # all-null col left null
+
+
+def test_ml_imputer_equivalence(spark):
+    """SURVEY M1/M2 letter: the engine's SQL-expressible impute ops
+    agree with pyspark.ml.feature.Imputer (mean and mode) row-for-row."""
+    from pyspark.ml.feature import Imputer
+
+    from bigdata_spark_assignment_spark.operators.cleaning import (
+        impute_mean,
+        impute_mode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 4.0), (4, None), (5, 7.0)],
+        "id int, x double")
+    eng = {r.id: r.x for r in impute_mean(df, ["x"]).collect()}
+    lib = {r.id: r.x_out for r in
+           Imputer(strategy="mean", inputCols=["x"], outputCols=["x_out"])
+           .fit(df).transform(df).collect()}
+    assert eng.keys() == lib.keys()
+    for k in eng:
+        assert abs(eng[k] - lib[k]) < 1e-12
+
+    # mode (no tie, so both tie-break policies agree)
+    df2 = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 9.0), (4, None)], "id int, y double")
+    eng2 = {r.id: r.y for r in impute_mode(df2, ["y"]).collect()}
+    lib2 = {r.id: r.y_out for r in
+            Imputer(strategy="mode", inputCols=["y"], outputCols=["y_out"])
+            .fit(df2).transform(df2).collect()}
+    assert eng2 == lib2

@@ -89,3 +89,55 @@ def test_tree_models_run_and_beat_constant_baseline(spark, fixture_tables):
     for name in ("dtr", "rf"):
         assert metrics[name]["r2"] > 0.0, metrics
         assert metrics[name]["rmse"] > 0.0
+
+
+def test_fdr_fwe_selector_equivalence(spark, fixture_tables):
+    """M8/M9 + the reference's headline finding (Report §8 / SURVEY §6):
+    FDR and FWE at threshold 0.05 select essentially the same features.
+    FWE (family-wise, Bonferroni-shaped) can never be MORE permissive
+    than FDR (Benjamini-Hochberg)."""
+    from pyspark.ml.feature import UnivariateFeatureSelector
+
+    from bigdata_spark_assignment_spark.ml.flight_delay import LABEL
+
+    flights, planes = fixture_tables
+    df = featurize(clean_flights(flights, planes)) \
+        .withColumn(LABEL, F.col(LABEL).cast("double")).cache()
+    selected = {}
+    for mode in ("fdr", "fwe"):
+        sel = UnivariateFeatureSelector(
+            featuresCol="normFeatures", outputCol="sel",
+            labelCol=LABEL, selectionMode=mode)
+        sel.setFeatureType("continuous").setLabelType("continuous")
+        sel.setSelectionThreshold(0.05)
+        selected[mode] = set(sel.fit(df).selectedFeatures)
+    df.unpersist()
+    assert selected["fdr"] and selected["fwe"]
+    assert selected["fwe"] <= selected["fdr"]
+    # "no measurable difference" band: FWE keeps ≥ 60% of FDR's picks
+    assert len(selected["fwe"]) >= 0.6 * len(selected["fdr"]), (
+        {m: len(s) for m, s in selected.items()})
+
+
+def test_rf_golden_range_on_planted_signal(spark, fixture_tables):
+    """M12 golden range (reference publishes RF RMSE 19.17 / R² 0.726
+    on real data, SURVEY §6): on the fixture's planted signal RF must
+    land materially above the constant baseline — band, not hash."""
+    flights, planes = fixture_tables
+    pipe = FlightDelayPipeline(selector_mode="fdr", cv_folds=2)
+    prepared = pipe.prepare(flights, planes).cache()
+    metrics = pipe.fit_evaluate(prepared, models=("rf",))
+    prepared.unpersist()
+    assert metrics["rf"]["r2"] > 0.3, metrics
+    assert metrics["rf"]["rmse"] < 25, metrics
+
+
+def test_cli_lifecycle_end_to_end(spark):
+    """E1 parity (Main.scala:41-76): ONE command replays the whole
+    lifecycle — load → clean → featurize → select → CV → metrics."""
+    from bigdata_spark_assignment_spark.cli import main
+
+    metrics = main(["--fixture", "--fixture-rows", "2500",
+                    "--models", "lr", "--cv-folds", "2"])
+    assert "lr" in metrics
+    assert metrics["lr"]["r2"] > 0.5

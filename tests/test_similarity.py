@@ -113,3 +113,32 @@ def test_ann_ivf_full_probe_is_exact(spark, sf_smoke):
             for r in ann_topk_ivf(emb, queries, k=5,
                                   n_cells=8, n_probe=8).collect()}
     assert exact == full
+
+
+def test_blocked_cosine_recall_vs_unblocked(spark, sf_smoke):
+    """q67 contract: LSH-bucket-blocked pairs are a SUBSET of the
+    unblocked all-pairs result with usable recall at 3 planes (the
+    scale path trades recall for an O(rows) shuffle; multi-table
+    union recovers it, as in ann_topk_lsh)."""
+    from bigdata_spark_assignment_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket_expr,
+        neardup_pairs_cosine,
+        neardup_pairs_cosine_vectorized,
+    )
+    emb = load_table(spark, sf_smoke, "embeddings")
+    full = {(r.id_a, r.id_b)
+            for r in neardup_pairs_cosine_vectorized(
+                emb, threshold=0.4).collect()}
+    planes = _hyperplanes(64, 3, seed=7)
+    blocked_df = emb.withColumn(
+        "blk", lsh_bucket_expr(F.col("embedding"), planes))
+    blocked = {(r.id_a, r.id_b)
+               for r in neardup_pairs_cosine(
+                   blocked_df, threshold=0.4, block_col="blk").collect()}
+    assert blocked <= full
+    assert full  # fixture must actually contain near-dup pairs
+    recall = len(blocked) / len(full)
+    # 3 hyperplanes ⇒ P(same bucket) ≈ (1 - θ/π)³; at cos≥0.4 expect
+    # ≳0.2 — assert a conservative floor and that blocking does block
+    assert recall >= 0.1, f"recall {recall}"
