@@ -245,13 +245,44 @@ def neardup_pairs_cosine_vectorized(emb: DataFrame, threshold: float = 0.4,
 
 def neardup_pairs_cosine(emb: DataFrame, threshold: float = 0.4,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         block_col: str | None = None) -> DataFrame:
+                         block_col: str | None = None,
+                         vectorized: bool = True) -> DataFrame:
     """All pairs with cosine ≥ threshold (id_a < id_b) — embedding
     near-dup detection. Optional blocking column turns the cross join
     into an equi-join (e.g. a cluster/label id or an LSH bucket).
 
     100 TB path: never run unblocked; feed ``block_col`` from
-    ``lsh_bucket_expr`` so the join is bucket-local."""
+    ``lsh_bucket_expr`` so the shuffle is one hash partition per bucket
+    (O(rows), not O(rows²) shuffle). With ``vectorized`` (default) the
+    within-bucket pair math is ONE ``A @ A.T`` per bucket over Arrow
+    batches (~7× the interpreted zip_with formulation at sf0.1);
+    bucket size is the caller's memory knob — add hyperplanes until a
+    bucket's float64 Gram block fits an executor."""
+    if block_col is not None and vectorized:
+        def block(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+            import pandas as pd
+            if len(pdf) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            ids = pdf["id"].to_numpy()
+            A = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(A, axis=1)
+            S = (A @ A.T) / np.outer(norms, norms)
+            mask = (S >= threshold) & np.triu(
+                np.ones_like(S, dtype=bool), k=1)
+            ii, jj = np.nonzero(mask)
+            lo = np.minimum(ids[ii], ids[jj])
+            hi = np.maximum(ids[ii], ids[jj])
+            return pd.DataFrame({"id_a": lo, "id_b": hi,
+                                 "cosine": S[ii, jj]})
+
+        return (emb.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("vec"),
+                           F.col(block_col).alias("blk"))
+                .groupBy("blk")
+                .applyInPandas(block,
+                               schema="id_a long, id_b long, cosine double"))
+
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                    *( [F.col(block_col).alias("blk")] if block_col else [] ))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
