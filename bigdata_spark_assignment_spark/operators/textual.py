@@ -184,3 +184,80 @@ def tf_idf_terms(docs, id_col: str = "doc_id", text_col: str = "text",
                                              / (F.col("df") + 1)) + 1))
             .select("doc_id", "term", "tf", "df",
                     F.round("tfidf", 4).alias("tfidf")))
+
+
+# --- PII masking / repetition / chunking (training-data prep ops) ----
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB) so the oracle can mirror the masking digit-for-digit.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def pii_counts_expr(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_urls) occurrence counts — the masking audit trail."""
+    return (F.regexp_count(text, F.lit(EMAIL_RE)),
+            F.regexp_count(text, F.lit(URL_RE)))
+
+
+def mask_pii_expr(text: Column) -> Column:
+    """Mask emails and URLs with typed placeholder tokens — the
+    standard pre-training scrub. Order matters: emails first, so
+    mailto:-style addresses inside URLs don't survive as fragments.
+    Native regexp_replace chain — narrow, codegen-fused, and exactly
+    reproducible in the oracle."""
+    masked = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(masked, URL_RE, "<URL>")
+
+
+def repetition_ratio_expr(text: Column) -> Column:
+    """Token-repetition ratio in [0, 1): 1 − distinct_words/words —
+    the cheap boilerplate/spam signal (high ratio = heavy repetition).
+    Empty/one-word docs score 0."""
+    w = words_expr(text)
+    return F.when(
+        F.size(w) > 0,
+        1.0 - F.size(F.array_distinct(w)) / F.size(w).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def chunk_documents(docs, max_tokens: int = 64, overlap: int = 16,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Split documents into overlapping token-window chunks — the
+    training-data chunking op. Returns (doc_id, chunk_id, chunk_text,
+    n_tokens); chunk i covers words [i·stride, i·stride + max_tokens)
+    with stride = max_tokens − overlap; the last chunk may be short; a
+    doc shorter than max_tokens yields exactly one chunk.
+
+    Pure relational algebra (split → sequence of starts → posexplode →
+    slice/join), exactly SQL-expressible — no UDF. 100 TB notes:
+    narrow transform; output rows ≈ tokens/stride per doc, so the
+    explode multiplies row count but total text volume only by
+    max_tokens/stride (the overlap factor).
+    """
+    stride = max_tokens - overlap
+    if stride <= 0:
+        raise ValueError("need overlap < max_tokens")
+
+    # Bind the word array as a lambda variable (single-element
+    # transform = poor-man's `let`, as in shingles_expr) — referencing
+    # the split() directly inside the per-start lambda would re-tokenize
+    # the document once per chunk under interpreted HOFs.
+    def _chunks(w: Column) -> Column:
+        n_chunks = F.greatest(
+            F.lit(1),
+            F.ceil((F.size(w) - F.lit(overlap)) / F.lit(stride)).cast("int"))
+        starts = F.sequence(F.lit(0), (n_chunks - 1) * stride,
+                            F.lit(stride))
+        return F.transform(starts,
+                           lambda s: F.slice(w, s + 1, max_tokens))
+
+    chunks = F.element_at(
+        F.transform(F.array(words_expr(F.col(text_col))), _chunks), 1)
+    out = (docs
+           .select(F.col(id_col).alias("doc_id"),
+                   F.posexplode(chunks).alias("chunk_id", "chunk_words")))
+    return out.select(
+        "doc_id", "chunk_id",
+        F.array_join("chunk_words", " ").alias("chunk_text"),
+        F.size("chunk_words").alias("n_tokens"))

@@ -261,21 +261,49 @@ def pivot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q28_string_functions",
     oracle="""
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)), 4) AS avg_words,
-           ROUND(AVG(CAST(length(text) AS DOUBLE)), 4) AS avg_chars,
-           CAST(COUNT(*) FILTER (WHERE contains(lower(text), 'data')) AS BIGINT) AS n_mention_data
-    FROM documents
-    GROUP BY lang
+    WITH base AS (
+      SELECT lang, text, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents),
+    docstats AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ROUND(AVG(CAST(len(w) AS DOUBLE)), 4) AS avg_words,
+             ROUND(AVG(CAST(length(text) AS DOUBLE)), 4) AS avg_chars,
+             CAST(COUNT(*) FILTER (WHERE contains(lower(text), 'data')) AS BIGINT) AS n_mention_data
+      FROM base GROUP BY lang),
+    ch AS (
+      SELECT lang,
+             unnest([array_to_string(w[s+1 : s+64], ' ')
+                     for s in generate_series(
+                       0,
+                       (GREATEST(1, CAST(ceil((len(w) - 16) / 48.0) AS INTEGER)) - 1) * 48,
+                       48)]) AS chunk_text
+      FROM base),
+    chstats AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             ROUND(AVG(CAST(len(string_split(chunk_text, ' ')) AS DOUBLE)), 4)
+               AS avg_chunk_tokens,
+             CAST(COUNT(DISTINCT md5(chunk_text)) AS BIGINT) AS n_chunk_fps
+      FROM ch GROUP BY lang)
+    SELECT d.lang, d.n_docs, d.avg_words, d.avg_chars, d.n_mention_data,
+           c.n_chunks, c.avg_chunk_tokens, c.n_chunk_fps
+    FROM docstats d JOIN chstats c USING (lang)
     """,
-    tags=("strings",),
+    tags=("strings", "chunking"),
 )
 def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar string surface: split/size, length, lower/contains."""
+    """Scalar string surface (split/size, length, lower/contains) PLUS
+    the document-chunking operator (r2): 64-token windows with
+    16-token overlap via ``operators.textual.chunk_documents``. The
+    ``n_chunk_fps`` column is COUNT(DISTINCT md5(chunk_text)) — any
+    drift in chunk boundaries or joining changes a fingerprint, so the
+    oracle pins the chunk TEXT exactly, not just the counts."""
+    from ..operators.textual import chunk_documents
+
     docs = load_table(spark, sf_dir, "documents")
-    words = F.size(F.split(F.col("text"), r"\s+"))
-    return (
+    words = F.size(F.split(F.lower("text"), r"\s+"))
+    docstats = (
         docs.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -285,6 +313,16 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("n_mention_data"),
         )
     )
+    chunks = chunk_documents(docs, max_tokens=64, overlap=16) \
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    chstats = (
+        chunks.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             fround(F.avg(F.col("n_tokens").cast("double")))
+              .alias("avg_chunk_tokens"),
+             F.countDistinct(F.md5("chunk_text")).alias("n_chunk_fps"))
+    )
+    return docstats.join(chstats, "lang")
 
 
 @register(

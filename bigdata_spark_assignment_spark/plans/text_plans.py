@@ -85,7 +85,16 @@ _TEXT_METRICS_ORACLE = f"""
              CAST(len(list_filter(
                  string_split_regex(lower(text), '[\\s\\.,;:!\\?\\(\\)\\[\\]\\{{\\}}"'']+'),
                  x -> x <> '')) AS DOUBLE) AS bpe_tokens,
-             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             CASE WHEN len(string_split_regex(lower(text), '\\s+')) > 0
+                  THEN 1.0 - len(list_distinct(string_split_regex(lower(text), '\\s+')))
+                             / CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE)
+                  ELSE 0.0 END AS repetition,
+             len(regexp_extract_all(text, '__EMAIL__')) AS n_emails,
+             len(regexp_extract_all(text, '__URL__')) AS n_urls,
+             length(text) - length(
+               regexp_replace(regexp_replace(text, '__EMAIL__', '<EMAIL>', 'g'),
+                              '__URL__', '<URL>', 'g')) AS mask_delta
       FROM documents)
     SELECT lang, source,
            CAST(COUNT(*) AS BIGINT)   AS n_docs,
@@ -94,26 +103,53 @@ _TEXT_METRICS_ORACLE = f"""
            ROUND(MAX(quality), 4)     AS max_quality,
            ROUND(AVG(ws_tokens), 4)   AS avg_ws_tokens,
            ROUND(AVG(bpe_tokens), 4)  AS avg_bpe_ish_tokens,
-           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           ROUND(AVG(repetition), 4)  AS avg_repetition,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_urls) AS BIGINT)   AS n_urls,
+           ROUND(AVG(CAST(mask_delta AS DOUBLE)), 4) AS avg_mask_delta
     FROM q
     GROUP BY 1, 2
 """
 
+# Inject the shared PII regex constants (placeholders keep the f-string
+# template free of regex braces). The Python strings hold single
+# backslashes, which SQL single-quoted literals pass through to RE2
+# verbatim — same convention as the '\\s+' escapes above.
+from ..operators.textual import EMAIL_RE, URL_RE  # noqa: E402
+
+_TEXT_METRICS_ORACLE = (_TEXT_METRICS_ORACLE
+                        .replace("__EMAIL__", EMAIL_RE)
+                        .replace("__URL__", URL_RE))
+
 
 @register("q37_text_quality_token_metrics", oracle=_TEXT_METRICS_ORACLE,
-          tags=("text", "quality", "tokens"))
+          tags=("text", "quality", "tokens", "pii"))
 def text_quality_token_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-analysis metric suite in ONE scan (merged r1 q37+q38 so
-    both fit the driver's checked prefix): composite quality score
+    """Text-analysis metric suite in ONE scan (merged r1 q37+q38, plus
+    the r2 training-data-prep metrics): composite quality score
     (length / punctuation / stopword / alpha-ratio terms), token
-    counting (whitespace + BPE-ish punctuation-aware), and
-    rolling-fingerprint cardinality — grouped per (lang, source).
+    counting (whitespace + BPE-ish punctuation-aware),
+    rolling-fingerprint cardinality, token-repetition ratio
+    (boilerplate signal), and the PII-masking audit trail (email/URL
+    occurrence counts + average chars delta after masking, which pins
+    ``mask_pii_expr`` output lengths exactly) — grouped per
+    (lang, source).
 
     100 TB notes: every metric is a native regex/string expression over
     one documents scan feeding one hash aggregate; the fingerprint
     distinct rides the same shuffle as the group keys."""
+    from ..operators.textual import (
+        mask_pii_expr,
+        pii_counts_expr,
+        repetition_ratio_expr,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     q = quality_score_expr(F.col("text"))
+    n_emails, n_urls = pii_counts_expr(F.col("text"))
+    mask_delta = (F.length("text")
+                  - F.length(mask_pii_expr(F.col("text")))).cast("double")
     return (
         docs.groupBy("lang", "source")
         .agg(
@@ -127,9 +163,13 @@ def text_quality_token_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("avg_bpe_ish_tokens"),
             F.countDistinct(fingerprint_expr(F.col("text")))
              .alias("n_fingerprints"),
+            fround(F.avg(repetition_ratio_expr(F.col("text"))))
+             .alias("avg_repetition"),
+            F.sum(n_emails).alias("n_emails"),
+            F.sum(n_urls).alias("n_urls"),
+            fround(F.avg(mask_delta)).alias("avg_mask_delta"),
         )
     )
-
 
 @register(
     "q39_multimodal_binary_columns",

@@ -52,3 +52,69 @@ def test_quality_score_range(spark):
     assert 0.0 <= v <= 1.0
     junk = _one(spark, "!!!???...;;;", quality_score_expr)
     assert junk < v
+
+
+def test_chunk_documents_boundaries(spark):
+    from bigdata_spark_assignment_spark.operators.textual import (
+        chunk_documents,
+    )
+    words_120 = " ".join(f"w{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, words_120), (2, "short doc"), (3, "x")],
+        "doc_id long, text string")
+    out = chunk_documents(docs, max_tokens=64, overlap=16)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc1: 120 tokens, stride 48 → ceil((120-16)/48)=3 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)].n_tokens == 64
+    assert rows[(1, 0)].chunk_text.startswith("w0 w1 ")
+    # overlap: chunk1 starts at token 48 (64-16 overlap with chunk0)
+    assert rows[(1, 1)].chunk_text.startswith("w48 ")
+    # last chunk: tokens 96..119 → 24 tokens
+    assert rows[(1, 2)].n_tokens == 24
+    assert rows[(1, 2)].chunk_text.endswith("w119")
+    # short docs yield exactly one chunk, intact
+    assert rows[(2, 0)].chunk_text == "short doc"
+    assert rows[(3, 0)].n_tokens == 1
+    # reconstruction: dropping each chunk's 16-token overlap prefix
+    # (except chunk 0) re-joins to the original token stream
+    parts = [rows[(1, 0)].chunk_text.split(" ")] + [
+        rows[(1, i)].chunk_text.split(" ")[16:] for i in (1, 2)]
+    assert [w for p in parts for w in p] == words_120.split(" ")
+
+
+def test_mask_pii_and_counts(spark):
+    from bigdata_spark_assignment_spark.operators.textual import (
+        mask_pii_expr,
+        pii_counts_expr,
+    )
+    df = spark.createDataFrame(
+        [("contact bob@example.com or visit https://x.io/a?b=1 now",),
+         ("no pii here",),
+         ("two mails: a@b.co c.d@e.org and http://plain.net",)],
+        "text string")
+    n_e, n_u = pii_counts_expr(F.col("text"))
+    out = df.select(mask_pii_expr(F.col("text")).alias("m"),
+                    n_e.alias("e"), n_u.alias("u")).collect()
+    assert out[0].m == "contact <EMAIL> or visit <URL> now"
+    assert (out[0].e, out[0].u) == (1, 1)
+    assert out[1].m == "no pii here" and out[1].e == 0
+    assert out[2].m == "two mails: <EMAIL> <EMAIL> and <URL>"
+    assert (out[2].e, out[2].u) == (2, 1)
+
+
+def test_repetition_ratio(spark):
+    from bigdata_spark_assignment_spark.operators.textual import (
+        repetition_ratio_expr,
+    )
+    df = spark.createDataFrame(
+        [("a b c d",), ("spam spam spam spam",), ("x x y y",), ("",)],
+        "text string")
+    out = [r.r for r in
+           df.select(repetition_ratio_expr(F.col("text")).alias("r"))
+           .collect()]
+    assert out[0] == 0.0
+    assert abs(out[1] - 0.75) < 1e-9
+    assert abs(out[2] - 0.5) < 1e-9
+    # empty text: split('') → [''] (1 token, distinct) → ratio 0
+    assert out[3] == 0.0
