@@ -471,6 +471,40 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q69_csv_roundtrip_check",
+    oracle=None,  # writes a scratch CSV (side effect) and self-checks;
+                  # the DuckDB views only cover the parquet tables
+    tags=("io", "csv"),
+)
+def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S8 driver-visible: write the customer table to CSV
+    (header, quoted) and read it back with an EXPLICIT schema (the
+    engine's S1 discipline — the reference reads header-only/all-string,
+    ``Main.scala:59,86``). Output is one self-checking row: counts and
+    exceptAll diffs in both directions, which are 0 iff the CSV codec
+    round-trips every value (incl. full-precision doubles and quoted
+    commas) bit-for-bit."""
+    import os
+    import tempfile
+
+    cust = load_table(spark, sf_dir, "customer")
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_csvrt_"), "customer")
+    cust.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.csv(path, header=True, schema=cust.schema)
+    n_src = cust.agg(F.count(F.lit(1)).alias("n_source"))
+    n_csv = back.agg(F.count(F.lit(1)).alias("n_csv"))
+    only_csv = back.exceptAll(cust).agg(
+        F.count(F.lit(1)).alias("n_only_csv"))
+    only_src = cust.exceptAll(back).agg(
+        F.count(F.lit(1)).alias("n_only_source"))
+    return (n_src.crossJoin(n_csv).crossJoin(only_csv).crossJoin(only_src)
+            .withColumn("roundtrip_ok",
+                        (F.col("n_source") == F.col("n_csv"))
+                        & (F.col("n_only_csv") == 0)
+                        & (F.col("n_only_source") == 0)))
+
+
+@register(
     "q60_above_segment_average",
     oracle="""
     WITH seg AS (
