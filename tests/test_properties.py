@@ -102,3 +102,38 @@ def test_token_count_matches_split(spark, texts):
         token_count_expr(F.col("t")).alias("n")).collect()]
     for t, n in zip(texts, out):
         assert n == len(re.split(r"\s+", t.lower()))
+
+
+@SETTINGS
+@given(st.integers(min_value=1, max_value=300),
+       st.integers(min_value=2, max_value=64),
+       st.integers(min_value=0, max_value=32))
+def test_chunking_reconstruction_invariant(spark, n_tokens, max_tokens,
+                                           overlap):
+    """For ANY (doc length, window, overlap<window): chunk 0 + each
+    later chunk minus its overlap prefix re-joins to the original
+    token stream; every chunk except the last has exactly max_tokens
+    tokens; chunk count matches the closed form."""
+    from bigdata_spark_assignment_spark.operators.textual import (
+        chunk_documents,
+    )
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    words = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    rows = sorted(chunk_documents(df, max_tokens=max_tokens,
+                                  overlap=overlap).collect(),
+                  key=lambda r: r.chunk_id)
+    stride = max_tokens - overlap
+    import math
+    expect_chunks = max(1, math.ceil((n_tokens - overlap) / stride))
+    assert len(rows) == expect_chunks
+    rebuilt = rows[0].chunk_text.split(" ")
+    for r in rows[1:]:
+        toks = r.chunk_text.split(" ")
+        assert toks[:overlap] == rebuilt[-overlap:] if overlap else True
+        rebuilt += toks[overlap:]
+    assert rebuilt == words
+    for r in rows[:-1]:
+        assert r.n_tokens == max_tokens
