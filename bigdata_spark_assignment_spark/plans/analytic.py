@@ -423,13 +423,19 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark ``percentile`` aggregate ==
     DuckDB ``quantile_cont``, both linear interpolation). At 100 TB use
     q55's approx sketch instead — exact percentile must materialize the
-    per-group value multiset."""
+    per-group value multiset. All three points come from ONE
+    array-argument aggregate (one multiset buffer per group, not three
+    — 3× less aggregation state than separate percentile calls)."""
     li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile("l_extendedprice",
+                        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     return (li.groupBy("l_returnflag")
-            .agg(fround(F.percentile("l_extendedprice", 0.25)).alias("p25"),
-                 fround(F.percentile("l_extendedprice", 0.50)).alias("p50"),
-                 fround(F.percentile("l_extendedprice", 0.75)).alias("p75"),
-                 F.count(F.lit(1)).alias("n")))
+            .agg(pcts.alias("ps"), F.count(F.lit(1)).alias("n"))
+            .select("l_returnflag",
+                    fround(F.element_at("ps", 1)).alias("p25"),
+                    fround(F.element_at("ps", 2)).alias("p50"),
+                    fround(F.element_at("ps", 3)).alias("p75"),
+                    "n"))
 
 
 @register(
