@@ -46,6 +46,10 @@ def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
                    neardup_threshold: float = 0.6,
                    min_quality: float = 0.3,
                    keep_langs: tuple[str, ...] | None = None,
+                   cluster: bool = False,
+                   mask_pii: bool = False,
+                   chunk_tokens: int | None = None,
+                   chunk_overlap: int = 16,
                    ) -> tuple[DataFrame, DataFrame]:
     """Run the corpus-prep flow; returns (clean_docs, stage_stats).
 
@@ -53,6 +57,20 @@ def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
     ``quality``, ``ws_tokens``, ``bpe_tokens`` metadata columns.
     ``stage_stats`` is a small (stage, n_docs) frame — collect it for
     pipeline observability.
+
+    Opt-in stages (r2):
+
+    * ``cluster=True`` — full connected-components canonicalization of
+      the near-dup graph (keep the min-id doc per CLUSTER) instead of
+      the default pair-drop. Pair-drop keeps a doc that is larger than
+      none of its direct neighbors even when its cluster min is
+      smaller; clustering drops it — the strictly-correct dedup at the
+      cost of the iterative join rounds (``neardup_clusters``).
+    * ``mask_pii=True`` — scrub emails/URLs in the text column
+      (``mask_pii_expr``) after filtering.
+    * ``chunk_tokens=N`` — emit token-window chunks (overlap
+      ``chunk_overlap``) instead of whole documents; output grain
+      becomes (doc_id, chunk_id), metadata columns carry over.
     """
     spark = docs.sparkSession
     counts: list[tuple[str, int]] = [("input", docs.count())]
@@ -67,9 +85,17 @@ def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
     counts.append(("exact_dedup", exact.count()))
 
     # 2. near-dup pruning: drop the larger id of every pair ≥ threshold
+    # (or, with cluster=True, every non-minimal id of each connected
+    # component — see docstring for the semantic difference)
     pairs = neardup_pairs_minhash(exact, id_col, text_col,
                                   threshold=neardup_threshold)
-    drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if cluster:
+        from .operators.dedup import neardup_clusters
+        labels = neardup_clusters(pairs)
+        drop_ids = labels.filter(F.col("id") != F.col("cluster_id")) \
+            .select(F.col("id").alias(id_col))
+    else:
+        drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     deduped = exact.join(drop_ids, id_col, "left_anti").persist()
     counts.append(("neardup_prune", deduped.count()))
     # the MinHash signature cache served its purpose (the count above
@@ -89,6 +115,20 @@ def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
         counts.append(("lang_filter", annotated.count()))
     final = annotated.filter(F.col("quality") >= min_quality)
     counts.append(("quality_filter", final.count()))
+
+    if mask_pii:
+        from .operators.textual import mask_pii_expr
+        final = final.withColumn(text_col, mask_pii_expr(F.col(text_col)))
+
+    if chunk_tokens:
+        from .operators.textual import chunk_documents
+        meta = final.drop(text_col)
+        chunks = chunk_documents(final, max_tokens=chunk_tokens,
+                                 overlap=chunk_overlap,
+                                 id_col=id_col, text_col=text_col) \
+            .withColumnRenamed("doc_id", id_col)
+        final = chunks.join(meta, id_col)
+        counts.append(("chunk", final.count()))
 
     stats = spark.createDataFrame(counts, "stage string, n_docs long")
     return final, stats
