@@ -37,9 +37,10 @@ BENCH_EXCLUDE: set[str] = {"q11_split_sample_counts",
                            # scale-killer by construction — excluded from the
                            # scaled bench per VERDICT.md r1 plan audit
                            "q33_neardup_jaccard_bruteforce",
-                           # incremental micro-batch replay: measures stream
+                           # incremental micro-batch replays: measure stream
                            # scheduling, not query throughput
-                           "q68_stream_replay_equivalence"}
+                           "q68_stream_replay_equivalence",
+                           "q70_stream_stream_join_replay"}
 
 # The driver records only the trailing 2000 chars of stdout and parses
 # the JSON line out of that window (BENCH_r01.json: the line was 2011

@@ -132,3 +132,45 @@ def stream_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("n_only_stream") == 0)
                         & (F.col("n_only_batch") == 0)
                         & (F.col("n_stream_rows") == F.col("n_batch_rows"))))
+
+
+@register(
+    "q70_stream_stream_join_replay",
+    oracle=None,  # incremental engine differential, self-checking
+    tags=("streaming", "join", "watermark"),
+)
+def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM time-range join, driver-visible: events replayed
+    as a time-ordered file stream, split into watermarked view and
+    purchase streams, inner-joined on (user, purchase within 10 min
+    after view) in append mode — the state-bounded two-stream join —
+    then differenced against the identical join on static frames.
+    Output: one self-checking row (counts + exceptAll diffs, 0 iff the
+    incremental join converged to batch semantics)."""
+    from ..streaming.ops import join_purchases_after_views, with_watermark
+    from ..streaming.replay import replay_as_stream, run_to_memory_sink
+
+    events = load_table(spark, sf_dir, "events")
+    stream = replay_as_stream(spark, events, n_chunks=6)
+    sv = with_watermark(stream.filter(F.col("event_type") == "view"),
+                        delay="30 minutes")
+    sp = with_watermark(stream.filter(F.col("event_type") == "purchase"),
+                        delay="30 minutes")
+    stream_out = run_to_memory_sink(
+        join_purchases_after_views(sv, sp), "q70_sink",
+        output_mode="append")
+    batch_events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = join_purchases_after_views(
+        batch_events.filter(F.col("event_type") == "view"),
+        batch_events.filter(F.col("event_type") == "purchase"))
+    n_stream = stream_out.agg(F.count(F.lit(1)).alias("n_stream_rows"))
+    n_batch = batch.agg(F.count(F.lit(1)).alias("n_batch_rows"))
+    only_s = stream_out.exceptAll(batch) \
+        .agg(F.count(F.lit(1)).alias("n_only_stream"))
+    only_b = batch.exceptAll(stream_out) \
+        .agg(F.count(F.lit(1)).alias("n_only_batch"))
+    return (n_stream.crossJoin(n_batch).crossJoin(only_s).crossJoin(only_b)
+            .withColumn("converged",
+                        (F.col("n_only_stream") == 0)
+                        & (F.col("n_only_batch") == 0)
+                        & (F.col("n_stream_rows") == F.col("n_batch_rows"))))
