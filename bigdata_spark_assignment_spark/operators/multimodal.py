@@ -150,3 +150,118 @@ def dedup_assets_by_digest(assets: DataFrame, id_col: str = "doc_id",
     return (assets
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+# ---------------------------------------------------------------------------
+# Resize / frame-sample (stub codecs, real explode-shaped plumbing)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("src_digest", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def resize_images(assets: DataFrame, width: int = 32, height: int = 32,
+                  id_col: str = "doc_id",
+                  asset_col: str = "asset") -> DataFrame:
+    """Resize image payloads to (width, height) via ``mapInPandas``.
+
+    STUB codec: strided byte sampling stands in for PIL's resampling —
+    deterministic, so tests can assert output geometry and content;
+    the Spark-side contract (Arrow batching, payload-column pruning of
+    everything else, one output row per input row) is the real part
+    and identical under a real codec.
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        target = width * height
+
+        def resize_stub(payload: bytes) -> bytes:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            if arr.size == 0:
+                return bytes(target)
+            # strided sample (nearest-neighbor stand-in)
+            idx = np.linspace(0, arr.size - 1, target).astype(np.int64)
+            return arr[idx].tobytes()
+
+        for pdf in batches:
+            out = [resize_stub(bytes(p) if p is not None else b"")
+                   for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["id"].astype("int64"),
+                "src_digest": pdf["digest"],
+                "payload": out,
+                "width": pd.array([width] * len(out), dtype="int32"),
+                "height": pd.array([height] * len(out), dtype="int32"),
+                "n_bytes": pd.array([len(b) for b in out], dtype="int64"),
+            })
+
+    flat = assets.select(
+        F.col(id_col).alias("id"),
+        F.col(f"{asset_col}.payload").alias("payload"),
+        F.col(f"{asset_col}.digest").alias("digest"))
+    return flat.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("src_digest", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def sample_frames(assets: DataFrame, frame_bytes: int = 1024,
+                  every_n: int = 2, max_frames: int = 8,
+                  id_col: str = "doc_id",
+                  asset_col: str = "asset") -> DataFrame:
+    """Sample every ``every_n``-th frame from video payloads — the
+    explode-shaped multimodal op (ONE asset row fans out to many frame
+    rows inside the Arrow batch, the shape a real pyav/ffmpeg sampler
+    produces).
+
+    STUB codec: the payload is treated as a concatenation of
+    ``frame_bytes``-sized fake frames (a real codec would demux; the
+    fan-out, schema, and batch mechanics are identical). Frames are
+    capped at ``max_frames`` per asset — the standard bound that keeps
+    output volume proportional to assets, not raw video length.
+    """
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, digs, idxs, payloads = [], [], [], []
+            for i, p, d in zip(pdf["id"], pdf["payload"], pdf["digest"]):
+                raw = bytes(p) if p is not None else b""
+                n_frames = max(1, (len(raw) + frame_bytes - 1) // frame_bytes)
+                taken = 0
+                for f in range(0, n_frames, every_n):
+                    if taken >= max_frames:
+                        break
+                    chunk = raw[f * frame_bytes:(f + 1) * frame_bytes]
+                    ids.append(int(i)); digs.append(d)
+                    idxs.append(f); payloads.append(chunk)
+                    taken += 1
+            yield pd.DataFrame({
+                "doc_id": pd.array(ids, dtype="int64"),
+                "src_digest": digs,
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "payload": payloads,
+                "n_bytes": pd.array([len(b) for b in payloads],
+                                    dtype="int64"),
+            })
+
+    flat = assets.select(
+        F.col(id_col).alias("id"),
+        F.col(f"{asset_col}.payload").alias("payload"),
+        F.col(f"{asset_col}.digest").alias("digest"))
+    return flat.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -213,21 +213,36 @@ def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/feature-extract over binary assets
-    (operators.multimodal.extract_features via mapInPandas) — the
-    plumbing a real image/audio pipeline uses, with the codec stubbed
-    (deterministic byte statistics; see _decode_stub). Aggregated per
-    language so the output is compact and shape-stable."""
-    from ..operators.multimodal import extract_features, text_as_asset
+    """Arrow-batched multimodal pipeline over binary assets
+    (operators.multimodal via mapInPandas) — decode/feature-extract,
+    resize (one-out-per-in), and frame-sample (explode-shaped fan-out),
+    all with stubbed codecs and real schema/batching/partitioning.
+    Aggregated per language so the output is compact and shape-stable."""
+    from ..operators.multimodal import (
+        extract_features,
+        resize_images,
+        sample_frames,
+        text_as_asset,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = extract_features(text_as_asset(docs))
-    joined = feats.join(docs.select("doc_id", "lang"), "doc_id")
-    return (joined.groupBy("lang")
+    assets = text_as_asset(docs)
+    feats = extract_features(assets)
+    lang = docs.select("doc_id", "lang")
+    joined = feats.join(lang, "doc_id")
+    base = (joined.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_assets"),
                  F.round(F.avg("feat_mean"), 4).alias("avg_feat_mean"),
                  F.round(F.avg("feat_std"), 4).alias("avg_feat_std"),
                  F.max("width").alias("max_width")))
+    resized = (resize_images(assets, width=16, height=16).join(lang, "doc_id")
+               .groupBy("lang")
+               .agg(F.sum("n_bytes").alias("resized_bytes")))
+    frames = (sample_frames(assets, frame_bytes=512, every_n=2,
+                            max_frames=4).join(lang, "doc_id")
+              .groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n_frames")))
+    return base.join(resized, "lang").join(frames, "lang")
 
 
 @register(

@@ -60,3 +60,49 @@ def test_dedup_assets_by_digest(spark, sf_smoke):
     assert kept.count() == 30
     # canonical row = min id per digest
     assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_resize_images_geometry_and_determinism(spark, sf_smoke):
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.multimodal import (
+        resize_images,
+        text_as_asset,
+    )
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    assets = text_as_asset(docs)
+    out = resize_images(assets, width=8, height=4).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.width == 8 and r.height == 4
+        assert r.n_bytes == 32 and len(r.payload) == 32
+    # deterministic: same input → same resized bytes
+    again = resize_images(assets, width=8, height=4).collect()
+    assert {(r.doc_id, bytes(r.payload)) for r in out} == \
+           {(r.doc_id, bytes(r.payload)) for r in again}
+
+
+def test_sample_frames_fanout_and_cap(spark):
+    from bigdata_spark_assignment_spark.operators.multimodal import (
+        asset_expr,
+        sample_frames,
+    )
+    # 10 fake "videos" of 0..9 KiB → 1..10 frames of 1 KiB
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.expr("repeat(cast(id as string), cast(id * 256 as int))")
+         .cast("binary").alias("raw"))
+    assets = df.withColumn(
+        "asset", asset_expr(F.col("raw"), "video", "video/fake"))
+    out = sample_frames(assets, frame_bytes=1024, every_n=2,
+                        max_frames=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every asset yields ≥1 frame; indices are even; cap respected
+    assert set(by_doc) == set(range(10))
+    for doc_id, rows in by_doc.items():
+        assert len(rows) <= 3
+        assert all(r.frame_idx % 2 == 0 for r in rows)
+    # doc 9: 9*256=2304 bytes → 3 frames (0,1,2) → sampled {0, 2}
+    assert sorted(r.frame_idx for r in by_doc[9]) == [0, 2]
+    assert by_doc[0][0].n_bytes == 0  # empty payload → one empty frame
