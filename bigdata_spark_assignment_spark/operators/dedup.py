@@ -379,20 +379,22 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                                    edges["dst"] == labels["id"])
                         .groupBy("src")
                         .agg(F.min("label").alias("nmin")))
+        # carry the previous label through the checkpoint so the
+        # convergence check is a filter+count on the checkpointed
+        # frame — not an extra join per round
         new_labels = (labels.join(neighbor_min,
                                   labels["id"] == neighbor_min["src"],
                                   "left")
                       .select(labels["id"],
+                              F.col("label").alias("__prev"),
                               F.least(F.col("label"),
                                       F.coalesce(F.col("nmin"),
                                                  F.col("label")))
                               .alias("label")))
         new_labels = new_labels.localCheckpoint()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("label") != F.col("__prev")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     if changed != 0:

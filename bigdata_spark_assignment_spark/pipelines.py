@@ -73,16 +73,22 @@ def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
       becomes (doc_id, chunk_id), metadata columns carry over.
     """
     spark = docs.sparkSession
-    counts: list[tuple[str, int]] = [("input", docs.count())]
 
     # 1. exact dedup on normalized fingerprint.
     # persist: every later stage AND its observability count() would
-    # otherwise re-run the whole upstream chain (4× at the last stage)
+    # otherwise re-run the whole upstream chain (4× at the last stage).
+    # The group-size column makes ONE action serve both observability
+    # counts: sum(copies) = input rows, count(*) = deduped rows — no
+    # separate full scan of the input just to count it.
     with_fp = docs.withColumn("__fp", fingerprint_expr(F.col(text_col)))
     exact = dedup_exact(with_fp, ["__fp"],
-                        canonical_order=[F.col(id_col).asc()]).drop("__fp") \
-        .persist()
-    counts.append(("exact_dedup", exact.count()))
+                        canonical_order=[F.col(id_col).asc()],
+                        copies_col="__copies").drop("__fp").persist()
+    n_input, n_exact = exact.agg(
+        F.sum("__copies"), F.count(F.lit(1))).first()
+    exact = exact.drop("__copies")
+    counts: list[tuple[str, int]] = [("input", int(n_input)),
+                                     ("exact_dedup", int(n_exact))]
 
     # 2. near-dup pruning: drop the larger id of every pair ≥ threshold
     # (or, with cluster=True, every non-minimal id of each connected
