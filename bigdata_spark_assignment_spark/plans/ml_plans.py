@@ -72,6 +72,18 @@ def model_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     each on a 70/30 split (seed 10), RMSE + R² on the held-out split
     (M13). One row per model; golden-range bands are the pytest
     contract (tests/test_flight_pipeline.py)."""
+    # estimator fits run dozens of tiny aggregate jobs; under a
+    # default-200-partition driver session that is pure task overhead —
+    # scope the conf down for the fits, restore after
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        return _model_metrics(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _lineitem_features(spark, sf_dir).cache()
     train, test = df.randomSplit([0.7, 0.3], seed=SEED)
 

@@ -117,8 +117,17 @@ def stream_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     stream = replay_as_stream(spark, events, n_chunks=6)
-    stream_final = run_to_memory_sink(
-        tumbling_counts(stream), "q68_sink", output_mode="complete")
+    # a streaming agg allocates state-store partitions from
+    # spark.sql.shuffle.partitions AT QUERY START — under a default
+    # session that is 200 state tasks × 6 micro-batches of overhead;
+    # scope it down for the replay, restore after
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        stream_final = run_to_memory_sink(
+            tumbling_counts(stream), "q68_sink", output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     batch = tumbling_counts(
         events.withColumn("ts", F.col("ts").cast("timestamp")))
     n_stream = stream_final.agg(F.count(F.lit(1)).alias("n_stream_rows"))
@@ -156,9 +165,14 @@ def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                         delay="30 minutes")
     sp = with_watermark(stream.filter(F.col("event_type") == "purchase"),
                         delay="30 minutes")
-    stream_out = run_to_memory_sink(
-        join_purchases_after_views(sv, sp), "q70_sink",
-        output_mode="append")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        stream_out = run_to_memory_sink(
+            join_purchases_after_views(sv, sp), "q70_sink",
+            output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     batch_events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     batch = join_purchases_after_views(
         batch_events.filter(F.col("event_type") == "view"),
