@@ -1,0 +1,78 @@
+"""Plan-shape regression tests: the physical plans the 100 TB story
+depends on, pinned so a refactor that silently loses a pushdown, a
+broadcast, or a bucket-equi-join shows up as a test failure — not as a
+2× bench regression three rounds later.
+
+explain("formatted") prints each node in the tree AND the detail
+section, so node-name counts come in multiples of 2.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from bigdata_spark_assignment_spark.plans import REGISTRY
+
+
+def _plan(spark, sf_oracle, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        REGISTRY[name].fn(spark, sf_oracle).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_reach_the_scan(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "q02_filter_project_cast")
+    assert "GreaterThan(o_totalprice,50000.0)" in p  # pushed predicate
+    assert "Not(EqualTo(o_orderstatus,O))" in p
+    # column pruning: the scan reads exactly the 4 referenced columns
+    assert ("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,"
+            "o_totalprice:double,o_orderdate:timestamp_ntz>") in p
+
+
+def test_snowflake_dims_are_broadcast(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "q04_join_broadcast_dims")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # dims must never shuffle the fact
+
+
+def test_blocked_cosine_is_bucket_local(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "q67_blocked_cosine_neardup")
+    assert "CartesianProduct" not in p
+    assert "FlatMapGroupsInPandas" in p  # vectorized Gram block
+    # exactly one Exchange (hash by bucket); ×2 for tree+detail listing
+    assert p.count("Exchange") <= 4
+
+
+def test_topk_uses_take_ordered_not_full_sort(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "q10_topk_orders")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_returnflag_filter_pushed_through_joins(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "q59_returned_item_revenue")
+    assert "EqualTo(l_returnflag,R)" in p  # into the lineitem scan
+    assert "BroadcastHashJoin" in p
+
+
+def test_no_cartesian_product_anywhere(spark, sf_oracle):
+    """Scale-killer sweep: no registered query may plan a
+    CartesianProduct (1-row scalar crossJoins broadcast; q40's bounded
+    probe side broadcasts to a nested-loop, which is fine)."""
+    offenders = []
+    for name in REGISTRY:
+        if name in ("q43_model_metrics_suite", "q44_feature_pipeline_shape",
+                    "q68_stream_replay_equivalence",
+                    "q70_stream_stream_join_replay",
+                    "q42_ann_methods_recall", "q69_csv_roundtrip_check",
+                    "q11_split_sample_counts"):
+            continue  # eager/estimator/stream queries: explain runs them
+        try:
+            if "CartesianProduct" in _plan(spark, sf_oracle, name):
+                offenders.append(name)
+        except Exception as e:  # noqa: BLE001
+            pytest.fail(f"{name} failed to plan: {e}")
+    assert not offenders, offenders
