@@ -328,18 +328,41 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q29_array_functions",
     oracle="""
+    WITH base AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings),
+    quant AS (
+      SELECT vec_id, label, embedding, maxabs,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) / maxabs * 127.0)
+                           AS INTEGER)) AS q8
+      FROM base)
     SELECT vec_id, label,
            CAST(len(embedding) AS INTEGER) AS dim,
            ROUND(sqrt(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
-           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_component
-    FROM embeddings
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_component,
+           CAST(q8[1] AS INTEGER) AS q8_first,
+           CAST(list_max(list_transform(q8, v -> abs(v))) AS INTEGER)
+             AS q8_maxabs,
+           ROUND(list_max([abs(CAST(embedding[i] AS DOUBLE)
+                               - q8[i] * maxabs / 127.0)
+                           for i in generate_series(1, len(embedding))]), 4)
+             AS max_quant_err
+    FROM quant
     """,
-    tags=("arrays", "vectors"),
+    tags=("arrays", "vectors", "quantization"),
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-column surface over embeddings: size, element access,
-    higher-order transform/aggregate (L2 norm stays JVM-side — no UDF).
+    higher-order transform/aggregate (L2 norm stays JVM-side — no
+    UDF), PLUS symmetric int8 quantization (r2): per-vector absmax
+    scale, round-to-127 codes, and the dequantization error bound —
+    the storage-halving layout a 100 TB embedding table ships with.
+    The oracle re-derives codes AND the max dequant error per vector,
+    so the quantizer is value-checked, not shape-checked.
 
     Elements are float32; both sides cast to double BEFORE arithmetic
     so the accumulation error profile matches the oracle exactly.
@@ -348,11 +371,29 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = F.transform(F.col("embedding"),
                      lambda x: x.cast("double") * x.cast("double"))
     l2 = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
-    return emb.select(
+    # bind maxabs once (let-binding via single-element transform) so
+    # interpreted HOFs don't recompute the array max per element
+    maxabs = F.array_max(F.transform(
+        F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    base = emb.withColumn("maxabs", maxabs)
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") / F.col("maxabs") * 127.0)
+                   .cast("int"))
+    quant = base.withColumn("q8", q8)
+    dequant_err = F.array_max(F.zip_with(
+        F.col("embedding"), F.col("q8"),
+        lambda x, v: F.abs(x.cast("double")
+                           - v * F.col("maxabs") / 127.0)))
+    return quant.select(
         "vec_id", "label",
         F.size("embedding").cast("int").alias("dim"),
         fround(l2).alias("l2_norm"),
-        fround(F.element_at("embedding", 1).cast("double")).alias("first_component"),
+        fround(F.element_at("embedding", 1).cast("double"))
+         .alias("first_component"),
+        F.element_at("q8", 1).alias("q8_first"),
+        F.array_max(F.transform(F.col("q8"), F.abs)).alias("q8_maxabs"),
+        fround(dequant_err).alias("max_quant_err"),
     )
 
 
