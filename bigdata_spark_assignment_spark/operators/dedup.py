@@ -407,3 +407,59 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             f"raise max_iter (graph diameter exceeds it)",
             RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def decontaminate(train: DataFrame, test: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k_shingle: int = 3, min_overlap: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥
+    ``min_overlap`` word-``k_shingle``-grams with ANY test doc — the
+    n-gram overlap check every pre-training pipeline runs against its
+    eval sets.
+
+    Returns (train_id, n_test_shingle_hits, n_test_docs_hit).
+
+    100 TB shape: the test side is tiny relative to training, so its
+    exploded shingle set BROADCASTS — the training corpus streams once
+    through a broadcast hash join, no training-side shuffle of shingle
+    rows at all. (A huge test side would flip this to a shuffle join;
+    Spark picks that automatically without the explicit broadcast.)
+    """
+    tr = (train.select(F.col(id_col).alias("train_id"),
+                       shingles_expr(F.col(text_col), k_shingle).alias("sh"))
+          .filter(F.size("sh") > 0)
+          .select("train_id", F.explode("sh").alias("shingle")))
+    te = (test.select(F.col(id_col).alias("test_id"),
+                      shingles_expr(F.col(text_col), k_shingle).alias("sh"))
+          .filter(F.size("sh") > 0)
+          .select("test_id", F.explode("sh").alias("shingle"))
+          .distinct())
+    return (tr.join(F.broadcast(te), "shingle")
+            .groupBy("train_id")
+            .agg(F.count(F.lit(1)).alias("n_test_shingle_hits"),
+                 F.countDistinct("test_id").alias("n_test_docs_hit"))
+            .filter(F.col("n_test_shingle_hits") >= min_overlap))
+
+
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id", train_pct: int = 80,
+                       split_col: str = "split") -> DataFrame:
+    """Train/eval split that CANNOT leak near-duplicates across the
+    boundary: connected components over the near-dup ``pairs`` graph
+    assign every doc a cluster id (singletons keep their own id), and
+    the deterministic md5 split hashes the CLUSTER id — so an entire
+    near-dup family lands on one side, always.
+
+    This is the composition a training-data lake actually needs:
+    ``randomSplit`` (and even per-doc hash splits) put near-identical
+    docs in both train and eval, inflating eval scores.
+    """
+    from .cleaning import hash_split_expr
+
+    labels = neardup_clusters(pairs)
+    out = (docs.join(labels.withColumnRenamed("id", id_col), id_col, "left")
+           .withColumn("cluster_id",
+                       F.coalesce(F.col("cluster_id"), F.col(id_col))))
+    bucket = hash_split_expr(F.col("cluster_id"))
+    return out.withColumn(
+        split_col, F.when(bucket < train_pct, "train").otherwise("eval"))

@@ -155,6 +155,53 @@ def neardup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q71_decontamination_and_leakage_split",
+    oracle=None,  # self-checking against planted contamination
+    tags=("dedup", "decontamination", "split"),
+)
+def decontamination_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two leakage guards a training-data lake runs before every model
+    build, driver-visible and self-checking:
+
+    1. **Benchmark decontamination** (operators.dedup.decontaminate):
+       the 'test set' is every 50th document verbatim, so each test doc
+       trivially contaminates its own training copy — the operator must
+       flag ALL of them (``planted_found_ok``); extra flags are real
+       shingle collisions, reported not asserted.
+    2. **Leakage-safe split** (operators.dedup.leakage_safe_split):
+       split on the near-dup CLUSTER id, then count pairs whose ends
+       landed in different splits — must be 0 (``leak_free``), the
+       property per-doc hash splits do not have.
+    """
+    from ..operators.dedup import decontaminate, leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    test = docs.filter(F.col("doc_id") % 50 == 0)
+    flagged = decontaminate(docs, test)
+    n_test = test.agg(F.count(F.lit(1)).alias("n_test"))
+    n_flag = flagged.agg(F.count(F.lit(1)).alias("n_flagged"))
+    planted = (test.select(F.col("doc_id").alias("train_id"))
+               .join(flagged, "train_id", "left_anti")
+               .agg(F.count(F.lit(1)).alias("n_planted_missed")))
+
+    pairs = neardup_pairs_minhash(docs, "doc_id", "text", threshold=0.6)
+    split = leakage_safe_split(docs, pairs).select(
+        F.col("doc_id"), F.col("split"))
+    a = split.withColumnRenamed("doc_id", "id_a") \
+        .withColumnRenamed("split", "split_a")
+    b = split.withColumnRenamed("doc_id", "id_b") \
+        .withColumnRenamed("split", "split_b")
+    cross = (pairs.join(a, "id_a").join(b, "id_b")
+             .filter(F.col("split_a") != F.col("split_b"))
+             .agg(F.count(F.lit(1)).alias("n_cross_split_pairs")))
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (n_test.crossJoin(n_flag).crossJoin(planted)
+            .crossJoin(n_pairs).crossJoin(cross)
+            .withColumn("planted_found_ok", F.col("n_planted_missed") == 0)
+            .withColumn("leak_free", F.col("n_cross_split_pairs") == 0))
+
+
+@register(
     "q53_neardup_clusters",
     oracle=f"""
     WITH pairs AS ({_JACCARD_PAIRS_SQL}),

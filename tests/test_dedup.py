@@ -96,3 +96,53 @@ def test_neardup_clusters_transitive(spark):
            for r in neardup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_decontaminate_planted_and_clean(spark):
+    from bigdata_spark_assignment_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text about database engines"),
+         (3, "another disjoint document mentioning spark plans")],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(100, "quick brown fox jumps high today"),  # shares 3-grams w/ 1
+         (101, "nothing in common whatsoever here")],
+        "doc_id long, text string")
+    out = {r.train_id: r for r in decontaminate(train, test).collect()}
+    assert set(out) == {1}
+    assert out[1].n_test_docs_hit == 1
+    # fully disjoint corpora → nothing flagged
+    clean_test = spark.createDataFrame(
+        [(200, "zzz yyy xxx www vvv uuu")], "doc_id long, text string")
+    assert decontaminate(train, clean_test).count() == 0
+
+
+def test_leakage_safe_split_keeps_families_together(spark):
+    from bigdata_spark_assignment_spark.operators.cleaning import (
+        hash_split_expr,
+    )
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        leakage_safe_split,
+    )
+
+    # a 40-doc corpus of 20 near-dup pairs (ids 2k, 2k+1)
+    docs = spark.createDataFrame(
+        [(i, f"doc family {i // 2}") for i in range(40)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(2 * k, 2 * k + 1, 1.0) for k in range(20)],
+        "id_a long, id_b long, jaccard double")
+    out = leakage_safe_split(docs, pairs, train_pct=50)
+    side = {r.doc_id: r.split for r in out.collect()}
+    assert len(side) == 40
+    for k in range(20):
+        assert side[2 * k] == side[2 * k + 1]  # family never straddles
+    assert {"train", "eval"} == set(side.values())  # both sides populated
+    # contrast: the per-DOC hash split DOES straddle some family
+    per_doc = {r.doc_id: r.s for r in docs.select(
+        "doc_id",
+        F.when(hash_split_expr(F.col("doc_id")) < 50, "train")
+         .otherwise("eval").alias("s")).collect()}
+    assert any(per_doc[2 * k] != per_doc[2 * k + 1] for k in range(20))
