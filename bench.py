@@ -40,7 +40,11 @@ BENCH_EXCLUDE: set[str] = {"q11_split_sample_counts",
                            # incremental micro-batch replays: measure stream
                            # scheduling, not query throughput
                            "q68_stream_replay_equivalence",
-                           "q70_stream_stream_join_replay"}
+                           "q70_stream_stream_join_replay",
+                           # composed self-check whose MinHash stage is
+                           # exactly q34 (already benched) — benching it
+                           # would double-count the same work
+                           "q71_decontamination_and_leakage_split"}
 
 # The driver records only the trailing 2000 chars of stdout and parses
 # the JSON line out of that window (BENCH_r01.json: the line was 2011
