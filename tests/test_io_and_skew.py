@@ -200,3 +200,27 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_oracle):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_parquet_aggregate_pushdown_under_v2_source(spark, sf_oracle):
+    """100 TB metadata-only path: under the V2 parquet source with
+    aggregatePushdown, COUNT/MIN/MAX with no filter read parquet
+    FOOTERS, not data pages (PushedAggregation in the scan). The
+    engine default stays V1 (bucketed writes require it); this pins
+    the conf recipe for metadata-only workloads on a scoped session."""
+    import contextlib
+    import io
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    df = s2.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    q = df.agg(F.count(F.lit(1)).alias("n"),
+               F.min("l_shipdate").alias("mn"),
+               F.max("l_extendedprice").alias("mx"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(True)
+    assert "PushedAggregation" in buf.getvalue()
+    row = q.first()
+    assert row.n == 60000 and row.mx == 104997.88
