@@ -21,6 +21,7 @@ no Python in the hot path, no driver-side state.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import numpy as np
@@ -33,26 +34,50 @@ from pyspark.sql import functions as F
 from ..session import exclude_infer_filters_from_generate
 from .textual import shingles_expr
 
-# Persisted intermediates (signature/index frames) registered here so
-# long-lived sessions can release them deterministically instead of
-# waiting for LRU pressure (ADVICE r1): call ``unpersist_dedup_caches``
-# after the consuming action — pipelines.prepare_corpus does.
-_PERSISTED: list[DataFrame] = []
+# Persisted intermediates (signature/index frames) are tracked per
+# SCOPE (ADVICE r2: a module-global list let one caller's release drop
+# another caller's caches, and direct operator calls grew it without
+# bound). ``dedup_cache_scope()`` gives a caller its own scope whose
+# caches are released on exit (pipelines.prepare_corpus runs its
+# actions inside one); operators called OUTSIDE any scope fall back to
+# a bounded FIFO — beyond ``_FALLBACK_CAP`` frames the oldest is
+# unpersisted (safe: Spark recomputes on next use).
+_FALLBACK_CAP = 8
+_SCOPES: list[list[DataFrame]] = [[]]  # [0] = bounded global fallback
+
+
+@contextlib.contextmanager
+def dedup_cache_scope():
+    """Scope dedup-operator persists to this block: every intermediate
+    persisted inside is unpersisted on exit, touching nothing persisted
+    by other callers."""
+    scope: list[DataFrame] = []
+    _SCOPES.append(scope)
+    try:
+        yield scope
+    finally:
+        _SCOPES.pop()
+        for df in scope:
+            df.unpersist()
 
 
 def _track_persist(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _PERSISTED.append(df)
+    scope = _SCOPES[-1]
+    scope.append(df)
+    if len(_SCOPES) == 1 and len(scope) > _FALLBACK_CAP:
+        scope.pop(0).unpersist()
     return df
 
 
 def unpersist_dedup_caches() -> int:
-    """Release every intermediate this module persisted; returns the
-    count. Safe to call while results are still referenced — Spark
+    """Release every intermediate persisted OUTSIDE an explicit scope;
+    returns the count. Safe while results are still referenced — Spark
     recomputes on next use."""
-    n = len(_PERSISTED)
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+    fallback = _SCOPES[0]
+    n = len(fallback)
+    while fallback:
+        fallback.pop().unpersist()
     return n
 
 
@@ -417,7 +442,13 @@ def decontaminate(train: DataFrame, test: DataFrame,
     n-gram overlap check every pre-training pipeline runs against its
     eval sets.
 
-    Returns (train_id, n_test_shingle_hits, n_test_docs_hit).
+    Returns (train_id, n_test_shingle_hits, n_test_docs_hit), where
+    ``n_test_shingle_hits`` counts DISTINCT shared shingles (ADVICE r2:
+    a raw join-row count multiplied per test doc sharing the same
+    shingle, contradicting the ">= min_overlap word-k-grams" contract).
+    The train side is already distinct per doc (``shingles_expr`` is
+    array_distinct), so the countDistinct collapses only the
+    test-doc-multiplicity the join introduces.
 
     100 TB shape: the test side is tiny relative to training, so its
     exploded shingle set BROADCASTS — the training corpus streams once
@@ -436,7 +467,7 @@ def decontaminate(train: DataFrame, test: DataFrame,
           .distinct())
     return (tr.join(F.broadcast(te), "shingle")
             .groupBy("train_id")
-            .agg(F.count(F.lit(1)).alias("n_test_shingle_hits"),
+            .agg(F.countDistinct("shingle").alias("n_test_shingle_hits"),
                  F.countDistinct("test_id").alias("n_test_docs_hit"))
             .filter(F.col("n_test_shingle_hits") >= min_overlap))
 

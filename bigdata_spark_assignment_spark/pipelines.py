@@ -28,9 +28,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .operators.dedup import (
+    dedup_cache_scope,
     dedup_exact,
     neardup_pairs_minhash,
-    unpersist_dedup_caches,
 )
 from .operators.textual import (
     bpe_ish_token_count_expr,
@@ -84,29 +84,33 @@ def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
     exact = dedup_exact(with_fp, ["__fp"],
                         canonical_order=[F.col(id_col).asc()],
                         copies_col="__copies").drop("__fp").persist()
+    # coalesce: F.sum over an EMPTY frame is NULL (ADVICE r2 — the old
+    # docs.count() returned 0 there)
     n_input, n_exact = exact.agg(
-        F.sum("__copies"), F.count(F.lit(1))).first()
+        F.coalesce(F.sum("__copies"), F.lit(0)), F.count(F.lit(1))).first()
     exact = exact.drop("__copies")
     counts: list[tuple[str, int]] = [("input", int(n_input)),
                                      ("exact_dedup", int(n_exact))]
 
     # 2. near-dup pruning: drop the larger id of every pair ≥ threshold
     # (or, with cluster=True, every non-minimal id of each connected
-    # component — see docstring for the semantic difference)
-    pairs = neardup_pairs_minhash(exact, id_col, text_col,
-                                  threshold=neardup_threshold)
-    if cluster:
-        from .operators.dedup import neardup_clusters
-        labels = neardup_clusters(pairs)
-        drop_ids = labels.filter(F.col("id") != F.col("cluster_id")) \
-            .select(F.col("id").alias(id_col))
-    else:
-        drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    deduped = exact.join(drop_ids, id_col, "left_anti").persist()
-    counts.append(("neardup_prune", deduped.count()))
-    # the MinHash signature cache served its purpose (the count above
-    # materialized `deduped`); release it instead of leaving it to LRU
-    unpersist_dedup_caches()
+    # component — see docstring for the semantic difference).
+    # dedup_cache_scope: the MinHash signature cache lives exactly as
+    # long as this block (the count materializes `deduped`), and ONLY
+    # this pipeline's caches are released — not other callers' (ADVICE
+    # r2 on the old module-global unpersist).
+    with dedup_cache_scope():
+        pairs = neardup_pairs_minhash(exact, id_col, text_col,
+                                      threshold=neardup_threshold)
+        if cluster:
+            from .operators.dedup import neardup_clusters
+            labels = neardup_clusters(pairs)
+            drop_ids = labels.filter(F.col("id") != F.col("cluster_id")) \
+                .select(F.col("id").alias(id_col))
+        else:
+            drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        deduped = exact.join(drop_ids, id_col, "left_anti").persist()
+        counts.append(("neardup_prune", deduped.count()))
     exact.unpersist()
 
     # 3-4. language + quality annotation, then filter

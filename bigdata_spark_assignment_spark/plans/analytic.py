@@ -329,9 +329,12 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q29_array_functions",
     oracle="""
     WITH base AS (
+      -- GREATEST(..., 1e-30): an all-zero embedding must quantize to
+      -- all-zero codes, not divide by zero (ADVICE r2; same guard on
+      -- the Spark side so the two engines cannot diverge)
       SELECT vec_id, label, embedding,
-             list_max(list_transform(embedding,
-                 x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+             GREATEST(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS maxabs
       FROM embeddings),
     quant AS (
       SELECT vec_id, label, embedding, maxabs,
@@ -372,9 +375,12 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                      lambda x: x.cast("double") * x.cast("double"))
     l2 = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
     # bind maxabs once (let-binding via single-element transform) so
-    # interpreted HOFs don't recompute the array max per element
-    maxabs = F.array_max(F.transform(
-        F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    # interpreted HOFs don't recompute the array max per element;
+    # greatest(…, 1e-30) guards the all-zero-vector division (ADVICE r2)
+    maxabs = F.greatest(
+        F.array_max(F.transform(
+            F.col("embedding"), lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30))
     base = emb.withColumn("maxabs", maxabs)
     q8 = F.transform(
         F.col("embedding"),

@@ -472,8 +472,14 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q69_csv_roundtrip_check",
-    oracle=None,  # writes a scratch CSV (side effect) and self-checks;
-                  # the DuckDB views only cover the parquet tables
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_source,
+           CAST(COUNT(*) AS BIGINT) AS n_csv,
+           CAST(0 AS BIGINT)        AS n_only_csv,
+           CAST(0 AS BIGINT)        AS n_only_source,
+           TRUE                     AS roundtrip_ok
+    FROM customer
+    """,
     tags=("io", "csv"),
 )
 def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,25 +489,42 @@ def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Main.scala:59,86``). Output is one self-checking row: counts and
     exceptAll diffs in both directions, which are 0 iff the CSV codec
     round-trips every value (incl. full-precision doubles and quoted
-    commas) bit-for-bit."""
+    commas) bit-for-bit.
+
+    Oracle-backed (r3): ``n_source``/``n_csv`` are genuinely
+    SQL-derived (both must equal COUNT(*) of customer); the diff
+    columns pin the exceptAll checks at zero. Eagerly materialized so
+    the scratch directory can be removed before returning (ADVICE r2:
+    the old lazy version leaked a full CSV copy per run)."""
     import os
+    import shutil
     import tempfile
 
     cust = load_table(spark, sf_dir, "customer")
-    path = os.path.join(tempfile.mkdtemp(prefix="spark_csvrt_"), "customer")
-    cust.write.mode("overwrite").option("header", True).csv(path)
-    back = spark.read.csv(path, header=True, schema=cust.schema)
-    n_src = cust.agg(F.count(F.lit(1)).alias("n_source"))
-    n_csv = back.agg(F.count(F.lit(1)).alias("n_csv"))
-    only_csv = back.exceptAll(cust).agg(
-        F.count(F.lit(1)).alias("n_only_csv"))
-    only_src = cust.exceptAll(back).agg(
-        F.count(F.lit(1)).alias("n_only_source"))
-    return (n_src.crossJoin(n_csv).crossJoin(only_csv).crossJoin(only_src)
-            .withColumn("roundtrip_ok",
-                        (F.col("n_source") == F.col("n_csv"))
-                        & (F.col("n_only_csv") == 0)
-                        & (F.col("n_only_source") == 0)))
+    root = tempfile.mkdtemp(prefix="spark_csvrt_")
+    path = os.path.join(root, "customer")
+    try:
+        cust.write.mode("overwrite").option("header", True).csv(path)
+        back = spark.read.csv(path, header=True, schema=cust.schema)
+        n_src = cust.agg(F.count(F.lit(1)).alias("n_source"))
+        n_csv = back.agg(F.count(F.lit(1)).alias("n_csv"))
+        only_csv = back.exceptAll(cust).agg(
+            F.count(F.lit(1)).alias("n_only_csv"))
+        only_src = cust.exceptAll(back).agg(
+            F.count(F.lit(1)).alias("n_only_source"))
+        row = (n_src.crossJoin(n_csv).crossJoin(only_csv)
+               .crossJoin(only_src)
+               .withColumn("roundtrip_ok",
+                           (F.col("n_source") == F.col("n_csv"))
+                           & (F.col("n_only_csv") == 0)
+                           & (F.col("n_only_source") == 0))
+               .first())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_source long, n_csv long, n_only_csv long, n_only_source long,"
+        " roundtrip_ok boolean")
 
 
 @register(
