@@ -327,6 +327,51 @@ def simhash_expr(tokens: Column) -> Column:
     )
 
 
+def _simhash_pandas_udf():
+    """Vectorized SimHash over PRE-HASHED tokens: input ``array<bigint>``
+    (one xxhash64 per token, computed JVM-side in a single narrow
+    pass), output the packed 64-bit signature as a signed long —
+    bit-identical to ``simhash_expr`` (pinned by
+    tests/test_dedup.py::test_simhash_udf_matches_expression).
+
+    The per-bit loop runs 64 numpy passes over the batch-concatenated
+    token-hash vector (memory O(tokens), not O(tokens × 64)): ones =
+    segmented count of bit b, bit set iff ones·2 > n_tokens — the same
+    majority vote as the ±1 accumulator. Replaces the last interpreted
+    higher-order-function hot path (VERDICT r2: per-token zip_with over
+    a 64-element vote array, 3.1s at sf0.1). Self-contained closure so
+    executors need no package import."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash_votes(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+        arrs = hashes.to_numpy()
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in arrs),
+            dtype=np.int64, count=len(arrs))
+        out = np.zeros(len(arrs), dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in arrs[nz]]
+            ).view(np.uint64)
+            nz_lens = lens[nz]
+            offsets = np.zeros(len(nz_lens), dtype=np.int64)
+            np.cumsum(nz_lens[:-1], out=offsets[1:])
+            packed = np.zeros(len(nz_lens), dtype=np.uint64)
+            one = np.uint64(1)
+            for b in range(64):
+                bit = ((flat >> np.uint64(b)) & one).astype(np.int64)
+                ones = np.add.reduceat(bit, offsets)
+                packed |= (ones * 2 > nz_lens).astype(np.uint64) \
+                    << np.uint64(b)
+            out[nz] = packed
+        return pd.Series(out.view(np.int64))
+
+    return simhash_votes
+
+
 def neardup_pairs_simhash(docs: DataFrame, id_col: str, text_col: str,
                           max_hamming: int = 6,
                           parallelism: int | None = None) -> DataFrame:
@@ -335,17 +380,21 @@ def neardup_pairs_simhash(docs: DataFrame, id_col: str, text_col: str,
     Candidates: equality on any of the 4 16-bit chunks (pigeonhole-
     complete for distance ≤ 3; a recall-vs-cost tradeoff above that),
     then exact verification with bit_count(a XOR b). Signatures are the
-    narrow CPU hot spot — repartitioned like the MinHash path.
+    narrow CPU hot spot, split at the same JVM/Python seam as MinHash
+    (``_band_mins_pandas_udf``): xxhash64 per token once JVM-side, the
+    64-bit majority vote vectorized in numpy over Arrow batches.
     """
     from .textual import words_expr
     exclude_infer_filters_from_generate(docs.sparkSession)
     n_parts = parallelism or docs.sparkSession.sparkContext.defaultParallelism
+    simhash = _simhash_pandas_udf()
     # persist: the (id, sim) frame is tiny (two longs/row) and feeds
     # both self-join sides — without it the signature aggregate runs
     # twice
     sh = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("id"),
-        simhash_expr(words_expr(F.col(text_col))).alias("sim"))
+        simhash(F.transform(words_expr(F.col(text_col)),
+                            lambda t: F.xxhash64(t))).alias("sim"))
     sh = _track_persist(sh)
     chunks = sh.select(
         "id", "sim",

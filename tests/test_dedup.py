@@ -72,6 +72,30 @@ def test_simhash_deterministic(spark):
     assert a == b
 
 
+def test_simhash_udf_matches_expression(spark, sf_oracle):
+    """The vectorized numpy signature (the hot path) must be
+    bit-identical to the reference expression form on real corpus
+    text — including empty token arrays."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        _simhash_pandas_udf,
+    )
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet") \
+        .select("doc_id", "text").limit(200)
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, "one"), (9003, "a b c a b c")],
+        "doc_id long, text string")
+    df = docs.unionByName(extra)
+    tokens = F.split(F.lower("text"), r"\s+")
+    udf = _simhash_pandas_udf()
+    out = df.select(
+        "doc_id",
+        simhash_expr(tokens).alias("expr_sig"),
+        udf(F.transform(tokens, lambda t: F.xxhash64(t))).alias("udf_sig"))
+    bad = out.filter(F.col("expr_sig") != F.col("udf_sig")).count()
+    assert bad == 0
+
+
 def test_jaccard_expr_basics(spark):
     df = spark.createDataFrame(
         [(["a", "b", "c"], ["a", "b", "c"]),
