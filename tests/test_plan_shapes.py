@@ -47,6 +47,14 @@ def test_blocked_cosine_is_bucket_local(spark, sf_oracle):
     assert p.count("Exchange") <= 4
 
 
+def test_grouping_family_is_single_scan(spark, sf_oracle):
+    """q20 computes rollup+cube+gsets from ONE lineitem scan (one
+    Expand, no per-family union re-scan)."""
+    p = _plan(spark, sf_oracle, "q20_rollup_cube_gsets")
+    assert p.count("Scan parquet") <= 2  # tree + detail listing
+    assert "Union" not in p
+
+
 def test_topk_uses_take_ordered_not_full_sort(spark, sf_oracle):
     p = _plan(spark, sf_oracle, "q10_topk_orders")
     assert "TakeOrderedAndProject" in p
