@@ -78,9 +78,28 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def resolve_codec(codec=None) -> str:
+    """The optional-import codec seam (VERDICT r2 #4): ``None``
+    auto-detects a real image codec (PIL, if importable in this
+    environment) and falls back to the deterministic stub; ``"stub"``
+    / ``"pil"`` force a branch (the q49 oracle contract forces
+    ``"stub"`` so a library appearing in the image can't drift the
+    hashed values). Returns the resolved name."""
+    if codec is None:
+        try:
+            import PIL.Image  # noqa: F401
+            return "pil"
+        except ImportError:
+            return "stub"
+    if codec not in ("stub", "pil"):
+        raise ValueError(f"codec must be None, 'stub' or 'pil': {codec!r}")
+    return codec
+
+
 def extract_features(assets: DataFrame, id_col: str = "doc_id",
                      asset_col: str = "asset",
-                     batch_size: int = 256) -> DataFrame:
+                     batch_size: int = 256,
+                     codec: str | None = None) -> DataFrame:
     """Decode + featurize assets via ``mapInPandas``.
 
     The iterator-of-batches shape keeps peak memory at one Arrow batch
@@ -89,21 +108,31 @@ def extract_features(assets: DataFrame, id_col: str = "doc_id",
     plumbed through ``spark.sql.execution.arrow.maxRecordsPerBatch``
     by callers when payloads are large.
 
-    The UDF closure is deliberately SELF-CONTAINED (stub + imports
+    ``codec`` is the real/stub seam (``resolve_codec``): under
+    ``"pil"``, image payloads decode with PIL (real pixel statistics +
+    geometry) and non-image modalities keep the stub; under ``"stub"``
+    every modality uses deterministic byte statistics. The OUTPUT
+    SCHEMA is identical under either codec — only the feature values
+    change — so the Spark-side contract (schema, batching,
+    partitioning) is codec-independent and both branches are tested
+    (tests/test_multimodal.py).
+
+    The UDF closure is deliberately SELF-CONTAINED (codecs + imports
     inside): cloudpickle ships it by value, so executors never need
     this package importable — required because the engine runs under
     driver-owned sessions launched from arbitrary working directories.
     """
+    chosen = resolve_codec(codec)
 
     def run(batches):
         import numpy as np
         import pandas as pd
 
         def decode_stub(payload: bytes, modality: str) -> dict:
-            # STUB codec: the container has no image/audio libraries —
-            # deterministic byte statistics + fake geometry stand in for
-            # PIL/torchaudio/pyav; swapping the codec changes nothing on
-            # the Spark side (schema, batching, partitioning).
+            # STUB codec: deterministic byte statistics + fake geometry
+            # stand in for PIL/torchaudio/pyav; swapping the codec
+            # changes nothing on the Spark side (schema, batching,
+            # partitioning).
             if modality not in ("text", "image", "audio", "video"):
                 raise NotImplementedError(f"no codec for {modality!r}")
             if not payload:
@@ -116,9 +145,27 @@ def extract_features(assets: DataFrame, id_col: str = "doc_id",
                     "width": side,
                     "height": (len(arr) + side - 1) // side}
 
+        def decode_pil(payload: bytes, modality: str) -> dict:
+            # REAL image codec: pixel statistics + true geometry via
+            # PIL; every other modality falls back to the stub (the
+            # container ships no audio/video codecs).
+            if modality != "image" or not payload:
+                return decode_stub(payload, modality)
+            import io as _io
+
+            from PIL import Image
+            with Image.open(_io.BytesIO(payload)) as im:
+                arr = np.asarray(im.convert("L"), dtype=np.float64)
+            return {"feat_mean": float(arr.mean()),
+                    "feat_std": float(arr.std()),
+                    "width": int(im.width),
+                    "height": int(im.height)}
+
+        decode = decode_pil if chosen == "pil" else decode_stub
+
         for pdf in batches:
             feats = [
-                decode_stub(bytes(p) if p is not None else b"", m)
+                decode(bytes(p) if p is not None else b"", m)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
             yield pd.DataFrame({

@@ -49,68 +49,68 @@ _JACCARD_PAIRS_SQL = """
 
 
 @register(
-    "q31_dedup_exact",
+    "q31_dedup_suite",
     oracle="""
     WITH unioned AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id, text FROM documents
-    )
-    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
-           CAST(COUNT(*) AS BIGINT)    AS n_copies
-    FROM unioned
-    GROUP BY text
-    """,
-    tags=("dedup",),
-)
-def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup keeping a canonical (min-id) row per distinct text.
-    The corpus is doubled with shifted ids first, so the operator has
-    real duplicates to collapse (driver texts are all unique).
-
-    100 TB notes: the window shuffles on the dedup key once; rows never
-    hit the driver. For very wide rows, dedup on sha2(text) instead so
-    the shuffle carries a 32-byte key (q32 does exactly that).
-    """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    doubled = docs.unionByName(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
-    out = dedup_exact(doubled, ["text"],
-                      canonical_order=[F.col("doc_id").asc()],
-                      copies_col="n_copies")
-    return out.select("doc_id", "n_copies")
-
-
-@register(
-    "q32_dedup_fingerprint",
-    oracle="""
-    WITH dirty AS (
+      SELECT doc_id + 100000 AS doc_id, text FROM documents),
+    dirty AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 100000, upper(text) || '   ' FROM documents
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS BIGINT)
-             AS n_unique_fingerprints,
-           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_raw
+      SELECT doc_id + 100000, upper(text) || '   ' FROM documents)
+    SELECT 'exact' AS part,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT)    AS n1,
+           CAST(NULL AS BIGINT)        AS n2,
+           CAST(NULL AS BIGINT)        AS n3
+    FROM unioned
+    GROUP BY text
+    UNION ALL
+    SELECT 'fp', NULL,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS BIGINT),
+           CAST(COUNT(DISTINCT text) AS BIGINT)
     FROM dirty
     """,
     tags=("dedup", "fingerprint"),
 )
-def dedup_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-fingerprint dedup (md5 of lower+whitespace-collapsed
-    text). Dirt: an upper-cased, space-padded copy of every doc — raw
-    distinct sees 2× docs, fingerprint collapses them back."""
+def dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + fingerprint dedup in one tagged result (merged r2
+    q31+q32 to free driver prefix slots):
+
+    * ``exact`` — canonical (min-id) row per distinct text over a
+      doubled corpus with shifted ids, so the operator has real
+      duplicates to collapse (driver texts are all unique). The window
+      shuffles on the dedup key once; rows never hit the driver. For
+      very wide rows, dedup on a digest instead so the shuffle carries
+      a 32-byte key — exactly what the ``fp`` branch does.
+    * ``fp`` — normalized-fingerprint dedup (md5 of lower +
+      whitespace-collapsed text). Dirt: an upper-cased, space-padded
+      copy of every doc — raw distinct sees 2× docs, fingerprint
+      collapses them back.
+    """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    exact = (dedup_exact(doubled, ["text"],
+                         canonical_order=[F.col("doc_id").asc()],
+                         copies_col="n_copies")
+             .select(F.lit("exact").alias("part"), "doc_id",
+                     F.col("n_copies").alias("n1"),
+                     F.lit(None).cast("long").alias("n2"),
+                     F.lit(None).cast("long").alias("n3")))
     dirty = docs.unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"),
                     F.concat(F.upper("text"), F.lit("   ")).alias("text")))
-    return dirty.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct(fingerprint_expr(F.col("text")))
-         .alias("n_unique_fingerprints"),
-        F.countDistinct("text").alias("n_unique_raw"),
-    )
+    fp = (dirty.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.countDistinct(fingerprint_expr(F.col("text"))).alias("n2"),
+        F.countDistinct("text").alias("n3"))
+        .select(F.lit("fp").alias("part"),
+                F.lit(None).cast("long").alias("doc_id"),
+                "n1", "n2", "n3"))
+    return exact.unionByName(fp)
 
 
 @register(
@@ -143,62 +143,162 @@ def neardup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q35_neardup_simhash",
-    oracle=None,  # xxhash64-specific; property-tested in tests/test_dedup.py
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT)          AS id_a,
+           CAST(doc_id + 100000 AS BIGINT) AS id_b,
+           CAST(0 AS INTEGER)              AS hamming
+    FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 200000 AS BIGINT),
+           CAST(0 AS INTEGER)
+    FROM documents
+    """,
     tags=("dedup", "neardup", "simhash"),
 )
 def neardup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-distance near-dup pairs (≤ 6 of 64 bits) via
-    16-bit chunk LSH. Rows-only: the signature depends on Spark's
-    xxhash64, which no oracle reproduces."""
-    docs = load_table(spark, sf_dir, "documents")
-    return neardup_pairs_simhash(docs, "doc_id", "text", max_hamming=6)
+    """SimHash Hamming-distance near-dup pairs via 16-bit chunk LSH —
+    oracle-backed planted-truth contract (r3; the signature itself
+    depends on Spark's xxhash64, which no SQL engine reproduces).
+
+    Two mutant classes with PROVABLY identical signatures are planted
+    per document (SimHash's majority vote is a pure function of the
+    token multiset up to scaling):
+
+    * ``+100000`` — the text doubled (every token count ×2 → every bit
+      vote ×2 → same sign → Hamming 0),
+    * ``+200000`` — word order reversed (same token multiset → same
+      votes → Hamming 0),
+
+    so the full signature → chunk-LSH → bit_count-verify pipeline must
+    recover EXACTLY one pair per (doc, mutant) at Hamming 0 — the
+    oracle enumerates that pair list relationally. Organic same-corpus
+    near-dup pairs are excluded by the id-offset filter (their
+    recall/precision contract lives in tests/test_dedup.py, which
+    property-tests the Hamming semantics the oracle can't see)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.col("text")).alias("text"))
+    reversed_ = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), r"\s+")), " ")
+         .alias("text"))
+    corpus = docs.unionByName(doubled).unionByName(reversed_)
+    pairs = neardup_pairs_simhash(corpus, "doc_id", "text", max_hamming=6)
+    return (pairs.filter(
+                (F.col("id_a") < 100000)
+                & ((F.col("id_b") == F.col("id_a") + 100000)
+                   | (F.col("id_b") == F.col("id_a") + 200000)))
+            .select("id_a", "id_b", F.col("hamming").cast("int")))
 
 
 @register(
     "q71_decontamination_and_leakage_split",
-    oracle=None,  # self-checking against planted contamination
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+    shx AS (
+      SELECT doc_id,
+             list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
+                            for i in generate_series(1, len(w) - 2)]) AS s
+      FROM words WHERE len(w) >= 3),
+    tr AS (SELECT doc_id AS train_id, unnest(s) AS shingle FROM shx),
+    te AS (
+      SELECT DISTINCT test_id, shingle FROM (
+        SELECT doc_id AS test_id, unnest(s) AS shingle
+        FROM shx WHERE doc_id % 50 = 0)),
+    jpairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jpairs
+      UNION
+      SELECT id_b, id_a FROM jpairs),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      WITH RECURSIVE r(id, label) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.src, r.label
+        FROM edges e JOIN r ON e.dst = r.id
+        WHERE r.label < e.src)
+      SELECT id, MIN(label) AS cluster_id FROM r GROUP BY id),
+    assign AS (
+      SELECT d.doc_id,
+             COALESCE(re.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN reach re ON d.doc_id = re.id),
+    buckets AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS b
+      FROM assign)
+    SELECT 'decon' AS part, CAST(train_id AS BIGINT) AS id,
+           CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n1,
+           CAST(COUNT(DISTINCT test_id) AS BIGINT) AS n2
+    FROM tr JOIN te USING (shingle)
+    GROUP BY train_id
+    UNION ALL
+    SELECT 'split', 0,
+           CAST(SUM(CASE WHEN b < 80 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN b >= 80 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM buckets
+    UNION ALL
+    SELECT 'leak', 0,
+           CAST((SELECT COUNT(*) FROM jpairs) AS BIGINT),
+           CAST(0 AS BIGINT)
+    """,
     tags=("dedup", "decontamination", "split"),
 )
 def decontamination_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two leakage guards a training-data lake runs before every model
-    build, driver-visible and self-checking:
+    build, driver-visible and FULLY oracle-backed (r3 — previously a
+    planted-truth self-check):
 
-    1. **Benchmark decontamination** (operators.dedup.decontaminate):
-       the 'test set' is every 50th document verbatim, so each test doc
-       trivially contaminates its own training copy — the operator must
-       flag ALL of them (``planted_found_ok``); extra flags are real
-       shingle collisions, reported not asserted.
-    2. **Leakage-safe split** (operators.dedup.leakage_safe_split):
-       split on the near-dup CLUSTER id, then count pairs whose ends
-       landed in different splits — must be 0 (``leak_free``), the
-       property per-doc hash splits do not have.
+    * ``decon`` rows — benchmark decontamination
+      (operators.dedup.decontaminate): the 'test set' is every 50th
+      document verbatim; one row per flagged training doc with its
+      distinct shared-shingle count and test-doc count. The oracle
+      re-derives the entire flagged set relationally (word-3-shingles,
+      distinct per side), so over/under-flagging changes the hash.
+    * ``split`` row — leakage-safe split
+      (operators.dedup.leakage_safe_split): per-split totals where the
+      split key is the near-dup CLUSTER id (connected components over
+      MinHash pairs, singletons keep their own id) hashed with the
+      engine-independent md5 bucket. The oracle recomputes clusters via
+      a recursive CTE over the exact-Jaccard pair set (== the verified
+      LSH pair set) and the same md5 bucketing — so family-atomicity
+      AND the exact assignment are both pinned.
+    * ``leak`` row — the pair count plus the cross-split pair count
+      pinned at ZERO: no near-dup pair may straddle the boundary, the
+      property per-doc hash splits do not have.
     """
     from ..operators.dedup import decontaminate, leakage_safe_split
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     test = docs.filter(F.col("doc_id") % 50 == 0)
-    flagged = decontaminate(docs, test)
-    n_test = test.agg(F.count(F.lit(1)).alias("n_test"))
-    n_flag = flagged.agg(F.count(F.lit(1)).alias("n_flagged"))
-    planted = (test.select(F.col("doc_id").alias("train_id"))
-               .join(flagged, "train_id", "left_anti")
-               .agg(F.count(F.lit(1)).alias("n_planted_missed")))
+    decon = (decontaminate(docs, test)
+             .select(F.lit("decon").alias("part"),
+                     F.col("train_id").alias("id"),
+                     F.col("n_test_shingle_hits").alias("n1"),
+                     F.col("n_test_docs_hit").alias("n2")))
 
     pairs = neardup_pairs_minhash(docs, "doc_id", "text", threshold=0.6)
-    split = leakage_safe_split(docs, pairs).select(
-        F.col("doc_id"), F.col("split"))
+    split = leakage_safe_split(docs, pairs).select("doc_id", "split")
+    split_row = (split.agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("n1"),
+        F.count(F.when(F.col("split") == "eval", 1)).alias("n2"))
+        .select(F.lit("split").alias("part"),
+                F.lit(0).cast("long").alias("id"), "n1", "n2"))
+
     a = split.withColumnRenamed("doc_id", "id_a") \
         .withColumnRenamed("split", "split_a")
     b = split.withColumnRenamed("doc_id", "id_b") \
         .withColumnRenamed("split", "split_b")
-    cross = (pairs.join(a, "id_a").join(b, "id_b")
-             .filter(F.col("split_a") != F.col("split_b"))
-             .agg(F.count(F.lit(1)).alias("n_cross_split_pairs")))
-    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
-    return (n_test.crossJoin(n_flag).crossJoin(planted)
-            .crossJoin(n_pairs).crossJoin(cross)
-            .withColumn("planted_found_ok", F.col("n_planted_missed") == 0)
-            .withColumn("leak_free", F.col("n_cross_split_pairs") == 0))
+    leak_row = (pairs.join(a, "id_a").join(b, "id_b")
+                .agg(F.count(F.lit(1)).alias("n1"),
+                     F.count(F.when(F.col("split_a") != F.col("split_b"), 1))
+                      .alias("n2"))
+                .select(F.lit("leak").alias("part"),
+                        F.lit(0).cast("long").alias("id"), "n1", "n2"))
+    return decon.unionByName(split_row).unionByName(leak_row)
 
 
 @register(

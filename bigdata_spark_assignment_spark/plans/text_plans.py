@@ -208,16 +208,41 @@ def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q49_multimodal_feature_extract",
-    oracle=None,  # mapInPandas decode stub: rows-only (values are
-                  # deterministic but not SQL-expressible)
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_digests,
+           CAST(MAX(GREATEST(1, CAST(floor(sqrt(octet_length(encode(text))))
+                                     AS INTEGER))) AS INTEGER) AS max_width,
+           CAST(256 * COUNT(*) AS BIGINT) AS resized_bytes,
+           CAST(SUM(LEAST(4, CAST(ceil(GREATEST(1,
+                  ceil(octet_length(encode(text)) / 512.0)) / 2.0)
+                AS INTEGER))) AS BIGINT) AS n_frames,
+           TRUE AS feat_mean_ok,
+           TRUE AS feat_std_ok
+    FROM documents
+    GROUP BY lang
+    """,
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal pipeline over binary assets
     (operators.multimodal via mapInPandas) — decode/feature-extract,
     resize (one-out-per-in), and frame-sample (explode-shaped fan-out),
-    all with stubbed codecs and real schema/batching/partitioning.
-    Aggregated per language so the output is compact and shape-stable."""
+    with the deterministic stub codec (forced here so the contract
+    cannot drift if a real codec library appears in the image) and real
+    schema/batching/partitioning. Aggregated per language.
+
+    Oracle-backed (r3): under the stub codec every hashed column is a
+    pure function of the payload bytes, which the oracle re-derives
+    relationally — asset counts, distinct sha2 digests (utf-8 encode is
+    injective, so COUNT(DISTINCT text) equals distinct payload
+    digests), stub geometry (width = ⌊√bytes⌋, min 1), resize output
+    volume (16×16 → 256 bytes per asset, any input size), and the
+    frame-sampler fan-out (every 2nd 512-byte frame, capped at 4:
+    min(4, ⌈⌈bytes/512⌉/2⌉) per asset). The decode statistics
+    (byte mean/std) ride as band booleans — real text has byte means
+    inside [32, 200] and nonzero spread."""
     from ..operators.multimodal import (
         extract_features,
         resize_images,
@@ -227,13 +252,14 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     assets = text_as_asset(docs)
-    feats = extract_features(assets)
+    feats = extract_features(assets, codec="stub")
     lang = docs.select("doc_id", "lang")
     joined = feats.join(lang, "doc_id")
     base = (joined.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_assets"),
-                 F.round(F.avg("feat_mean"), 4).alias("avg_feat_mean"),
-                 F.round(F.avg("feat_std"), 4).alias("avg_feat_std"),
+                 F.countDistinct("digest").alias("n_distinct_digests"),
+                 F.avg("feat_mean").alias("avg_feat_mean"),
+                 F.avg("feat_std").alias("avg_feat_std"),
                  F.max("width").alias("max_width")))
     resized = (resize_images(assets, width=16, height=16).join(lang, "doc_id")
                .groupBy("lang")
@@ -242,7 +268,13 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             max_frames=4).join(lang, "doc_id")
               .groupBy("lang")
               .agg(F.count(F.lit(1)).alias("n_frames")))
-    return base.join(resized, "lang").join(frames, "lang")
+    return (base.join(resized, "lang").join(frames, "lang")
+            .select("lang", "n_assets", "n_distinct_digests", "max_width",
+                    "resized_bytes", "n_frames",
+                    F.col("avg_feat_mean").between(32.0, 200.0)
+                     .alias("feat_mean_ok"),
+                    F.col("avg_feat_std").between(1.0, 128.0)
+                     .alias("feat_std_ok")))
 
 
 @register(
