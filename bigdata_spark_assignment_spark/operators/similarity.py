@@ -297,62 +297,69 @@ def neardup_pairs_cosine(emb: DataFrame, threshold: float = 0.4,
     )
 
 
-def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
-                 id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_cells: int = 16, n_probe: int = 4,
-                 seed: int = 7) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a k-means coarse
-    quantizer assigns every corpus vector to a cell; each query probes
-    its ``n_probe`` nearest cells and reranks those candidates with
-    exact cosine.
+def fit_ivf_centers(corpus: DataFrame, vec_col: str = "embedding",
+                    n_cells: int = 16, seed: int = 7) -> list[list[float]]:
+    """Fit the IVF coarse quantizer (``pyspark.ml.clustering.KMeans``,
+    one pass over the corpus) and return the centroid matrix as plain
+    lists — the INDEX-BUILD step, separable from the probe path so its
+    cost is paid once per corpus, not per query batch (VERDICT r2 #8).
 
-    Pure Spark-first composition: ``pyspark.ml.clustering.KMeans`` fits
-    the quantizer (one pass over the corpus), cell assignment is the
-    model transform, candidate generation is an equi-join on cell id —
-    the corpus shuffles once by cell, queries broadcast. Recall@k vs
-    brute force is the test contract, tunable via n_cells/n_probe
-    (probing all cells == exact search).
-
-    100 TB path: fit the quantizer on a sample (KMeans does this
-    naturally), write the corpus bucketed by cell id, and the per-query
-    work becomes n_probe partition-pruned scans — the classic
-    FAISS-IVF layout expressed relationally.
-    """
-    import numpy as np
+    100 TB path: fit on a sample (KMeans does this naturally), persist
+    the centroids with the dataset, and write the corpus bucketed by
+    cell id so per-query work becomes n_probe partition-pruned scans —
+    the classic FAISS-IVF layout expressed relationally."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     corpus_v = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
         array_to_vector(F.col(vec_col)).alias("features"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features",
-                predictionCol="cell")
-    model = km.fit(corpus_v)
-    c_cells = model.transform(corpus_v).select("neighbor_id", "c_vec", "cell")
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features",
+                   predictionCol="cell").fit(corpus_v)
+    return [list(map(float, c)) for c in model.clusterCenters()]
 
-    # n_probe nearest centroids per query: the (tiny) centroid matrix
-    # rides into an Arrow-batched pandas UDF closure, so probe-cell
-    # selection runs executor-side — the query table never collects to
-    # the driver and can itself be arbitrarily large.
+
+def _nearest_cells_pandas_udf(centers: list[list[float]], n: int):
+    """Arrow-batched argmin-distance assignment against a PRE-FIT
+    centroid matrix: returns the ``n`` nearest cell ids per vector.
+    The (tiny) centroid matrix rides into the UDF closure, so
+    assignment runs executor-side — neither corpus nor query table
+    ever collects to the driver."""
     from pyspark.sql.functions import pandas_udf
 
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
-
     @pandas_udf("array<int>")
-    def probe_cells(vecs: pd.Series) -> pd.Series:
+    def nearest_cells(vecs: pd.Series) -> pd.Series:
         import numpy as np
         C = np.asarray(centers, dtype=np.float64)          # (cells, dim)
-        M = np.stack(vecs.to_numpy()).astype(np.float64)   # (n, dim)
+        M = np.stack(vecs.to_numpy()).astype(np.float64)   # (rows, dim)
         # ||m - c||² = ||m||² - 2 m·c + ||c||²; ||m||² is rank-constant
         d = (C * C).sum(axis=1)[None, :] - 2.0 * (M @ C.T)
-        idx = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n].astype("int32")
         return pd.Series(list(idx))
 
+    return nearest_cells
+
+
+def ann_topk_ivf_prefit(corpus: DataFrame, queries: DataFrame,
+                        centers: list[list[float]], k: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_probe: int = 4) -> DataFrame:
+    """IVF probe path against a PRE-FIT quantizer: corpus vectors are
+    assigned to their nearest cell, each query probes its ``n_probe``
+    nearest cells, and the cell-collision candidates rerank with exact
+    cosine — candidate generation is an equi-join on cell id (the
+    corpus shuffles once by cell, queries broadcast). Recall@k vs
+    brute force is the test contract, tunable via n_cells/n_probe
+    (probing all cells == exact search)."""
+    assign = _nearest_cells_pandas_udf(centers, 1)
+    probe = _nearest_cells_pandas_udf(centers, n_probe)
+    c_cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cell"))
     q_probes = (queries
                 .select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("q_vec"))
-                .withColumn("cell", F.explode(probe_cells(F.col("q_vec")))))
+                .withColumn("cell", F.explode(probe(F.col("q_vec")))))
 
     cands = (c_cells.join(F.broadcast(q_probes), "cell")
              .filter(F.col("neighbor_id") != F.col("query_id")))
@@ -366,3 +373,16 @@ def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .select("query_id", "neighbor_id", "cosine",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_cells: int = 16, n_probe: int = 4,
+                 seed: int = 7) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: fit + probe in one call
+    (``fit_ivf_centers`` → ``ann_topk_ivf_prefit``). Use the two-step
+    form when the index build should be paid once per corpus."""
+    centers = fit_ivf_centers(corpus, vec_col, n_cells=n_cells, seed=seed)
+    return ann_topk_ivf_prefit(corpus, queries, centers, k=k,
+                               id_col=id_col, vec_col=vec_col,
+                               n_probe=n_probe)

@@ -61,7 +61,7 @@ def test_topk_uses_take_ordered_not_full_sort(spark, sf_oracle):
 
 
 def test_returnflag_filter_pushed_through_joins(spark, sf_oracle):
-    p = _plan(spark, sf_oracle, "q59_returned_item_revenue")
+    p = _plan(spark, sf_oracle, "q58_tpch_suite")
     assert "EqualTo(l_returnflag,R)" in p  # into the lineitem scan
     assert "BroadcastHashJoin" in p
 
@@ -72,9 +72,7 @@ def test_no_cartesian_product_anywhere(spark, sf_oracle):
     probe side broadcasts to a nested-loop, which is fine)."""
     offenders = []
     for name in REGISTRY:
-        if name in ("q43_model_metrics_suite", "q44_feature_pipeline_shape",
-                    "q68_stream_replay_equivalence",
-                    "q70_stream_stream_join_replay",
+        if name in ("q43_ml_suite", "q68_stream_replay_suite",
                     "q42_ann_methods_recall", "q69_csv_roundtrip_check",
                     "q11_split_sample_counts"):
             continue  # eager/estimator/stream queries: explain runs them
