@@ -122,6 +122,37 @@ def test_neardup_clusters_transitive(spark):
                    20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_neardup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the per-round lineage cut to RELIABLE
+    checkpoint() (cluster fault-tolerance); results must be identical
+    to the localCheckpoint default, checkpoint files must actually
+    land in the directory, and the caller's checkpoint config must be
+    restored."""
+    import os
+
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        neardup_clusters,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (10, 11, 0.95)],
+        "id_a long, id_b long, jaccard double")
+    ckpt = str(tmp_path / "cc_ckpt")
+    # a prior checkpoint config must survive the call (Spark cannot
+    # UNSET a dir, so restoration is only defined when one existed)
+    sentinel = str(tmp_path / "caller_ckpt")
+    spark.sparkContext.setCheckpointDir(sentinel)
+    before = spark.sparkContext.getCheckpointDir()
+    local = {r.id: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    reliable = {r.id: r.cluster_id
+                for r in neardup_clusters(
+                    pairs, checkpoint_dir=ckpt).collect()}
+    assert reliable == local == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert os.path.isdir(ckpt) and os.listdir(ckpt)  # files written
+    # restored into the caller's tree (Spark nests a fresh UUID subdir
+    # per setCheckpointDir, so compare by prefix)
+    assert spark.sparkContext.getCheckpointDir().startswith(before)
+
+
 def test_decontaminate_planted_and_clean(spark):
     from bigdata_spark_assignment_spark.operators.dedup import decontaminate
 
