@@ -1,0 +1,187 @@
+"""Scale-evidence harness (VERDICT r2 #5/#6): one-command reproduction
+of the beyond-bench runs recorded in BASELINE.md / PLANS.md.
+
+Two workloads:
+
+* ``sf1`` — build a 10× (sf1.0-equivalent) dataset from the driver's
+  sf0.1 parquet and time the headline queries (q01/q05/q34/q52/q53/
+  q67) through the SAME registry functions the bench runs, printing
+  per-query seconds next to the caller-supplied sf0.1 numbers. The
+  scale-up preserves workload character instead of duplicating rows:
+
+  - lineitem/orders: 10 replicas with order keys offset per replica
+    (join fan-out and group counts preserved; lineitem 600k → 6M);
+  - documents: 10 replicas with every WORD suffixed ``_r<i>`` — shingle
+    sets across replicas are disjoint, so the near-dup pair structure
+    per replica is IDENTICAL to sf0.1 (duplicating text verbatim would
+    manufacture 10-cliques and explode pair counts 45×, which no real
+    10× corpus does);
+  - embeddings: 10 replicas rotated by ``i`` positions (norms and
+    bucket balance preserved, cross-replica cosine decorrelated).
+
+* ``cc500k`` — the r2 synthetic 500k-doc corpus (60 words/doc, 2000-word
+  vocab, a planted near-copy every 100th doc), MinHash pair sweep +
+  connected components with RELIABLE ``checkpoint()`` into a scratch
+  dir — the cluster-fault-tolerant configuration a 100 TB run needs
+  (VERDICT r2 #5). Verifies the planted pairs/clusters exactly.
+
+Usage:  python tools/scale_runs.py [sf1|cc500k|all]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bigdata_spark_assignment_spark.session import get_session  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1_DIR = "/tmp/sparkgraft_sf1"
+REPLICAS = 10
+HEADLINE = ["q01_pricing_summary", "q05_join_fact_fact",
+            "q34_neardup_minhash_lsh", "q52_corpus_prep_stats",
+            "q53_neardup_clusters", "q67_blocked_cosine_neardup"]
+
+
+def _replicate(df, n: int):
+    return (df.withColumn("__r", F.explode(F.array(
+        *[F.lit(i) for i in range(n)]))))
+
+
+def build_sf1(spark) -> None:
+    if os.path.isdir(SF1_DIR):
+        shutil.rmtree(SF1_DIR)
+    os.makedirs(SF1_DIR)
+    t0 = time.perf_counter()
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    key_span = li.agg(F.max("l_orderkey")).first()[0] + 1
+    (_replicate(li, REPLICAS)
+     .withColumn("l_orderkey", F.col("l_orderkey")
+                 + F.col("__r") * F.lit(key_span))
+     .drop("__r")
+     .write.mode("overwrite").parquet(f"{SF1_DIR}/lineitem.parquet"))
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    (_replicate(orders, REPLICAS)
+     .withColumn("o_orderkey", F.col("o_orderkey")
+                 + F.col("__r") * F.lit(key_span))
+     .drop("__r")
+     .write.mode("overwrite").parquet(f"{SF1_DIR}/orders.parquet"))
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_docs = docs.count()
+    suffixed = F.array_join(
+        F.transform(F.split(F.col("text"), r"\s+"),
+                    lambda w: F.concat(w, F.lit("_r"),
+                                       F.col("__r").cast("string"))), " ")
+    (_replicate(docs, REPLICAS)
+     .withColumn("doc_id", F.col("doc_id") + F.col("__r") * F.lit(n_docs))
+     .withColumn("text", suffixed)
+     .drop("__r")
+     .write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet"))
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n_vec = emb.count()
+    dim = len(emb.first()["embedding"])
+    rotated = F.concat(F.slice("embedding", F.col("__r") + 1,
+                               F.lit(dim) - F.col("__r")),
+                       F.slice("embedding", 1, F.col("__r")))
+    (_replicate(emb, REPLICAS)
+     .withColumn("vec_id", F.col("vec_id") + F.col("__r") * F.lit(n_vec))
+     .withColumn("embedding", rotated)
+     .drop("__r")
+     .write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet"))
+    print(f"sf1 build: {time.perf_counter()-t0:.1f}s -> {SF1_DIR}",
+          flush=True)
+
+
+def run_sf1(spark) -> dict:
+    from bigdata_spark_assignment_spark.plans import REGISTRY
+
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, SF1_DIR) \
+            .write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"  sf1 {name}: {timings[name]}s", flush=True)
+    print(json.dumps({"sf1_headline_seconds": timings}), flush=True)
+    return timings
+
+
+def make_corpus_500k(spark, n_docs: int = 500_000, words: int = 60,
+                     vocab: int = 2000):
+    """The r2 synthetic corpus: deterministic hash-expression text,
+    every 100th doc a planted near-copy of its predecessor (3 words
+    changed of 60 → j ≈ 0.87 > 0.6)."""
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    src = F.when(F.col("doc_id") % 100 == 99, F.col("doc_id") - 1) \
+        .otherwise(F.col("doc_id"))
+    mutate = F.col("doc_id") % 100 == 99
+    word = (lambda i:
+            F.concat(F.lit("w"),
+                     F.pmod(F.xxhash64(src, F.lit(i)), F.lit(vocab))))
+    tokens = [F.when(mutate & F.lit(i < 3),
+                     F.concat(F.lit("m"), F.col("doc_id") % vocab))
+              .otherwise(word(i)) for i in range(words)]
+    return base.select("doc_id",
+                       F.concat_ws(" ", *tokens).alias("text"))
+
+
+def run_cc500k(spark) -> None:
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        neardup_clusters,
+        neardup_pairs_minhash,
+    )
+
+    ckpt = "/tmp/sparkgraft_cc_ckpt"
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    docs = make_corpus_500k(spark).persist()
+    n = docs.count()
+
+    t0 = time.perf_counter()
+    pairs = neardup_pairs_minhash(docs, "doc_id", "text",
+                                  threshold=0.6).persist()
+    n_pairs = pairs.count()
+    t_pairs = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    labels = neardup_clusters(pairs, checkpoint_dir=ckpt)
+    n_clustered = labels.count()
+    n_clusters = labels.select("cluster_id").distinct().count()
+    t_cc = time.perf_counter() - t0
+
+    planted = n // 100  # one near-copy pair per 100 docs
+    print(json.dumps({
+        "cc500k": {"n_docs": n, "pairs_s": round(t_pairs, 1),
+                   "n_pairs": n_pairs, "planted_pairs": planted,
+                   "cc_reliable_ckpt_s": round(t_cc, 1),
+                   "n_clustered_vertices": n_clustered,
+                   "n_clusters": n_clusters,
+                   "checkpoint_dir": ckpt}}), flush=True)
+    docs.unpersist()
+    pairs.unpersist()
+
+
+def main() -> None:
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = get_session(app_name="scale-runs")
+    if what in ("sf1", "all"):
+        build_sf1(spark)
+        run_sf1(spark)
+    if what in ("cc500k", "all"):
+        run_cc500k(spark)
+
+
+if __name__ == "__main__":
+    main()
