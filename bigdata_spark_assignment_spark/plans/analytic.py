@@ -527,21 +527,32 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group count and distinct count (genuinely SQL-derived) plus
     two error-bound booleans the sketches must satisfy — HLL++ within
     its configured 5% relative standard deviation ×2.5, and the KLL
-    median between the exact 45th and 55th percentiles. The sketch and
-    the exact aggregate ride the same scan, so the contract costs one
-    extra distinct shuffle at bench scale (never run the exact side at
-    100 TB — that is the point of the sketch)."""
+    median between the exact 45th and 55th percentiles.
+
+    The exact distinct count is a SEPARATE two-level aggregation
+    (groupBy(flag, orderkey) → groupBy(flag)) broadcast-joined back on
+    the 5-row result — NOT a ``countDistinct`` in the sketch
+    aggregate. Mixing a distinct aggregate with the imperative sketch
+    buffers (HLL++/ApproximatePercentile) forces Spark's
+    distinct-rewrite Expand plan where the serialized sketch buffers
+    ride a sort-based aggregate: 18.5s vs 2.5s at sf0.1 for identical
+    output. Two column-pruned scans beat one Expand-doubled scan; at
+    100 TB the exact side doesn't run at all — that is the point of
+    the sketch."""
     li = load_table(spark, sf_dir, "lineitem")
     p = F.percentile("l_extendedprice",
                      F.array(F.lit(0.45), F.lit(0.55)))
+    exact_orders = (li.groupBy("l_returnflag", "l_orderkey").agg(F.lit(1))
+                    .groupBy("l_returnflag")
+                    .agg(F.count(F.lit(1)).alias("n_exact_orders")))
     return (li.groupBy("l_returnflag")
             .agg(F.approx_count_distinct("l_orderkey", 0.02)
                   .alias("approx_orders"),
                  F.percentile_approx("l_extendedprice", 0.5, 1000)
                   .alias("approx_median"),
-                 F.countDistinct("l_orderkey").alias("n_exact_orders"),
                  p.alias("p_band"),
                  F.count(F.lit(1)).alias("n"))
+            .join(F.broadcast(exact_orders), "l_returnflag")
             .select(
                 "l_returnflag", "n", "n_exact_orders",
                 (F.abs(F.col("approx_orders") - F.col("n_exact_orders"))
