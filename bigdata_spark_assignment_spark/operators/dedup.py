@@ -441,9 +441,9 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20,
     after, so callers' checkpoint config is untouched.
 
     100 TB notes: each round is one join + one aggregate on the edge
-    list (shuffle on vertex id). For web-scale graphs swap in
-    large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce") — it contracts high-diameter chains in O(log²) rounds
+    list (shuffle on vertex id). For web-scale or chain-shaped graphs
+    use ``neardup_clusters_star`` (large-star/small-star, same
+    contract) — it contracts high-diameter chains in O(log²) rounds
     where plain propagation needs O(diameter); for near-dup graphs the
     diameter is tiny (duplicates form cliques-ish blobs), so plain
     propagation converges in a handful of rounds and the simpler
@@ -507,6 +507,104 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20,
             f"raise max_iter (graph diameter exceeds it)",
             RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def neardup_clusters_star(pairs: DataFrame, max_iter: int = 50,
+                          checkpoint_dir: str | None = None) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC'14) → (id, cluster_id) with cluster_id = min id in the
+    component. Same contract as ``neardup_clusters``.
+
+    Why a second algorithm: plain min-label propagation
+    (``neardup_clusters``) needs O(diameter) rounds — fine for near-dup
+    graphs (cliquish blobs, diameter ≤ a handful) but pathological on
+    chain-shaped graphs (URL redirect chains, citation paths), where a
+    length-10⁶ path needs 10⁶ rounds. Star contraction rewires every
+    node toward its neighborhood minimum each round, converging in
+    O(log² n) rounds REGARDLESS of diameter — this is the web-scale
+    escape hatch; at 100 TB pick by expected graph shape.
+
+    Each round is two (join + aggregate) passes over the edge list —
+    the same shuffle shape as one propagation round, just twice per
+    round, with the edge set shrinking monotonically toward one star
+    per component. Convergence = the edge set's (count, hash-sum)
+    signature is stable, one 1-row action per round. Lineage is cut
+    per round: reliable ``checkpoint()`` when ``checkpoint_dir`` is
+    given (cluster fault-tolerance), ``localCheckpoint`` otherwise.
+    """
+    sc = pairs.sparkSession.sparkContext
+    old_dir = None
+    if checkpoint_dir is not None:
+        old_dir = sc.getCheckpointDir()
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    # Undirected edge set as (u, v) canonical pairs, self-loops dropped.
+    edges = (pairs.select(F.col("id_a").alias("u"),
+                          F.col("id_b").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+             .distinct())
+    edges = _cut(edges)
+    prev_sig: tuple | None = None
+    converged = False
+
+    for _ in range(max_iter):
+        # Large-star: for each node x, m = min(N(x) ∪ {x}); connect
+        # every STRICTLY LARGER neighbor to m. Keeps (big, small)
+        # orientation: emitted edges are (nbr, m) with nbr > x ≥ m.
+        sym = (edges.select("u", "v")
+               .unionByName(edges.select(F.col("v").alias("u"),
+                                         F.col("u").alias("v"))))
+        mins = (sym.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        edges = (sym.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct())
+        # Small-star: edges are (u, v) with u > v; m = min(Γ⁻(u) ∪
+        # {u}) = min smaller-neighbor; connect u and every smaller
+        # neighbor except m itself to m.
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        nbr_edges = (edges.join(mins, "u")
+                     .filter(F.col("v") != F.col("m"))
+                     .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        self_edges = mins.select("u", F.col("m").alias("v"))
+        edges = _cut(nbr_edges.unionByName(self_edges).distinct())
+        # xor-fold, not sum: order-independent and cannot overflow
+        # under ANSI mode
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h")).first()
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+
+    if checkpoint_dir is not None and old_dir is not None:
+        sc.setCheckpointDir(old_dir)
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"neardup_clusters_star: edge set still changing after "
+            f"max_iter={max_iter} rounds — cluster_ids are NOT converged",
+            RuntimeWarning, stacklevel=2)
+    # Stable state is one star per component: (member, root) edges with
+    # root = component min. Roots label themselves.
+    return (edges.select(F.col("u").alias("id"),
+                         F.col("v").alias("cluster_id"))
+            .unionByName(edges.select(F.col("v").alias("id"),
+                                      F.col("v").alias("cluster_id")))
+            .groupBy("id").agg(F.min("cluster_id").alias("cluster_id")))
 
 
 def decontaminate(train: DataFrame, test: DataFrame,

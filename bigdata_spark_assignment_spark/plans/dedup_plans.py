@@ -318,19 +318,33 @@ def decontamination_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM edges e JOIN r ON e.dst = r.id
         WHERE r.label < e.src)
       SELECT id, MIN(label) AS cluster_id FROM r GROUP BY id)
-    SELECT CAST(id AS BIGINT) AS id, CAST(cluster_id AS BIGINT) AS cluster_id
-    FROM reach
+    SELECT m.method, CAST(id AS BIGINT) AS id,
+           CAST(cluster_id AS BIGINT) AS cluster_id
+    FROM reach, (VALUES ('prop'), ('star')) AS m(method)
     """,
     tags=("dedup", "neardup", "clustering"),
 )
 def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the MinHash near-dup pair graph —
-    iterative min-label propagation (operators.dedup.neardup_clusters)
-    must agree with DuckDB's recursive-CTE reachability on every
-    (vertex, min-reachable-id) row. Iterative DataFrame algorithm vs
-    recursive SQL: the strongest cross-paradigm differential here."""
-    from ..operators.dedup import neardup_clusters
+    """Connected components over the MinHash near-dup pair graph, BOTH
+    engines' algorithms: iterative min-label propagation
+    (operators.dedup.neardup_clusters, O(diameter) rounds) and
+    large-star/small-star contraction (neardup_clusters_star,
+    O(log² n) rounds — the web-scale/high-diameter path). Each must
+    agree with DuckDB's recursive-CTE reachability on every (vertex,
+    min-reachable-id) row — iterative DataFrame algorithms vs
+    recursive SQL, the strongest cross-paradigm differential here.
+    The pair graph is persisted so the MinHash sweep is paid once."""
+    from ..operators.dedup import (
+        _track_persist,
+        neardup_clusters,
+        neardup_clusters_star,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = neardup_pairs_minhash(docs, "doc_id", "text", threshold=0.6)
-    return neardup_clusters(pairs)
+    pairs = _track_persist(
+        neardup_pairs_minhash(docs, "doc_id", "text", threshold=0.6))
+    prop = neardup_clusters(pairs)
+    star = neardup_clusters_star(pairs)
+    return (prop.select(F.lit("prop").alias("method"), "id", "cluster_id")
+            .unionByName(star.select(F.lit("star").alias("method"),
+                                     "id", "cluster_id")))

@@ -153,6 +153,65 @@ def test_neardup_clusters_reliable_checkpoint(spark, tmp_path):
     assert spark.sparkContext.getCheckpointDir().startswith(before)
 
 
+def test_neardup_clusters_star_matches_propagation(spark):
+    """Large-star/small-star must produce the same (id, min-id label)
+    map as plain propagation on blob-shaped graphs (the near-dup
+    case), including transitivity-only links."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        neardup_clusters,
+        neardup_clusters_star,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8),
+         (10, 11, 0.95),
+         (20, 21, 0.7), (21, 22, 0.7), (22, 23, 0.7), (20, 23, 0.9),
+         (30, 31, 0.9), (32, 31, 0.9), (33, 30, 0.9), (33, 32, 0.9)],
+        "id_a long, id_b long, jaccard double")
+    prop = {r.id: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    star = {r.id: r.cluster_id
+            for r in neardup_clusters_star(pairs).collect()}
+    assert star == prop
+    assert star[33] == 30 and star[3] == 1
+
+
+def test_neardup_clusters_star_high_diameter_path(spark):
+    """The reason the second algorithm exists: a 200-node path has
+    diameter 199, far beyond propagation's default 20 rounds — star
+    contraction must converge in O(log² n) rounds (well under 15) with
+    every node labeled by the path minimum."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        neardup_clusters_star,
+    )
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)],
+        "id_a long, id_b long, jaccard double")
+    out = {r.id: r.cluster_id
+           for r in neardup_clusters_star(pairs, max_iter=15).collect()}
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_neardup_clusters_star_reliable_checkpoint(spark, tmp_path):
+    import os
+
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        neardup_clusters_star,
+    )
+    pairs = spark.createDataFrame(
+        [(5, 4, 0.9), (3, 4, 0.8), (10, 11, 0.95)],
+        "id_a long, id_b long, jaccard double")
+    ckpt = str(tmp_path / "star_ckpt")
+    sentinel = str(tmp_path / "caller_ckpt")
+    spark.sparkContext.setCheckpointDir(sentinel)
+    before = spark.sparkContext.getCheckpointDir()
+    out = {r.id: r.cluster_id
+           for r in neardup_clusters_star(
+               pairs, checkpoint_dir=ckpt).collect()}
+    assert out == {3: 3, 4: 3, 5: 3, 10: 10, 11: 10}
+    assert os.path.isdir(ckpt) and os.listdir(ckpt)
+    assert spark.sparkContext.getCheckpointDir().startswith(before)
+
+
 def test_decontaminate_planted_and_clean(spark):
     from bigdata_spark_assignment_spark.operators.dedup import decontaminate
 
