@@ -1,0 +1,125 @@
+"""Frequent-item (heavy-hitter) mining (SURVEY.md §2.9 sketches).
+
+The naive plan for "which items occur ≥ T times" is
+``groupBy(item).count().filter(...)`` — correct, but at 100 TB it
+shuffles the FULL key domain (billions of distinct tokens for a web
+corpus) to count items of which only a handful survive the threshold.
+
+``heavy_hitters`` instead runs the classic two-pass scheme:
+
+1. **Candidate pass** — a per-partition Misra-Gries summary with
+   capacity ``k`` (mergeable-summaries batch variant: on overflow,
+   subtract the (k+1)-th largest count from every counter and drop the
+   non-positive ones). Bounded memory per task, NO shuffle of the raw
+   key domain; each partition emits ≤ k candidate items.
+   Guarantee: an item with global count > n/(k+1) must exceed the
+   local decrement budget in at least one partition (otherwise its
+   global count ≤ Σ_p n_p/(k+1) = n/(k+1)), so the union of partition
+   summaries is a SUPERSET of every item with count ≥ threshold
+   whenever ``threshold > n/(k+1)``.
+2. **Verify pass** — exact counts of the (small) candidate set via a
+   broadcast semi-join + partial aggregation, then the threshold
+   filter. Output is EXACT, not approximate: the sketch only prunes.
+
+If the guarantee precondition fails (``threshold ≤ n/(k+1)`` — the
+caller picked too small a capacity for this n), the operator falls
+back to the exact full groupBy so correctness never degrades; it
+warns, because at real scale that fallback is the expensive plan.
+
+Python boundary: pass 1 is a ``mapInPandas`` over the single item
+column (Arrow batches, numpy ``value_counts`` per batch, dict merge
+across the partition's batches). This is the intended use of the
+Python seam — per-partition imperative state no Column expression can
+hold — and it touches one string column, not whole rows.
+"""
+
+from __future__ import annotations
+
+import warnings
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _track_persist
+
+
+def _mg_partition_factory(col: str, capacity: int):
+    """Build the mapInPandas function: stream the partition's Arrow
+    batches through one Misra-Gries dict, emit surviving items plus a
+    NULL-item sentinel row carrying the partition's row count."""
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[Any, int] = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            total += int(vc.sum())
+            for item, c in vc.items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > capacity:
+                # batch decrement: subtract the (capacity+1)-th largest
+                # count, drop non-positive — every decrement of one
+                # survivor is matched on ≥ capacity others, so total
+                # undercount per item ≤ n_partition/(capacity+1)
+                cut = sorted(counts.values(), reverse=True)[capacity]
+                counts = {i: c - cut for i, c in counts.items() if c > cut}
+        out = pd.DataFrame(
+            {"item": list(counts.keys()) + [None],
+             "cnt": list(counts.values()) + [total]})
+        yield out
+
+    return mg
+
+
+def heavy_hitters(df: DataFrame, item_col: str, threshold: int,
+                  capacity: int = 8192) -> DataFrame:
+    """Items of ``df[item_col]`` occurring ≥ ``threshold`` times, with
+    EXACT counts → columns (``item_col``, cnt), via the two-pass
+    Misra-Gries candidate/verify scheme documented in the module
+    docstring.
+
+    ``capacity`` bounds per-task memory in pass 1 and must satisfy
+    ``threshold > n/(capacity+1)`` for the sketch guarantee; the
+    operator checks this against the measured n and falls back to the
+    exact full aggregation (with a warning) when violated.
+
+    100 TB notes: pass 1 scans once with zero shuffle and emits
+    ≤ capacity rows/partition; pass 2 scans once more with the
+    candidate set BROADCAST (left-semi), so the only shuffle ever is
+    the partial-aggregated candidate counts — O(candidates), not
+    O(distinct items). Two scans beat one full-domain shuffle as soon
+    as the domain is large; for a small known domain use the plain
+    groupBy instead.
+    """
+    # NULL items are ignored (value_counts drops NaN in pass 1, and a
+    # NULL never matches the semi-join in pass 2) — drop them up front
+    # so the fallback path agrees
+    items = df.select(F.col(item_col).alias("item")) \
+        .filter(F.col("item").isNotNull())
+    # persisted so the n-check action and the candidates branch share
+    # one pass-1 scan; tracked in the dedup cache scope (bounded FIFO
+    # outside an explicit dedup_cache_scope() block)
+    summary = _track_persist(items.mapInPandas(
+        _mg_partition_factory("item", capacity),
+        schema=f"item {dict(items.dtypes)['item']}, cnt long"))
+    n = summary.filter(F.col("item").isNull()) \
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n")).first()["n"]
+    if threshold * (capacity + 1) <= n:
+        warnings.warn(
+            f"heavy_hitters: capacity={capacity} too small for "
+            f"n={n} at threshold={threshold} "
+            f"(needs > {n // threshold}); falling back to exact "
+            f"full aggregation", RuntimeWarning, stacklevel=2)
+        counted = items
+    else:
+        candidates = (summary.filter(F.col("item").isNotNull())
+                      .select("item").distinct())
+        counted = items.join(F.broadcast(candidates), "item", "left_semi")
+    return (counted.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= threshold)
+            .withColumnRenamed("item", item_col))

@@ -742,3 +742,91 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", a["k"].alias("k"), "n_type")
 
 
+
+
+@register(
+    "q72_heavy_hitters",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    HAVING COUNT(*) >= 60
+    """,
+    tags=("sketch", "heavy-hitters", "text"),
+)
+def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens (count ≥ 60) across the document corpus via the
+    two-pass Misra-Gries candidate/verify operator
+    (operators.sketches.heavy_hitters) — EXACT output, sketch-pruned
+    plan. The oracle is the naive full GROUP BY...HAVING, so a hash
+    match proves the sketch pass is a true superset filter (candidate
+    recall 1.0) AND the verify pass counts exactly.
+
+    100 TB notes: the naive plan shuffles every distinct token (the
+    full web-corpus vocabulary); this plan shuffles only
+    sketch-surviving candidates — two scans, zero wide shuffle. See
+    the operator docstring for the n/(k+1) guarantee arithmetic.
+    """
+    from ..operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")) \
+        .filter(F.col("token") != "")
+    return heavy_hitters(tokens, "token", threshold=60, capacity=8192)
+
+
+@register(
+    "q73_scd2_merge",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type AS tier,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events),
+    d AS (
+      SELECT *, LAG(tier) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+      FROM e),
+    v AS (
+      SELECT user_id, tier, ts, event_id FROM d
+      WHERE prev IS DISTINCT FROM tier)
+    SELECT user_id, tier, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM v
+    """,
+    tags=("scd2", "merge", "cdc", "window"),
+)
+def scd2_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintenance: treat events as a CDC log of each
+    user's tier (event_type), split it at the 75th-percentile-of-range
+    timestamp, build history from the old 3/4
+    (operators.relational.scd2_history), then INCREMENTALLY merge the
+    new 1/4 (scd2_merge). The oracle rebuilds from the FULL log with
+    window SQL — so a hash match proves the incremental merge is
+    byte-identical to a full rebuild: close-at-boundary, cross-boundary
+    no-op collapse, new-key inserts all exact.
+
+    100 TB notes: the merge touches only batch keys (broadcast
+    semi-join restriction) — the point of incremental SCD2 is NOT
+    rescanning years of history for a daily batch.
+    """
+    from ..operators.relational import scd2_history, scd2_merge
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_id",
+                  F.col("event_type").alias("tier"),
+                  F.col("ts").cast("timestamp").alias("ts")))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) * 3 // 4
+    old = ev.filter(F.col("ts") < F.lit(cutoff))
+    new = ev.filter(F.col("ts") >= F.lit(cutoff))
+    hist = scd2_history(old, ["user_id"], ["tier"], "ts", ["event_id"])
+    merged = scd2_merge(hist, new, ["user_id"], ["tier"], "ts",
+                        ["event_id"])
+    return merged.select("user_id", "tier", "valid_from", "valid_to",
+                         "is_current")
