@@ -67,10 +67,12 @@ def _mg_partition_factory(col: str, capacity: int):
                 # undercount per item ≤ n_partition/(capacity+1)
                 cut = sorted(counts.values(), reverse=True)[capacity]
                 counts = {i: c - cut for i, c in counts.items() if c > cut}
-        out = pd.DataFrame(
-            {"item": list(counts.keys()) + [None],
+        # nullable Int64, NOT a plain list: mixing int64 keys with the
+        # None sentinel would coerce to float64 and corrupt hashes
+        # beyond 2^53
+        yield pd.DataFrame(
+            {col: pd.array(list(counts.keys()) + [None], dtype="Int64"),
              "cnt": list(counts.values()) + [total]})
-        yield out
 
     return mg
 
@@ -100,13 +102,20 @@ def heavy_hitters(df: DataFrame, item_col: str, threshold: int,
     # so the fallback path agrees
     items = df.select(F.col(item_col).alias("item")) \
         .filter(F.col("item").isNotNull())
+    # Pass 1 sketches xxhash64(item), not the item itself: the Arrow
+    # hop moves fixed 8-byte ints instead of strings/structs and the
+    # pandas hash table runs on int64 — several times faster for text
+    # tokens. Two items colliding into one hash only MERGE their
+    # counts, i.e. a hash's count ≥ each member's true count, so the
+    # candidate set stays a superset and the exact verify pass is
+    # unaffected (a false candidate just fails the threshold there).
+    hashed = items.select(F.xxhash64("item").alias("h"))
     # persisted so the n-check action and the candidates branch share
     # one pass-1 scan; tracked in the dedup cache scope (bounded FIFO
     # outside an explicit dedup_cache_scope() block)
-    summary = _track_persist(items.mapInPandas(
-        _mg_partition_factory("item", capacity),
-        schema=f"item {dict(items.dtypes)['item']}, cnt long"))
-    n = summary.filter(F.col("item").isNull()) \
+    summary = _track_persist(hashed.mapInPandas(
+        _mg_partition_factory("h", capacity), schema="h long, cnt long"))
+    n = summary.filter(F.col("h").isNull()) \
         .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n")).first()["n"]
     if threshold * (capacity + 1) <= n:
         warnings.warn(
@@ -116,9 +125,10 @@ def heavy_hitters(df: DataFrame, item_col: str, threshold: int,
             f"full aggregation", RuntimeWarning, stacklevel=2)
         counted = items
     else:
-        candidates = (summary.filter(F.col("item").isNotNull())
-                      .select("item").distinct())
-        counted = items.join(F.broadcast(candidates), "item", "left_semi")
+        candidates = (summary.filter(F.col("h").isNotNull())
+                      .select("h").distinct())
+        counted = (items.withColumn("h", F.xxhash64("item"))
+                   .join(F.broadcast(candidates), "h", "left_semi"))
     return (counted.groupBy("item")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") >= threshold)

@@ -173,6 +173,53 @@ def run_cc500k(spark) -> None:
     pairs.unpersist()
 
 
+def run_hh(spark, n_tokens: int = 40_000_000,
+           n_distinct: int = 4_000_000, n_hot: int = 200) -> None:
+    """Heavy hitters where the sketch prune actually matters: a token
+    stream whose domain (~n_distinct) dwarfs the survivor set (n_hot).
+    The naive GROUP BY shuffles every distinct token; the two-pass
+    Misra-Gries plan shuffles only sketch candidates. Both are timed on
+    the same stream and must return identical results.
+
+    Stream shape: 50% of positions draw one of ``n_hot`` hot tokens
+    (uniform → each hot token ≈ n_tokens/(2·n_hot) occurrences), 50%
+    draw from the ``n_distinct`` long tail (each ≈ 5 occurrences).
+    Threshold sits far above the tail and far below the hot band."""
+    from bigdata_spark_assignment_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    h = F.xxhash64("id")
+    tok = F.when(F.pmod(h, F.lit(2)) == 0,
+                 F.concat(F.lit("hot"), F.pmod(h, F.lit(n_hot)))) \
+        .otherwise(F.concat(F.lit("t"), F.pmod(h, F.lit(n_distinct))))
+    stream = spark.range(n_tokens).select(tok.alias("token")).persist()
+    stream.count()  # materialize once so both plans read the same cache
+    threshold = n_tokens // (4 * n_hot)
+
+    t0 = time.perf_counter()
+    naive = {(r.token, r.cnt) for r in
+             stream.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .filter(F.col("cnt") >= threshold).collect()}
+    t_naive = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    mg = {(r.token, r.cnt) for r in
+          heavy_hitters(stream, "token", threshold=threshold,
+                        capacity=8192).collect()}
+    t_mg = time.perf_counter() - t0
+
+    assert mg == naive, (len(mg), len(naive))
+    print(json.dumps({
+        "hh": {"n_tokens": n_tokens, "n_distinct_domain": n_distinct,
+               "threshold": threshold, "survivors": len(mg),
+               "naive_groupby_s": round(t_naive, 1),
+               "mg_two_pass_s": round(t_mg, 1),
+               "identical": True}}), flush=True)
+    stream.unpersist()
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_session(app_name="scale-runs")
@@ -181,6 +228,8 @@ def main() -> None:
         run_sf1(spark)
     if what in ("cc500k", "all"):
         run_cc500k(spark)
+    if what in ("hh", "all"):
+        run_hh(spark)
 
 
 if __name__ == "__main__":
