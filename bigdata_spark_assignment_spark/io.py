@@ -121,23 +121,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     at the footer schema — no data is read.
     """
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as a long,
-        # then rebuild a microsecond-precision timestamp_ntz. Runtime
-        # conf — works under any caller's session (incl. the driver's).
+        # events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader rejects, [PARQUET_TYPE_ILLEGAL]) or
+        # native TIMESTAMP(MICROS), depending on the generator version.
+        # Handle both: nanos are read as a long (runtime conf — works under
+        # any caller's session, incl. the driver's) and rebuilt as a
+        # microsecond timestamp_ntz; micros just get the ntz cast.
         # NOTE: nanosecond sub-precision is truncated; oracle-checked
         # queries must compare *derived* time values (hour, date_trunc
         # minute, ...), never the raw ts, because DuckDB keeps nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
-        # integer `div`, NOT `/`: float division of ~1.7e18 nanos loses
-        # precision beyond double's 53-bit mantissa (±1 µs drift vs the
-        # oracle's exact truncation)
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000"))
-            .cast("timestamp_ntz"))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            # integer `div`, NOT `/`: float division of ~1.7e18 nanos loses
+            # precision beyond double's 53-bit mantissa (±1 µs drift vs the
+            # oracle's exact truncation)
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000"))
+                .cast("timestamp_ntz"))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if validate:
