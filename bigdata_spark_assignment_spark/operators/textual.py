@@ -69,6 +69,30 @@ def shingles_expr(text: Column, k: int = 3) -> Column:
     )
 
 
+def ngrams_expr(text: Column, n: int) -> Column:
+    """Positional (NON-distinct) word n-grams — unlike ``shingles_expr``
+    this keeps every occurrence, because repetition-filter metrics need
+    occurrence counts, not set membership. Docs with fewer than n words
+    yield an empty array.
+
+    Same lambda-variable binding trick as ``shingles_expr`` (single-
+    element transform = poor-man's `let`) so the text is tokenized once,
+    not once per gram position."""
+    return F.element_at(
+        F.transform(
+            F.array(words_expr(text)),
+            lambda w: F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - n),
+                    lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        1,
+    )
+
+
 def fingerprint_expr(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-collapsed,
     lower-cased text — catches case/whitespace-only duplicates that

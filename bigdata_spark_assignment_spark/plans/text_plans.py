@@ -317,3 +317,110 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
             .filter(F.col("rnk") <= 3))
+
+
+@register(
+    "q74_repetition_ngram_filters",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars,
+             string_split_regex(lower(text), '\\s+') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, n,
+             unnest([array_to_string(w[i:i+n-1], ' ')
+                     for i in range(1, len(w) - n + 2)]) AS gram
+      FROM words, (VALUES (2), (5)) AS sizes(n)
+      WHERE len(w) >= n),
+    counts AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt
+      FROM grams GROUP BY ALL),
+    per_doc AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 2 THEN cnt * length(gram) END) AS top2_chars,
+             SUM(CASE WHEN n = 5 AND cnt >= 2
+                      THEN cnt * length(gram) END) AS dup5_chars
+      FROM counts GROUP BY doc_id),
+    fracs AS (
+      SELECT w.doc_id, w.lang,
+             COALESCE(top2_chars, 0) / n_chars AS top2_frac,
+             COALESCE(dup5_chars, 0) / n_chars AS dup5_frac
+      FROM words w LEFT JOIN per_doc USING (doc_id))
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(top2_frac), 4) AS avg_top2gram_frac,
+           ROUND(MAX(top2_frac), 4) AS max_top2gram_frac,
+           ROUND(AVG(dup5_frac), 4) AS avg_dup5gram_frac,
+           ROUND(MAX(dup5_frac), 4) AS max_dup5gram_frac,
+           CAST(SUM(CASE WHEN top2_frac > 0.20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flag_top2,
+           CAST(SUM(CASE WHEN dup5_frac > 0.15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flag_dup5
+    FROM fracs GROUP BY lang
+    """,
+    tags=("text", "quality", "dedup", "gopher"),
+)
+def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition filters (Rae et al. 2021,
+    public corpus-filtering recipe), adapted to newline-free synthetic
+    docs: per-document character-coverage of (a) the HEAVIEST word
+    2-gram (occurrences x gram chars — a deterministic stand-in for
+    'most frequent n-gram char fraction' that needs no tie-break) and
+    (b) all DUPLICATED word 5-grams (every occurrence of a 5-gram seen
+    >= 2 times), each normalized by document chars; then per-lang
+    aggregates plus counts of docs breaching the filter thresholds
+    (top-2-gram coverage > 0.20, dup-5-gram coverage > 0.15).
+
+    No reference precedent (the reference processes no free text);
+    this is the §2.9 training-data-quality surface.
+
+    100 TB notes: one documents scan -> positional n-gram explode
+    (row blowup ~2x token count, text volume ~7x — bounded, no
+    quadratic term) -> hash agg keyed (doc_id, n, gram) -> per-doc agg
+    and join both keyed doc_id (the agg's shuffle partitioning is
+    reusable by the join). All native expressions, whole-stage codegen;
+    coverage arithmetic is exact integer chars / doc chars, so the
+    only float rounding is the final fround, mirrored in the oracle.
+    """
+    from ..operators.textual import ngrams_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang",
+        F.greatest(F.length("text"), F.lit(1)).cast("double")
+         .alias("n_chars"),
+        ngrams_expr(F.col("text"), 2).alias("g2"),
+        ngrams_expr(F.col("text"), 5).alias("g5"))
+    tagged = F.concat(
+        F.transform("g2", lambda g: F.struct(F.lit(2).alias("n"),
+                                             g.alias("gram"))),
+        F.transform("g5", lambda g: F.struct(F.lit(5).alias("n"),
+                                             g.alias("gram"))))
+    grams = (base.select("doc_id", F.explode(tagged).alias("t"))
+             .select("doc_id", "t.n", "t.gram"))
+    counts = (grams.groupBy("doc_id", "n", "gram")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    gram_chars = F.col("cnt") * F.length("gram")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, gram_chars)).alias("top2_chars"),
+        F.sum(F.when((F.col("n") == 5) & (F.col("cnt") >= 2), gram_chars))
+         .alias("dup5_chars"))
+    fracs = (base.select("doc_id", "lang", "n_chars")
+             .join(per_doc, "doc_id", "left")
+             .select(
+                 "lang",
+                 (F.coalesce("top2_chars", F.lit(0)) / F.col("n_chars"))
+                  .alias("top2_frac"),
+                 (F.coalesce("dup5_chars", F.lit(0)) / F.col("n_chars"))
+                  .alias("dup5_frac")))
+    return fracs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        fround(F.avg("top2_frac")).alias("avg_top2gram_frac"),
+        fround(F.max("top2_frac")).alias("max_top2gram_frac"),
+        fround(F.avg("dup5_frac")).alias("avg_dup5gram_frac"),
+        fround(F.max("dup5_frac")).alias("max_dup5gram_frac"),
+        F.sum(F.when(F.col("top2_frac") > 0.20, 1).otherwise(0))
+         .alias("n_flag_top2"),
+        F.sum(F.when(F.col("dup5_frac") > 0.15, 1).otherwise(0))
+         .alias("n_flag_dup5"))

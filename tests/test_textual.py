@@ -118,3 +118,41 @@ def test_repetition_ratio(spark):
     assert abs(out[2] - 0.5) < 1e-9
     # empty text: split('') → [''] (1 token, distinct) → ratio 0
     assert out[3] == 0.0
+
+
+def test_ngrams_positional_keeps_duplicates(spark):
+    from bigdata_spark_assignment_spark.operators.textual import ngrams_expr
+
+    assert _one(spark, "a b a b", lambda c: ngrams_expr(c, 2)) == \
+        ["a b", "b a", "a b"]
+    assert _one(spark, "a b", lambda c: ngrams_expr(c, 5)) == []
+
+
+def test_repetition_ngram_filters_planted(spark, tmp_path):
+    """Planted-truth check of the q74 metric definitions on a corpus
+    where the coverages are hand-computable."""
+    from bigdata_spark_assignment_spark.plans.text_plans import (
+        repetition_ngram_filters,
+    )
+
+    # doc 0: "x y x y x y" — 5 bigrams, "x y" occurs 3x (len 3) -> top2
+    # coverage = 9/11; 2 distinct 5-grams, none duplicated -> dup5 = 0.
+    # doc 1: "a b c d e a b c d e a b c d e" (29 chars) — 5-gram
+    # "a b c d e" occurs 3x (len 9) -> dup5 >= 27/29 > 0.15; top2
+    # "a b" occurs 3x (len 3) -> 9/29 > 0.20 is False (0.3103 > 0.2 True).
+    rows = [(0, "x y x y x y", "en", "s", 11),
+            (1, "a b c d e a b c d e a b c d e", "en", "s", 29)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["lang"]: r for r in
+           repetition_ngram_filters(spark, str(tmp_path)).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 2
+    assert en["max_top2gram_frac"] == round(9 / 11, 4)
+    # doc 1 dup5: "a b c d e" 3x9=27 plus every other 5-gram window that
+    # repeats ("b c d e a" x2=18, "c d e a b" x2=18, "d e a b c" x2=18,
+    # "e a b c d" x2=18) -> (27+72)/29
+    assert en["max_dup5gram_frac"] == round((27 + 72) / 29, 4)
+    assert en["n_flag_top2"] == 2      # 9/11 and 9/29 both > 0.20
+    assert en["n_flag_dup5"] == 1      # only doc 1
