@@ -248,3 +248,34 @@ def deterministic_split(df: DataFrame, key_col: str,
     bucket = hash_split_expr(F.col(key_col))
     return df.withColumn(
         split_col, F.when(bucket < train_pct, "train").otherwise("eval"))
+
+
+def mixture_sample(df: DataFrame, source_col: str, rates: dict[str, float],
+                   key_col: str, default_rate: float = 1.0,
+                   granularity: int = 10_000) -> DataFrame:
+    """Deterministic data-mixture sampling — the 'mixing weights' op of
+    a training-data pipeline: keep a per-SOURCE fraction of documents
+    (e.g. upweight curated sources, downweight crawl) with membership
+    decided by a salted md5 bucket of the KEY, not an RNG. Same
+    engine-independence argument as ``hash_split_expr``: the sample is
+    stable under reruns, repartitioning, appends, and engine swaps, so
+    the oracle can recompute the EXACT member set (seeded ``sampleBy``
+    cannot promise that). The salt ('mix:') decorrelates mixture
+    membership from train/eval split buckets derived from the same key.
+
+    100 TB notes: narrow per-row filter, no shuffle, no state; rates
+    are compiled into one CASE chain (JVM codegen). Bucket granularity
+    bounds rate resolution at 1/granularity.
+    """
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col(key_col).cast("string"))),
+        1, 8), 16, 10).cast("long") % granularity)
+    thresh: Column | None = None
+    for src, rate in rates.items():
+        t = int(round(rate * granularity))
+        thresh = (F.when(F.col(source_col) == src, t) if thresh is None
+                  else thresh.when(F.col(source_col) == src, t))
+    thresh = (thresh.otherwise(int(round(default_rate * granularity)))
+              if thresh is not None
+              else F.lit(int(round(default_rate * granularity))))
+    return df.filter(bucket < thresh)

@@ -215,15 +215,32 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q11_split_sample_counts",
     oracle="""
-    SELECT lang,
+    WITH mix AS (
+      SELECT lang,
+             CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+               AS toks
+      FROM documents
+      WHERE CAST(('0x' || substring(
+                    md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10000
+            < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                          WHEN 'src2' THEN 2500  WHEN 'src3' THEN 1000
+                          ELSE 7500 END),
+    mix_agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_mix,
+             CAST(SUM(toks) AS BIGINT) AS mix_tokens
+      FROM mix GROUP BY lang)
+    SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_total,
            TRUE AS split_exact,
            TRUE AS train_frac_ok,
-           TRUE AS sampled_frac_ok
-    FROM documents
-    GROUP BY lang
+           TRUE AS sampled_frac_ok,
+           COALESCE(ANY_VALUE(m.n_mix), 0) AS n_mix,
+           COALESCE(ANY_VALUE(m.mix_tokens), 0) AS mix_tokens
+    FROM documents d LEFT JOIN mix_agg m ON d.lang = m.lang
+    GROUP BY d.lang
     """,
-    tags=("sampling", "split", "ml"),
+    tags=("sampling", "split", "ml", "mixture"),
 )
 def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded-RNG sampling suite (merged r1 q11+q63): P14's 70/30
@@ -238,19 +255,35 @@ def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction lands in 0.70 ± 0.15, the stratified sample hits 0.5 ± 0.15
     for downsampled langs and exactly 1.0 for kept langs — while
     ``n_total`` is genuinely SQL-derived. Exact per-stratum tolerance
-    bands stay the pytest contract."""
-    from ..operators.cleaning import stratified_sample
+    bands stay the pytest contract.
+
+    r3 adds the DATA-MIXTURE sampler (``operators.cleaning.
+    mixture_sample``): per-source keep rates (src0 100% / src1 50% /
+    src2 25% / src3 10% / default 75%) decided by salted md5 buckets —
+    deterministic, so ``n_mix`` and ``mix_tokens`` (surviving docs and
+    their whitespace-token budget per lang) are EXACT oracle-recomputed
+    values, not tolerance booleans."""
+    from ..operators.cleaning import mixture_sample, stratified_sample
+    from ..operators.textual import token_count_expr
 
     docs = load_table(spark, sf_dir, "documents")
     train, test = docs.randomSplit([0.7, 0.3], seed=10)
     sampled = stratified_sample(
         docs, "lang",
         {"en": 0.5, "zh": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0}, seed=42)
+    mixed = mixture_sample(
+        docs, "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        key_col="doc_id", default_rate=0.75)
     count_by_lang = [
         docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total")),
         train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_train")),
         test.groupBy("lang").agg(F.count(F.lit(1)).alias("n_test")),
         sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")),
+        mixed.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_mix_raw"),
+            F.sum(token_count_expr(F.col("text")).cast("long"))
+             .alias("mix_tokens_raw")),
     ]
     out = count_by_lang[0]
     for frame in count_by_lang[1:]:
@@ -268,4 +301,7 @@ def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                sample_frac.between(0.35, 0.65))
          .otherwise(n_sampled == F.col("n_total"))
          .alias("sampled_frac_ok"),
+        F.coalesce(F.col("n_mix_raw"), F.lit(0)).alias("n_mix"),
+        F.coalesce(F.col("mix_tokens_raw"), F.lit(0).cast("long"))
+         .alias("mix_tokens"),
     )

@@ -210,3 +210,30 @@ def test_ml_imputer_equivalence(spark):
             Imputer(strategy="mode", inputCols=["y"], outputCols=["y_out"])
             .fit(df2).transform(df2).collect()}
     assert eng2 == lib2
+
+
+def test_mixture_sample_deterministic_and_rated(spark, sf_smoke):
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.cleaning import (
+        mixture_sample,
+    )
+    docs = load_table(spark, sf_smoke, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    a = mixture_sample(docs, "source", rates, "doc_id", default_rate=0.75)
+    b = mixture_sample(docs, "source", rates, "doc_id", default_rate=0.75)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b                      # same member set on rerun
+    by_src_full = {r.source: r.n for r in
+                   docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                   .collect()}
+    by_src = {r.source: r.n for r in
+              a.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert by_src.get("src0", 0) == by_src_full["src0"]   # rate 1.0 keeps all
+    assert "src2" not in by_src                           # rate 0.0 drops all
+    import math
+    for src, rate in (("src1", 0.5),):
+        n = by_src_full[src]
+        sigma = math.sqrt(n * rate * (1 - rate))
+        assert abs(by_src.get(src, 0) - n * rate) < 4 * sigma + 1
