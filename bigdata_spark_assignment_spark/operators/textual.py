@@ -3,7 +3,9 @@ precedent — the reference processes no free text).
 
 Everything is a native Column expression (split/regexp/transform), so
 it stays inside whole-stage codegen and is exactly mirrorable in the
-DuckDB oracle. No Python touches the hot path.
+DuckDB oracle. The one deliberate exception is the Arrow-batched
+``gram_coverage_stats_udf`` (q74), where the relational formulation
+would shuffle ~7x the text volume — see its docstring.
 
 100 TB notes: all ops here are narrow, per-row transforms — they scale
 embarrassingly. The only caveat is shingle explosion (k-shingles
@@ -285,3 +287,52 @@ def chunk_documents(docs, max_tokens: int = 64, overlap: int = 16,
         "doc_id", "chunk_id",
         F.array_join("chunk_words", " ").alias("chunk_text"),
         F.size("chunk_words").alias("n_tokens"))
+
+
+def gram_coverage_stats_udf():
+    """Arrow-batched per-document n-gram coverage stats for the
+    repetition filters (q74): returns a struct of ``top2_chars``
+    (occurrences x chars of the heaviest word 2-gram) and
+    ``dup5_chars`` (total chars of all word-5-gram occurrences whose
+    gram appears >= 2 times in the doc).
+
+    Why a pandas_udf and not native expressions: the relational
+    formulation (positional n-gram explode -> hash agg keyed
+    (doc_id, n, gram) -> per-doc agg) pushes ~7x the text volume
+    through two shuffles, and the pure-expression gram builder is an
+    interpreted higher-order-function chain (not codegen). A per-doc
+    Counter over an Arrow batch is O(tokens) with ZERO shuffle —
+    measured 1.3s vs 1.9s (window-lead relational) vs 2.9s (HOF) at
+    sf0.1, and the gap widens with scale because the narrow plan moves
+    no gram bytes at all. The relational path stays available for
+    equivalence testing (``tests/test_textual.py``).
+
+    Tokenization contract: MUST mirror ``words_expr`` (lower, split on
+    ``\\s+``) or the DuckDB oracle drifts.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _stats(texts):
+        import re
+        from collections import Counter
+
+        ws = re.compile(r"\s+")
+        tops, dups = [], []
+        for t in texts:
+            w = ws.split(t.lower()) if t else []
+            c2 = Counter(zip(w, w[1:]))
+            tops.append(max(
+                (cnt * (len(a) + len(b) + 1)
+                 for (a, b), cnt in c2.items()), default=0))
+            c5 = Counter(zip(w, w[1:], w[2:], w[3:], w[4:]))
+            dups.append(sum(cnt * (sum(map(len, g)) + 4)
+                            for g, cnt in c5.items() if cnt >= 2))
+        return pd.DataFrame({"top2_chars": tops, "dup5_chars": dups})
+
+    # Real class objects, not strings: this module has
+    # `from __future__ import annotations`, under which inline hints
+    # become unresolvable strings ('pd' is function-local) and
+    # pandas_udf's type-hint inference fails.
+    _stats.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(_stats, "struct<top2_chars: long, dup5_chars: long>")

@@ -375,45 +375,33 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference precedent (the reference processes no free text);
     this is the §2.9 training-data-quality surface.
 
-    100 TB notes: one documents scan -> positional n-gram explode
-    (row blowup ~2x token count, text volume ~7x — bounded, no
-    quadratic term) -> hash agg keyed (doc_id, n, gram) -> per-doc agg
-    and join both keyed doc_id (the agg's shuffle partitioning is
-    reusable by the join). All native expressions, whole-stage codegen;
-    coverage arithmetic is exact integer chars / doc chars, so the
-    only float rounding is the final fround, mirrored in the oracle.
+    100 TB notes: the default path is the Arrow-batched per-doc
+    coverage UDF (``textual.gram_coverage_stats_udf``) — one documents
+    scan, ZERO shuffle before the tiny per-lang aggregate, no gram
+    strings ever materialized or moved. The pure-relational
+    formulation (``repetition_fracs_relational``) pushes ~7x the text
+    volume through two shuffles (gram counts + per-doc agg) and is
+    kept only as the equivalence/oracle-shape witness — pytest pins
+    both paths to identical output. Measured at sf0.1: 1.3s (Arrow)
+    vs 1.9s (relational window-lead) vs 2.9s (interpreted HOF).
     """
-    from ..operators.textual import ngrams_expr
+    from ..operators.textual import gram_coverage_stats_udf
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", "lang",
+    stats = gram_coverage_stats_udf()
+    fracs = docs.select(
+        "lang",
         F.greatest(F.length("text"), F.lit(1)).cast("double")
          .alias("n_chars"),
-        ngrams_expr(F.col("text"), 2).alias("g2"),
-        ngrams_expr(F.col("text"), 5).alias("g5"))
-    tagged = F.concat(
-        F.transform("g2", lambda g: F.struct(F.lit(2).alias("n"),
-                                             g.alias("gram"))),
-        F.transform("g5", lambda g: F.struct(F.lit(5).alias("n"),
-                                             g.alias("gram"))))
-    grams = (base.select("doc_id", F.explode(tagged).alias("t"))
-             .select("doc_id", "t.n", "t.gram"))
-    counts = (grams.groupBy("doc_id", "n", "gram")
-              .agg(F.count(F.lit(1)).alias("cnt")))
-    gram_chars = F.col("cnt") * F.length("gram")
-    per_doc = counts.groupBy("doc_id").agg(
-        F.max(F.when(F.col("n") == 2, gram_chars)).alias("top2_chars"),
-        F.sum(F.when((F.col("n") == 5) & (F.col("cnt") >= 2), gram_chars))
-         .alias("dup5_chars"))
-    fracs = (base.select("doc_id", "lang", "n_chars")
-             .join(per_doc, "doc_id", "left")
-             .select(
-                 "lang",
-                 (F.coalesce("top2_chars", F.lit(0)) / F.col("n_chars"))
-                  .alias("top2_frac"),
-                 (F.coalesce("dup5_chars", F.lit(0)) / F.col("n_chars"))
-                  .alias("dup5_frac")))
+        stats("text").alias("s")).select(
+        "lang",
+        (F.col("s.top2_chars") / F.col("n_chars")).alias("top2_frac"),
+        (F.col("s.dup5_chars") / F.col("n_chars")).alias("dup5_frac"))
+    return _repetition_lang_agg(fracs)
+
+
+def _repetition_lang_agg(fracs: DataFrame) -> DataFrame:
+    """Shared per-lang rollup of the q74 coverage fractions."""
     return fracs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         fround(F.avg("top2_frac")).alias("avg_top2gram_frac"),
@@ -424,3 +412,47 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_flag_top2"),
         F.sum(F.when(F.col("dup5_frac") > 0.15, 1).otherwise(0))
          .alias("n_flag_dup5"))
+
+
+def repetition_fracs_relational(docs: DataFrame) -> DataFrame:
+    """Pure-relational q74 coverage fractions (equivalence witness for
+    the Arrow path): posexplode words -> window ``lead`` to build
+    positional 2-/5-grams (codegen, unlike the interpreted HOF
+    ``ngrams_expr``) -> hash agg keyed (doc_id, n, gram) -> per-doc
+    agg. Returns (lang, top2_frac, dup5_frac) per document; feed to
+    ``_repetition_lang_agg`` for the query shape."""
+    from pyspark.sql import Window as W
+
+    base = docs.select(
+        "doc_id", "lang",
+        F.greatest(F.length("text"), F.lit(1)).cast("double")
+         .alias("n_chars"),
+        F.split(F.lower("text"), r"\s+").alias("w"))
+    words = base.select("doc_id", F.posexplode("w").alias("pos", "wd"))
+    win = W.partitionBy("doc_id").orderBy("pos")
+    led = words.select(
+        "doc_id", "wd",
+        *[F.lead("wd", i).over(win).alias(f"w{i}") for i in range(1, 5)])
+    g2 = F.when(F.col("w1").isNotNull(), F.concat_ws(" ", "wd", "w1"))
+    g5 = F.when(F.col("w4").isNotNull(),
+                F.concat_ws(" ", "wd", "w1", "w2", "w3", "w4"))
+    grams = (led.select("doc_id", F.explode(F.array(
+                F.struct(F.lit(2).alias("n"), g2.alias("gram")),
+                F.struct(F.lit(5).alias("n"), g5.alias("gram")))).alias("t"))
+             .select("doc_id", "t.n", "t.gram")
+             .filter(F.col("gram").isNotNull()))
+    counts = (grams.groupBy("doc_id", "n", "gram")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    gram_chars = F.col("cnt") * F.length("gram")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, gram_chars)).alias("top2_chars"),
+        F.sum(F.when((F.col("n") == 5) & (F.col("cnt") >= 2), gram_chars))
+         .alias("dup5_chars"))
+    return (base.select("doc_id", "lang", "n_chars")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "lang",
+                (F.coalesce("top2_chars", F.lit(0)) / F.col("n_chars"))
+                 .alias("top2_frac"),
+                (F.coalesce("dup5_chars", F.lit(0)) / F.col("n_chars"))
+                 .alias("dup5_frac")))

@@ -156,3 +156,21 @@ def test_repetition_ngram_filters_planted(spark, tmp_path):
     assert en["max_dup5gram_frac"] == round((27 + 72) / 29, 4)
     assert en["n_flag_top2"] == 2      # 9/11 and 9/29 both > 0.20
     assert en["n_flag_dup5"] == 1      # only doc 1
+
+
+def test_repetition_paths_equivalent(spark, sf_smoke):
+    """The Arrow-batched q74 path and the pure-relational formulation
+    must produce identical per-lang aggregates."""
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.plans.text_plans import (
+        _repetition_lang_agg,
+        repetition_fracs_relational,
+        repetition_ngram_filters,
+    )
+
+    arrow_rows = sorted(
+        map(tuple, repetition_ngram_filters(spark, sf_smoke).collect()))
+    docs = load_table(spark, sf_smoke, "documents")
+    rel_rows = sorted(map(tuple, _repetition_lang_agg(
+        repetition_fracs_relational(docs)).collect()))
+    assert arrow_rows == rel_rows
