@@ -667,3 +667,47 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
     bucket = hash_split_expr(F.col("cluster_id"))
     return out.withColumn(
         split_col, F.when(bucket < train_pct, "train").otherwise("eval"))
+
+
+def shared_window_stats(docs: DataFrame, window_tokens: int = 10,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact substring-duplication detector — the distributed analogue
+    of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): slide a
+    ``window_tokens``-token window over every document and find
+    windows whose exact text occurs in >= 2 DISTINCT documents. Where
+    the paper builds a monolithic suffix array, the Spark-first shape
+    is positional n-grams -> hash aggregate keyed by window text —
+    fully relational, linear in tokens, no global index.
+
+    Returns ONE row: n_shared_windows (distinct window texts shared
+    across documents), n_docs_with_shared (documents containing at
+    least one shared window — the set a substring-dedup pass would
+    rewrite), n_shared_occurrences (total occurrences of shared
+    windows, the rewrite volume).
+
+    100 TB notes: windows are O(tokens) rows; the window-text group
+    is one shuffle whose keys are ~window_tokens-word strings (hash
+    the text down to xxhash64 if shuffle volume ever dominates — kept
+    as exact text here so the DuckDB oracle reproduces counts without
+    modeling hash collisions). The doc-membership count rides a
+    left-semi join on the same key. Stop-phrase hot keys (boilerplate
+    shared by millions of docs) are bounded: the group emits one row
+    per window regardless of occurrence count.
+    """
+    from .textual import positional_ngrams
+
+    wins = positional_ngrams(docs, window_tokens, id_col=id_col,
+                             text_col=text_col)
+    gram_stats = (wins.groupBy("gram")
+                  .agg(F.countDistinct(id_col).alias("n_docs"),
+                       F.count(F.lit(1)).alias("n_occ")))
+    shared = gram_stats.filter(F.col("n_docs") >= 2)
+    totals = shared.agg(
+        F.count(F.lit(1)).alias("n_shared_windows"),
+        F.coalesce(F.sum("n_occ"), F.lit(0)).alias("n_shared_occurrences"))
+    docs_hit = (wins.join(shared.select("gram"), "gram", "leftsemi")
+                .agg(F.countDistinct(id_col).alias("n_docs_with_shared")))
+    return totals.crossJoin(docs_hit).select(
+        "n_shared_windows", "n_docs_with_shared", "n_shared_occurrences")

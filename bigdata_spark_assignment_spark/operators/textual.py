@@ -336,3 +336,31 @@ def gram_coverage_stats_udf():
     # pandas_udf's type-hint inference fails.
     _stats.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
     return pandas_udf(_stats, "struct<top2_chars: long, dup5_chars: long>")
+
+
+def positional_ngrams(df, n: int, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """(id, gram) rows of positional word n-grams, built with codegen
+    operators (posexplode + window ``lead``) rather than the
+    interpreted HOF chain of ``ngrams_expr`` — use this when the grams
+    feed further relational processing (grouping/joins); use
+    ``ngrams_expr`` when you want them as an in-row array.
+
+    100 TB notes: one shuffle (the window's hash-partition on id, sort
+    by position); output is O(tokens) rows. The gram strings are
+    materialized only in the window projection, so upstream column
+    pruning still reaches the scan.
+    """
+    from pyspark.sql import Window as W
+
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(words_expr(F.col(text_col))).alias("__pos", "__w0"))
+    win = W.partitionBy("__id").orderBy("__pos")
+    leads = [F.col("__w0")] + [F.lead("__w0", i).over(win).alias(f"__w{i}")
+                               for i in range(1, n)]
+    led = words.select("__id", *leads)
+    gram = F.when(F.col(f"__w{n - 1}").isNotNull(),
+                  F.concat_ws(" ", *[f"__w{i}" for i in range(n)]))
+    return (led.select(F.col("__id").alias(id_col), gram.alias("gram"))
+            .filter(F.col("gram").isNotNull()))

@@ -58,7 +58,21 @@ _JACCARD_PAIRS_SQL = """
     dirty AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 100000, upper(text) || '   ' FROM documents)
+      SELECT doc_id + 100000, upper(text) || '   ' FROM documents),
+    padded AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, 'pad ' || text FROM documents),
+    pwords AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM padded),
+    pwins AS (
+      SELECT doc_id, unnest([array_to_string(w[i:i+9], ' ')
+                             for i in range(1, len(w) - 8)]) AS gram
+      FROM pwords WHERE len(w) >= 10),
+    pshared AS (
+      SELECT gram, COUNT(*) AS n_occ
+      FROM pwins GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2)
     SELECT 'exact' AS part,
            CAST(MIN(doc_id) AS BIGINT) AS doc_id,
            CAST(COUNT(*) AS BIGINT)    AS n1,
@@ -72,8 +86,14 @@ _JACCARD_PAIRS_SQL = """
            CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS BIGINT),
            CAST(COUNT(DISTINCT text) AS BIGINT)
     FROM dirty
+    UNION ALL
+    SELECT 'substr', NULL,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pshared),
+           (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM pwins
+             WHERE gram IN (SELECT gram FROM pshared)),
+           (SELECT CAST(COALESCE(SUM(n_occ), 0) AS BIGINT) FROM pshared)
     """,
-    tags=("dedup", "fingerprint"),
+    tags=("dedup", "fingerprint", "substring"),
 )
 def dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + fingerprint dedup in one tagged result (merged r2
@@ -89,7 +109,15 @@ def dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       whitespace-collapsed text). Dirt: an upper-cased, space-padded
       copy of every doc — raw distinct sees 2× docs, fingerprint
       collapses them back.
+    * ``substr`` (r3) — exact substring-duplication stats
+      (``operators.dedup.shared_window_stats``, the distributed
+      analogue of Lee et al. 2022 suffix-array dedup): 10-token
+      windows occurring in >= 2 distinct docs. Dirt: a 'pad '-prefixed
+      copy of every doc, so every original window recurs inside a
+      LONGER document at a SHIFTED position — exactly what whole-doc
+      dedup cannot see and substring matching must.
     """
+    from ..operators.dedup import shared_window_stats
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = docs.unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
@@ -110,7 +138,16 @@ def dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("fp").alias("part"),
                 F.lit(None).cast("long").alias("doc_id"),
                 "n1", "n2", "n3"))
-    return exact.unionByName(fp)
+    padded = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat(F.lit("pad "), "text").alias("text")))
+    substr = (shared_window_stats(padded, window_tokens=10)
+              .select(F.lit("substr").alias("part"),
+                      F.lit(None).cast("long").alias("doc_id"),
+                      F.col("n_shared_windows").alias("n1"),
+                      F.col("n_docs_with_shared").alias("n2"),
+                      F.col("n_shared_occurrences").alias("n3")))
+    return exact.unionByName(fp).unionByName(substr)
 
 
 @register(

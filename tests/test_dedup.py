@@ -260,3 +260,28 @@ def test_leakage_safe_split_keeps_families_together(spark):
         F.when(hash_split_expr(F.col("doc_id")) < 50, "train")
          .otherwise("eval").alias("s")).collect()}
     assert any(per_doc[2 * k] != per_doc[2 * k + 1] for k in range(20))
+
+
+def test_shared_window_stats_planted(spark):
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        shared_window_stats,
+    )
+
+    run = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"          # exactly 10 tokens
+    rows = [
+        (1, "intro words " + run + " outro one"),    # run at offset 2
+        (2, "zzz " + run),                           # same run, offset 1
+        (3, "totally different words with no overlap at all here ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shared_window_stats(docs, window_tokens=10).first()
+    # the only 10-token window occurring in two distinct docs is `run`
+    assert out.n_shared_windows == 1
+    assert out.n_docs_with_shared == 2
+    assert out.n_shared_occurrences == 2
+
+    solo = spark.createDataFrame([(1, "a b c d e f g h i j")],
+                                 "doc_id long, text string")
+    empty = shared_window_stats(solo, window_tokens=10).first()
+    assert (empty.n_shared_windows, empty.n_docs_with_shared,
+            empty.n_shared_occurrences) == (0, 0, 0)
