@@ -220,6 +220,53 @@ def run_hh(spark, n_tokens: int = 40_000_000,
     stream.unpersist()
 
 
+def run_text500k(spark) -> None:
+    """Session-2 r3 evidence: the two new text operators at 500k docs
+    (30M tokens). Expectations are EXACT because the corpus is
+    deterministic: each planted near-copy pair shares the 57-token
+    suffix run -> 48 distinct 10-token windows per pair, no
+    cross-pair or chance collisions at vocab 2000.
+    """
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        shared_window_stats,
+    )
+    from bigdata_spark_assignment_spark.operators.textual import (
+        gram_coverage_stats_udf,
+    )
+
+    docs = make_corpus_500k(spark).persist()
+    n = docs.count()
+    planted_pairs = n // 100
+
+    stats = gram_coverage_stats_udf()
+    t0 = time.perf_counter()
+    cov = (docs.select((F.col("doc_id") % 5).alias("grp"),
+                       stats("text").alias("s"))
+           .groupBy("grp")
+           .agg(F.avg("s.top2_chars").alias("avg_top2"),
+                F.avg("s.dup5_chars").alias("avg_dup5"))
+           .collect())
+    t_cov = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    sw = shared_window_stats(docs, window_tokens=10).first()
+    t_sw = time.perf_counter() - t0
+    expect_windows = planted_pairs * 48
+    assert sw.n_shared_windows == expect_windows, sw
+    assert sw.n_docs_with_shared == planted_pairs * 2, sw
+    assert sw.n_shared_occurrences == expect_windows * 2, sw
+
+    print(json.dumps({
+        "text500k": {"n_docs": n,
+                     "arrow_coverage_s": round(t_cov, 1),
+                     "coverage_groups": len(cov),
+                     "substr_windows_s": round(t_sw, 1),
+                     "n_shared_windows": sw.n_shared_windows,
+                     "n_docs_with_shared": sw.n_docs_with_shared,
+                     "planted_pairs": planted_pairs}}), flush=True)
+    docs.unpersist()
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_session(app_name="scale-runs")
@@ -230,6 +277,8 @@ def main() -> None:
         run_cc500k(spark)
     if what in ("hh", "all"):
         run_hh(spark)
+    if what in ("text500k", "all"):
+        run_text500k(spark)
 
 
 if __name__ == "__main__":
