@@ -129,8 +129,14 @@ def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON v.user_id = p.user_id
        AND p.ts >= v.ts
        AND p.ts <= v.ts + INTERVAL '10 minutes')
+    UNION ALL
+    SELECT 'stateful', u, u, 0, 0, TRUE
+    FROM (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u FROM events)
+    UNION ALL
+    SELECT 'dedup', d, d, 0, 0, TRUE
+    FROM (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS d FROM events)
     """,
-    tags=("streaming", "replay", "join", "watermark"),
+    tags=("streaming", "replay", "join", "watermark", "stateful", "dedup"),
 )
 def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL incremental engine, driver-visible (merged r2 q68+q70):
@@ -144,17 +150,35 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       10 min after a view by the same user) in append mode with
       30-minute watermarks on both sides — the state-bounded two-stream
       join.
+    * ``stateful`` — the CUSTOM stateful operator
+      (``applyInPandasWithState`` running per-user totals,
+      streaming/stateful.py) replayed in update mode; the LAST emission
+      per key (totals are monotone, so last = max n_events) must equal
+      the batch aggregate: integer state diffed exactly, float sums
+      within 1e-6 (incremental partial-sum order differs from batch).
+    * ``dedup`` — ``dropDuplicatesWithinWatermark`` on a stream of the
+      events table unioned with itself (every row arrives exactly
+      twice, duplicates at the same event time, so always inside the
+      30-minute horizon); the converged output must be one row per
+      event_id, identical to batch ``dropDuplicates``.
 
     Oracle-backed (r3): the converged stream row count must equal the
     batch row count, and the ORACLE re-derives that batch count in SQL
-    (window group count / time-range join count) — so the hash check
-    pins the incremental engine's convergence against an independent
-    engine, not against Spark itself. The exceptAll diff columns are
-    pinned at zero (Structured Streaming's convergence guarantee).
-    Watermark + append-mode finalization is covered by
-    tests/test_streaming.py."""
-    from ..streaming.ops import join_purchases_after_views, with_watermark
+    (window group count / time-range join count / distinct user and
+    event counts) — so the hash check pins the incremental engine's
+    convergence against an independent engine, not against Spark
+    itself. The exceptAll diff columns are pinned at zero (Structured
+    Streaming's convergence guarantee). Watermark + append-mode
+    finalization is covered by tests/test_streaming.py."""
+    from pyspark.sql import Window as W
+
+    from ..streaming.ops import (
+        dedup_events,
+        join_purchases_after_views,
+        with_watermark,
+    )
     from ..streaming.replay import replay_as_stream, run_to_memory_sink
+    from ..streaming.stateful import running_totals
 
     events = load_table(spark, sf_dir, "events")
     batch_events = events.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -178,8 +202,31 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         join_stream = run_to_memory_sink(
             join_purchases_after_views(sv, sp), "q68_join_sink",
             output_mode="append")
+
+        stream3 = replay_as_stream(spark, events, n_chunks=6)
+        state_stream = run_to_memory_sink(
+            running_totals(stream3), "q68_state_sink", output_mode="update")
+
+        dup_events = events.unionAll(events)
+        stream4 = replay_as_stream(spark, dup_events, n_chunks=6)
+        dedup_stream = run_to_memory_sink(
+            dedup_events(stream4, delay="30 minutes"), "q68_dedup_sink",
+            output_mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    # Partitioning barrier. A sink DataFrame whose plan was CREATED
+    # under the scoped shuffle.partitions=16 but EXECUTED after the
+    # restore can satisfy a downstream aggregate's clustered
+    # distribution with its stale 16-partition hash (observed: the
+    # stateful branch's exceptAll grouped each side's identical rows in
+    # DIFFERENT partitions — every row "only_stream", none
+    # "only_batch"). localCheckpoint severs the captured plan, so
+    # downstream exchanges are planned fresh under the restored conf.
+    tumb_stream = tumb_stream.localCheckpoint()
+    join_stream = join_stream.localCheckpoint()
+    state_stream = state_stream.localCheckpoint()
+    dedup_stream = dedup_stream.localCheckpoint()
 
     def _diff_row(part: str, stream_df: DataFrame,
                   batch_df: DataFrame) -> DataFrame:
@@ -205,4 +252,34 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         join_purchases_after_views(
             batch_events.filter(F.col("event_type") == "view"),
             batch_events.filter(F.col("event_type") == "purchase")))
-    return tumb.unionByName(join)
+
+    # stateful: converged state = LAST update-mode emission per key
+    # (totals are monotone in n_events, so last = max n_events)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    stream_final = (state_stream.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1).drop("rn"))
+    batch_final = running_totals(batch_events)
+    state_diff = _diff_row("stateful",
+                           stream_final.select("user_id", "n_events"),
+                           batch_final.select("user_id", "n_events"))
+    # float sums: incremental per-batch accumulation orders the partial
+    # sums differently than the batch aggregate — compare by tolerance,
+    # not equality (the integer state above is diffed exactly)
+    sum_ok = (stream_final.select("user_id", F.col("sum_value").alias("s_s"))
+              .join(batch_final.select("user_id",
+                                       F.col("sum_value").alias("s_b")),
+                    "user_id")
+              .agg((F.max(F.abs(F.col("s_s") - F.col("s_b"))) < F.lit(1e-6))
+                   .alias("sums_close")))
+    stateful = (state_diff.crossJoin(sum_ok)
+                .withColumn("converged",
+                            F.col("converged") & F.col("sums_close"))
+                .drop("sums_close"))
+
+    dedup = _diff_row(
+        "dedup", dedup_stream.select("event_id"),
+        dedup_events(batch_events.unionAll(batch_events))
+        .select("event_id"))
+
+    return (tumb.unionByName(join).unionByName(stateful)
+            .unionByName(dedup))
