@@ -687,27 +687,35 @@ def shared_window_stats(docs: DataFrame, window_tokens: int = 10,
     rewrite), n_shared_occurrences (total occurrences of shared
     windows, the rewrite volume).
 
-    100 TB notes: windows are O(tokens) rows; the window-text group
-    is one shuffle whose keys are ~window_tokens-word strings (hash
-    the text down to xxhash64 if shuffle volume ever dominates — kept
-    as exact text here so the DuckDB oracle reproduces counts without
-    modeling hash collisions). The doc-membership count rides a
-    left-semi join on the same key. Stop-phrase hot keys (boilerplate
-    shared by millions of docs) are bounded: the group emits one row
-    per window regardless of occurrence count.
+    100 TB notes: windows are built PER DOCUMENT in an Arrow batch
+    (``textual.window_hash_arrays_udf`` — zero shuffle, no doc_id
+    Exchange) and only (window_hash, doc_id) int pairs ever move: the
+    (hash, doc) pre-aggregate is one 16-byte-row shuffle, the gram
+    rollup and the doc-membership semi-join reuse its persisted
+    result. The relational path (``textual.positional_ngrams`` +
+    group-by-gram-text) is the equivalence witness in tests — it pays
+    a posexplode + window-``lead`` Exchange plus string-keyed
+    shuffles, measured 71s vs ~9s per 500k docs / 30M tokens.
+    Stop-phrase hot keys (boilerplate shared by millions of docs) are
+    bounded: the (hash, doc) pre-aggregate collapses within-doc
+    repeats map-side, and the gram group emits one row per window
+    regardless of occurrence count.
     """
-    from .textual import positional_ngrams
+    from .textual import window_hash_arrays_udf
 
-    wins = positional_ngrams(docs, window_tokens, id_col=id_col,
-                             text_col=text_col)
-    gram_stats = (wins.groupBy("gram")
-                  .agg(F.countDistinct(id_col).alias("n_docs"),
-                       F.count(F.lit(1)).alias("n_occ")))
-    shared = gram_stats.filter(F.col("n_docs") >= 2)
+    uh = window_hash_arrays_udf(window_tokens)
+    wins = docs.select(F.col(id_col).alias("__id"),
+                       F.explode(uh(F.col(text_col))).alias("__gh"))
+    per_doc = _track_persist(
+        wins.groupBy("__gh", "__id").agg(F.count(F.lit(1)).alias("__occ")))
+    shared = (per_doc.groupBy("__gh")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("__occ").alias("n_occ"))
+              .filter(F.col("n_docs") >= 2))
     totals = shared.agg(
         F.count(F.lit(1)).alias("n_shared_windows"),
         F.coalesce(F.sum("n_occ"), F.lit(0)).alias("n_shared_occurrences"))
-    docs_hit = (wins.join(shared.select("gram"), "gram", "leftsemi")
-                .agg(F.countDistinct(id_col).alias("n_docs_with_shared")))
+    docs_hit = (per_doc.join(shared.select("__gh"), "__gh", "leftsemi")
+                .agg(F.countDistinct("__id").alias("n_docs_with_shared")))
     return totals.crossJoin(docs_hit).select(
         "n_shared_windows", "n_docs_with_shared", "n_shared_occurrences")

@@ -285,3 +285,42 @@ def test_shared_window_stats_planted(spark):
     empty = shared_window_stats(solo, window_tokens=10).first()
     assert (empty.n_shared_windows, empty.n_docs_with_shared,
             empty.n_shared_occurrences) == (0, 0, 0)
+
+
+def test_shared_window_stats_hash_matches_text_path(spark):
+    """The Arrow window-HASH path must reproduce the group-by-window-
+    TEXT counts (the relational witness via positional_ngrams) on a
+    corpus with within-doc repeats, shifted copies, and short docs."""
+    import random
+
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        shared_window_stats,
+    )
+    from bigdata_spark_assignment_spark.operators.textual import (
+        positional_ngrams,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randint(3, 40))]
+        rows.append((i, " ".join(words)))
+        if i % 3 == 0:  # shifted near-copy
+            rows.append((1000 + i, "pad " + " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    n = 5
+    got = shared_window_stats(docs, window_tokens=n).first()
+    wins = positional_ngrams(docs, n)
+    gs = (wins.groupBy("gram")
+          .agg(F.countDistinct("doc_id").alias("nd"),
+               F.count(F.lit(1)).alias("no"))
+          .filter(F.col("nd") >= 2))
+    want_windows, want_occ = (gs.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("no"), F.lit(0))).first())
+    want_docs = (wins.join(gs.select("gram"), "gram", "leftsemi")
+                 .agg(F.countDistinct("doc_id")).first()[0])
+    assert got.n_shared_windows == want_windows
+    assert got.n_shared_occurrences == want_occ
+    assert got.n_docs_with_shared == want_docs
