@@ -338,6 +338,54 @@ def gram_coverage_stats_udf():
     return pandas_udf(_stats, "struct<top2_chars: long, dup5_chars: long>")
 
 
+def hashed_weight_expr(token: Column) -> Column:
+    """Pseudo-weight in [-1, 1] for a token under a hashing-trick
+    linear model (the fastText-style inference pattern: score a doc by
+    the mean weight of its hashed tokens — no vocabulary file, one
+    narrow expression per token). md5-derived (not xxhash64) for the
+    same reason as ``cleaning.hash_split_expr``: any engine, including
+    the DuckDB oracle, reproduces the weights bit-for-bit. A real
+    deployment swaps this expression for a broadcast-joined weight
+    table learned offline; the plan shape (explode → project weight →
+    per-doc aggregate) is identical.
+    """
+    return ((F.conv(F.substring(F.md5(token), 1, 8), 16, 10)
+             .cast("long") % 2001 - 1000) / 1000.0)
+
+
+def unigram_doc_scores(docs, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Per-document unigram-LM log-probability (the cheap perplexity
+    proxy of corpus-filtering recipes: a document whose tokens are
+    globally rare scores low) plus the hashed-linear-model score
+    (``hashed_weight_expr``). Returns (id, avg ln p(token) under the
+    corpus unigram LM as ``logprob``, mean token weight as ``clf``).
+
+    Shape: tokens explode once; the unigram frequency table is a
+    token-keyed aggregate joined back to the token stream; per-doc
+    aggregation folds both scores in one pass. ln p = ln cnt − ln N,
+    so the global N rides a 1-row crossJoin instead of a global
+    window. 100 TB notes: the freq join shuffles on token (Zipf skew
+    is bounded: hot tokens are few and AQE splits oversized
+    partitions); everything else is narrow or doc-keyed. The freq
+    table itself is vocabulary-sized — broadcast it when the vocab
+    fits (AQE does this automatically at driver scale).
+    """
+    tok = docs.select(F.col(id_col).alias("__id"),
+                      F.explode(words_expr(F.col(text_col))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = freq.agg(F.sum("__cnt").alias("__total"))
+    return (tok.join(freq, "t")
+            .groupBy("__id")
+            .agg(F.avg(F.log("__cnt")).alias("__avg_ln_cnt"),
+                 F.avg(hashed_weight_expr(F.col("t"))).alias("clf"))
+            .crossJoin(total)
+            .select(F.col("__id").alias(id_col),
+                    (F.col("__avg_ln_cnt") - F.log("__total"))
+                    .alias("logprob"),
+                    "clf"))
+
+
 def window_hash_arrays_udf(n: int):
     """Arrow-batched per-document positional window HASHES: for each
     text, the array of 64-bit hashes of its ``n``-token windows

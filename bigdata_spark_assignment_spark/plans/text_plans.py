@@ -346,20 +346,49 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w.doc_id, w.lang,
              COALESCE(top2_chars, 0) / n_chars AS top2_frac,
              COALESCE(dup5_chars, 0) / n_chars AS dup5_frac
-      FROM words w LEFT JOIN per_doc USING (doc_id))
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(top2_frac), 4) AS avg_top2gram_frac,
-           ROUND(MAX(top2_frac), 4) AS max_top2gram_frac,
-           ROUND(AVG(dup5_frac), 4) AS avg_dup5gram_frac,
-           ROUND(MAX(dup5_frac), 4) AS max_dup5gram_frac,
-           CAST(SUM(CASE WHEN top2_frac > 0.20 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_flag_top2,
-           CAST(SUM(CASE WHEN dup5_frac > 0.15 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_flag_dup5
-    FROM fracs GROUP BY lang
+      FROM words w LEFT JOIN per_doc USING (doc_id)),
+    rep AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ROUND(AVG(top2_frac), 4) AS avg_top2gram_frac,
+             ROUND(MAX(top2_frac), 4) AS max_top2gram_frac,
+             ROUND(AVG(dup5_frac), 4) AS avg_dup5gram_frac,
+             ROUND(MAX(dup5_frac), 4) AS max_dup5gram_frac,
+             CAST(SUM(CASE WHEN top2_frac > 0.20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flag_top2,
+             CAST(SUM(CASE WHEN dup5_frac > 0.15 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flag_dup5
+      FROM fracs GROUP BY lang),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM words),
+    freq AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+    tot AS (SELECT SUM(cnt) AS total FROM freq),
+    wts AS (
+      SELECT t, cnt,
+             (CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2001 - 1000)
+               / 1000.0 AS wt
+      FROM freq),
+    docsc AS (
+      SELECT tok.doc_id,
+             AVG(ln(wts.cnt)) - ANY_VALUE(ln(tot.total)) AS logprob,
+             AVG(wts.wt) AS clf
+      FROM tok JOIN wts USING (t) CROSS JOIN tot
+      GROUP BY tok.doc_id),
+    lm AS (
+      SELECT w2.lang,
+             ROUND(AVG(logprob), 4) AS avg_unigram_logprob,
+             ROUND(MIN(logprob), 4) AS min_unigram_logprob,
+             CAST(SUM(CASE WHEN ROUND(logprob, 4) < -3.45 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_flag_lowprob,
+             ROUND(AVG(clf), 4) AS avg_clf_score,
+             CAST(SUM(CASE WHEN ROUND(clf, 4) > 0.2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_flag_clf
+      FROM docsc JOIN (SELECT doc_id, lang FROM words) w2 USING (doc_id)
+      GROUP BY w2.lang)
+    SELECT rep.*, lm.avg_unigram_logprob, lm.min_unigram_logprob,
+           lm.n_flag_lowprob, lm.avg_clf_score, lm.n_flag_clf
+    FROM rep JOIN lm USING (lang)
     """,
-    tags=("text", "quality", "dedup", "gopher"),
+    tags=("text", "quality", "dedup", "gopher", "lm"),
 )
 def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText-style repetition filters (Rae et al. 2021,
@@ -372,10 +401,22 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates plus counts of docs breaching the filter thresholds
     (top-2-gram coverage > 0.20, dup-5-gram coverage > 0.15).
 
+    Three more Gopher-family signals (r3 session 3), rolled up per
+    lang alongside the repetition stats:
+
+    * ``avg/min_unigram_logprob`` + ``n_flag_lowprob`` — per-doc mean
+      ln p(token) under the CORPUS unigram LM
+      (``textual.unigram_doc_scores``): the cheap perplexity proxy;
+      flag threshold −3.45 sits at the observed 10th percentile.
+    * ``avg_clf_score`` + ``n_flag_clf`` — hashing-trick linear-model
+      score (``textual.hashed_weight_expr``, fastText-style inference
+      with md5 pseudo-weights so the oracle reproduces them exactly);
+      flag > 0.2 ≈ the 90th percentile.
+
     No reference precedent (the reference processes no free text);
     this is the §2.9 training-data-quality surface.
 
-    100 TB notes: the default path is the Arrow-batched per-doc
+    100 TB notes: the repetition path is the Arrow-batched per-doc
     coverage UDF (``textual.gram_coverage_stats_udf``) — one documents
     scan, ZERO shuffle before the tiny per-lang aggregate, no gram
     strings ever materialized or moved. The pure-relational
@@ -384,8 +425,13 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept only as the equivalence/oracle-shape witness — pytest pins
     both paths to identical output. Measured at sf0.1: 1.3s (Arrow)
     vs 1.9s (relational window-lead) vs 2.9s (interpreted HOF).
+    The LM path adds one token-keyed shuffle (freq) + one doc-keyed
+    aggregate; the final per-lang join is a 5-row broadcast.
     """
-    from ..operators.textual import gram_coverage_stats_udf
+    from ..operators.textual import (
+        gram_coverage_stats_udf,
+        unigram_doc_scores,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     stats = gram_coverage_stats_udf()
@@ -397,7 +443,17 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("s.top2_chars") / F.col("n_chars")).alias("top2_frac"),
         (F.col("s.dup5_chars") / F.col("n_chars")).alias("dup5_frac"))
-    return _repetition_lang_agg(fracs)
+    scores = unigram_doc_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id")
+    lm = scores.groupBy("lang").agg(
+        fround(F.avg("logprob")).alias("avg_unigram_logprob"),
+        fround(F.min("logprob")).alias("min_unigram_logprob"),
+        F.sum(F.when(F.round("logprob", 4) < -3.45, 1).otherwise(0))
+         .alias("n_flag_lowprob"),
+        fround(F.avg("clf")).alias("avg_clf_score"),
+        F.sum(F.when(F.round("clf", 4) > 0.2, 1).otherwise(0))
+         .alias("n_flag_clf"))
+    return _repetition_lang_agg(fracs).join(lm, "lang")
 
 
 def _repetition_lang_agg(fracs: DataFrame) -> DataFrame:

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigdata_spark_assignment_spark.operators.textual import (
@@ -168,9 +170,39 @@ def test_repetition_paths_equivalent(spark, sf_smoke):
         repetition_ngram_filters,
     )
 
-    arrow_rows = sorted(
-        map(tuple, repetition_ngram_filters(spark, sf_smoke).collect()))
     docs = load_table(spark, sf_smoke, "documents")
-    rel_rows = sorted(map(tuple, _repetition_lang_agg(
-        repetition_fracs_relational(docs)).collect()))
+    rel = _repetition_lang_agg(repetition_fracs_relational(docs))
+    arrow_rows = sorted(map(tuple, repetition_ngram_filters(spark, sf_smoke)
+                            .select(*rel.columns).collect()))
+    rel_rows = sorted(map(tuple, rel.collect()))
     assert arrow_rows == rel_rows
+
+
+def test_unigram_doc_scores_hand_computed(spark):
+    """ln p and the hashed-model score on a 2-doc corpus where the
+    unigram LM is computable by hand: corpus tokens = [a a a b], so
+    p(a)=3/4, p(b)=1/4."""
+    import math
+
+    from bigdata_spark_assignment_spark.operators.textual import (
+        hashed_weight_expr,
+        unigram_doc_scores,
+    )
+
+    docs = spark.createDataFrame([(1, "a a a"), (2, "b")],
+                                 "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_doc_scores(docs).collect()}
+    assert out[1].logprob == pytest.approx(math.log(3 / 4))
+    assert out[2].logprob == pytest.approx(math.log(1 / 4))
+
+    # clf = mean md5 pseudo-weight; single-token docs expose the raw
+    # weight, which must be in [-1, 1] and engine-independent
+    wa = docs.sparkSession.range(1).select(
+        hashed_weight_expr(F.lit("a")).alias("w")).first().w
+    assert -1.0 <= wa <= 1.0
+    assert out[1].clf == pytest.approx(wa)
+    import duckdb
+    duck_w = duckdb.sql(
+        "SELECT (CAST(('0x' || substr(md5('a'),1,8)) AS BIGINT) % 2001"
+        "        - 1000) / 1000.0").fetchone()[0]
+    assert wa == pytest.approx(duck_w)
