@@ -191,12 +191,40 @@ def _blocked_oracle(planes: list[list[float]]) -> str:
       SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings),
     a AS (SELECT vec_id AS id_a, embedding AS va, bucket FROM b),
     c AS (SELECT vec_id AS id_b, embedding AS vb, bucket FROM b),
-    pairs AS (
+    rawpairs AS (
       SELECT id_a, id_b, {_DUCK_COS.format(a='va', b='vb')} AS cos
-      FROM a JOIN c USING (bucket) WHERE id_a < id_b)
-    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+      FROM a JOIN c USING (bucket) WHERE id_a < id_b),
+    pairs AS (SELECT * FROM rawpairs WHERE cos >= 0.4),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      WITH RECURSIVE r(id, label) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.src, r.label
+        FROM edges e JOIN r ON e.dst = r.id
+        WHERE r.label < e.src)
+      SELECT id, MIN(label) AS cluster_id FROM r GROUP BY id),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+    SELECT 'pair' AS part,
+           CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
            ROUND(cos, 4) AS cosine
-    FROM pairs WHERE cos >= 0.4
+    FROM pairs
+    UNION ALL
+    SELECT 'cluster', CAST(cluster_id AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM reach GROUP BY cluster_id
+    UNION ALL
+    SELECT 'keep',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM reach
+            WHERE id <> cluster_id),
+           total.n - (SELECT CAST(COUNT(*) AS BIGINT) FROM reach
+                      WHERE id <> cluster_id),
+           CAST(NULL AS DOUBLE)
+    FROM total
     """
 
 
@@ -209,17 +237,51 @@ _BLOCK_PLANES = _hyperplanes(64, 3, seed=7)
     tags=("similarity", "neardup", "lsh"),
 )
 def blocked_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100-TB-safe all-pairs form: cosine near-dup restricted to an
-    LSH bucket (``neardup_pairs_cosine`` with ``block_col`` fed by
-    ``lsh_bucket_expr``) — the equi-join-on-bucket plan whose shuffle
-    is O(rows), not O(rows²). The oracle recomputes the SAME hyperplane
-    buckets from inlined plane literals and restricts the exact pair
-    SQL to within-bucket pairs, so the hash check proves bucket parity
-    AND pair parity. Recall vs the unblocked q41 is the pytest contract
-    (single-table blocking trades recall for linear shuffle; production
-    unions multiple tables like ann_topk_lsh to recover it)."""
+    """The 100-TB-safe all-pairs form PLUS the SemDeDup-style
+    semantic-dedup composition (Abbas et al. 2023: embedding-space
+    near-dup clusters, keep one doc per cluster), in tagged parts:
+
+    * ``pair`` — cosine near-dup restricted to an LSH bucket
+      (``neardup_pairs_cosine`` with ``block_col`` fed by
+      ``lsh_bucket_expr``) — the equi-join-on-bucket plan whose
+      shuffle is O(rows), not O(rows²). The oracle recomputes the SAME
+      hyperplane buckets from inlined plane literals and restricts the
+      exact pair SQL to within-bucket pairs, so the hash check proves
+      bucket parity AND pair parity.
+    * ``cluster`` — connected components over the pair graph
+      (``neardup_clusters``): (cluster_id, size) per semantic cluster,
+      checked against DuckDB recursive-CTE reachability.
+    * ``keep`` — the dedup decision: (n_dropped, n_kept) where every
+      non-canonical member (id ≠ cluster min) is dropped — exactly the
+      keep-one-per-cluster rule a semantic-dedup pass applies.
+
+    Recall vs the unblocked q41 is the pytest contract (single-table
+    blocking trades recall for linear shuffle; production unions
+    multiple tables like ann_topk_lsh to recover it)."""
+    from ..operators.dedup import _track_persist, neardup_clusters
+
     emb = load_table(spark, sf_dir, "embeddings")
     blocked = emb.withColumn(
         "blk", lsh_bucket_expr(F.col("embedding"), _BLOCK_PLANES))
-    out = neardup_pairs_cosine(blocked, threshold=0.4, block_col="blk")
-    return out.select("id_a", "id_b", fround(F.col("cosine")).alias("cosine"))
+    pairs = _track_persist(
+        neardup_pairs_cosine(blocked, threshold=0.4, block_col="blk"))
+    pair_part = pairs.select(
+        F.lit("pair").alias("part"), "id_a", "id_b",
+        fround(F.col("cosine")).alias("cosine"))
+    labels = _track_persist(neardup_clusters(pairs))
+    cluster_part = (labels.groupBy("cluster_id")
+                    .agg(F.count(F.lit(1)).alias("size"))
+                    .select(F.lit("cluster").alias("part"),
+                            F.col("cluster_id").alias("id_a"),
+                            F.col("size").alias("id_b"),
+                            F.lit(None).cast("double").alias("cosine")))
+    n_total = emb.agg(F.count(F.lit(1)).alias("n"))
+    keep_part = (labels.agg(
+        F.count(F.when(F.col("id") != F.col("cluster_id"), 1))
+         .alias("n_dropped"))
+        .crossJoin(F.broadcast(n_total))
+        .select(F.lit("keep").alias("part"),
+                F.col("n_dropped").alias("id_a"),
+                (F.col("n") - F.col("n_dropped")).alias("id_b"),
+                F.lit(None).cast("double").alias("cosine")))
+    return pair_part.unionByName(cluster_part).unionByName(keep_part)
