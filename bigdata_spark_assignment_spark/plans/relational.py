@@ -504,26 +504,26 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q69_csv_roundtrip_check",
     oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_source,
-           CAST(COUNT(*) AS BIGINT) AS n_csv,
-           CAST(0 AS BIGINT)        AS n_only_csv,
-           CAST(0 AS BIGINT)        AS n_only_source,
-           TRUE                     AS roundtrip_ok
-    FROM customer
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer)
+    SELECT p.part, n.n AS n_source, n.n AS n_back,
+           CAST(0 AS BIGINT) AS n_only_back,
+           CAST(0 AS BIGINT) AS n_only_source,
+           TRUE AS roundtrip_ok
+    FROM n, (VALUES ('csv'), ('jsonl'), ('orc')) AS p(part)
     """,
-    tags=("io", "csv"),
+    tags=("io", "csv", "json", "orc"),
 )
 def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1/S2/S8 driver-visible: write the customer table to CSV
-    (header, quoted) and read it back with an EXPLICIT schema (the
-    engine's S1 discipline — the reference reads header-only/all-string,
-    ``Main.scala:59,86``). Output is one self-checking row: counts and
-    exceptAll diffs in both directions, which are 0 iff the CSV codec
+    """S1/S2/S8 driver-visible, one row per FORMAT (r3: csv + jsonl +
+    orc): write the customer table out, read it back with an EXPLICIT
+    schema (the engine's S1 discipline — the reference reads
+    header-only/all-string, ``Main.scala:59,86``), and self-check:
+    counts plus exceptAll diffs in both directions, 0 iff the codec
     round-trips every value (incl. full-precision doubles and quoted
-    commas) bit-for-bit.
+    commas in CSV / JSON number text / ORC binary) bit-for-bit.
 
-    Oracle-backed (r3): ``n_source``/``n_csv`` are genuinely
-    SQL-derived (both must equal COUNT(*) of customer); the diff
+    Oracle-backed: ``n_source``/``n_back`` are genuinely SQL-derived
+    (each must equal COUNT(*) of customer per format); the diff
     columns pin the exceptAll checks at zero. Eagerly materialized so
     the scratch directory can be removed before returning (ADVICE r2:
     the old lazy version leaked a full CSV copy per run)."""
@@ -532,29 +532,37 @@ def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     cust = load_table(spark, sf_dir, "customer")
-    root = tempfile.mkdtemp(prefix="spark_csvrt_")
-    path = os.path.join(root, "customer")
+    root = tempfile.mkdtemp(prefix="spark_rt_")
+    rows = []
     try:
-        cust.write.mode("overwrite").option("header", True).csv(path)
-        back = spark.read.csv(path, header=True, schema=cust.schema)
-        n_src = cust.agg(F.count(F.lit(1)).alias("n_source"))
-        n_csv = back.agg(F.count(F.lit(1)).alias("n_csv"))
-        only_csv = back.exceptAll(cust).agg(
-            F.count(F.lit(1)).alias("n_only_csv"))
-        only_src = cust.exceptAll(back).agg(
-            F.count(F.lit(1)).alias("n_only_source"))
-        row = (n_src.crossJoin(n_csv).crossJoin(only_csv)
-               .crossJoin(only_src)
-               .withColumn("roundtrip_ok",
-                           (F.col("n_source") == F.col("n_csv"))
-                           & (F.col("n_only_csv") == 0)
-                           & (F.col("n_only_source") == 0))
-               .first())
+        for part in ("csv", "jsonl", "orc"):
+            path = os.path.join(root, f"customer_{part}")
+            if part == "csv":
+                cust.write.mode("overwrite").option("header", True).csv(path)
+                back = spark.read.csv(path, header=True, schema=cust.schema)
+            elif part == "jsonl":
+                cust.write.mode("overwrite").json(path)
+                back = spark.read.schema(cust.schema).json(path)
+            else:
+                cust.write.mode("overwrite").orc(path)
+                back = spark.read.schema(cust.schema).orc(path)
+            row = (cust.agg(F.count(F.lit(1)).alias("n_source"))
+                   .crossJoin(back.agg(F.count(F.lit(1)).alias("n_back")))
+                   .crossJoin(back.exceptAll(cust).agg(
+                       F.count(F.lit(1)).alias("n_only_back")))
+                   .crossJoin(cust.exceptAll(back).agg(
+                       F.count(F.lit(1)).alias("n_only_source")))
+                   .withColumn("roundtrip_ok",
+                               (F.col("n_source") == F.col("n_back"))
+                               & (F.col("n_only_back") == 0)
+                               & (F.col("n_only_source") == 0))
+                   .first())
+            rows.append((part, *row))
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
-        [row],
-        "n_source long, n_csv long, n_only_csv long, n_only_source long,"
-        " roundtrip_ok boolean")
+        rows,
+        "part string, n_source long, n_back long, n_only_back long,"
+        " n_only_source long, roundtrip_ok boolean")
 
 

@@ -40,11 +40,49 @@ def test_snowflake_dims_are_broadcast(spark, sf_oracle):
 
 
 def test_blocked_cosine_is_bucket_local(spark, sf_oracle):
-    p = _plan(spark, sf_oracle, "q67_blocked_cosine_neardup")
+    """The PAIR stage of q67 (before the semantic-dedup cluster parts,
+    which are iterative and add their own exchanges) must stay a
+    single bucket-hash Exchange feeding the vectorized Gram block."""
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.similarity import (
+        lsh_bucket_expr,
+        neardup_pairs_cosine,
+    )
+    from bigdata_spark_assignment_spark.plans.similarity_plans import (
+        _BLOCK_PLANES,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    blocked = emb.withColumn(
+        "blk", lsh_bucket_expr(F.col("embedding"), _BLOCK_PLANES))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        neardup_pairs_cosine(blocked, threshold=0.4,
+                             block_col="blk").explain("formatted")
+    p = buf.getvalue()
     assert "CartesianProduct" not in p
     assert "FlatMapGroupsInPandas" in p  # vectorized Gram block
     # exactly one Exchange (hash by bucket); ×2 for tree+detail listing
     assert p.count("Exchange") <= 4
+
+
+def test_substring_windows_are_scan_local(spark, sf_oracle):
+    """shared_window_stats must build windows inside the scan stage
+    (Arrow per-doc hash UDF) — no Window operator, so no doc_id
+    Exchange+sort before the (hash, doc) aggregate."""
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        shared_window_stats,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        shared_window_stats(docs, window_tokens=10).explain("formatted")
+    p = buf.getvalue()
+    assert "ArrowEvalPython" in p  # the per-doc window-hash UDF
+    assert "Window" not in p
 
 
 def test_grouping_family_is_single_scan(spark, sf_oracle):
