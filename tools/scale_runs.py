@@ -256,11 +256,28 @@ def run_text500k(spark) -> None:
     assert sw.n_docs_with_shared == planted_pairs * 2, sw
     assert sw.n_shared_occurrences == expect_windows * 2, sw
 
+    # unigram-LM scoring: the token-keyed freq join over ~30M tokens
+    # is the heaviest shuffle of the q74 additions. Sanity: logprob is
+    # a mean of ln p(token) < 0, and every doc gets scored.
+    from bigdata_spark_assignment_spark.operators.textual import (
+        unigram_doc_scores,
+    )
+    t0 = time.perf_counter()
+    lm = (unigram_doc_scores(docs)
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.avg("logprob").alias("avg_lp"),
+               F.max("logprob").alias("max_lp")).first())
+    t_lm = time.perf_counter() - t0
+    assert lm.n_docs == n, lm
+    assert lm.max_lp < 0.0, lm
+
     print(json.dumps({
         "text500k": {"n_docs": n,
                      "arrow_coverage_s": round(t_cov, 1),
                      "coverage_groups": len(cov),
                      "substr_windows_s": round(t_sw, 1),
+                     "unigram_lm_s": round(t_lm, 1),
+                     "avg_logprob": round(lm.avg_lp, 3),
                      "n_shared_windows": sw.n_shared_windows,
                      "n_docs_with_shared": sw.n_docs_with_shared,
                      "planted_pairs": planted_pairs}}), flush=True)
