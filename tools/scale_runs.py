@@ -48,7 +48,10 @@ SF1_DIR = "/tmp/sparkgraft_sf1"
 REPLICAS = 10
 HEADLINE = ["q01_pricing_summary", "q05_join_fact_fact",
             "q34_neardup_minhash_lsh", "q52_corpus_prep_stats",
-            "q53_neardup_clusters", "q67_blocked_cosine_neardup"]
+            "q53_neardup_clusters", "q67_blocked_cosine_neardup",
+            # r3 additions
+            "q31_dedup_suite", "q72_heavy_hitters", "q73_scd2_merge",
+            "q74_repetition_ngram_filters"]
 
 
 def _replicate(df, n: int):
@@ -88,6 +91,19 @@ def build_sf1(spark) -> None:
      .withColumn("text", suffixed)
      .drop("__r")
      .write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet"))
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    n_events = ev.agg(F.max("event_id")).first()[0] + 1
+    # offset BOTH ids per replica: each replica is an independent user
+    # population with the same per-user history (10x users, same
+    # per-key state/window structure — not 10x-longer histories)
+    (_replicate(ev, REPLICAS)
+     .withColumn("user_id", F.col("user_id") + F.col("__r") * F.lit(n_users))
+     .withColumn("event_id",
+                 F.col("event_id") + F.col("__r") * F.lit(n_events))
+     .drop("__r")
+     .write.mode("overwrite").parquet(f"{SF1_DIR}/events.parquet"))
 
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     n_vec = emb.count()
