@@ -289,6 +289,25 @@ def chunk_documents(docs, max_tokens: int = 64, overlap: int = 16,
         F.size("chunk_words").alias("n_tokens"))
 
 
+# The Python-side tokenizer contract, mirroring ``words_expr``: lower +
+# split on ASCII \s+. The (?a) flag is load-bearing — Python's default
+# \s is Unicode-aware, while Java's (words_expr) and RE2's (the DuckDB
+# oracle) are ASCII-only, so a non-breaking space (U+00A0, common in
+# scraped web text) must NOT split here either. None → [] (words_expr
+# on NULL yields no rows); '' → [''] (F.split of the empty string
+# yields one empty token, and so does DuckDB's string_split_regex).
+#
+# A plain-string constant (not a helper function) on purpose: the
+# Arrow UDF closures are pickled by value and must stay self-contained
+# (executors cannot import this package when the driver adds it to
+# sys.path at runtime, e.g. driver_sim from /tmp) — a module-level
+# helper would pickle by REFERENCE and raise ModuleNotFoundError on
+# the workers. Closure code referencing this constant captures it by
+# value. Every per-text UDF must tokenize as:
+#     ws = re.compile(_WS_ASCII); [] if t is None else ws.split(t.lower())
+_WS_ASCII = r"(?a)\s+"
+
+
 def gram_coverage_stats_udf():
     """Arrow-batched per-document n-gram coverage stats for the
     repetition filters (q74): returns a struct of ``top2_chars``
@@ -317,10 +336,10 @@ def gram_coverage_stats_udf():
         import re
         from collections import Counter
 
-        ws = re.compile(r"\s+")
+        ws = re.compile(_WS_ASCII)
         tops, dups = [], []
         for t in texts:
-            w = ws.split(t.lower()) if t else []
+            w = [] if t is None else ws.split(t.lower())
             c2 = Counter(zip(w, w[1:]))
             tops.append(max(
                 (cnt * (len(a) + len(b) + 1)
@@ -369,7 +388,12 @@ def unigram_doc_scores(docs, id_col: str = "doc_id",
     is bounded: hot tokens are few and AQE splits oversized
     partitions); everything else is narrow or doc-keyed. The freq
     table itself is vocabulary-sized — broadcast it when the vocab
-    fits (AQE does this automatically at driver scale).
+    fits (AQE does this automatically at driver scale). The token
+    explode is deliberately computed twice (once under the freq
+    aggregate, once as the join probe): it is a narrow recompute from
+    the scan, and persisting an O(corpus-tokens) frame is exactly
+    what a 100 TB run cannot do — callers at bench scale that want
+    the ~2× scan saving can persist ``docs`` upstream instead.
     """
     tok = docs.select(F.col(id_col).alias("__id"),
                       F.explode(words_expr(F.col(text_col))).alias("t"))
@@ -417,8 +441,8 @@ def window_hash_arrays_udf(n: int):
         import numpy as np
         import pandas as _pd
 
-        ws = re.compile(r"\s+")
-        toks = [ws.split(t.lower()) if t else [] for t in texts]
+        ws = re.compile(_WS_ASCII)
+        toks = [[] if t is None else ws.split(t.lower()) for t in texts]
         lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
                            count=len(toks))
         total = int(lens.sum())

@@ -531,10 +531,14 @@ def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    cust = load_table(spark, sf_dir, "customer")
+    # persist: the source table feeds 3 writes plus both sides of two
+    # exceptAll diffs per format — without the cache that is 9+
+    # re-scans of the parquet; n_source is computed once, not per loop
+    cust = load_table(spark, sf_dir, "customer").persist()
     root = tempfile.mkdtemp(prefix="spark_rt_")
     rows = []
     try:
+        n_source = cust.count()
         for part in ("csv", "jsonl", "orc"):
             path = os.path.join(root, f"customer_{part}")
             if part == "csv":
@@ -546,20 +550,19 @@ def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 cust.write.mode("overwrite").orc(path)
                 back = spark.read.schema(cust.schema).orc(path)
-            row = (cust.agg(F.count(F.lit(1)).alias("n_source"))
-                   .crossJoin(back.agg(F.count(F.lit(1)).alias("n_back")))
+            row = (back.agg(F.count(F.lit(1)).alias("n_back"))
                    .crossJoin(back.exceptAll(cust).agg(
                        F.count(F.lit(1)).alias("n_only_back")))
                    .crossJoin(cust.exceptAll(back).agg(
                        F.count(F.lit(1)).alias("n_only_source")))
-                   .withColumn("roundtrip_ok",
-                               (F.col("n_source") == F.col("n_back"))
-                               & (F.col("n_only_back") == 0)
-                               & (F.col("n_only_source") == 0))
                    .first())
-            rows.append((part, *row))
+            ok = (n_source == row.n_back and row.n_only_back == 0
+                  and row.n_only_source == 0)
+            rows.append((part, n_source, row.n_back, row.n_only_back,
+                         row.n_only_source, ok))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        cust.unpersist()
     return spark.createDataFrame(
         rows,
         "part string, n_source long, n_back long, n_only_back long,"

@@ -178,6 +178,33 @@ def test_repetition_paths_equivalent(spark, sf_smoke):
     assert arrow_rows == rel_rows
 
 
+def test_unicode_space_does_not_split_tokens(spark):
+    """Python's default \\s is Unicode-aware; Java's (words_expr) and
+    RE2's (DuckDB) are ASCII-only. The Arrow UDFs must follow the
+    ASCII contract: a U+00A0 non-breaking space is PART of a token,
+    not a separator — pinned by comparing the Arrow window-hash path
+    against the JVM-tokenized relational witness on a doc where the
+    two regimes disagree."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        shared_window_stats,
+    )
+    from bigdata_spark_assignment_spark.operators.textual import words_expr
+
+    nb = "\u00a0"
+    text = f"alpha{nb}beta w1 w2 w3 w4"
+    docs = spark.createDataFrame([(1, text), (2, text)],
+                                 "doc_id long, text string")
+    # JVM tokenization: 5 tokens (the NBSP token stays whole)
+    n_jvm = docs.select(F.size(words_expr(F.col("text"))).alias("n")) \
+        .first().n
+    assert n_jvm == 5
+    # both docs share their full 5-token window — 1 shared window; a
+    # Unicode-aware split (6 tokens) would find 2 shared 5-windows
+    out = shared_window_stats(docs, window_tokens=5).first()
+    assert out.n_shared_windows == 1
+    assert out.n_docs_with_shared == 2
+
+
 def test_unigram_doc_scores_hand_computed(spark):
     """ln p and the hashed-model score on a 2-doc corpus where the
     unigram LM is computable by hand: corpus tokens = [a a a b], so

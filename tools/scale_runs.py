@@ -92,9 +92,13 @@ def build_sf1(spark) -> None:
      .drop("__r")
      .write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet"))
 
-    ev = spark.read.parquet(f"{SRC}/events.parquet")
-    n_users = ev.agg(F.max("user_id")).first()[0] + 1
-    n_events = ev.agg(F.max("event_id")).first()[0] + 1
+    # load_table, not raw spark.read: events.ts may ship as parquet
+    # TIMESTAMP(NANOS), which the vectorized reader rejects without the
+    # conf io.load_table applies (io.py nanos handling)
+    from bigdata_spark_assignment_spark.io import load_table
+    ev = load_table(spark, SRC, "events")
+    n_users, n_events = ev.agg(
+        F.max("user_id") + 1, F.max("event_id") + 1).first()
     # offset BOTH ids per replica: each replica is an independent user
     # population with the same per-user history (10x users, same
     # per-key state/window structure — not 10x-longer histories)
