@@ -137,3 +137,38 @@ def test_chunking_reconstruction_invariant(spark, n_tokens, max_tokens,
     assert rebuilt == words
     for r in rows[:-1]:
         assert r.n_tokens == max_tokens
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from([f"w{i}" for i in range(12)]),
+             min_size=0, max_size=25).map(" ".join),
+    min_size=1, max_size=25),
+    st.sampled_from([2, 3, 5]))
+def test_window_hash_path_matches_text_path(spark, texts, n):
+    """For ANY corpus (tiny vocab → dense repeats and cross-doc
+    collisions) and window size: the Arrow window-HASH shared-window
+    stats equal the window-TEXT re-derivation via positional_ngrams —
+    the hash path's correctness contract (dedup.shared_window_stats)."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        shared_window_stats,
+    )
+    from bigdata_spark_assignment_spark.operators.textual import (
+        positional_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = shared_window_stats(docs, window_tokens=n).first()
+
+    wins = positional_ngrams(docs, n)
+    gs = (wins.groupBy("gram")
+          .agg(F.countDistinct("doc_id").alias("nd"),
+               F.count(F.lit(1)).alias("no"))
+          .filter(F.col("nd") >= 2))
+    want_w, want_o = gs.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("no"), F.lit(0))).first()
+    want_d = (wins.join(gs.select("gram"), "gram", "leftsemi")
+              .agg(F.countDistinct("doc_id")).first()[0])
+    assert (got.n_shared_windows, got.n_shared_occurrences,
+            got.n_docs_with_shared) == (want_w, want_o, want_d)
