@@ -135,6 +135,16 @@ def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'dedup', d, d, 0, 0, TRUE
     FROM (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS d FROM events)
+    UNION ALL
+    SELECT 'late', w, w, 0, 0, TRUE
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS s,
+               event_type
+        FROM events GROUP BY 1, 2) g
+      WHERE g.s + INTERVAL '5 minutes' <=
+            (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes'
+             FROM events))
     """,
     tags=("streaming", "replay", "join", "watermark", "stateful", "dedup"),
 )
@@ -161,6 +171,16 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       twice, duplicates at the same event time, so always inside the
       30-minute horizon); the converged output must be one row per
       event_id, identical to batch ``dropDuplicates``.
+    * ``late`` — watermark/late-data semantics, driver-visible: the
+      on-time chunks replay in event-time order, then ONE extra chunk
+      re-sends the EARLIEST 400 events (fresh ids, original old
+      timestamps) after the watermark has passed them. In append mode
+      the finalized output must equal the batch tumbling aggregate
+      over ON-TIME events restricted to windows closed by the final
+      watermark (max on-time ts − 10 min): every late row targets a
+      closed window, so all are dropped; open windows never finalize
+      before the stream ends. Both the window set and the counts are
+      diffed; the oracle re-derives the closed-window count in SQL.
 
     Oracle-backed (r3): the converged stream row count must equal the
     batch row count, and the ORACLE re-derives that batch count in SQL
@@ -177,7 +197,11 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         join_purchases_after_views,
         with_watermark,
     )
-    from ..streaming.replay import replay_as_stream, run_to_memory_sink
+    from ..streaming.replay import (
+        replay_as_stream,
+        replay_with_late_chunk,
+        run_to_memory_sink,
+    )
     from ..streaming.stateful import running_totals
 
     events = load_table(spark, sf_dir, "events")
@@ -212,6 +236,15 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_stream = run_to_memory_sink(
             dedup_events(stream4, delay="30 minutes"), "q68_dedup_sink",
             output_mode="append")
+
+        late_rows = (batch_events.orderBy("ts").limit(400)
+                     .withColumn("event_id",
+                                 F.col("event_id") + F.lit(10_000_000)))
+        stream5 = replay_with_late_chunk(spark, events, late_rows,
+                                         n_chunks=6)
+        late_stream = run_to_memory_sink(
+            tumbling_counts(with_watermark(stream5, delay="10 minutes")),
+            "q68_late_sink", output_mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
@@ -227,6 +260,7 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_stream = join_stream.localCheckpoint()
     state_stream = state_stream.localCheckpoint()
     dedup_stream = dedup_stream.localCheckpoint()
+    late_stream = late_stream.localCheckpoint()
 
     def _diff_row(part: str, stream_df: DataFrame,
                   batch_df: DataFrame) -> DataFrame:
@@ -281,5 +315,14 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_events(batch_events.unionAll(batch_events))
         .select("event_id"))
 
+    # late: expected = batch tumbling over ON-TIME events, windows
+    # closed by the final watermark (max on-time ts − delay)
+    wm_final = batch_events.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 minutes")).alias("wm")) \
+        .first().wm
+    late_expected = tumbling_counts(batch_events).filter(
+        F.col("win_end") <= F.lit(wm_final))
+    late = _diff_row("late", late_stream, late_expected)
+
     return (tumb.unionByName(join).unionByName(stateful)
-            .unionByName(dedup))
+            .unionByName(dedup).unionByName(late))
