@@ -274,26 +274,80 @@ def agg_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q07_correlation",
     oracle="""
-    SELECT ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           ROUND(corr(l_discount, l_tax), 4)           AS corr_disc_tax,
-           ROUND(corr(l_extendedprice, l_tax), 4)      AS corr_price_tax
+    SELECT 'corr' AS part, CAST(NULL AS VARCHAR) AS grp,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS m1,
+           ROUND(corr(l_discount, l_tax), 4)           AS m2,
+           ROUND(corr(l_extendedprice, l_tax), 4)      AS m3
     FROM lineitem
+    UNION ALL
+    SELECT 'ols', l_returnflag,
+           ROUND(covar_pop(l_extendedprice, l_quantity)
+                 / var_pop(l_quantity), 3),
+           ROUND(AVG(l_extendedprice)
+                 - covar_pop(l_extendedprice, l_quantity)
+                   / var_pop(l_quantity) * AVG(l_quantity), 3),
+           ROUND(POWER(corr(l_extendedprice, l_quantity), 2), 4)
+    FROM lineitem GROUP BY l_returnflag
     """,
-    tags=("agg", "statistics"),
+    tags=("agg", "statistics", "ml", "grouped"),
 )
 def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation, several pairs in ONE aggregation job (A4).
+    """Statistics suite (A4 + grouped model fitting), tagged parts:
 
-    The reference runs 28 separate ``df.stat.corr`` jobs
-    (``Main.scala:229-247``) — one full pass over the data per pair.
-    Expressing the pairs as one multi-aggregate shares a single scan.
+    * ``corr`` — Pearson correlation, several pairs in ONE aggregation
+      job. The reference runs 28 separate ``df.stat.corr`` jobs
+      (``Main.scala:229-247``) — one full pass per pair; expressing
+      the pairs as one multi-aggregate shares a single scan.
+      (m1, m2, m3) = qty~price, disc~tax, price~tax.
+    * ``ols`` — MODEL-PER-KEY: one simple OLS regression
+      (extendedprice ~ quantity) fit per l_returnflag group with
+      ``applyInPandas`` + numpy lstsq — the grouped-ML pattern (fit a
+      model per airline/customer/segment) that per-row SQL cannot
+      express. The oracle re-derives each group's fit in CLOSED FORM
+      (slope = covar_pop/var_pop, intercept from the means,
+      R² = corr²) — so the distributed grouped fit is checked against
+      an independent engine's algebra, not against Spark.
+      (m1, m2, m3) = slope, intercept, R².
+
+    100 TB notes: applyInPandas ships each GROUP through Arrow to one
+    python worker — right when per-group data fits an executor (the
+    contract of grouped ML); for huge groups, fit from sufficient
+    statistics instead (exactly the closed form the oracle uses, all
+    native aggregates). Group count bounds parallelism, so salt or
+    sub-sample giant groups upstream.
     """
+    import pandas as pd
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        fround(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
-        fround(F.corr("l_discount", "l_tax")).alias("corr_disc_tax"),
-        fround(F.corr("l_extendedprice", "l_tax")).alias("corr_price_tax"),
+    corr = li.agg(
+        F.lit("corr").alias("part"),
+        F.lit(None).cast("string").alias("grp"),
+        fround(F.corr("l_quantity", "l_extendedprice")).alias("m1"),
+        fround(F.corr("l_discount", "l_tax")).alias("m2"),
+        fround(F.corr("l_extendedprice", "l_tax")).alias("m3"),
     )
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as _pd
+        x = pdf["l_quantity"].to_numpy(dtype=float)
+        y = pdf["l_extendedprice"].to_numpy(dtype=float)
+        a = np.stack([x, np.ones_like(x)], axis=1)
+        (slope, intercept), *_ = np.linalg.lstsq(a, y, rcond=None)
+        pred = slope * x + intercept
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        return _pd.DataFrame({
+            "grp": [pdf["l_returnflag"].iloc[0]],
+            "m1": [round(slope, 3)],
+            "m2": [round(intercept, 3)],
+            "m3": [round(1.0 - ss_res / ss_tot, 4)]})
+
+    ols = (li.select("l_returnflag", "l_quantity", "l_extendedprice")
+           .groupBy("l_returnflag")
+           .applyInPandas(_fit, "grp string, m1 double, m2 double, m3 double")
+           .select(F.lit("ols").alias("part"), "grp", "m1", "m2", "m3"))
+    return corr.unionByName(ols)
 
 
 @register(
