@@ -410,6 +410,41 @@ def unigram_doc_scores(docs, id_col: str = "doc_id",
                     "clf"))
 
 
+def packing_accounting(docs, seq_tokens: int = 512,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       part_col: str = "lang"):
+    """Concat-and-chunk sequence-packing accounting — the GPT-style
+    pretraining packing rule: within each ``part_col`` stream, concat
+    documents in ``id_col`` order and cut every ``seq_tokens`` tokens.
+    Returns one row per doc: its token count, the first/last sequence
+    index it lands in, and whether it STRADDLES a sequence boundary
+    (the docs a boundary-aware loss mask must handle).
+
+    Fully relational: a per-partition running token total (window
+    cumsum) positions every document; sequence ids are integer
+    divisions of the cumulative offsets. 100 TB notes: ONE Exchange on
+    the stream key (lang/source/shard — choose a key with thousands of
+    partitions, not a global order) + sort; everything after is
+    narrow. The same rule any tokenizer-sharded packing job applies,
+    so the assignment is reproducible across engines — which is what
+    the oracle checks.
+    """
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy(part_col).orderBy(id_col)
+         .rowsBetween(W.unboundedPreceding, 0))
+    toks = F.size(words_expr(F.col(text_col))).cast("long")
+    out = (docs.select(id_col, part_col, toks.alias("n_toks"))
+           .withColumn("__cum", F.sum("n_toks").over(w)))
+    cum_before = F.col("__cum") - F.col("n_toks")
+    first_seq = F.floor(cum_before / seq_tokens)
+    last_seq = F.floor((F.col("__cum") - 1) / seq_tokens)
+    return out.select(
+        id_col, part_col, "n_toks",
+        first_seq.alias("seq_first"), last_seq.alias("seq_last"),
+        (last_seq > first_seq).alias("straddles"))
+
+
 def window_hash_arrays_udf(n: int):
     """Arrow-batched per-document positional window HASHES: for each
     text, the array of 64-bit hashes of its ``n``-token windows

@@ -229,18 +229,40 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix_agg AS (
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_mix,
              CAST(SUM(toks) AS BIGINT) AS mix_tokens
-      FROM mix GROUP BY lang)
+      FROM mix GROUP BY lang),
+    pack AS (
+      SELECT lang,
+             CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+               AS toks,
+             SUM(CAST(len(string_split_regex(lower(text), '\\s+'))
+                      AS BIGINT))
+               OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents),
+    pack_agg AS (
+      SELECT lang,
+             CAST(MAX((cum - 1) // 512) + 1 AS BIGINT) AS n_pack_seqs,
+             CAST(SUM(CASE WHEN (cum - toks) // 512 < (cum - 1) // 512
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+             CAST((MAX((cum - 1) // 512) + 1) * 512 - SUM(toks)
+                  AS BIGINT) AS pack_waste
+      FROM pack GROUP BY lang)
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_total,
            TRUE AS split_exact,
            TRUE AS train_frac_ok,
            TRUE AS sampled_frac_ok,
            COALESCE(ANY_VALUE(m.n_mix), 0) AS n_mix,
-           COALESCE(ANY_VALUE(m.mix_tokens), 0) AS mix_tokens
-    FROM documents d LEFT JOIN mix_agg m ON d.lang = m.lang
+           COALESCE(ANY_VALUE(m.mix_tokens), 0) AS mix_tokens,
+           ANY_VALUE(p.n_pack_seqs) AS n_pack_seqs,
+           ANY_VALUE(p.n_straddle) AS n_straddle,
+           ANY_VALUE(p.pack_waste) AS pack_waste
+    FROM documents d
+    LEFT JOIN mix_agg m ON d.lang = m.lang
+    LEFT JOIN pack_agg p ON d.lang = p.lang
     GROUP BY d.lang
     """,
-    tags=("sampling", "split", "ml", "mixture"),
+    tags=("sampling", "split", "ml", "mixture", "packing"),
 )
 def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded-RNG sampling suite (merged r1 q11+q63): P14's 70/30
@@ -262,9 +284,16 @@ def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     src2 25% / src3 10% / default 75%) decided by salted md5 buckets —
     deterministic, so ``n_mix`` and ``mix_tokens`` (surviving docs and
     their whitespace-token budget per lang) are EXACT oracle-recomputed
-    values, not tolerance booleans."""
+    values, not tolerance booleans.
+
+    Session-3 adds SEQUENCE-PACKING accounting
+    (``operators.textual.packing_accounting``): concat-and-chunk at
+    512 tokens per lang stream — sequences used, boundary-straddling
+    docs (what a loss mask must handle), and last-sequence waste, all
+    EXACT oracle-recomputed (the packing rule is pure window algebra,
+    reproducible across engines)."""
     from ..operators.cleaning import mixture_sample, stratified_sample
-    from ..operators.textual import token_count_expr
+    from ..operators.textual import packing_accounting, token_count_expr
 
     docs = load_table(spark, sf_dir, "documents")
     train, test = docs.randomSplit([0.7, 0.3], seed=10)
@@ -284,6 +313,11 @@ def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_mix_raw"),
             F.sum(token_count_expr(F.col("text")).cast("long"))
              .alias("mix_tokens_raw")),
+        packing_accounting(docs, seq_tokens=512).groupBy("lang").agg(
+            (F.max("seq_last") + 1).alias("n_pack_seqs"),
+            F.sum(F.col("straddles").cast("long")).alias("n_straddle"),
+            ((F.max("seq_last") + 1) * 512 - F.sum("n_toks"))
+             .alias("pack_waste")),
     ]
     out = count_by_lang[0]
     for frame in count_by_lang[1:]:
@@ -304,4 +338,5 @@ def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_mix_raw"), F.lit(0)).alias("n_mix"),
         F.coalesce(F.col("mix_tokens_raw"), F.lit(0).cast("long"))
          .alias("mix_tokens"),
+        "n_pack_seqs", "n_straddle", "pack_waste",
     )

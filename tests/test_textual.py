@@ -233,3 +233,26 @@ def test_unigram_doc_scores_hand_computed(spark):
         "SELECT (CAST(('0x' || substr(md5('a'),1,8)) AS BIGINT) % 2001"
         "        - 1000) / 1000.0").fetchone()[0]
     assert wa == pytest.approx(duck_w)
+
+
+def test_packing_accounting_hand_computed(spark):
+    """Concat-and-chunk at 5 tokens/seq over one lang stream:
+    docs (3, 4, 2, 6 tokens) concat to 15 tokens -> 3 sequences;
+    doc B (tokens 3..6) straddles the 5-boundary, doc D (tokens
+    9..14) straddles the 10-boundary; waste = 0 (15 == 3*5)."""
+    from bigdata_spark_assignment_spark.operators.textual import (
+        packing_accounting,
+    )
+
+    rows = [(0, "a b c", "en"), (1, "d e f g", "en"),
+            (2, "h i", "en"), (3, "j k l m n o", "en"),
+            (4, "x y", "fr")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in
+           packing_accounting(docs, seq_tokens=5).collect()}
+    assert (out[0].seq_first, out[0].seq_last, out[0].straddles) == (0, 0, False)
+    assert (out[1].seq_first, out[1].seq_last, out[1].straddles) == (0, 1, True)
+    assert (out[2].seq_first, out[2].seq_last, out[2].straddles) == (1, 1, False)
+    assert (out[3].seq_first, out[3].seq_last, out[3].straddles) == (1, 2, True)
+    # fr stream is independent: 2 tokens, first sequence only
+    assert (out[4].seq_first, out[4].seq_last, out[4].straddles) == (0, 0, False)
