@@ -172,3 +172,33 @@ def test_window_hash_path_matches_text_path(spark, texts, n):
               .agg(F.countDistinct("doc_id")).first()[0])
     assert (got.n_shared_windows, got.n_shared_occurrences,
             got.n_docs_with_shared) == (want_w, want_o, want_d)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=40),
+                min_size=1, max_size=40),
+       st.sampled_from([4, 16, 64]))
+def test_packing_invariants(spark, doc_lens, seq_tokens):
+    """For ANY doc-length profile and sequence size: seq ids are
+    non-decreasing in stream order, every doc spans exactly the
+    sequences its cumulative offsets dictate, straddle ⟺ first<last,
+    and total sequences == ceil(total_tokens / seq_tokens)."""
+    import math
+
+    from bigdata_spark_assignment_spark.operators.textual import (
+        packing_accounting,
+    )
+
+    rows = [(i, " ".join(f"t{j}" for j in range(n)), "en")
+            for i, n in enumerate(doc_lens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = sorted(packing_accounting(docs, seq_tokens=seq_tokens).collect(),
+                 key=lambda r: r.doc_id)
+    cum = 0
+    for r, n in zip(out, doc_lens):
+        assert r.n_toks == n
+        assert r.seq_first == cum // seq_tokens
+        assert r.seq_last == (cum + n - 1) // seq_tokens
+        assert r.straddles == (r.seq_last > r.seq_first)
+        cum += n
+    assert out[-1].seq_last + 1 == math.ceil(cum / seq_tokens)

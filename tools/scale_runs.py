@@ -291,12 +291,33 @@ def run_text500k(spark) -> None:
     assert lm.n_docs == n, lm
     assert lm.max_lp < 0.0, lm
 
+    # packing window at 500k docs with a PROPERLY SHARDED stream key
+    # (doc_id % 256 — the scale shape the operator docstring mandates;
+    # a 5-value lang key would cap parallelism at 5). Invariant: total
+    # sequences over all shards == sum over shards of ceil(tokens/512)
+    # >= ceil(total_tokens/512).
+    from bigdata_spark_assignment_spark.operators.textual import (
+        packing_accounting,
+    )
+    sharded = docs.withColumn("shard", F.pmod("doc_id", F.lit(256)))
+    t0 = time.perf_counter()
+    pk = (packing_accounting(sharded, seq_tokens=512, part_col="shard")
+          .groupBy("shard")
+          .agg((F.max("seq_last") + 1).alias("n_seqs"),
+               F.sum("n_toks").alias("toks"))
+          .agg(F.sum("n_seqs").alias("total_seqs"),
+               F.sum("toks").alias("total_toks")).first())
+    t_pack = time.perf_counter() - t0
+    assert pk.total_seqs >= (pk.total_toks + 511) // 512, pk
+
     print(json.dumps({
         "text500k": {"n_docs": n,
                      "arrow_coverage_s": round(t_cov, 1),
                      "coverage_groups": len(cov),
                      "substr_windows_s": round(t_sw, 1),
                      "unigram_lm_s": round(t_lm, 1),
+                     "packing_s": round(t_pack, 1),
+                     "packing_seqs": pk.total_seqs,
                      "avg_logprob": round(lm.avg_lp, 3),
                      "n_shared_windows": sw.n_shared_windows,
                      "n_docs_with_shared": sw.n_docs_with_shared,
