@@ -288,8 +288,14 @@ def agg_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / var_pop(l_quantity) * AVG(l_quantity), 3),
            ROUND(POWER(corr(l_extendedprice, l_quantity), 2), 4)
     FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'udaf', l_returnflag,
+           ROUND(EXP(AVG(LN(l_extendedprice))), 4),
+           ROUND(EXP(AVG(LN(l_quantity))), 4),
+           CAST(NULL AS DOUBLE)
+    FROM lineitem GROUP BY l_returnflag
     """,
-    tags=("agg", "statistics", "ml", "grouped"),
+    tags=("agg", "statistics", "ml", "grouped", "udaf"),
 )
 def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistics suite (A4 + grouped model fitting), tagged parts:
@@ -308,6 +314,12 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
       R² = corr²) — so the distributed grouped fit is checked against
       an independent engine's algebra, not against Spark.
       (m1, m2, m3) = slope, intercept, R².
+    * ``udaf`` — a CUSTOM Arrow-batched aggregate (SURVEY §2.8 "UDAF"
+      surface, absent in the reference): grouped-agg ``pandas_udf``
+      computing the per-group geometric mean of price and quantity.
+      Partial Arrow batches stream into the python worker per group;
+      the oracle pins the result in closed form (EXP(AVG(LN x))).
+      (m1, m2, m3) = geomean(price), geomean(quantity), NULL.
 
     100 TB notes: applyInPandas ships each GROUP through Arrow to one
     python worker — right when per-group data fits an executor (the
@@ -347,7 +359,24 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("l_returnflag")
            .applyInPandas(_fit, "grp string, m1 double, m2 double, m3 double")
            .select(F.lit("ols").alias("part"), "grp", "m1", "m2", "m3"))
-    return corr.unionByName(ols)
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _geomean(v):
+        import numpy as np
+        return float(np.exp(np.log(v.to_numpy(dtype=float)).mean()))
+
+    # real type objects (module has no future-annotations, but keep
+    # the explicit form consistent with the other Arrow UDFs)
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = pandas_udf(_geomean, "double")
+    udaf = (li.groupBy("l_returnflag")
+            .agg(fround(geomean("l_extendedprice")).alias("m1"),
+                 fround(geomean("l_quantity")).alias("m2"))
+            .select(F.lit("udaf").alias("part"),
+                    F.col("l_returnflag").alias("grp"), "m1", "m2",
+                    F.lit(None).cast("double").alias("m3")))
+    return corr.unionByName(ols).unionByName(udaf)
 
 
 @register(

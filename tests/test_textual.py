@@ -256,3 +256,45 @@ def test_packing_accounting_hand_computed(spark):
     assert (out[3].seq_first, out[3].seq_last, out[3].straddles) == (1, 2, True)
     # fr stream is independent: 2 tokens, first sequence only
     assert (out[4].seq_first, out[4].seq_last, out[4].straddles) == (0, 0, False)
+
+
+def test_chunk_udtf_matches_relational_chunker(spark):
+    """The Python UDTF surface (SURVEY §2.8 — absent in the
+    reference): a lateral-join chunking UDTF must reproduce the
+    relational chunk_documents boundaries exactly. The UDTF is the
+    API-surface demonstrator; chunk_documents (pure relational,
+    codegen) stays the scale path."""
+    from pyspark.sql.functions import udtf
+
+    from bigdata_spark_assignment_spark.operators.textual import (
+        chunk_documents,
+    )
+
+    @udtf(returnType="chunk_id int, chunk_text string, n_tokens int")
+    class ChunkTokens:
+        def eval(self, text: str, max_tokens: int, overlap: int):
+            import re
+            words = re.split(r"(?a)\s+", text.lower()) if text is not None \
+                else []
+            stride = max_tokens - overlap
+            n_chunks = max(
+                1, -(-(len(words) - overlap) // stride))  # ceil
+            for i in range(n_chunks):
+                w = words[i * stride:i * stride + max_tokens]
+                yield i, " ".join(w), len(w)
+
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(120))),
+         (2, "short doc"), (3, "x")],
+        "doc_id long, text string")
+    docs.createOrReplaceTempView("udtf_docs")
+    got = sorted(
+        spark.sql("""
+            SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_tokens
+            FROM udtf_docs d,
+                 LATERAL chunk_tokens(d.text, 64, 16) c
+        """).collect())
+    want = sorted(map(tuple, chunk_documents(
+        docs, max_tokens=64, overlap=16).collect()))
+    assert [tuple(r) for r in got] == want
