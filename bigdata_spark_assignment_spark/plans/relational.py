@@ -316,10 +316,16 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
       (m1, m2, m3) = slope, intercept, R².
     * ``udaf`` — a CUSTOM Arrow-batched aggregate (SURVEY §2.8 "UDAF"
       surface, absent in the reference): grouped-agg ``pandas_udf``
-      computing the per-group geometric mean of price and quantity.
-      Partial Arrow batches stream into the python worker per group;
+      computing the per-group geometric mean of price and quantity;
       the oracle pins the result in closed form (EXP(AVG(LN x))).
-      (m1, m2, m3) = geomean(price), geomean(quantity), NULL.
+      Scale honesty: grouped-agg pandas UDAFs do NO map-side partial
+      aggregation — every raw row shuffles to its group and
+      parallelism is bounded by group count, so this surface is for
+      aggregates that genuinely need the full group in memory. An
+      algebraic aggregate like this one should ship as native
+      expressions in production (exactly the oracle's closed form —
+      partial-aggregated, codegen). (m1, m2, m3) = geomean(price),
+      geomean(quantity), NULL.
 
     100 TB notes: applyInPandas ships each GROUP through Arrow to one
     python worker — right when per-group data fits an executor (the
