@@ -19,10 +19,23 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# The ONE whitespace class every tokenizer in the engine splits on —
+# written out explicitly as [ \t\n\r\f] because the three regex
+# engines disagree on \s: RE2 (the DuckDB oracle) = [ \t\n\f\r],
+# Java (Spark) adds \x0B, Python's default adds all of Unicode. The
+# explicit class IS RE2's \s, so oracle SQL keeps writing '\s+' while
+# Spark and Python sides use these constants and all three tokenize
+# any input — including \x0B or U+00A0 in scraped text — identically.
+# Raw escape sequences (backslash-t etc.), not literal control chars:
+# Java, RE2, and Python's re all interpret them, and the pattern stays
+# printable ASCII when injected into oracle SQL string literals.
+WS_CLASS = r" \t\n\r\f"
+WS_SPLIT = f"[{WS_CLASS}]+"
+
 
 def words_expr(text: Column) -> Column:
-    """Lower-cased whitespace tokenization."""
-    return F.split(F.lower(text), r"\s+")
+    """Lower-cased whitespace tokenization (``WS_SPLIT`` contract)."""
+    return F.split(F.lower(text), WS_SPLIT)
 
 
 def token_count_expr(text: Column) -> Column:
@@ -36,7 +49,8 @@ def bpe_ish_token_count_expr(text: Column) -> Column:
     Heuristic, but deterministic and oracle-expressible."""
     return F.size(
         F.filter(
-            F.split(F.lower(text), r"[\s\.,;:!\?\(\)\[\]\{\}\"']+"),
+            F.split(F.lower(text),
+                    f"[{WS_CLASS}" + r"\.,;:!\?\(\)\[\]\{\}\"']+"),
             lambda t: t != "",
         )
     )
@@ -99,7 +113,7 @@ def fingerprint_expr(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-collapsed,
     lower-cased text — catches case/whitespace-only duplicates that
     byte-exact dedup misses."""
-    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    normalized = F.trim(F.regexp_replace(F.lower(text), WS_SPLIT, " "))
     return F.md5(normalized)
 
 
@@ -217,7 +231,9 @@ def tf_idf_terms(docs, id_col: str = "doc_id", text_col: str = "text",
 # Conservative patterns valid in BOTH Java regex (Spark) and RE2
 # (DuckDB) so the oracle can mirror the masking digit-for-digit.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-URL_RE = r"https?://[^\s]+"
+# [^ \t\n\r\f], not [^\s]: \s differs across Java/RE2 (see WS_CLASS) —
+# the explicit complement keeps the injected oracle copy identical
+URL_RE = f"https?://[^{WS_CLASS}]+"
 
 
 def pii_counts_expr(text: Column) -> tuple[Column, Column]:
@@ -289,13 +305,13 @@ def chunk_documents(docs, max_tokens: int = 64, overlap: int = 16,
         F.size("chunk_words").alias("n_tokens"))
 
 
-# The Python-side tokenizer contract, mirroring ``words_expr``: lower +
-# split on ASCII \s+. The (?a) flag is load-bearing — Python's default
-# \s is Unicode-aware, while Java's (words_expr) and RE2's (the DuckDB
-# oracle) are ASCII-only, so a non-breaking space (U+00A0, common in
-# scraped web text) must NOT split here either. None → [] (words_expr
-# on NULL yields no rows); '' → [''] (F.split of the empty string
-# yields one empty token, and so does DuckDB's string_split_regex).
+# The Python-side tokenizer contract, mirroring ``words_expr``: lower
+# + split on the shared explicit class ``WS_SPLIT`` (see WS_CLASS —
+# Python's default \s is Unicode-aware and Java's includes \x0B, so
+# neither a U+00A0 non-breaking space nor a vertical tab may split
+# differently across the three engines). None → [] (words_expr on
+# NULL yields no rows); '' → [''] (F.split of the empty string yields
+# one empty token, and so does DuckDB's string_split_regex).
 #
 # A plain-string constant (not a helper function) on purpose: the
 # Arrow UDF closures are pickled by value and must stay self-contained
@@ -305,7 +321,7 @@ def chunk_documents(docs, max_tokens: int = 64, overlap: int = 16,
 # the workers. Closure code referencing this constant captures it by
 # value. Every per-text UDF must tokenize as:
 #     ws = re.compile(_WS_ASCII); [] if t is None else ws.split(t.lower())
-_WS_ASCII = r"(?a)\s+"
+_WS_ASCII = WS_SPLIT
 
 
 def gram_coverage_stats_udf():
@@ -431,6 +447,8 @@ def packing_accounting(docs, seq_tokens: int = 512,
     """
     from pyspark.sql import Window as W
 
+    if seq_tokens <= 0:
+        raise ValueError("need seq_tokens >= 1")
     w = (W.partitionBy(part_col).orderBy(id_col)
          .rowsBetween(W.unboundedPreceding, 0))
     toks = F.size(words_expr(F.col(text_col))).cast("long")

@@ -317,10 +317,10 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_chunk_fps`` column is COUNT(DISTINCT md5(chunk_text)) — any
     drift in chunk boundaries or joining changes a fingerprint, so the
     oracle pins the chunk TEXT exactly, not just the counts."""
-    from ..operators.textual import chunk_documents
+    from ..operators.textual import WS_SPLIT, chunk_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    words = F.size(F.split(F.lower("text"), r"\s+"))
+    words = F.size(F.split(F.lower("text"), WS_SPLIT))
     docstats = (
         docs.groupBy("lang")
         .agg(
@@ -770,10 +770,11 @@ def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator docstring for the n/(k+1) guarantee arithmetic.
     """
     from ..operators.sketches import heavy_hitters
+    from ..operators.textual import WS_SPLIT
 
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(
-        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")) \
+        F.explode(F.split(F.lower("text"), WS_SPLIT)).alias("token")) \
         .filter(F.col("token") != "")
     return heavy_hitters(tokens, "token", threshold=60, capacity=8192)
 

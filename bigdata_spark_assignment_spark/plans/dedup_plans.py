@@ -22,7 +22,7 @@ from ..operators.dedup import (
     neardup_pairs_minhash,
     neardup_pairs_simhash,
 )
-from ..operators.textual import fingerprint_expr
+from ..operators.textual import WS_SPLIT, fingerprint_expr
 from .registry import fround, register
 
 # Shared DuckDB CTE: word-3-shingle exact-Jaccard pairs at τ=0.6 —
@@ -218,7 +218,7 @@ def neardup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.col("text"), F.col("text")).alias("text"))
     reversed_ = docs.select(
         (F.col("doc_id") + 200000).alias("doc_id"),
-        F.array_join(F.reverse(F.split(F.col("text"), r"\s+")), " ")
+        F.array_join(F.reverse(F.split(F.col("text"), WS_SPLIT)), " ")
          .alias("text"))
     corpus = docs.unionByName(doubled).unionByName(reversed_)
     pairs = neardup_pairs_simhash(corpus, "doc_id", "text", max_hamming=6)

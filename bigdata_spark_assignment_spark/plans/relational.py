@@ -355,16 +355,22 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred = slope * x + intercept
         ss_res = float(((y - pred) ** 2).sum())
         ss_tot = float(((y - y.mean()) ** 2).sum())
+        # raw floats out — rounding happens engine-side with fround
+        # (HALF_UP) below; Python's round() is banker's rounding and
+        # would diverge from the oracle's ROUND on exact halves
         return _pd.DataFrame({
             "grp": [pdf["l_returnflag"].iloc[0]],
-            "m1": [round(slope, 3)],
-            "m2": [round(intercept, 3)],
-            "m3": [round(1.0 - ss_res / ss_tot, 4)]})
+            "m1": [slope],
+            "m2": [intercept],
+            "m3": [1.0 - ss_res / ss_tot]})
 
     ols = (li.select("l_returnflag", "l_quantity", "l_extendedprice")
            .groupBy("l_returnflag")
            .applyInPandas(_fit, "grp string, m1 double, m2 double, m3 double")
-           .select(F.lit("ols").alias("part"), "grp", "m1", "m2", "m3"))
+           .select(F.lit("ols").alias("part"), "grp",
+                   fround(F.col("m1"), 3).alias("m1"),
+                   fround(F.col("m2"), 3).alias("m2"),
+                   fround(F.col("m3")).alias("m3")))
 
     from pyspark.sql.functions import pandas_udf
 

@@ -204,8 +204,19 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..streaming.stateful import running_totals
 
+    import shutil
+    import tempfile
+
     events = load_table(spark, sf_dir, "events")
     batch_events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # one scratch root for all five replays, removed after the
+    # localCheckpoint barriers materialize the sink contents (ADVICE
+    # r2 precedent: never leak a full table copy per run)
+    scratch = tempfile.mkdtemp(prefix="spark_q68_replays_")
+
+    def _dir(name: str) -> str:
+        return f"{scratch}/{name}"
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # a streaming agg allocates state-store partitions from
@@ -214,11 +225,13 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scope it down for the replays, restore after
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        stream1 = replay_as_stream(spark, events, n_chunks=6)
+        stream1 = replay_as_stream(spark, events, n_chunks=6,
+                                   dir_path=_dir("tumb"))
         tumb_stream = run_to_memory_sink(
             tumbling_counts(stream1), "q68_tumb_sink", output_mode="complete")
 
-        stream2 = replay_as_stream(spark, events, n_chunks=6)
+        stream2 = replay_as_stream(spark, events, n_chunks=6,
+                                   dir_path=_dir("join"))
         sv = with_watermark(stream2.filter(F.col("event_type") == "view"),
                             delay="30 minutes")
         sp = with_watermark(stream2.filter(F.col("event_type") == "purchase"),
@@ -227,12 +240,14 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             join_purchases_after_views(sv, sp), "q68_join_sink",
             output_mode="append")
 
-        stream3 = replay_as_stream(spark, events, n_chunks=6)
+        stream3 = replay_as_stream(spark, events, n_chunks=6,
+                                   dir_path=_dir("state"))
         state_stream = run_to_memory_sink(
             running_totals(stream3), "q68_state_sink", output_mode="update")
 
         dup_events = events.unionAll(events)
-        stream4 = replay_as_stream(spark, dup_events, n_chunks=6)
+        stream4 = replay_as_stream(spark, dup_events, n_chunks=6,
+                                   dir_path=_dir("dedup"))
         dedup_stream = run_to_memory_sink(
             dedup_events(stream4, delay="30 minutes"), "q68_dedup_sink",
             output_mode="append")
@@ -241,7 +256,8 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .withColumn("event_id",
                                  F.col("event_id") + F.lit(10_000_000)))
         stream5 = replay_with_late_chunk(spark, events, late_rows,
-                                         n_chunks=6)
+                                         n_chunks=6,
+                                         dir_path=_dir("late"))
         late_stream = run_to_memory_sink(
             tumbling_counts(with_watermark(stream5, delay="10 minutes")),
             "q68_late_sink", output_mode="append")
@@ -261,6 +277,7 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_stream = state_stream.localCheckpoint()
     dedup_stream = dedup_stream.localCheckpoint()
     late_stream = late_stream.localCheckpoint()
+    shutil.rmtree(scratch, ignore_errors=True)
 
     def _diff_row(part: str, stream_df: DataFrame,
                   batch_df: DataFrame) -> DataFrame:

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.textual import (
     LANG_MARKERS,
+    WS_SPLIT,
     bpe_ish_token_count_expr,
     fingerprint_expr,
     lang_id_expr,
@@ -483,7 +484,7 @@ def repetition_fracs_relational(docs: DataFrame) -> DataFrame:
         "doc_id", "lang",
         F.greatest(F.length("text"), F.lit(1)).cast("double")
          .alias("n_chars"),
-        F.split(F.lower("text"), r"\s+").alias("w"))
+        F.split(F.lower("text"), WS_SPLIT).alias("w"))
     words = base.select("doc_id", F.posexplode("w").alias("pos", "wd"))
     win = W.partitionBy("doc_id").orderBy("pos")
     led = words.select(

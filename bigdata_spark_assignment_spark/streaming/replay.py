@@ -55,40 +55,38 @@ def replay_as_stream(spark: SparkSession, df: DataFrame,
 def replay_with_late_chunk(spark: SparkSession, df: DataFrame,
                            late_df: DataFrame, order_col: str = "ts",
                            n_chunks: int = 6,
+                           dir_path: str | None = None,
                            files_per_trigger: int = 1) -> DataFrame:
-    """Like ``replay_as_stream``, but appends ONE extra chunk file of
-    ``late_df`` rows stamped to replay LAST — after the watermark has
-    advanced past their event times. Deterministic late-data fixture:
-    chunk order is pinned by mtime, so the watermark at the late batch
-    is exactly max(event time of the on-time chunks) − delay.
+    """Like ``replay_as_stream`` (which it delegates to), plus ONE
+    extra chunk file of ``late_df`` rows stamped to replay LAST —
+    after the watermark has advanced past their event times.
+    Deterministic late-data fixture: chunk order is pinned by mtime,
+    so the watermark at the late batch is exactly max(event time of
+    the on-time chunks) − delay. The file source lists files at query
+    START, so the late file written here is part of the replay for
+    any query started on the returned stream.
     """
-    dir_path = tempfile.mkdtemp(prefix="spark_replay_late_")
+    import glob
+    import shutil
+
+    dir_path = dir_path or tempfile.mkdtemp(prefix="spark_replay_late_")
+    stream = replay_as_stream(spark, df, order_col=order_col,
+                              n_chunks=n_chunks, dir_path=dir_path,
+                              files_per_trigger=files_per_trigger)
     data_dir = os.path.join(dir_path, "data")
-    ntz_cols = [f.name for f in df.schema.fields
+    ntz_cols = [f.name for f in late_df.schema.fields
                 if f.dataType.simpleString() == "timestamp_ntz"]
-    out = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     late = late_df.withColumns(
         {c: F.col(c).cast("timestamp") for c in ntz_cols})
-    (out.repartitionByRange(n_chunks, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .write.mode("overwrite").parquet(data_dir))
-    late_file = os.path.join(dir_path, "late")
-    late.coalesce(1).write.mode("overwrite").parquet(late_file)
-    import glob
-    import time as _time
-    base = _time.time()
-    paths = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
-    for i, path in enumerate(paths):
-        os.utime(path, times=(base + i, base + i))
-    # move the late part file into the stream dir, stamped last
-    late_parts = glob.glob(os.path.join(late_file, "part-*.parquet"))
+    staging = os.path.join(dir_path, "late_staging")
+    late.coalesce(1).write.mode("overwrite").parquet(staging)
     dest = os.path.join(data_dir, "part-late.parquet")
-    os.rename(late_parts[0], dest)
-    os.utime(dest, times=(base + len(paths), base + len(paths)))
-    return (spark.readStream
-            .schema(out.schema)
-            .option("maxFilesPerTrigger", files_per_trigger)
-            .parquet(data_dir))
+    os.rename(glob.glob(os.path.join(staging, "part-*.parquet"))[0], dest)
+    shutil.rmtree(staging, ignore_errors=True)
+    last = max(os.path.getmtime(p) for p in glob.glob(
+        os.path.join(data_dir, "part-*.parquet")) if p != dest)
+    os.utime(dest, times=(last + 10, last + 10))
+    return stream
 
 
 def run_to_memory_sink(stream_df: DataFrame, name: str,

@@ -178,28 +178,37 @@ def test_repetition_paths_equivalent(spark, sf_smoke):
     assert arrow_rows == rel_rows
 
 
-def test_unicode_space_does_not_split_tokens(spark):
-    """Python's default \\s is Unicode-aware; Java's (words_expr) and
-    RE2's (DuckDB) are ASCII-only. The Arrow UDFs must follow the
-    ASCII contract: a U+00A0 non-breaking space is PART of a token,
-    not a separator — pinned by comparing the Arrow window-hash path
-    against the JVM-tokenized relational witness on a doc where the
-    two regimes disagree."""
+@pytest.mark.parametrize("weird", ["\u00a0", "\x0b"])
+def test_odd_whitespace_does_not_split_tokens(spark, weird):
+    """The explicit WS_CLASS contract: characters the three regex
+    engines disagree on under \\s — U+00A0 (whitespace only to
+    Python's Unicode \\s) and \\x0B vertical tab (whitespace to Java's
+    \\s but NOT to RE2/DuckDB's) — must be PART of a token in every
+    path. Pinned by comparing the Arrow window-hash path against the
+    JVM-tokenized relational witness on a doc where naive \\s regimes
+    disagree, and by DuckDB producing the same token count."""
+    import duckdb
+
     from bigdata_spark_assignment_spark.operators.dedup import (
         shared_window_stats,
     )
     from bigdata_spark_assignment_spark.operators.textual import words_expr
 
-    nb = "\u00a0"
-    text = f"alpha{nb}beta w1 w2 w3 w4"
+    text = f"alpha{weird}beta w1 w2 w3 w4"
     docs = spark.createDataFrame([(1, text), (2, text)],
                                  "doc_id long, text string")
-    # JVM tokenization: 5 tokens (the NBSP token stays whole)
+    # JVM tokenization: 5 tokens (the odd-whitespace token stays whole)
     n_jvm = docs.select(F.size(words_expr(F.col("text"))).alias("n")) \
         .first().n
     assert n_jvm == 5
+    # DuckDB (RE2 \s+) agrees
+    import duckdb as _dd
+    n_duck = _dd.sql(
+        "SELECT len(string_split_regex(lower(?), '\\s+'))",
+        params=[text]).fetchone()[0]
+    assert n_duck == 5
     # both docs share their full 5-token window — 1 shared window; a
-    # Unicode-aware split (6 tokens) would find 2 shared 5-windows
+    # divergent split (6 tokens) would find 2 shared 5-windows
     out = shared_window_stats(docs, window_tokens=5).first()
     assert out.n_shared_windows == 1
     assert out.n_docs_with_shared == 2
@@ -274,8 +283,8 @@ def test_chunk_udtf_matches_relational_chunker(spark):
     class ChunkTokens:
         def eval(self, text: str, max_tokens: int, overlap: int):
             import re
-            words = re.split(r"(?a)\s+", text.lower()) if text is not None \
-                else []
+            words = re.split("[ \t\n\r\f]+", text.lower()) \
+                if text is not None else []
             stride = max_tokens - overlap
             n_chunks = max(
                 1, -(-(len(words) - overlap) // stride))  # ceil
