@@ -198,3 +198,26 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_compacted(df: DataFrame, path: str, rows_per_file: int,
+                    n_rows: int | None = None,
+                    mode: str = "overwrite") -> int:
+    """Small-file-aware sink: repartition to ``ceil(rows /
+    rows_per_file)`` files before writing, so a 100 TB output lands as
+    (say) 512 MB objects instead of one file per upstream task — the
+    compaction every lakehouse job needs on its final write. Returns
+    the file count written.
+
+    Pass ``n_rows`` when the caller already knows the count (saves the
+    counting job); otherwise one count() runs. A real deployment sizes
+    by BYTES via sampled row width — rows_per_file is the
+    deterministic, testable proxy for the same control knob.
+    ``repartition(n)`` round-robins, so files are even-sized; use
+    ``write_parquet`` with ``partition_by`` instead when downstream
+    needs partition pruning.
+    """
+    total = df.count() if n_rows is None else n_rows
+    n_files = max(1, -(-total // rows_per_file))
+    df.repartition(n_files).write.mode(mode).parquet(path)
+    return n_files

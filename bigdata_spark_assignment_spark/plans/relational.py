@@ -604,9 +604,9 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(0 AS BIGINT) AS n_only_back,
            CAST(0 AS BIGINT) AS n_only_source,
            TRUE AS roundtrip_ok
-    FROM n, (VALUES ('csv'), ('jsonl'), ('orc')) AS p(part)
+    FROM n, (VALUES ('csv'), ('jsonl'), ('orc'), ('compact')) AS p(part)
     """,
-    tags=("io", "csv", "json", "orc"),
+    tags=("io", "csv", "json", "orc", "compaction"),
 )
 def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2/S8 driver-visible, one row per FORMAT (r3: csv + jsonl +
@@ -617,14 +617,24 @@ def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips every value (incl. full-precision doubles and quoted
     commas in CSV / JSON number text / ORC binary) bit-for-bit.
 
+    The ``compact`` part exercises the small-file-aware sink
+    (``io.write_compacted``): the table must land in exactly
+    ceil(rows / rows_per_file) even-sized parquet files (counted on
+    the filesystem) and read back row-complete — the final-write
+    compaction every lakehouse job applies at scale.
+
     Oracle-backed: ``n_source``/``n_back`` are genuinely SQL-derived
     (each must equal COUNT(*) of customer per format); the diff
-    columns pin the exceptAll checks at zero. Eagerly materialized so
+    columns pin the exceptAll checks at zero (for ``compact``, the
+    file-count delta). Eagerly materialized so
     the scratch directory can be removed before returning (ADVICE r2:
     the old lazy version leaked a full CSV copy per run)."""
+    import glob
     import os
     import shutil
     import tempfile
+
+    from ..io import write_compacted
 
     # persist: the source table feeds 3 writes plus both sides of two
     # exceptAll diffs per format — without the cache that is 9+
@@ -634,7 +644,7 @@ def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     try:
         n_source = cust.count()
-        for part in ("csv", "jsonl", "orc"):
+        for part in ("csv", "jsonl", "orc", "compact"):
             path = os.path.join(root, f"customer_{part}")
             if part == "csv":
                 cust.write.mode("overwrite").option("header", True).csv(path)
@@ -642,6 +652,17 @@ def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             elif part == "jsonl":
                 cust.write.mode("overwrite").json(path)
                 back = spark.read.schema(cust.schema).json(path)
+            elif part == "compact":
+                expected = write_compacted(cust, path, rows_per_file=1000,
+                                           n_rows=n_source)
+                actual = len(glob.glob(os.path.join(path,
+                                                    "part-*.parquet")))
+                n_back = (spark.read.schema(cust.schema).parquet(path)
+                          .count())
+                rows.append(("compact", n_source, n_back,
+                             actual - expected, 0,
+                             n_back == n_source and actual == expected))
+                continue
             else:
                 cust.write.mode("overwrite").orc(path)
                 back = spark.read.schema(cust.schema).orc(path)

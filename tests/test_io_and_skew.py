@@ -224,3 +224,28 @@ def test_parquet_aggregate_pushdown_under_v2_source(spark, sf_oracle):
     assert "PushedAggregation" in buf.getvalue()
     row = q.first()
     assert row.n == 60000 and row.mx == 104997.88
+
+
+def test_write_compacted_file_count(spark, tmp_path):
+    """The compaction sink must land exactly ceil(rows/rows_per_file)
+    parquet files, round-robin balanced, row-complete on read-back."""
+    import glob
+
+    from bigdata_spark_assignment_spark.io import write_compacted
+
+    df = spark.range(2500).withColumnRenamed("id", "k")
+    n_files = write_compacted(df, f"{tmp_path}/out", rows_per_file=1000)
+    assert n_files == 3
+    parts = glob.glob(f"{tmp_path}/out/part-*.parquet")
+    assert len(parts) == 3
+    back = spark.read.parquet(f"{tmp_path}/out")
+    assert back.count() == 2500
+    # round-robin repartition keeps files balanced (near-even; exact
+    # counts depend on upstream partition boundaries)
+    import pyarrow.parquet as pq
+    sizes = sorted(pq.ParquetFile(p).metadata.num_rows for p in parts)
+    assert sizes[-1] - sizes[0] <= 0.02 * sum(sizes)
+    # single short input -> exactly one file
+    assert write_compacted(spark.range(5), f"{tmp_path}/one",
+                           rows_per_file=1000) == 1
+    assert len(glob.glob(f"{tmp_path}/one/part-*.parquet")) == 1
