@@ -53,3 +53,26 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: list[str] | str,
     f = with_salt(fact, salt)
     d = replicate_per_salt(dim, salt)
     return f.join(d, keys + ["__salt"], how).drop("__salt")
+
+
+def key_skew_stats(df: DataFrame, key_col: str, top_n: int = 3) -> DataFrame:
+    """Skew DIAGNOSIS — the measurement that decides between a plain
+    join, AQE skew splitting, and ``salted_join``: the ``top_n``
+    hottest keys with their row counts and share of the table.
+    Deterministic ordering (count desc, key asc) so the result is
+    engine-independent and oracle-checkable.
+
+    100 TB notes: one key-only aggregate (map-side partials collapse
+    per-key before the shuffle) + a broadcast 1-row total; the top-n
+    is a TakeOrdered, never a full sort. Run this BEFORE picking a
+    join strategy — salting costs dim×salt replication and is only
+    worth it when max share is large enough that one shuffle partition
+    would otherwise hold a meaningful fraction of the table.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__t"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select(key_col, "n_rows",
+                    (F.col("n_rows") / F.col("__t")).alias("share"))
+            .orderBy(F.col("n_rows").desc(), F.col(key_col))
+            .limit(top_n))

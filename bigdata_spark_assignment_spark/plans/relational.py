@@ -451,31 +451,53 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q50_salted_join_hot_keys",
     oracle="""
-    SELECT o.o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l.l_extendedprice), 4) AS total_price
+    SELECT 'join' AS part, o.o_orderstatus AS k,
+           CAST(COUNT(*) AS DOUBLE) AS v1,
+           ROUND(SUM(l.l_extendedprice), 4) AS v2
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
+    UNION ALL
+    SELECT 'diag', CAST(l_orderkey AS VARCHAR), CAST(cnt AS DOUBLE),
+           ROUND(share, 6)
+    FROM (
+      SELECT l_orderkey, COUNT(*) AS cnt,
+             COUNT(*) * 1.0 / (SELECT COUNT(*) FROM lineitem) AS share
+      FROM lineitem GROUP BY l_orderkey
+      ORDER BY cnt DESC, l_orderkey LIMIT 3)
     """,
-    tags=("join", "skew"),
+    tags=("join", "skew", "diagnostics"),
 )
 def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-resistant salted join (operators.skew.salted_join): fact
-    rows fan out over (key, salt) partitions, dim replicated per salt —
-    row-identical to the plain join, which is exactly what the oracle
-    asserts. At 100 TB this is the fallback when one order key holds a
-    measurable fraction of the fact table and AQE's skew splitting
-    isn't enough (SURVEY.md §4.3).
+    """Skew suite (SURVEY.md §4.3), tagged parts:
+
+    * ``join`` — skew-resistant salted join (operators.skew.
+      salted_join): fact rows fan out over (key, salt) partitions, dim
+      replicated per salt — row-identical to the plain join, which is
+      exactly what the oracle asserts. At 100 TB this is the fallback
+      when one order key holds a measurable fraction of the fact table
+      and AQE's skew splitting isn't enough.
+    * ``diag`` — the skew DIAGNOSIS that decides between plain join /
+      AQE / salting (operators.skew.key_skew_stats): the 3 hottest
+      join keys with row counts and table share, oracle-recomputed.
+      Measure first; salting costs dim×salt replication.
     """
-    from ..operators.skew import salted_join
+    from ..operators.skew import key_skew_stats, salted_join
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders") \
         .withColumnRenamed("o_orderkey", "l_orderkey")
     joined = salted_join(li, orders, "l_orderkey", salt=8)
-    return (joined.groupBy("o_orderstatus")
-            .agg(F.count(F.lit(1)).alias("n_items"),
-                 fround(F.sum("l_extendedprice")).alias("total_price")))
+    join_part = (joined.groupBy("o_orderstatus")
+                 .agg(F.count(F.lit(1)).cast("double").alias("v1"),
+                      fround(F.sum("l_extendedprice")).alias("v2"))
+                 .select(F.lit("join").alias("part"),
+                         F.col("o_orderstatus").alias("k"), "v1", "v2"))
+    diag_part = key_skew_stats(li, "l_orderkey", top_n=3).select(
+        F.lit("diag").alias("part"),
+        F.col("l_orderkey").cast("string").alias("k"),
+        F.col("n_rows").cast("double").alias("v1"),
+        F.round("share", 6).alias("v2"))
+    return join_part.unionByName(diag_part)
 
 
 @register(
