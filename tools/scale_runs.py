@@ -51,7 +51,11 @@ HEADLINE = ["q01_pricing_summary", "q05_join_fact_fact",
             "q53_neardup_clusters", "q67_blocked_cosine_neardup",
             # r3 additions
             "q31_dedup_suite", "q72_heavy_hitters", "q73_scd2_merge",
-            "q74_repetition_ngram_filters"]
+            "q74_repetition_ngram_filters",
+            # r3 session-3 additions: grouped OLS/UDAF over 6M rows
+            # (2M rows/group through Arrow), packing + mixture windows,
+            # multi-format round-trip at 10x
+            "q07_correlation", "q11_split_sample_counts"]
 
 
 def _replicate(df, n: int):
