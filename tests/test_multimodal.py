@@ -124,8 +124,11 @@ def test_codec_seam_resolves_and_both_branches_share_schema(spark, sf_smoke):
         has_pil = True
     except ImportError:
         has_pil = False
-    assert resolve_codec(None) == ("pil" if has_pil else "stub")
+    # auto-detect never lands on the stub any more: the vendored
+    # BMP/WAV parsers (operators.codecs) are always present
+    assert resolve_codec(None) == ("pil" if has_pil else "native")
     assert resolve_codec("stub") == "stub"
+    assert resolve_codec("native") == "native"
     with pytest.raises(ValueError):
         resolve_codec("ffmpeg")
 
@@ -162,3 +165,206 @@ def test_pil_branch_decodes_real_image_when_available(spark):
     row = extract_features(assets, codec="pil").first()
     assert (row.width, row.height) == (7, 5)
     assert abs(row.feat_mean - 128.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Vendored codecs (operators.codecs): golden bytes, round-trips, and the
+# REAL-decode branch under Spark (VERDICT r3 #1)
+# ---------------------------------------------------------------------------
+
+def _golden_bmp(top_down: bool = False) -> bytes:
+    """Hand-assembled from the public BMP layout — INDEPENDENT of
+    encode_bmp, so the decoder is pinned to the real format, not to a
+    matching encoder bug. 2×2 gray pixels [[10, 20], [30, 40]]
+    (top row first), 24-bit, 2-pad per row."""
+    import struct
+    height = -2 if top_down else 2
+    head = struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, height, 1, 24, 0, 16,
+                       0, 0, 0, 0)
+    row_top = bytes([10] * 3 + [20] * 3 + [0, 0])
+    row_bot = bytes([30] * 3 + [40] * 3 + [0, 0])
+    rows = row_top + row_bot if top_down else row_bot + row_top
+    return head + info + rows
+
+
+def _golden_wav() -> bytes:
+    """Hand-assembled RIFF/WAVE: PCM-16 mono 8 kHz samples
+    [0, 100, -100, 50], with a LIST chunk and an ODD-sized junk chunk
+    (word-aligned per spec) before data — exercises real chunk
+    walking, not a fixed-offset read."""
+    import struct
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<4h", 0, 100, -100, 50)
+    body = (b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"LIST", b"INFO")
+            + chunk(b"junk", b"abc") + chunk(b"data", data))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_bmp_golden_bytes():
+    import math
+
+    from bigdata_spark_assignment_spark.operators.codecs import decode_bmp
+    for top_down in (False, True):
+        d = decode_bmp(_golden_bmp(top_down))
+        assert (d["width"], d["height"]) == (2, 2)
+        assert d["feat_mean"] == 25.0
+        assert abs(d["feat_std"] - math.sqrt(125.0)) < 1e-12
+
+
+def test_decode_wav_golden_bytes():
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.codecs import decode_wav
+    d = decode_wav(_golden_wav())
+    assert d["n_channels"] == 1 and d["sample_rate"] == 8000
+    assert d["n_samples"] == 4 and d["duration"] == 4 / 8000.0
+    assert d["feat_mean"] == 12.5
+    assert abs(d["feat_std"] - float(np.std([0, 100, -100, 50]))) < 1e-12
+
+
+def test_codec_round_trips_and_padding():
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.codecs import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+    # widths 1..9 cover every row-padding residue (stride % 4)
+    for w in range(1, 10):
+        px = (np.arange(w * 3) % 256).astype(np.uint8).reshape(3, w)
+        d = decode_bmp(encode_bmp(px))
+        assert (d["width"], d["height"]) == (w, 3)
+        assert d["feat_mean"] == float(px.mean())
+        assert d["feat_std"] == float(px.astype(np.float64).std())
+    # stereo WAV: frames = samples / channels, stats over all channels
+    s = np.arange(10, dtype=np.int16)
+    d = decode_wav(encode_wav(s, sample_rate=16000, n_channels=2))
+    assert d["n_channels"] == 2 and d["n_samples"] == 5
+    assert d["duration"] == 5 / 16000.0 and d["feat_mean"] == 4.5
+
+
+def test_codec_error_paths():
+    import struct
+
+    import pytest
+
+    from bigdata_spark_assignment_spark.operators.codecs import (
+        decode_bmp,
+        decode_wav,
+    )
+    with pytest.raises(ValueError):  # wrong magic
+        decode_bmp(b"PNG" + b"\x00" * 60)
+    with pytest.raises(ValueError):  # 8-bit (palette) unsupported
+        bad = bytearray(_golden_bmp())
+        struct.pack_into("<H", bad, 28, 8)
+        decode_bmp(bytes(bad))
+    with pytest.raises(ValueError):  # truncated pixel data
+        decode_bmp(_golden_bmp()[:-8])
+    with pytest.raises(ValueError):  # not RIFF
+        decode_wav(b"OggS" + b"\x00" * 40)
+    with pytest.raises(ValueError):  # float PCM unsupported
+        bad = bytearray(_golden_wav())
+        struct.pack_into("<H", bad, 20, 3)
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError):  # missing data chunk
+        g = _golden_wav()
+        decode_wav(g[:g.index(b"data")])
+
+
+def test_extract_media_features_native_vs_stub_same_payloads(spark):
+    """Both branches on the SAME real payloads: 'native' returns true
+    header geometry / sample stats, 'stub' returns byte statistics;
+    output schema identical; the per-row codec column reports which
+    parser actually ran (the q49 assertion surface)."""
+    from bigdata_spark_assignment_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_bmp_assets,
+        synthesize_wav_assets,
+    )
+    ids = spark.range(40).withColumnRenamed("id", "doc_id")
+    assets = (synthesize_bmp_assets(ids)
+              .unionByName(synthesize_wav_assets(ids)))
+    native = extract_media_features(assets, codec="native")
+    stub = extract_media_features(assets, codec="stub")
+    assert native.schema == stub.schema
+    nat = {(r.doc_id, r.modality): r for r in native.collect()}
+    stb = {(r.doc_id, r.modality): r for r in stub.collect()}
+    assert len(nat) == 80 and len(stb) == 80
+    for i in range(40):
+        img = nat[(i, "image")]
+        assert img.codec == "native"
+        assert (img.width, img.height) == (4 + i % 13, 3 + i % 7)
+        n = img.width * img.height
+        assert img.feat_mean == (n - 1) / 2.0
+        aud = nat[(i, "audio")]
+        assert aud.codec == "native"
+        ns = 10 + i % 50
+        assert (aud.n_channels, aud.sample_rate) == (1, 8000)
+        assert aud.n_samples == ns and aud.duration == ns / 8000.0
+        assert aud.feat_mean == (ns - 1) / 2.0
+        # stub on the same payload: byte stats over the WHOLE file
+        # (headers included) — different numbers, same schema
+        assert stb[(i, "image")].codec == "stub"
+        assert stb[(i, "image")].width != img.width or \
+            stb[(i, "image")].feat_mean != img.feat_mean
+
+
+def test_extract_features_native_branch_real_bmp(spark):
+    """The narrow extract_features path under codec='native' also
+    returns true BMP geometry (image modality; text keeps the stub)."""
+    from bigdata_spark_assignment_spark.operators.multimodal import (
+        synthesize_bmp_assets,
+    )
+    ids = spark.range(15).withColumnRenamed("id", "doc_id")
+    rows = extract_features(synthesize_bmp_assets(ids),
+                            codec="native").collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert (r.width, r.height) == (4 + r.doc_id % 13, 3 + r.doc_id % 7)
+
+
+def test_codec_udf_ships_by_value_to_packageless_workers(tmp_path):
+    """Executors must NOT need this package importable: the vendored
+    codec functions ship by value inside the UDF closure
+    (cloudpickle.register_pickle_by_value in codecs.py). Simulated by
+    a driver script run from an empty cwd with the repo REMOVED from
+    PYTHONPATH — the driver imports the package via a runtime sys.path
+    insert (which worker processes never inherit), so a by-reference
+    pickle would fail with ImportError in the Python workers."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "probe.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from pyspark.sql import SparkSession\n"
+        "from bigdata_spark_assignment_spark.operators.multimodal import (\n"
+        "    extract_media_features, synthesize_bmp_assets)\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .appName('pkgless-worker-probe')\n"
+        "         .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "ids = spark.range(6).withColumnRenamed('id', 'doc_id')\n"
+        "out = extract_media_features(synthesize_bmp_assets(ids),\n"
+        "                             codec='native').collect()\n"
+        "assert len(out) == 6 and all(r.codec == 'native' for r in out)\n"
+        "print('PKGLESS-OK')\n"
+        "spark.stop()\n")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and os.path.abspath(p) != repo)
+    proc = subprocess.run([sys.executable, str(script)], cwd=str(tmp_path),
+                          env=env, capture_output=True, text=True,
+                          timeout=300)
+    assert "PKGLESS-OK" in proc.stdout, proc.stdout + proc.stderr
