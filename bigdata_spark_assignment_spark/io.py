@@ -217,6 +217,8 @@ def write_compacted(df: DataFrame, path: str, rows_per_file: int,
     ``write_parquet`` with ``partition_by`` instead when downstream
     needs partition pruning.
     """
+    if rows_per_file <= 0:
+        raise ValueError(f"rows_per_file must be >= 1, got {rows_per_file}")
     total = df.count() if n_rows is None else n_rows
     n_files = max(1, -(-total // rows_per_file))
     df.repartition(n_files).write.mode(mode).parquet(path)

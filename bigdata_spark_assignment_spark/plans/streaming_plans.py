@@ -142,7 +142,7 @@ def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS s,
                event_type
         FROM events GROUP BY 1, 2) g
-      WHERE g.s + INTERVAL '5 minutes' <=
+      WHERE g.s + INTERVAL '5 minutes' <
             (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes'
              FROM events))
     """,
@@ -337,9 +337,18 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm_final = batch_events.agg(
         (F.max("ts") - F.expr("INTERVAL 10 minutes")).alias("wm")) \
         .first().wm
+    # Boundary discipline (ADVICE r4): a window whose end EQUALS the
+    # final watermark sits exactly on append-mode's eviction boundary —
+    # whether Spark finalizes it depends on an internal >= vs >
+    # predicate. Compare strictly-closed windows only (win_end <
+    # wm_final) on BOTH the stream output and the batch expectation
+    # (oracle SQL mirrors the strict <), so a max on-time ts landing on
+    # a 5-minute boundary cannot flip `converged`.
     late_expected = tumbling_counts(batch_events).filter(
-        F.col("win_end") <= F.lit(wm_final))
-    late = _diff_row("late", late_stream, late_expected)
+        F.col("win_end") < F.lit(wm_final))
+    late = _diff_row("late",
+                     late_stream.filter(F.col("win_end") < F.lit(wm_final)),
+                     late_expected)
 
     return (tumb.unionByName(join).unionByName(stateful)
             .unionByName(dedup).unionByName(late))

@@ -80,11 +80,22 @@ def replay_with_late_chunk(spark: SparkSession, df: DataFrame,
         {c: F.col(c).cast("timestamp") for c in ntz_cols})
     staging = os.path.join(dir_path, "late_staging")
     late.coalesce(1).write.mode("overwrite").parquet(staging)
+    staged = glob.glob(os.path.join(staging, "part-*.parquet"))
+    if not staged:
+        # empty late_df wrote no part file — a zero-late replay is just
+        # replay_as_stream, not an IndexError (ADVICE r4)
+        shutil.rmtree(staging, ignore_errors=True)
+        return stream
     dest = os.path.join(data_dir, "part-late.parquet")
-    os.rename(glob.glob(os.path.join(staging, "part-*.parquet"))[0], dest)
+    os.rename(staged[0], dest)
     shutil.rmtree(staging, ignore_errors=True)
-    last = max(os.path.getmtime(p) for p in glob.glob(
-        os.path.join(data_dir, "part-*.parquet")) if p != dest)
+    on_time = [p for p in glob.glob(os.path.join(data_dir, "part-*.parquet"))
+               if p != dest]
+    if not on_time:
+        raise ValueError(
+            "replay_with_late_chunk needs at least one on-time chunk file; "
+            "df wrote no part files")
+    last = max(os.path.getmtime(p) for p in on_time)
     os.utime(dest, times=(last + 10, last + 10))
     return stream
 

@@ -25,7 +25,9 @@ Two workloads:
   dir — the cluster-fault-tolerant configuration a 100 TB run needs
   (VERDICT r2 #5). Verifies the planted pairs/clusters exactly.
 
-Usage:  python tools/scale_runs.py [sf1|cc500k|all]
+Usage:  python tools/scale_runs.py [sf1|sf1-full|cc500k|all]
+(``sf1-full`` = VERDICT r3 #2: the ENTIRE bench suite at 10× with
+per-query ratios vs BENCH_DETAIL.json's sf0.1 numbers.)
 """
 
 from __future__ import annotations
@@ -69,20 +71,55 @@ def build_sf1(spark) -> None:
     os.makedirs(SF1_DIR)
     t0 = time.perf_counter()
 
+    # Every table, FK-consistently: each replica is an INDEPENDENT
+    # TPC-H-ish instance (keys offset by the same span on both sides of
+    # every join), so join selectivity and per-key cardinalities match
+    # sf0.1 — a faithful 10× workload, not a 10× hot-key pileup.
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    supp = spark.read.parquet(f"{SRC}/supplier.parquet")
+    part = spark.read.parquet(f"{SRC}/part.parquet")
     key_span = li.agg(F.max("l_orderkey")).first()[0] + 1
+    cust_span = cust.agg(F.max("c_custkey")).first()[0] + 1
+    supp_span = supp.agg(F.max("s_suppkey")).first()[0] + 1
+    part_span = part.agg(F.max("p_partkey")).first()[0] + 1
+
+    def _offset(col, span):
+        return F.col(col) + F.col("__r") * F.lit(span)
+
     (_replicate(li, REPLICAS)
-     .withColumn("l_orderkey", F.col("l_orderkey")
-                 + F.col("__r") * F.lit(key_span))
+     .withColumn("l_orderkey", _offset("l_orderkey", key_span))
+     .withColumn("l_partkey", _offset("l_partkey", part_span))
+     .withColumn("l_suppkey", _offset("l_suppkey", supp_span))
      .drop("__r")
      .write.mode("overwrite").parquet(f"{SF1_DIR}/lineitem.parquet"))
 
-    orders = spark.read.parquet(f"{SRC}/orders.parquet")
     (_replicate(orders, REPLICAS)
-     .withColumn("o_orderkey", F.col("o_orderkey")
-                 + F.col("__r") * F.lit(key_span))
+     .withColumn("o_orderkey", _offset("o_orderkey", key_span))
+     .withColumn("o_custkey", _offset("o_custkey", cust_span))
      .drop("__r")
      .write.mode("overwrite").parquet(f"{SF1_DIR}/orders.parquet"))
+
+    (_replicate(cust, REPLICAS)
+     .withColumn("c_custkey", _offset("c_custkey", cust_span))
+     .drop("__r")
+     .write.mode("overwrite").parquet(f"{SF1_DIR}/customer.parquet"))
+
+    (_replicate(supp, REPLICAS)
+     .withColumn("s_suppkey", _offset("s_suppkey", supp_span))
+     .drop("__r")
+     .write.mode("overwrite").parquet(f"{SF1_DIR}/supplier.parquet"))
+
+    (_replicate(part, REPLICAS)
+     .withColumn("p_partkey", _offset("p_partkey", part_span))
+     .drop("__r")
+     .write.mode("overwrite").parquet(f"{SF1_DIR}/part.parquet"))
+
+    # fixed-size geography dims stay constant at any SF (as in TPC-H)
+    for dim in ("region", "nation"):
+        (spark.read.parquet(f"{SRC}/{dim}.parquet")
+         .write.mode("overwrite").parquet(f"{SF1_DIR}/{dim}.parquet"))
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     n_docs = docs.count()
@@ -139,6 +176,54 @@ def run_sf1(spark) -> dict:
         timings[name] = round(time.perf_counter() - t0, 2)
         print(f"  sf1 {name}: {timings[name]}s", flush=True)
     print(json.dumps({"sf1_headline_seconds": timings}), flush=True)
+    return timings
+
+
+def run_sf1_full(spark) -> dict:
+    """VERDICT r3 #2: the FULL bench suite at 10× — every query the
+    sf0.1 bench runs (same registry functions, same noop-sink forcing,
+    same warmups), with the per-query ratio against the sf0.1 numbers
+    in BENCH_DETAIL.json. Prints a BASELINE.md-ready table and one
+    JSON line; a >10× (super-linear) ratio is flagged."""
+    import bench as _bench
+    from bigdata_spark_assignment_spark.plans import REGISTRY
+
+    _bench._warmup(spark)
+    from bigdata_spark_assignment_spark.plans.similarity_plans import (
+        _ivf_centers_for,
+    )
+    _ivf_centers_for(spark, SF1_DIR, n_cells=16)
+
+    base = {}
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    if os.path.exists(detail_path):
+        with open(detail_path) as f:
+            d = json.load(f)
+            if d.get("sf") == 0.1:
+                base = d.get("queries", {})
+
+    timings, rows = {}, []
+    for name in sorted(REGISTRY):
+        if name in _bench.BENCH_EXCLUDE:
+            continue
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, SF1_DIR) \
+            .write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        b = base.get(name)
+        ratio = round(timings[name] / b, 1) if b else None
+        flag = " SUPER-LINEAR" if ratio is not None and ratio > 10 else ""
+        rows.append(f"| {name} | {b if b is not None else '—'} "
+                    f"| {timings[name]} | {ratio if ratio else '—'}×{flag} |")
+        print(f"  sf1-full {name}: {timings[name]}s"
+              f" (sf0.1: {b}, ratio {ratio}){flag}", flush=True)
+    print("| query | sf0.1 s | sf1.0 s | ratio |", flush=True)
+    print("|---|---|---|---|", flush=True)
+    for r in rows:
+        print(r, flush=True)
+    print(json.dumps({"sf1_full_seconds": timings,
+                      "total": round(sum(timings.values()), 1)}),
+          flush=True)
     return timings
 
 
@@ -335,6 +420,9 @@ def main() -> None:
     if what in ("sf1", "all"):
         build_sf1(spark)
         run_sf1(spark)
+    if what == "sf1-full":
+        build_sf1(spark)
+        run_sf1_full(spark)
     if what in ("cc500k", "all"):
         run_cc500k(spark)
     if what in ("hh", "all"):
