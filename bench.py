@@ -160,6 +160,24 @@ def main() -> None:
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump({"suite_seconds": total, "queries": timings,
                    "phases": phases, "repeat_samples": samples_detail,
+                   # self-describing stats (ADVICE r4): which entries
+                   # are medians vs single-run, and what the suite
+                   # total therefore is
+                   "measurement": {
+                       "per_query": {n: f"median_of_{k}"
+                                     for n, k in repeat_median.items()},
+                       "default": "single_run",
+                       "suite_seconds_note":
+                           "sum of per-query entries (medians for the "
+                           "queries above, single runs otherwise; "
+                           "q69 excludes its sink-write phase) — not "
+                           "one wall-clock pass",
+                       "load_protocol":
+                           "run on an otherwise-idle host, "
+                           "SPARK_GRAFT_CPUS unset (local[nproc]); "
+                           "concurrent load adds ±5s to the "
+                           "iterative queries (BASELINE.md r3)",
+                   },
                    "sf": sf_from_dir(sf_dir)}, f, indent=1, sort_keys=True)
     line = line_for(compact)
     while len(line) > MAX_LINE_CHARS and compact:

@@ -21,9 +21,11 @@ thousands of rows); at real scale you'd generate with ``spark.range``
 
 from __future__ import annotations
 
+import math
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 CARRIERS = ["WN", "AA", "DL", "UA", "US", "NW", "CO", "MQ", "OO", "XE",
@@ -139,3 +141,161 @@ def make_flights(spark: SparkSession, n: int = 4000, year: int = 2000,
         rows.append(tuple(row[c] for c in FLIGHT_COLUMNS))
     schema = T.StructType([T.StructField(c, T.StringType()) for c in FLIGHT_COLUMNS])
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Data-Expo-SHAPED generator at scale (r5, VERDICT r4 #2)
+# ---------------------------------------------------------------------------
+
+def _unif(k: int, seed: int) -> Column:
+    """Deterministic uniform in [0,1) from (row id, stream k, seed) —
+    one xxhash64, executor-side, no driver RNG loop."""
+    return (F.pmod(F.xxhash64(F.col("id"), F.lit(k), F.lit(seed)),
+                   F.lit(1 << 30)).cast("double") / float(1 << 30))
+
+
+def _normal(k: int, seed: int) -> Column:
+    """Box-Muller standard normal from two uniform streams."""
+    u1, u2 = _unif(k, seed), _unif(k + 1000003, seed)
+    return (F.sqrt(-2.0 * F.log(1.0 - u1))
+            * F.cos(F.lit(2.0 * math.pi) * u2))
+
+
+def make_flights_expo(spark: SparkSession, n: int = 1_000_000,
+                      year: int = 2000, n_tails: int = 3000,
+                      seed: int = 42) -> DataFrame:
+    """Data-Expo-SHAPED flights at arbitrary scale: ``spark.range(n)``
+    + column expressions (fully distributed — the driver-side
+    ``make_flights`` loop stops at fixture sizes), with the delay
+    structure of the real on-time data rather than a planted formula:
+
+    * **hub skew**: ~45% of departures from 8 hub airports (and hubs
+      add taxi-out congestion) — the Zipf-ish traffic shape that
+      stresses OHE cardinality and groupBy skew exactly like the real
+      Origin column;
+    * **seasonal + time-of-day propagation**: Jun/Jul/Dec (+storms/
+      holidays) and late-day departures carry higher delay means — the
+      two strongest structural effects in the published Data Expo
+      analyses;
+    * **heavy-tailed departure delay**: on-time Gaussian core + a
+      ~32% exponential late tail (mean ≈ 38 min), matching the
+      long-right-tail histogram of the real ``DepDelay``;
+    * **arrival leg**: ``ArrDelay = DepDelay + 0.35·(TaxiOut−12) −
+      0.004·Distance + hub/season congestion + N(0,8)`` — dominantly
+      LINEAR in observed features (which is why the reference's
+      LinearRegression beat both trees on the real data, Report §8),
+      with a mild nonlinear hub×season interaction so trees aren't
+      artificially zeroed;
+    * **reference dirt conventions**: all columns STRING, "NA" at
+      real-data-like rates (label ~2%, DepDelay/TaxiOut 1-2%), dirty
+      hhmm > 2400 rows, cancelled ~2%.
+
+    Same schema/column order as ``make_flights``; feeds the same
+    ``FlightDelayPipeline`` (clean → featurize → UFS → CV) without
+    changes. tools/ml_parity.py runs the full reference protocol on it
+    at 1M rows and BASELINE.md records the resulting metric table.
+    """
+    df = spark.range(n)
+
+    month = (1 + F.floor(_unif(1, seed) * 12)).cast("int")
+    dom = (1 + F.floor(_unif(2, seed) * 28)).cast("int")
+    dow = (1 + F.floor(_unif(3, seed) * 7)).cast("int")
+    hour = (5 + F.floor(_unif(4, seed) * 18)).cast("int")     # 5..22
+    minute = F.floor(_unif(5, seed) * 60).cast("int")
+
+    carrier_idx = F.floor(F.pow(_unif(6, seed), 1.5) * 20).cast("int")
+    hub_origin = _unif(7, seed) < 0.45
+    origin_idx = F.when(hub_origin, F.floor(_unif(8, seed) * 8)) \
+        .otherwise(8 + F.floor(_unif(8, seed) * 92)).cast("int")
+    hub_dest = _unif(9, seed) < 0.45
+    dest_idx = F.when(hub_dest, F.floor(_unif(10, seed) * 8)) \
+        .otherwise(8 + F.floor(_unif(10, seed) * 92)).cast("int")
+    distance = (100 + F.floor(F.pow(_unif(11, seed), 1.5) * 2400)) \
+        .cast("int")
+    taxi_out = F.round(
+        6.0 + 10.0 * -F.log(1.0 - _unif(12, seed))
+        + F.when(hub_origin, 6.0).otherwise(0.0)).cast("int")
+
+    seasonal = F.when(month.isin(6, 7, 12), 7.0) \
+        .when(month == 1, 3.0).otherwise(0.0)
+    hour_eff = 0.7 * (hour - 5).cast("double")
+    carrier_eff = (F.pmod(carrier_idx, F.lit(7)) - 3).cast("double")
+    late_tail = F.when(_unif(13, seed) < 0.32,
+                       38.0 * -F.log(1.0 - _unif(14, seed))).otherwise(0.0)
+    dep_delay = F.round(F.greatest(
+        F.lit(-15.0),
+        -4.0 + 4.0 * _normal(15, seed) + 0.5 * seasonal + hour_eff
+        + carrier_eff + late_tail)).cast("int")
+
+    congestion_arr = F.when(hub_dest & month.isin(6, 7, 12),
+                            6.0 * _unif(16, seed)).otherwise(0.0)
+    arr_delay = F.round(
+        dep_delay.cast("double")
+        + 0.35 * (taxi_out - 12).cast("double")
+        - 0.004 * distance.cast("double")
+        + congestion_arr
+        + 8.0 * _normal(17, seed)).cast("int")
+
+    # actual departure clock = scheduled + delay, wrapped to the day;
+    # ~1% dirty > 2400 rows keep the reference's range-filter path hot
+    sched_min = hour * 60 + minute
+    dep_min = F.pmod(sched_min + dep_delay, F.lit(1440))
+    dep_time = (F.floor(dep_min / 60) * 100 + F.pmod(dep_min, F.lit(60))) \
+        .cast("int")
+    dep_time = F.when(_unif(18, seed) < 0.01,
+                      (2401 + F.floor(_unif(19, seed) * 199)).cast("int")) \
+        .otherwise(dep_time)
+    crs_arr_min = F.pmod(sched_min + F.round(distance / 7.0), F.lit(1440))
+    crs_arr = (F.floor(crs_arr_min / 60) * 100
+               + F.pmod(crs_arr_min, F.lit(60))).cast("int")
+
+    cancelled = (_unif(20, seed)
+                 < 0.015 + F.when(seasonal > 0, 0.01).otherwise(0.0)) \
+        .cast("int")
+    tail_idx = F.floor(F.pow(_unif(21, seed), 1.2) * n_tails).cast("int")
+
+    def na(col: Column, k: int, rate: float) -> Column:
+        return F.when(_unif(k, seed) < rate, "NA") \
+            .otherwise(col.cast("string"))
+
+    carriers = F.array(*[F.lit(c) for c in CARRIERS])
+    out = df.select(
+        F.lit(str(year)).alias("Year"),
+        month.cast("string").alias("Month"),
+        dom.cast("string").alias("DayofMonth"),
+        dow.cast("string").alias("DayOfWeek"),
+        na(dep_time, 22, 0.025).alias("DepTime"),
+        (hour * 100 + minute).cast("string").alias("CRSDepTime"),
+        crs_arr.cast("string").alias("ArrTime"),
+        na(crs_arr, 23, 0.02).alias("CRSArrTime"),
+        F.element_at(carriers, carrier_idx + 1).alias("UniqueCarrier"),
+        (1 + F.pmod(F.col("id"), F.lit(9998))).cast("string")
+         .alias("FlightNum"),
+        F.format_string("N%04dX", tail_idx).alias("TailNum"),
+        (distance / 8 + taxi_out + 30).cast("int").cast("string")
+         .alias("ActualElapsedTime"),
+        (distance / 8 + 35).cast("int").cast("string")
+         .alias("CRSElapsedTime"),
+        (distance / 8).cast("int").cast("string").alias("AirTime"),
+        na(arr_delay, 24, 0.02).alias("ArrDelay"),
+        na(dep_delay, 25, 0.018).alias("DepDelay"),
+        F.format_string("A%02d", origin_idx).alias("Origin"),
+        F.format_string("A%02d", dest_idx).alias("Dest"),
+        distance.cast("string").alias("Distance"),
+        (3 + F.floor(_unif(26, seed) * 12)).cast("int").cast("string")
+         .alias("TaxiIn"),
+        na(taxi_out, 27, 0.02).alias("TaxiOut"),
+        cancelled.cast("string").alias("Cancelled"),
+        F.when(cancelled == 1,
+               F.element_at(F.array(F.lit("A"), F.lit("B"), F.lit("C"),
+                                    F.lit("D")),
+                            (1 + F.floor(_unif(28, seed) * 4)).cast("int")))
+         .otherwise("").alias("CancellationCode"),
+        F.lit("0").alias("Diverted"),
+        F.lit("NA").alias("CarrierDelay"),
+        F.lit("NA").alias("WeatherDelay"),
+        F.lit("NA").alias("NASDelay"),
+        F.lit("NA").alias("SecurityDelay"),
+        F.lit("NA").alias("LateAircraftDelay"),
+    )
+    return out.select(*FLIGHT_COLUMNS)

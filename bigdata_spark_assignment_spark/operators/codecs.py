@@ -110,6 +110,143 @@ def decode_bmp(data: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# PNG — stdlib-zlib, written from the public PNG spec (8-byte
+# signature; length/type/data/CRC chunk grammar; IHDR geometry; IDAT
+# zlib stream of filter-byte-prefixed scanlines). Decode supports the
+# full filter set (None/Sub/Up/Average/Paeth) for grayscale (color
+# type 0) and truecolor (color type 2) at bit depth 8, non-interlaced
+# — the shapes a real training corpus's "already-normalized" tier
+# uses. Encode emits grayscale-8 with filter 0 per scanline.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def encode_png(pixels) -> bytes:
+    """Grayscale pixel grid ``(h, w)`` uint8 → 8-bit grayscale PNG
+    (color type 0, filter 0 scanlines, one zlib IDAT)."""
+    import zlib
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim != 2 or px.size == 0:
+        raise ValueError("pixels must be a non-empty 2-D (h, w) array")
+    h, w = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    # each scanline: 1 filter byte (0 = None) + w gray bytes
+    raw = np.zeros((h, w + 1), dtype=np.uint8)
+    raw[:, 1:] = px
+    return (_PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_defilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering. Filters 0/1/2 are vectorized
+    (None copy / per-channel modular cumsum / prior-row add); 3/4
+    (Average/Paeth) carry a left-neighbor data dependency that forces
+    a per-pixel pass, taken only on scanlines that use them."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    lines = raw.reshape(h, stride + 1)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype, line = int(lines[y, 0]), lines[y, 1:]
+        if ftype == 0:
+            rec = line.copy()
+        elif ftype == 1:   # Sub: modular cumsum per channel offset
+            rec = np.cumsum(
+                line.reshape(w, bpp).astype(np.int64), axis=0
+            ).astype(np.uint8).reshape(stride)
+        elif ftype == 2:   # Up
+            rec = line + prior
+        elif ftype in (3, 4):
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prior[x - bpp]) if x >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec
+        prior = rec
+    return out
+
+
+def decode_png(data: bytes) -> dict:
+    """Parse an 8-bit grayscale/truecolor non-interlaced PNG →
+    geometry + grayscale stats (same contract as ``decode_bmp``).
+
+    Walks the chunk list (ancillary chunks skipped), concatenates all
+    IDAT bodies into one zlib stream, inflates, and defilters.
+    Raises ``ValueError`` on non-PNG payloads or unsupported
+    depth/color/interlace — a real parser's error path.
+    """
+    import zlib
+    if len(data) < len(_PNG_SIG) + 25 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        clen = struct.unpack_from(">I", data, pos)[0]
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR / IDAT chunk")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_n not in (0, 2) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={ctype_n}, "
+            f"interlace={interlace})")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG geometry w={w} h={h}")
+    bpp = 1 if ctype_n == 0 else 3
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (w * bpp + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    rec = _png_defilter(raw, h, w, bpp)
+    px = rec.reshape(h, w, bpp).astype(np.float64)
+    gray = px[:, :, 0] if bpp == 1 else px.mean(axis=2)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "feat_mean": float(gray.mean()),
+        "feat_std": float(gray.std()),
+    }
+
+
+def decode_image(data: bytes) -> dict:
+    """Magic-byte dispatch over the vendored image parsers — the
+    single entry point ingest-side decode uses, so adding a format
+    (BMP → +PNG this round) never touches the Spark plumbing."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    raise ValueError("unrecognized image payload (not BMP/PNG)")
+
+
+# ---------------------------------------------------------------------------
 # WAV — RIFF container, PCM 16-bit little-endian.
 # ---------------------------------------------------------------------------
 

@@ -192,7 +192,8 @@ def jaccard_expr(a: Column, b: Column) -> Column:
 def neardup_pairs_minhash(docs: DataFrame, id_col: str, text_col: str,
                           threshold: float = 0.6, k_shingle: int = 3,
                           num_hashes: int = 48, bands: int = 24,
-                          parallelism: int | None = None) -> DataFrame:
+                          parallelism: int | None = None,
+                          max_band_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
     MinHash banding + exact verification.
 
@@ -210,9 +211,20 @@ def neardup_pairs_minhash(docs: DataFrame, id_col: str, text_col: str,
     candidate join is equi on band hash; the verify join re-reads the
     (id → shingles) table, so no shingle array ever rides the LSH
     shuffle. Skewed bands (e.g. boilerplate headers) would hot-spot a
-    band hash — AQE skew-join handles moderate skew; extreme skew wants
-    a frequency cap on band buckets (drop buckets > N docs, the
-    classic "stop-shingle" trick).
+    band hash — AQE skew-join handles moderate skew; for extreme skew
+    pass ``max_band_size`` (the classic "stop-shingle" cap): buckets
+    holding more than that many docs are DROPPED before the self-join,
+    bounding candidate fan-out at O(bands · max_band_size) per bucket
+    instead of O(bucket²). Safe for recall on genuine near-dups: a
+    bucket is over-cap only when its band hash is shared corpus-wide
+    (boilerplate-dominated min), and such pairs still meet in their
+    body-derived bands (P(all matching bands boilerplate-hot) decays
+    geometrically in bands — tests/test_dedup.py plants a shared
+    header over every doc and checks both the fan-out bound and
+    planted-pair recall). The cap list is computed with one count
+    aggregate on the same (band, band_hash) keys and removed with a
+    broadcast anti-join — over-cap buckets are few by definition, so
+    the hot side never pays a window sort.
     """
     rows = num_hashes // bands
     exclude_infer_filters_from_generate(docs.sparkSession)
@@ -240,6 +252,13 @@ def neardup_pairs_minhash(docs: DataFrame, id_col: str, text_col: str,
 
     exploded = sig.select(
         "id", F.posexplode("bh").alias("band", "band_hash"))
+    if max_band_size is not None:
+        hot = (exploded.groupBy("band", "band_hash")
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .filter(F.col("__n") > max_band_size)
+               .select("band", "band_hash"))
+        exploded = exploded.join(F.broadcast(hot),
+                                 ["band", "band_hash"], "left_anti")
     a, b = exploded.alias("a"), exploded.alias("b")
     candidates = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -129,7 +129,7 @@ def extract_features(assets: DataFrame, id_col: str = "doc_id",
     # Captured by the closure; operators.codecs registers itself for
     # cloudpickle BY-VALUE serialization, so executors never need this
     # package importable (see codecs.py docstring).
-    from .codecs import decode_bmp as _decode_bmp  # noqa: F401
+    from .codecs import decode_image as _decode_image  # noqa: F401
 
     def run(batches):
         import numpy as np
@@ -170,12 +170,13 @@ def extract_features(assets: DataFrame, id_col: str = "doc_id",
 
         def decode_native(payload: bytes, modality: str) -> dict:
             # VENDORED real codec (operators.codecs, shipped by value):
-            # BMP geometry + pixel stats for images; other modalities
-            # keep the stub (this narrow schema has no audio fields —
-            # extract_media_features carries the full-surface variant).
+            # BMP/PNG geometry + pixel stats for images (magic-byte
+            # dispatch); other modalities keep the stub (this narrow
+            # schema has no audio fields — extract_media_features
+            # carries the full-surface variant).
             if modality != "image" or not payload:
                 return decode_stub(payload, modality)
-            d = _decode_bmp(bytes(payload))
+            d = _decode_image(bytes(payload))
             return {"feat_mean": d["feat_mean"], "feat_std": d["feat_std"],
                     "width": d["width"], "height": d["height"]}
 
@@ -375,6 +376,39 @@ def synthesize_bmp_assets(docs: DataFrame, id_col: str = "doc_id",
         asset_expr(F.col("payload"), "image", "image/bmp").alias(out_col))
 
 
+def synthesize_png_assets(docs: DataFrame, id_col: str = "doc_id",
+                          out_col: str = "asset") -> DataFrame:
+    """Deterministic REAL PNG fixtures (grayscale-8, zlib IDAT): for
+    each row ``width = 5 + id % 11``, ``height = 2 + id % 6``,
+    pixel(k) = ``k % 256`` row-major — w·h ≤ 105 < 256 so the ramp
+    never wraps and the q49 oracle gets exact closed forms
+    (mean = (n−1)/2, std = √((n²−1)/12), n = w·h)."""
+    from .codecs import encode_png  # by-value shipped (codecs.py)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 5 + i % 11, 2 + i % 6
+                px = (np.arange(w * h, dtype=np.int64) % 256).astype(
+                    np.uint8).reshape(h, w)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"id": pdf["id"].astype("int64"),
+                                "payload": payloads})
+
+    raw = docs.select(F.col(id_col).alias("id")).mapInPandas(
+        run, schema=T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]))
+    return raw.select(
+        F.col("id").alias(id_col),
+        asset_expr(F.col("payload"), "image", "image/png").alias(out_col))
+
+
 def synthesize_wav_assets(docs: DataFrame, id_col: str = "doc_id",
                           sample_rate: int = 8000,
                           out_col: str = "asset") -> DataFrame:
@@ -436,7 +470,7 @@ def extract_media_features(assets: DataFrame, id_col: str = "doc_id",
     narrow. Decode failures raise — a corrupt payload is a task error,
     not a silent stub row."""
     chosen = resolve_codec(codec)
-    from .codecs import decode_bmp as _bmp  # by-value shipped
+    from .codecs import decode_image as _img  # by-value shipped
     from .codecs import decode_wav as _wav
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -467,7 +501,7 @@ def extract_media_features(assets: DataFrame, id_col: str = "doc_id",
                      "feat_mean": float(arr.mean()),
                      "feat_std": float(arr.std())}
             else:
-                d = _bmp(payload)
+                d = _img(payload)
             return {"codec": chosen, "n_channels": 0, "sample_rate": 0,
                     "n_samples": 0, "duration": 0.0, **d}
 

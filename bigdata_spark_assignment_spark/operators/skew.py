@@ -35,13 +35,25 @@ def replicate_per_salt(df: DataFrame, salt: int,
 
 
 def salted_join(fact: DataFrame, dim: DataFrame, on: list[str] | str,
-                salt: int = 8, how: str = "inner") -> DataFrame:
+                salt: int = 8, how: str = "inner",
+                hot_keys: DataFrame | None = None) -> DataFrame:
     """Equi-join with the fact side salted against hot-key skew.
 
     Result is row-identical to ``fact.join(dim, on, how)`` (asserted in
     tests); only the shuffle distribution changes: each (key, salt)
     pair forms its own partition, bounding any single task at
     ~|hot key| / salt rows.
+
+    ``hot_keys`` (a DataFrame containing the join-key columns, e.g.
+    the top rows of ``key_skew_stats``) switches on TARGETED salting —
+    the 100 TB configuration: only rows whose key is in the hot list
+    fan out / replicate; everything else keeps salt 0. Blanket salting
+    replicates the ENTIRE dim ×salt (shuffle volume salt·|dim| — the
+    sf1 record showed exactly that term dominating q50), targeted
+    salting pays salt·|hot| with |hot| a handful of keys, plus one
+    broadcast of the hot list to tag both sides. Measure with
+    ``key_skew_stats`` first; feed its output straight in (it stays a
+    DataFrame — no driver collect).
 
     Supported how: inner / left / left_outer (the dim replicas are
     identical, so fact-preserving joins stay exact; right/full would
@@ -50,8 +62,24 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: list[str] | str,
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    f = with_salt(fact, salt)
-    d = replicate_per_salt(dim, salt)
+    if hot_keys is None:
+        f = with_salt(fact, salt)
+        d = replicate_per_salt(dim, salt)
+        return f.join(d, keys + ["__salt"], how).drop("__salt")
+    hk = F.broadcast(hot_keys.select(*keys).distinct()
+                     .withColumn("__hot", F.lit(1)))
+    f = (fact.join(hk, keys, "left")
+         .withColumn("__salt",
+                     F.when(F.col("__hot") == 1,
+                            (F.rand(42) * salt).cast("int"))
+                     .otherwise(F.lit(0)))
+         .drop("__hot"))
+    d = (dim.join(hk, keys, "left")
+         .withColumn("__salt", F.explode(F.sequence(
+             F.lit(0),
+             F.when(F.col("__hot") == 1, F.lit(salt - 1))
+             .otherwise(F.lit(0)))))
+         .drop("__hot"))
     return f.join(d, keys + ["__salt"], how).drop("__salt")
 
 

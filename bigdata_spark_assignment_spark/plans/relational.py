@@ -479,23 +479,28 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew suite (SURVEY.md §4.3), tagged parts:
 
-    * ``join`` — skew-resistant salted join (operators.skew.
-      salted_join): fact rows fan out over (key, salt) partitions, dim
-      replicated per salt — row-identical to the plain join, which is
-      exactly what the oracle asserts. At 100 TB this is the fallback
-      when one order key holds a measurable fraction of the fact table
-      and AQE's skew splitting isn't enough.
+    * ``join`` — skew-resistant TARGETED salted join (operators.skew.
+      salted_join with ``hot_keys``): the measured hottest keys fan
+      out over (key, salt) partitions and only their dim rows
+      replicate — row-identical to the plain join, which is exactly
+      what the oracle asserts. Blanket salting (also supported,
+      pytest-covered) replicates the whole dim ×salt; the r5 sf1
+      record showed that salt·|dim| shuffle term dominating this
+      query, so the registered configuration is the one a 100 TB run
+      would use: measure → salt the measured keys only.
     * ``diag`` — the skew DIAGNOSIS that decides between plain join /
       AQE / salting (operators.skew.key_skew_stats): the 3 hottest
       join keys with row counts and table share, oracle-recomputed.
-      Measure first; salting costs dim×salt replication.
+      Here its output FEEDS the join part's hot list (as a DataFrame —
+      no driver collect).
     """
     from ..operators.skew import key_skew_stats, salted_join
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders") \
         .withColumnRenamed("o_orderkey", "l_orderkey")
-    joined = salted_join(li, orders, "l_orderkey", salt=8)
+    hot = key_skew_stats(li, "l_orderkey", top_n=3).select("l_orderkey")
+    joined = salted_join(li, orders, "l_orderkey", salt=8, hot_keys=hot)
     join_part = (joined.groupBy("o_orderstatus")
                  .agg(F.count(F.lit(1)).cast("double").alias("v1"),
                       fround(F.sum("l_extendedprice")).alias("v2"))

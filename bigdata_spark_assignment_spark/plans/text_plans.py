@@ -228,6 +228,8 @@ def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              4 + doc_id % 13 AS w,
              3 + doc_id % 7 AS h,
+             5 + doc_id % 11 AS pw,
+             2 + doc_id % 6 AS ph,
              10 + doc_id % 50 AS ns
       FROM documents WHERE doc_id < 200),
     bmp AS (
@@ -238,6 +240,17 @@ def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(h) AS DOUBLE) AS m2,
              ROUND(SUM((CAST(w * h AS DOUBLE) - 1.0) / 2.0), 4) AS m3,
              ROUND(SUM(sqrt((CAST(w * h AS DOUBLE) * (w * h) - 1.0)
+                            / 12.0)), 4) AS m4,
+             0.0 AS m5
+      FROM ids),
+    png AS (
+      SELECT 'png_native' AS part, 'all' AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_assets,
+             CAST(COUNT(DISTINCT pw * 8 + ph) AS BIGINT) AS n_distinct,
+             CAST(SUM(pw) AS DOUBLE) AS m1,
+             CAST(SUM(ph) AS DOUBLE) AS m2,
+             ROUND(SUM((CAST(pw * ph AS DOUBLE) - 1.0) / 2.0), 4) AS m3,
+             ROUND(SUM(sqrt((CAST(pw * ph AS DOUBLE) * (pw * ph) - 1.0)
                             / 12.0)), 4) AS m4,
              0.0 AS m5
       FROM ids),
@@ -254,6 +267,7 @@ def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ids)
     SELECT * FROM stub
     UNION ALL SELECT * FROM bmp
+    UNION ALL SELECT * FROM png
     UNION ALL SELECT * FROM wav
     """,
     tags=("multimodal", "pandas-udf", "codec"),
@@ -271,12 +285,15 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume (16×16 → 256 bytes/asset), frame fan-out
     (min(4, ⌈⌈bytes/512⌉/2⌉)/asset), byte-stat band checks.
 
-    ``part='bmp_native'`` / ``part='wav_native'``: a REAL decode under
-    the vendored pure-numpy codecs (operators.codecs — VERDICT r3 #1).
+    ``part='bmp_native'`` / ``'png_native'`` / ``'wav_native'``: a
+    REAL decode under the vendored pure-numpy codecs
+    (operators.codecs — VERDICT r3 #1; PNG added r5 per VERDICT r4
+    #4, stdlib-zlib chunk/filter grammar with magic-byte dispatch).
     Deterministic true-format payloads (24-bit BMP: width=4+id%13,
-    height=3+id%7, ramp pixels; PCM-16 WAV: 10+id%50 ramp samples at
+    height=3+id%7, ramp pixels; grayscale-8 PNG: width=5+id%11,
+    height=2+id%6, ramp pixels; PCM-16 WAV: 10+id%50 ramp samples at
     8 kHz) are synthesized for doc_id < 200, parsed by the real
-    BMP/RIFF parsers, and the oracle re-derives the decoded
+    BMP/PNG/RIFF parsers, and the oracle re-derives the decoded
     width/height/duration/sample statistics CLOSED-FORM from doc_id
     (ramp of n values: mean=(n-1)/2, std=√((n²-1)/12) — bit-exact,
     pinned by tests/test_multimodal.py). The query filters on the
@@ -289,6 +306,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_images,
         sample_frames,
         synthesize_bmp_assets,
+        synthesize_png_assets,
         synthesize_wav_assets,
         text_as_asset,
     )
@@ -341,6 +359,20 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("bmp_native").alias("part"), F.lit("all").alias("grp"),
                 "n_assets", "n_distinct", "m1", "m2", "m3", "m4",
                 F.lit(0.0).alias("m5")))
+    png_media = (extract_media_features(synthesize_png_assets(media_docs),
+                                        codec="native")
+                 .filter(F.col("codec") == "native"))
+    png_part = (
+        png_media.groupBy()
+        .agg(F.count(F.lit(1)).alias("n_assets"),
+             F.countDistinct("digest").alias("n_distinct"),
+             F.sum("width").cast("double").alias("m1"),
+             F.sum("height").cast("double").alias("m2"),
+             fround(F.sum("feat_mean")).alias("m3"),
+             fround(F.sum("feat_std")).alias("m4"))
+        .select(F.lit("png_native").alias("part"), F.lit("all").alias("grp"),
+                "n_assets", "n_distinct", "m1", "m2", "m3", "m4",
+                F.lit(0.0).alias("m5")))
     wav_part = (
         media.filter(F.col("modality") == "audio").groupBy()
         .agg(F.count(F.lit(1)).alias("n_assets"),
@@ -352,7 +384,8 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              fround(F.sum("feat_std")).alias("m5"))
         .select(F.lit("wav_native").alias("part"), F.lit("all").alias("grp"),
                 "n_assets", "n_distinct", "m1", "m2", "m3", "m4", "m5"))
-    return stub_part.unionByName(bmp_part).unionByName(wav_part)
+    return (stub_part.unionByName(bmp_part).unionByName(png_part)
+            .unionByName(wav_part))
 
 
 @register(

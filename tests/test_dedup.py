@@ -324,3 +324,75 @@ def test_shared_window_stats_hash_matches_text_path(spark):
     assert got.n_shared_windows == want_windows
     assert got.n_shared_occurrences == want_occ
     assert got.n_docs_with_shared == want_docs
+
+
+# ---------------------------------------------------------------------------
+# Hot-band frequency cap (stop-shingle trick) — VERDICT r4 #3
+# ---------------------------------------------------------------------------
+
+BOILER_HEADER = " ".join(f"h{i}" for i in range(40))
+
+
+def _boiler_docs(spark, n: int = 200):
+    """Boilerplate-pathology corpus: every doc = the same 40-token
+    header + a 12-token unique body; every even doc 2i has a planted
+    near-copy 2i+1 (one body token changed → jaccard ≈ 0.89, while
+    cross-pair jaccard ≈ 0.58 from the shared header alone)."""
+    rows = []
+    for i in range(n):
+        base = i - (i % 2)
+        body = [f"u{base}x{k}" for k in range(12)]
+        if i % 2:
+            body[7] = f"mut{i}"
+        rows.append((i, BOILER_HEADER + " " + " ".join(body)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_band_corpus_really_has_hot_buckets(spark):
+    # precondition for the cap test: the shared header drives band
+    # buckets far above any genuine near-dup group size (2), i.e. the
+    # pathology the cap exists for is actually present.
+    from collections import Counter
+
+    import pandas as pd
+
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        _band_mins_pandas_udf,
+    )
+    from bigdata_spark_assignment_spark.operators.textual import shingles_expr
+
+    # shingle hashes JVM-side (pure expressions), band mins through the
+    # SAME numpy closure the operator ships (same seed-0 constants) —
+    # run locally so the check is plan-independent and exact
+    rows = (_boiler_docs(spark)
+            .select(F.transform(shingles_expr(F.col("text"), 3),
+                                lambda s: F.xxhash64(s)).alias("hs"))
+            .collect())
+    bh = _band_mins_pandas_udf(24, 2).func(
+        pd.Series([list(r.hs) for r in rows]))
+    buckets = Counter((band, v) for arr in bh for band, v in enumerate(arr))
+    top = max(buckets.values())
+    assert top > 50, f"expected a hot bucket, max bucket size {top}"
+
+
+def test_hot_band_cap_preserves_planted_recall(spark):
+    docs = _boiler_docs(spark)
+    capped = {(r.id_a, r.id_b) for r in
+              neardup_pairs_minhash(docs, "doc_id", "text", threshold=0.8,
+                                    max_band_size=10).collect()}
+    planted = {(i, i + 1) for i in range(0, 200, 2)}
+    # recall: every planted pair survives the cap (each still meets in
+    # a body-derived band whose bucket size is 2); precision: the
+    # exact-verify stage keeps cross-pairs (j≈0.58) out at 0.8.
+    assert capped == planted
+
+
+def test_hot_band_cap_noop_on_clean_data(spark):
+    # clean corpus: no bucket exceeds the cap, so results are identical
+    df = _docs_df(spark)
+    uncapped = {(r.id_a, r.id_b) for r in
+                neardup_pairs_minhash(df, "doc_id", "text", 0.5).collect()}
+    capped = {(r.id_a, r.id_b) for r in
+              neardup_pairs_minhash(df, "doc_id", "text", 0.5,
+                                    max_band_size=10).collect()}
+    assert capped == uncapped

@@ -368,3 +368,125 @@ def test_codec_udf_ships_by_value_to_packageless_workers(tmp_path):
                           env=env, capture_output=True, text=True,
                           timeout=300)
     assert "PKGLESS-OK" in proc.stdout, proc.stdout + proc.stderr
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (r5, VERDICT r4 #4): stdlib-zlib chunk/filter grammar
+# ---------------------------------------------------------------------------
+
+def _hand_png(px, ctype):
+    """Independent PNG writer: per-spec FORWARD filtering (cycling all
+    five filter types across scanlines) built without the codec under
+    test — the decoder must invert it exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+    h, w, bpp = px.shape[0], px.shape[1], px.shape[2]
+    lines, prior = [], np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int64)
+        f = y % 5
+        out = np.zeros(w * bpp, dtype=np.int64)
+        for x in range(w * bpp):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1}.get(f)
+            if pred is None:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + out.astype("uint8").tobytes())
+        prior = cur
+
+    def chunk(t, body):
+        return (struct.pack(">I", len(body)) + t + body
+                + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_png_all_filters_gray_and_truecolor():
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.codecs import decode_png
+    rng = np.random.RandomState(7)
+    for ctype, bpp in ((0, 1), (2, 3)):
+        px = rng.randint(0, 256, (7, 9, bpp)).astype(np.uint8)
+        d = decode_png(_hand_png(px, ctype))
+        gray = (px[:, :, 0] if bpp == 1
+                else px.astype(np.float64).mean(axis=2))
+        assert (d["width"], d["height"]) == (9, 7)
+        assert abs(d["feat_mean"] - float(gray.mean())) < 1e-12
+        assert abs(d["feat_std"] - float(gray.astype(float).std())) < 1e-12
+
+
+def test_png_round_trip_and_dispatch():
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.codecs import (
+        decode_image,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+    for w in range(1, 8):
+        px = (np.arange(w * 4) % 256).astype(np.uint8).reshape(4, w)
+        d = decode_png(encode_png(px))
+        assert (d["width"], d["height"]) == (w, 4)
+        assert d["feat_mean"] == float(px.mean())
+        assert d["feat_std"] == float(px.astype(np.float64).std())
+        # magic-byte dispatch hits the right parser for both formats
+        assert decode_image(encode_png(px)) == d
+        assert decode_image(encode_bmp(px))["width"] == w
+
+
+def test_png_error_paths():
+    import numpy as np
+    import pytest
+
+    from bigdata_spark_assignment_spark.operators.codecs import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+    good = encode_png(np.zeros((3, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):   # wrong magic
+        decode_png(b"BM" + b"\x00" * 60)
+    with pytest.raises(ValueError):   # 16-bit depth unsupported
+        bad = bytearray(good)
+        bad[24] = 16                  # IHDR bit-depth byte (8+4+4+8)
+        decode_png(bytes(bad))        # decoder doesn't verify CRCs
+    with pytest.raises(ValueError):   # interlaced unsupported
+        bad = bytearray(good)
+        bad[28] = 1                   # IHDR interlace byte
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError):   # truncated IDAT body
+        # strip IEND (12) + IDAT crc (4) + 1 byte into the IDAT body
+        decode_png(good[:-17])
+    with pytest.raises(ValueError):   # unknown image format
+        decode_image(b"GIF89a" + b"\x00" * 30)
+
+
+def test_synthesize_png_assets_native_decode(spark):
+    from bigdata_spark_assignment_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_png_assets,
+    )
+    ids = spark.range(30).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id: r for r in
+           extract_media_features(synthesize_png_assets(ids),
+                                  codec="native").collect()}
+    assert len(out) == 30
+    for i in range(30):
+        r = out[i]
+        assert r.codec == "native" and r.modality == "image"
+        w, h = 5 + i % 11, 2 + i % 6
+        assert (r.width, r.height) == (w, h)
+        n = w * h
+        assert r.feat_mean == (n - 1) / 2.0
+        assert abs(r.feat_std - ((n * n - 1) / 12.0) ** 0.5) < 1e-9

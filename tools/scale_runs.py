@@ -11,11 +11,13 @@ Two workloads:
 
   - lineitem/orders: 10 replicas with order keys offset per replica
     (join fan-out and group counts preserved; lineitem 600k → 6M);
-  - documents: 10 replicas with every WORD suffixed ``_r<i>`` — shingle
-    sets across replicas are disjoint, so the near-dup pair structure
-    per replica is IDENTICAL to sf0.1 (duplicating text verbatim would
+  - documents: 10 replicas under a per-replica Caesar rotation of the
+    letters (byte-preserving bijective word renaming) — shingle sets
+    across replicas are disjoint, so the near-dup pair structure per
+    replica is IDENTICAL to sf0.1 (duplicating text verbatim would
     manufacture 10-cliques and explode pair counts 45×, which no real
-    10× corpus does);
+    10× corpus does; the r4 word-suffix variant inflated bytes 15.5×
+    and mis-flagged per-byte-sublinear text queries as super-linear);
   - embeddings: 10 replicas rotated by ``i`` positions (norms and
     bucket balance preserved, cross-replica cosine decorrelated).
 
@@ -123,13 +125,25 @@ def build_sf1(spark) -> None:
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     n_docs = docs.count()
-    suffixed = F.array_join(
-        F.transform(F.split(F.col("text"), r"\s+"),
-                    lambda w: F.concat(w, F.lit("_r"),
-                                       F.col("__r").cast("string"))), " ")
+    # BYTE-PRESERVING per-replica disjointification (r5 fix: the old
+    # word-suffix variant added ~3 bytes/word, inflating the "10x"
+    # corpus to 15.5x BYTES and flagging every text-regex query as
+    # super-linear when it was sublinear per byte — SCALE_r5.json).
+    # Each replica applies a Caesar rotation of the letters, a
+    # bijective word renaming: lengths identical, per-replica Jaccard/
+    # shingle structure identical, cross-replica shingles disjoint.
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    rotated = F.col("text")
+    for i in range(1, REPLICAS):
+        rot = lower[i:] + lower[:i]
+        rotated = F.when(
+            F.col("__r") == i,
+            F.translate("text", lower + upper, rot + rot.upper())
+        ).otherwise(rotated)
     (_replicate(docs, REPLICAS)
      .withColumn("doc_id", F.col("doc_id") + F.col("__r") * F.lit(n_docs))
-     .withColumn("text", suffixed)
+     .withColumn("text", rotated)
      .drop("__r")
      .write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet"))
 
