@@ -506,9 +506,26 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q55_approx_sketches",
     oracle="""
+    -- r5 (VERDICT r4 #5): hll_estimate_pinned carries the EXACT HLL++
+    -- estimate per flag at the driver-testdata scales (keyed on table
+    -- cardinality; HLL++ is hash-based and merge-order-invariant —
+    -- measured twice in fresh processes, bit-identical), so an
+    -- estimator regression flips the value hash, not just the
+    -- error-band boolean. Unknown scales -> NULL on both sides.
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT)                  AS n,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact_orders,
+           CAST(CASE (SELECT COUNT(*) FROM lineitem)
+             WHEN 6000 THEN
+               CASE l_returnflag WHEN 'N' THEN 1115 WHEN 'A' THEN 1074
+                                 WHEN 'R' THEN 1083 END
+             WHEN 60000 THEN
+               CASE l_returnflag WHEN 'N' THEN 10999 WHEN 'A' THEN 11067
+                                 WHEN 'R' THEN 11079 END
+             WHEN 600000 THEN
+               CASE l_returnflag WHEN 'N' THEN 109560 WHEN 'A' THEN 107963
+                                 WHEN 'R' THEN 106958 END
+           END AS BIGINT) AS hll_estimate_pinned,
            TRUE AS hll_within_5pct,
            TRUE AS kll_median_in_decile
     FROM lineitem
@@ -555,6 +572,14 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(exact_orders), "l_returnflag")
             .select(
                 "l_returnflag", "n", "n_exact_orders",
+                # pinned-estimate contract (r5): emit the true HLL++
+                # value at driver-testdata scales (total-count key via
+                # a 5-row window sum), NULL elsewhere — matches the
+                # oracle's per-scale literals
+                F.when(F.sum("n").over(W.partitionBy())
+                       .isin(6000, 60000, 600000),
+                       F.col("approx_orders")).cast("long")
+                .alias("hll_estimate_pinned"),
                 (F.abs(F.col("approx_orders") - F.col("n_exact_orders"))
                  <= 0.05 * 2.5 * F.col("n_exact_orders") + 1)
                 .alias("hll_within_5pct"),

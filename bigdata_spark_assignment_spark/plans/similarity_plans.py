@@ -125,11 +125,24 @@ def _ivf_centers_for(spark: SparkSession, sf_dir: str,
       FROM scored),
     t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth
           FROM ranked WHERE rnk <= 10),
-    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q)
-    SELECT 'ivf' AS method, n_queries, n_truth, TRUE AS recall_ok
-    FROM nq, t
+    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q),
+    -- r5 (VERDICT r4 #5): the exact seeded recall NUMERATORS, pinned
+    -- per driver-testdata scale (keyed on lineitem cardinality, which
+    -- distinguishes the sfs; embeddings is 500 rows at both sf0.001
+    -- and sf0.01). The engine emits its true n_hits at pinned scales,
+    -- so ANY recall regression flips the value hash, not just the
+    -- floor boolean. Unknown scales -> NULL on both sides.
+    sz AS (SELECT COUNT(*) AS n_li FROM lineitem)
+    SELECT 'ivf' AS method, n_queries, n_truth,
+           CAST(CASE n_li WHEN 6000 THEN 42 WHEN 60000 THEN 39
+                WHEN 600000 THEN 39 END AS BIGINT) AS n_hits_pinned,
+           TRUE AS recall_ok
+    FROM nq, t, sz
     UNION ALL
-    SELECT 'lsh', n_queries, n_truth, TRUE FROM nq, t
+    SELECT 'lsh', n_queries, n_truth,
+           CAST(CASE n_li WHEN 6000 THEN 39 WHEN 60000 THEN 45
+                WHEN 600000 THEN 42 END AS BIGINT), TRUE
+    FROM nq, t, sz
     """.format(cos=_DUCK_COS.format(a='cv', b='qv')),
     tags=("similarity", "topk", "lsh", "ivf"),
 )
@@ -140,13 +153,16 @@ def ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     query body measures the probe path) top-10, each scored against
     the exact brute-force top-10 IN the query.
 
-    Oracle-backed self-verifying contract (r3): ``n_queries`` and
-    ``n_truth`` (the brute-force top-10 row count) are genuinely
-    SQL-derived via the same ranked-cosine CTE as q40's oracle, and
-    each method's recall@10 against that truth is hashed as a band
-    boolean (lsh ≥ 0.6, ivf ≥ 0.5 — the same floors pytest asserts;
-    both methods are seeded and deterministic, measured ~0.9/0.7).
-    Exact recall values stay the pytest contract."""
+    Oracle-backed self-verifying contract (r3, strengthened r5 per
+    VERDICT r4 #5): ``n_queries`` and ``n_truth`` (the brute-force
+    top-10 row count) are genuinely SQL-derived via the same
+    ranked-cosine CTE as q40's oracle; each method's recall@10 is
+    hashed TWICE — as the band boolean (lsh ≥ 0.6, ivf ≥ 0.5) and as
+    ``n_hits_pinned``, the exact seeded hit count, which the oracle
+    carries as per-scale literals (keyed on lineitem cardinality;
+    measured twice in fresh processes, bit-identical — both methods
+    are seeded and partition-stable). A recall regression of even ONE
+    neighbor now flips the value hash, not just the floor."""
     from ..operators.similarity import ann_topk_ivf_prefit
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -161,6 +177,10 @@ def ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.lit("ivf").alias("method"), "query_id", "neighbor_id"))
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_queries = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    # pinned-recall contract key: lineitem cardinality identifies the
+    # driver-testdata scale (metadata-only parquet count, 1-row bcast)
+    li_n = load_table(spark, sf_dir, "lineitem") \
+        .agg(F.count(F.lit(1)).alias("__li_n"))
     floors = F.when(F.col("method") == "lsh", F.lit(0.6)).otherwise(F.lit(0.5))
     return (lsh.unionByName(ivf)
             .join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
@@ -168,7 +188,11 @@ def ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
             .crossJoin(F.broadcast(n_queries))
             .crossJoin(F.broadcast(n_truth))
+            .crossJoin(F.broadcast(li_n))
             .select("method", "n_queries", "n_truth",
+                    F.when(F.col("__li_n").isin(6000, 60000, 600000),
+                           F.col("n_hits")).cast("long")
+                    .alias("n_hits_pinned"),
                     ((F.col("n_hits") / F.col("n_truth")) >= floors)
                     .alias("recall_ok")))
 

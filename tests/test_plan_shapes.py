@@ -120,3 +120,65 @@ def test_no_cartesian_product_anywhere(spark, sf_oracle):
         except Exception as e:  # noqa: BLE001
             pytest.fail(f"{name} failed to plan: {e}")
     assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------------
+# r5 (VERDICT r4 #7): the same plan shapes must SURVIVE 10x statistics.
+# Runs against the sf1 build tools/scale_runs.py produces; skipped when
+# that build is absent (CI runs `python tools/scale_runs.py sf1-full`
+# or just build_sf1 first).
+# ---------------------------------------------------------------------------
+
+SF1_DIR = "/tmp/sparkgraft_sf1"
+
+
+def _sf1_or_skip() -> str:
+    import os
+    if not os.path.isdir(os.path.join(SF1_DIR, "lineitem.parquet")):
+        pytest.skip("sf1 build absent - run tools/scale_runs.py sf1 first")
+    return SF1_DIR
+
+
+@pytest.mark.parametrize("name,wanted,forbidden", [
+    # dims stay broadcast at 10x: region/nation are fixed-size and
+    # supplier/part grow 10x but remain far under the broadcast
+    # threshold - a flip to SortMergeJoin here would shuffle the fact
+    ("q04_join_broadcast_dims", ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # predicate + projection pushdown is statistics-independent
+    ("q02_filter_project_cast",
+     ["GreaterThan(o_totalprice,50000.0)"], []),
+    # global top-k must stay TakeOrdered (no full sort) at any scale
+    ("q10_topk_orders", ["TakeOrderedAndProject"], ["Sort "]),
+    # the TPC-H suite keeps its pushed filter and at least one
+    # broadcast dim at 10x
+    ("q58_tpch_suite", ["EqualTo(l_returnflag,R)", "BroadcastHashJoin"],
+     []),
+])
+def test_plan_shapes_survive_10x_stats(spark, name, wanted, forbidden):
+    sf1 = _sf1_or_skip()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        REGISTRY[name].fn(spark, sf1).explain("formatted")
+    p = buf.getvalue()
+    for w in wanted:
+        assert w in p, f"{name}@sf1 lost {w!r}"
+    for f in forbidden:
+        assert f not in p, f"{name}@sf1 gained {f!r}"
+
+
+def test_no_cartesian_product_at_10x(spark):
+    """The scale-killer sweep repeated against 10x statistics — AQE /
+    the planner must not flip any 1-row broadcast into a cartesian."""
+    sf1 = _sf1_or_skip()
+    offenders = []
+    for name in REGISTRY:
+        if name in ("q43_ml_suite", "q68_stream_replay_suite",
+                    "q42_ann_methods_recall", "q69_csv_roundtrip_check",
+                    "q11_split_sample_counts"):
+            continue
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            REGISTRY[name].fn(spark, sf1).explain("formatted")
+        if "CartesianProduct" in buf.getvalue():
+            offenders.append(name)
+    assert not offenders, offenders
