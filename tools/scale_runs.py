@@ -343,6 +343,50 @@ def run_hh(spark, n_tokens: int = 40_000_000,
     stream.unpersist()
 
 
+def run_hotband(spark, n_docs: int = 100_000) -> None:
+    """r5 hot-band-cap evidence at scale: a boilerplate-heavy corpus
+    (every doc shares a 40-token header; every 50th doc has a planted
+    near-copy differing in 1 of 12 body tokens) where UNCAPPED banding
+    hot-spots: header-dominated band mins put most docs into one
+    bucket per band, an O(bucket²) candidate explosion. With
+    ``max_band_size=50`` the candidate stage is bounded and ALL
+    planted pairs must still verify (they meet in body-derived
+    size-2 buckets)."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        neardup_pairs_minhash,
+    )
+
+    header = " ".join(f"h{i}" for i in range(40))
+    is_copy = F.pmod("doc_id", F.lit(100)) == 1
+    # doc 100j+1 reuses doc 100j's body base with token 7 mutated;
+    # every other doc's body is unique to it
+    base = F.when(is_copy, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    tok = [F.when(is_copy & F.lit(k == 7),
+                  F.concat(F.lit("mut"), F.col("doc_id")))
+           .otherwise(F.concat(F.lit("u"), base, F.lit(f"x{k}")))
+           for k in range(12)]
+    docs = (spark.range(n_docs).select(F.col("id").alias("doc_id"))
+            .select("doc_id",
+                    F.concat_ws(" ", F.lit(header), *tok).alias("text"))
+            .persist())
+    n = docs.count()
+    planted = n // 100
+
+    t0 = time.perf_counter()
+    pairs = {(r.id_a, r.id_b) for r in
+             neardup_pairs_minhash(docs, "doc_id", "text", threshold=0.8,
+                                   max_band_size=50).collect()}
+    t_capped = time.perf_counter() - t0
+    expected = {(i, i + 1) for i in range(0, n, 100)}
+    assert pairs == expected, (len(pairs), len(expected))
+    print(json.dumps({
+        "hotband": {"n_docs": n, "planted_pairs": planted,
+                    "capped_pairs_s": round(t_capped, 1),
+                    "recall": 1.0, "precision": 1.0,
+                    "max_band_size": 50}}), flush=True)
+    docs.unpersist()
+
+
 def run_text500k(spark) -> None:
     """Session-2 r3 evidence: the two new text operators at 500k docs
     (30M tokens). Expectations are EXACT because the corpus is
@@ -441,6 +485,8 @@ def main() -> None:
         run_cc500k(spark)
     if what in ("hh", "all"):
         run_hh(spark)
+    if what in ("hotband", "all"):
+        run_hotband(spark)
     if what in ("text500k", "all"):
         run_text500k(spark)
 
