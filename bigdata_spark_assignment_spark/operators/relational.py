@@ -247,3 +247,91 @@ def range_join_binned(left: DataFrame, intervals: DataFrame,
             .filter((F.col(ts_col) >= F.col(start_col))
                     & (F.col(ts_col) <= F.col(end_col)))
             .drop("__bin"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join (runtime-filter pattern) — r5
+# ---------------------------------------------------------------------------
+
+def bloom_bitmap(build: DataFrame, key_col: str, m_bits: int = 1 << 20,
+                 k_hashes: int = 5) -> DataFrame:
+    """Distributed Bloom filter over ``build[key_col]`` as ONE row
+    holding a ``map<bigint, bigint>`` of 64-bit words (only words with
+    set bits are materialized — the map is sparse).
+
+    Built entirely with native expressions: each key contributes
+    ``k_hashes`` bit positions (``pmod(xxhash64(key, i), m_bits)``),
+    exploded to (word_idx, single-bit mask) pairs, OR-combined per
+    word with a partial-aggregating ``bit_or`` (map-side combine
+    collapses each partition's contribution before the one small
+    shuffle), then assembled into the map. For m_bits = 2^20 the map
+    is ≤ 16384 entries (~256 KB) — broadcastable at any build-side
+    cardinality.
+    """
+    masks = (build
+             .select(F.col(key_col).alias("__k")).distinct()
+             .select(F.explode(F.transform(
+                 F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+                 lambda i: F.pmod(F.xxhash64(F.col("__k"), i),
+                                  F.lit(m_bits)))).alias("__bit"))
+             # call_function: the SQL shiftleft takes a COLUMN shift
+             # amount; the python wrapper F.shiftleft only takes int
+             .select((F.col("__bit") / 64).cast("bigint").alias("__w"),
+                     F.call_function(
+                         "shiftleft", F.lit(1).cast("bigint"),
+                         F.pmod(F.col("__bit"), F.lit(64)).cast("int"))
+                     .alias("__m"))
+             .groupBy("__w").agg(F.bit_or("__m").alias("__m")))
+    return masks.groupBy().agg(
+        F.map_from_arrays(F.collect_list("__w"),
+                          F.collect_list("__m")).alias("__bloom"))
+
+
+def bloom_might_contain(key: Column, bloom_col: Column, m_bits: int,
+                        k_hashes: int) -> Column:
+    """Membership test against a ``bloom_bitmap`` map column: TRUE iff
+    all k bits are set (false positives possible, negatives exact)."""
+    import functools
+    import operator
+
+    def bit(i: int) -> Column:
+        p = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+        word = F.coalesce(
+            F.element_at(bloom_col, (p / 64).cast("bigint")), F.lit(0))
+        return F.call_function(
+            "shiftright", word, F.pmod(p, F.lit(64)).cast("int")) \
+            .bitwiseAND(F.lit(1)) == 1
+
+    return functools.reduce(operator.and_, [bit(i) for i in range(k_hashes)])
+
+
+def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
+                    build_key: str, m_bits: int = 1 << 20,
+                    k_hashes: int = 5, exact: bool = True) -> DataFrame:
+    """Semi-join with a broadcast Bloom PRE-FILTER on the probe side —
+    the runtime-filter pattern Spark applies internally for DPP/
+    runtime row filters, exposed as an explicit operator.
+
+    Result is row-identical to ``probe.join(build, cond, "left_semi")``
+    when ``exact=True`` (the Bloom pass only PRUNES; a real semi-join
+    over the survivors removes false positives — asserted by the q23
+    oracle). ``exact=False`` returns the Bloom-only filter for
+    pipelines that tolerate the fp rate (≈ (1 − e^{−kn/m})^k).
+
+    100 TB notes: the win is SHUFFLE VOLUME — with a selective build
+    side, the probe's semi-join exchange shrinks by the pass rate
+    (non-members are dropped at the scan, before any exchange), while
+    the Bloom itself moves ≤ m/8 bytes once per executor as a 1-row
+    broadcast. At fp ≈ 0 this approaches the cost of a broadcast
+    semi-join without requiring the build-side KEY SET to fit in
+    memory — only its bitmap."""
+    bloom = bloom_bitmap(build, build_key, m_bits, k_hashes)
+    pruned = (probe.crossJoin(F.broadcast(bloom))
+              .filter(bloom_might_contain(F.col(probe_key),
+                                          F.col("__bloom"),
+                                          m_bits, k_hashes))
+              .drop("__bloom"))
+    if not exact:
+        return pruned
+    cond = pruned[probe_key] == build[build_key]
+    return pruned.join(build, cond, "left_semi")

@@ -160,7 +160,14 @@ def rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST((SELECT COUNT(*) FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)) AS BIGINT)
       UNION ALL
       SELECT 'n_only_95',
-             CAST((SELECT COUNT(*) FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)) AS BIGINT))
+             CAST((SELECT COUNT(*) FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)) AS BIGINT)
+      UNION ALL
+      -- r5: Bloom-prefiltered semi-join must be ROW-IDENTICAL to the
+      -- exact semi-join (the Bloom stage only prunes; false positives
+      -- are removed by the semi-join over survivors)
+      SELECT 'n_with_orders_bloom',
+             CAST((SELECT COUNT(*) FROM customer
+                   WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS BIGINT))
     UNION ALL
     SELECT 'louter', p_brand,
            CAST(COUNT(*) AS BIGINT),
@@ -179,7 +186,11 @@ def membership_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * ``setops`` — EXISTS / NOT EXISTS as left-semi and left-anti
       joins, plus INTERSECT / EXCEPT over customer key sets from two
-      order years, reshaped to (metric, value) rows.
+      order years, reshaped to (metric, value) rows. The r5
+      ``n_with_orders_bloom`` row runs the broadcast-Bloom runtime
+      prefilter + exact semi-join (operators.relational.
+      bloom_semi_join) and must be row-identical to the plain
+      semi-join — the oracle pins both to the same EXISTS count.
     * ``louter`` — left outer join preserving unmatched build-side rows
       (the lineitem side is pre-filtered so some parts genuinely miss).
 
@@ -201,12 +212,20 @@ def membership_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("n2"),
             F.lit(None).cast("double").alias("v"))
 
+    from ..operators.relational import bloom_semi_join
+
     setops = (
         _metric(customer.join(orders, cond, "left_semi"), "n_with_orders")
         .unionByName(_metric(customer.join(orders, cond, "left_anti"),
                              "n_without_orders"))
         .unionByName(_metric(y95.intersect(y96), "n_both"))
-        .unionByName(_metric(y95.exceptAll(y96), "n_only_95")))
+        .unionByName(_metric(y95.exceptAll(y96), "n_only_95"))
+        # r5: broadcast-Bloom runtime prefilter + exact semi-join —
+        # oracle pins row-identity with the plain semi-join
+        .unionByName(_metric(
+            bloom_semi_join(customer, orders.select("o_custkey"),
+                            "c_custkey", "o_custkey"),
+            "n_with_orders_bloom")))
 
     part = load_table(spark, sf_dir, "part")
     li = (load_table(spark, sf_dir, "lineitem")

@@ -295,3 +295,36 @@ def test_targeted_salted_join_left_and_replication_bound(spark):
              .otherwise(0)))))
     assert d.count() == 5
     assert replicate_per_salt(dim, 4).count() == 8
+
+
+def test_bloom_semi_join_exact_and_fp_bound(spark, sf_smoke):
+    """r5 Bloom runtime-filter: exact mode is row-identical to the
+    plain semi-join; bloom-only mode passes every true member and its
+    false-positive rate stays under ~2x the theoretical bound."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        bloom_semi_join,
+    )
+
+    cust = load_table(spark, sf_smoke, "customer")
+    orders = load_table(spark, sf_smoke, "orders").select("o_custkey")
+    exact = bloom_semi_join(cust, orders, "c_custkey", "o_custkey")
+    plain = cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_semi")
+    assert sorted(r.c_custkey for r in exact.collect()) == \
+        sorted(r.c_custkey for r in plain.collect())
+
+    # tight filter (m small) on a DISJOINT probe domain to measure fp
+    m, k = 1 << 12, 5
+    n_build = orders.distinct().count()
+    probe = spark.range(10_000_000, 10_050_000) \
+        .withColumnRenamed("id", "c_custkey")
+    passed = bloom_semi_join(probe, orders, "c_custkey", "o_custkey",
+                             m_bits=m, k_hashes=k, exact=False).count()
+    import math
+    fp_theory = (1 - math.exp(-k * n_build / m)) ** k
+    assert passed / 50_000 <= 2 * fp_theory + 0.01, (passed, fp_theory)
+
+    # no false negatives in bloom-only mode: every true member passes
+    members = bloom_semi_join(cust, orders, "c_custkey", "o_custkey",
+                              m_bits=m, k_hashes=k, exact=False)
+    assert members.count() >= plain.count()

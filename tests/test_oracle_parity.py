@@ -25,3 +25,17 @@ def test_rows_only_queries_run(spark, sf_smoke):
             df = q.fn(spark, sf_smoke)
             assert df.columns, f"{name}: no columns"
             df.collect()  # must execute without error
+
+
+# r5: the q42/q55 PINNED-value contracts carry per-scale oracle
+# literals (keyed on lineitem cardinality). The driver only checks
+# sf0.01; pin the other driver-testdata scales here so a literal/
+# measurement drift at sf0.001 or sf0.1 can't hide.
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("name", ["q42_ann_methods_recall",
+                                  "q55_approx_sketches"])
+def test_pinned_contracts_hold_at_other_scales(spark, name, sf_dir):
+    q = REGISTRY[name]
+    ok, msg = compare_query_to_oracle(spark, sf_dir, q.fn, q.oracle)
+    assert ok, f"{name}@{sf_dir}: {msg}"
