@@ -328,3 +328,19 @@ def test_bloom_semi_join_exact_and_fp_bound(spark, sf_smoke):
     members = bloom_semi_join(cust, orders, "c_custkey", "o_custkey",
                               m_bits=m, k_hashes=k, exact=False)
     assert members.count() >= plain.count()
+
+
+def test_bloom_semi_join_degenerate_inputs(spark):
+    """Empty build side -> empty bitmap map -> nothing passes (missing
+    words coalesce to 0); null probe keys never join in exact mode."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        bloom_semi_join,
+    )
+
+    probe = spark.createDataFrame([(1,), (2,), (None,)], "k int")
+    empty = spark.createDataFrame([], "b int")
+    assert bloom_semi_join(probe, empty, "k", "b").count() == 0
+    assert bloom_semi_join(probe, empty, "k", "b", exact=False).count() == 0
+    build = spark.createDataFrame([(1,), (None,)], "b int")
+    out = bloom_semi_join(probe, build, "k", "b").collect()
+    assert [r.k for r in out] == [1]   # null keys never match
