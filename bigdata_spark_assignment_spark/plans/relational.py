@@ -549,6 +549,26 @@ def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY revenue DESC, c_custkey
       LIMIT 20)
     UNION ALL
+    -- r5: TPC-H Q5 (local supplier volume) — the 6-table join with the
+    -- customer-and-supplier-same-nation constraint
+    SELECT 'q5', n_nationkey, n_name, CAST(NULL AS VARCHAR),
+           revenue, CAST(n_items AS DOUBLE), CAST(NULL AS TIMESTAMP)
+    FROM (
+      SELECT n.n_nationkey, n.n_name,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2)
+    UNION ALL
     SELECT 'seg', c_custkey, c_mktsegment, CAST(NULL AS VARCHAR),
            acctbal, seg_avg, CAST(NULL AS TIMESTAMP)
     FROM (
@@ -573,6 +593,12 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       fact-fact join shuffles on orderkey; top-k is sort+limit.
     * ``q10`` — returned-item revenue: 4-way snowflake join with the
       returnflag filter pushed into the lineitem scan, top-20.
+    * ``q5`` (r5) — local supplier volume: the 6-table join
+      (region→nation→supplier ⋈ lineitem ⋈ orders ⋈ customer) with the
+      customer-and-supplier-same-nation constraint. All four dims
+      broadcast; the only shuffles are the lineitem⋈orders fact join
+      and the final nation group-by. The ASIA/date filters prune the
+      snowflake BEFORE any fact-side work.
     * ``seg`` — customers above their segment's average balance: the
       correlated-aggregate pattern as ONE window aggregate (no
       self-join), where the SQL formulation is a grouped subquery.
@@ -619,6 +645,35 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("n_items").cast("double").alias("v2"),
                    F.lit(None).cast("timestamp_ntz").alias("d")))
 
+    supp = load_table(spark, sf_dir, "supplier")
+    region = load_table(spark, sf_dir, "region")
+    asia = (nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name"))
+    y0 = F.lit("1996-01-01").cast("timestamp_ntz")
+    y1 = F.lit("1997-01-01").cast("timestamp_ntz")
+    q5 = (li
+          .join(orders.filter((F.col("o_orderdate") >= y0)
+                              & (F.col("o_orderdate") < y1)),
+                li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+          .join(F.broadcast(cust),
+                (orders.o_custkey == cust.c_custkey)
+                & (cust.c_nationkey == supp.s_nationkey))
+          .join(F.broadcast(asia), supp.s_nationkey == asia.n_nationkey)
+          .groupBy("n_nationkey", "n_name")
+          .agg(fround(F.sum(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))).alias("revenue"),
+               F.count(F.lit(1)).alias("n_items"))
+          .select(F.lit("q5").alias("part"),
+                  F.col("n_nationkey").cast("long").alias("k"),
+                  F.col("n_name").alias("s1"),
+                  F.lit(None).cast("string").alias("s2"),
+                  F.col("revenue").alias("v1"),
+                  F.col("n_items").cast("double").alias("v2"),
+                  F.lit(None).cast("timestamp_ntz").alias("d")))
+
     w = W.partitionBy("c_mktsegment")
     seg = (cust.withColumn("seg_avg", F.avg("c_acctbal").over(w))
            .filter(F.col("c_acctbal") > F.col("seg_avg"))
@@ -629,7 +684,7 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    fround(F.col("c_acctbal")).alias("v1"),
                    fround(F.col("seg_avg")).alias("v2"),
                    F.lit(None).cast("timestamp_ntz").alias("d")))
-    return q3.unionByName(q10).unionByName(seg)
+    return q3.unionByName(q10).unionByName(q5).unionByName(seg)
 
 
 # Phase telemetry for the bench (VERDICT r3 "What's wrong" #2): q69's
