@@ -14,5 +14,9 @@ from .ops import (  # noqa: F401
     tumbling_counts,
     with_watermark,
 )
-from .replay import replay_as_stream, run_to_memory_sink  # noqa: F401
+from .replay import (  # noqa: F401
+    replay_as_stream,
+    run_idempotent_batch_sink,
+    run_to_memory_sink,
+)
 from .stateful import running_totals  # noqa: F401

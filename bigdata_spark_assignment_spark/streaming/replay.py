@@ -116,3 +116,43 @@ def run_to_memory_sink(stream_df: DataFrame, name: str,
     q.awaitTermination(timeout_s)
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def run_idempotent_batch_sink(stream_df: DataFrame, out_dir: str,
+                              checkpoint_dir: str,
+                              output_mode: str = "update",
+                              timeout_s: int = 180):
+    """``foreachBatch`` parquet sink with per-batch-directory OVERWRITE
+    — the standard exactly-once recipe for output modes the built-in
+    file sink cannot express (update/complete from stateful
+    operators).
+
+    Why this is exactly-once: after a crash, Structured Streaming
+    re-runs the last uncommitted epoch with the SAME ``batch_id``; the
+    writer targets ``{out}/batch=<id>`` with ``mode=overwrite``, so a
+    replayed epoch replaces its own partial output instead of
+    appending a duplicate. Downstream readers see each epoch exactly
+    once; for update-mode per-key output the CURRENT state is the row
+    with the max batch id per key (batch id rides as a column).
+
+    100 TB notes: this is the pattern production jobs use for
+    lakehouse upserts when the sink lacks transactions — idempotence
+    comes from keying the write by epoch, not from the store. Runs a
+    BOUNDED drain (availableNow) so checkpointed restarts compose.
+    Returns the finished StreamingQuery (await already done).
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (df.withColumn("__batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+    q = (stream_df.writeStream
+         .foreachBatch(write_batch)
+         .outputMode(output_mode)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout_s):
+        raise TimeoutError("idempotent batch sink drain did not finish")
+    return q

@@ -281,3 +281,70 @@ def test_checkpoint_crash_resume_exactly_once(spark, events, tmp_path):
     expected_closed = {k for k, t in batch_map.items()
                        if t[1] < wm}
     assert expected_closed <= {t[:3] for t in emitted}
+
+
+def test_idempotent_batch_sink_stateful_crash_resume(spark, events,
+                                                     tmp_path):
+    """r5: exactly-once for UPDATE-mode stateful output — the case the
+    built-in file sink cannot express. running_totals
+    (applyInPandasWithState) streams through the idempotent
+    foreachBatch sink (per-batch-dir overwrite); the query is killed
+    mid-replay, resumed from the checkpoint, then resumed once more
+    (strict no-op). Per-key CURRENT state (row at max __batch_id) must
+    equal the batch aggregate, and no batch directory may hold
+    duplicate keys (a replayed epoch overwrites, never appends)."""
+    import time as _time
+
+    from bigdata_spark_assignment_spark.streaming import (
+        run_idempotent_batch_sink,
+    )
+    from bigdata_spark_assignment_spark.streaming.stateful import (
+        running_totals,
+    )
+
+    stream = replay_as_stream(spark, events, n_chunks=12,
+                              dir_path=str(tmp_path / "replay"))
+    agg = running_totals(stream)
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    # phase 1: unbounded run, kill after >=2 committed batches
+    def write_batch(df, batch_id):
+        (df.withColumn("__batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .parquet(f"{out_dir}/batch={batch_id}"))
+
+    q = (agg.writeStream.foreachBatch(write_batch)
+         .outputMode("update").option("checkpointLocation", ck).start())
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p["batchId"] >= 2:
+            break
+        _time.sleep(0.1)
+    q.stop()
+    q.awaitTermination(60)
+
+    # phase 2 + 3: bounded resumes from the same checkpoint
+    run_idempotent_batch_sink(agg, out_dir, ck)
+    n_after = spark.read.parquet(out_dir).count()
+    run_idempotent_batch_sink(agg, out_dir, ck)      # strict no-op
+    assert spark.read.parquet(out_dir).count() == n_after
+
+    rows = spark.read.option("basePath", out_dir).parquet(out_dir) \
+        .collect()
+    # no duplicate (key, batch) emissions — overwrite semantics held
+    seen = [(r.user_id, r["__batch_id"]) for r in rows]
+    assert len(seen) == len(set(seen))
+    # current state per key == batch aggregate
+    final = {}
+    for r in rows:
+        cur = final.get(r.user_id)
+        if cur is None or r["__batch_id"] > cur[0]:
+            final[r.user_id] = (r["__batch_id"], r.n_events, r.sum_value)
+    batch = {r.user_id: (r.n_events, r.sum_value)
+             for r in running_totals(events).collect()}
+    assert set(final) == set(batch)
+    for k, (_, n, s) in final.items():
+        assert n == batch[k][0], k
+        assert abs(s - batch[k][1]) < 1e-6, k
