@@ -1,5 +1,5 @@
-"""Vendored, dependency-free media codecs: BMP (image) and WAV/RIFF
-(audio), pure ``struct`` + numpy.
+"""Vendored, dependency-free media codecs: BMP, PNG and baseline JPEG
+(image) and WAV/RIFF (audio), pure ``struct``/``zlib`` + numpy.
 
 Why vendored: the container ships no image/audio libraries, so until
 round 3 the multimodal decode path could only ever exercise its
@@ -243,7 +243,516 @@ def decode_image(data: bytes) -> dict:
         return decode_bmp(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
-    raise ValueError("unrecognized image payload (not BMP/PNG)")
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
+    raise ValueError("unrecognized image payload (not BMP/PNG/JPEG)")
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU-T T.81), written from the public
+# spec: SOI/APPn/DQT/SOF0/DHT/SOS/RSTn/EOI marker grammar, the Annex-K
+# example quantization + Huffman tables, Annex-C canonical code
+# construction, Annex-F entropy coding (DC predictive differences,
+# AC run/size with ZRL + EOB, byte stuffing 0xFF→0xFF 0x00).
+#
+# Encode: grayscale (h, w) or RGB (h, w, 3) uint8 → baseline JFIF at
+# the Annex-K tables (quality-50 equivalent); RGB goes through the
+# JFIF YCbCr transform at 4:4:4 (all sampling factors 1×1).
+# Decode: baseline, 1 or 3 components, all sampling factors 1×1,
+# multiple DQT/DHT segments, restart intervals (DRI/RSTn). Progressive
+# (SOF2), arithmetic coding, and subsampled chroma raise ValueError —
+# a real parser's error path, not a silent fallback.
+#
+# The 8×8 DCT-II is the orthonormal matrix form (D @ B @ D.T), so a
+# constant-valued block carries ONLY its DC coefficient: 8·(v−128).
+# The Annex-K luminance table has q[0,0] = 16, so any EVEN gray value
+# v quantizes with zero error — the q49 `jpeg_native` fixtures exploit
+# exactly this to make a LOSSY codec's decode oracle-exact.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1/K.2 example quantization tables (row-major 8×8).
+_JPEG_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_JPEG_QT_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3–K.6 example Huffman specs: (BITS counts for lengths 1..16,
+# HUFFVAL symbol list) per Annex C.
+_JPEG_HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)))
+_JPEG_HUFF_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)))
+_JPEG_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+_JPEG_HUFF_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II basis: D[u, x] = c(u)/2 · cos((2x+1)uπ/16)."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    d = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    d[0, :] /= np.sqrt(2.0)
+    return d
+
+
+_JPEG_DCT = _jpeg_dct_matrix()
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """Annex-C canonical Huffman: symbol → (code, length)."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_table(bits, vals):
+    """Annex-C canonical Huffman for the decoder: (length, code) → symbol."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (F.1.2.3)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.acc, self.nbits = 0, 0
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, appended-bits) for a DC diff / AC coefficient (F.1.2.1):
+    negative values store v + 2^s − 1 (one's-complement style)."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _jpeg_encode_block(wr, block, qtab_z, dc_codes, ac_codes, pred):
+    """Level-shifted 8×8 spatial block → quantized zigzag coefficients →
+    entropy-coded bits. Returns the new DC predictor."""
+    coef = _JPEG_DCT @ block @ _JPEG_DCT.T
+    qz = np.round(coef.reshape(64)[_JPEG_ZIGZAG] / qtab_z).astype(np.int64)
+    s, extra = _jpeg_magnitude(int(qz[0]) - pred)
+    code, length = dc_codes[s]
+    wr.write(code, length)
+    wr.write(extra, s)
+    run = 0
+    nz = np.nonzero(qz[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(qz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:                      # ZRL: 16 zeros
+            code, length = ac_codes[0xF0]
+            wr.write(code, length)
+            run -= 16
+        s, extra = _jpeg_magnitude(v)
+        code, length = ac_codes[(run << 4) | s]
+        wr.write(code, length)
+        wr.write(extra, s)
+        run = 0
+    if last < 63:
+        code, length = ac_codes[0x00]        # EOB
+        wr.write(code, length)
+    return int(qz[0])
+
+
+def encode_jpeg(pixels) -> bytes:
+    """Grayscale ``(h, w)`` or RGB ``(h, w, 3)`` uint8 → baseline JFIF
+    JPEG at the Annex-K example tables. RGB uses the JFIF YCbCr
+    transform at 4:4:4; edges are replicated to the 8-multiple grid
+    (replication adds no new values, keeping planted-constant-tile
+    fixtures exact)."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        planes = [px.astype(np.float64)]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        raise ValueError("pixels must be (h, w) grayscale or (h, w, 3) RGB")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("pixels must be non-empty")
+    n_comp = len(planes)
+    qz_lum = _JPEG_QT_LUM[_JPEG_ZIGZAG].astype(np.float64)
+    qz_chr = _JPEG_QT_CHR[_JPEG_ZIGZAG].astype(np.float64)
+    dc_lum = _jpeg_canonical_codes(*_JPEG_HUFF_DC_LUM)
+    ac_lum = _jpeg_canonical_codes(*_JPEG_HUFF_AC_LUM)
+    dc_chr = _jpeg_canonical_codes(*_JPEG_HUFF_DC_CHR)
+    ac_chr = _jpeg_canonical_codes(*_JPEG_HUFF_AC_CHR)
+
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    padded = []
+    for p in planes:
+        pad = np.empty((ph, pw), dtype=np.float64)
+        pad[:h, :w] = p
+        pad[h:, :w] = p[h - 1:h, :]          # replicate bottom edge
+        pad[:, w:] = pad[:, w - 1:w]         # replicate right edge
+        padded.append(pad - 128.0)
+
+    wr = _JpegBitWriter()
+    preds = [0] * n_comp
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(n_comp):
+                qz = qz_lum if ci == 0 else qz_chr
+                dc = dc_lum if ci == 0 else dc_chr
+                ac = ac_lum if ci == 0 else ac_chr
+                preds[ci] = _jpeg_encode_block(
+                    wr, padded[ci][by:by + 8, bx:bx + 8], qz, dc, ac,
+                    preds[ci])
+    wr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")             # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00"
+               + bytes(int(v) for v in _JPEG_QT_LUM[_JPEG_ZIGZAG]))
+    if n_comp == 3:
+        out += seg(0xFFDB, b"\x01"
+                   + bytes(int(v) for v in _JPEG_QT_CHR[_JPEG_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    out += seg(0xFFC0, sof)
+    for cls, tid, (bits, vals) in (
+            (0, 0, _JPEG_HUFF_DC_LUM), (1, 0, _JPEG_HUFF_AC_LUM),
+            *(((0, 1, _JPEG_HUFF_DC_CHR), (1, 1, _JPEG_HUFF_AC_CHR))
+              if n_comp == 3 else ())):
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                   + bytes(vals))
+    sos = struct.pack(">B", n_comp)
+    for ci in range(n_comp):
+        tid = 0 if ci == 0 else 1
+        sos += struct.pack(">BB", ci + 1, (tid << 4) | tid)
+    sos += b"\x00\x3f\x00"                   # Ss=0 Se=63 AhAl=0
+    out += seg(0xFFDA, sos)
+    out += wr.buf
+    out += b"\xff\xd9"                       # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first reader over one restart interval's unstuffed bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data exhausted mid-block")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """Annex-F EXTEND: map s received bits back to a signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """Split the scan's entropy bytes at RSTn markers, removing byte
+    stuffing; stops at any other marker (EOI, next SOS, …)."""
+    segs, cur = [], bytearray()
+    n = len(data)
+    while pos < n:
+        byte = data[pos]
+        if byte != 0xFF:
+            cur.append(byte)
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            break
+        nxt = data[pos + 1]
+        if nxt == 0x00:                      # stuffed literal 0xFF
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:            # RSTn: new interval
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:                                # real marker: end of scan
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Parse a baseline (SOF0) JPEG → geometry + luma statistics (the
+    ``decode_bmp`` contract: population mean/std of the grayscale /
+    Y-channel pixels). Supports 1- or 3-component scans with all
+    sampling factors 1×1, multiple DQT/DHT segments, and restart
+    intervals; raises ValueError on progressive/arithmetic/subsampled
+    streams."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (bad SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    dri = 0
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:                   # EOI
+            break
+        length = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4:pos + 2 + length]
+        if length < 2 or len(body) != length - 2:
+            raise ValueError(
+                f"truncated JPEG segment 0xFF{marker:02X}")
+        if marker == 0xDB:                   # DQT (possibly several)
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 15
+                width = 128 if pq else 64
+                raw = body[bpos + 1:bpos + 1 + width]
+                tab = (np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                       if pq else
+                       np.frombuffer(raw, dtype=np.uint8).astype(np.int64))
+                qtabs[tq] = tab              # zigzag order, as stored
+                bpos += 1 + width
+        elif marker == 0xC4:                 # DHT (possibly several)
+            bpos = 0
+            while bpos < len(body):
+                cls, tid = body[bpos] >> 4, body[bpos] & 15
+                bits = list(body[bpos + 1:bpos + 17])
+                count = sum(bits)
+                vals = list(body[bpos + 17:bpos + 17 + count])
+                htabs[(cls, tid)] = _jpeg_decode_table(bits, vals)
+                bpos += 17 + count
+        elif marker == 0xC0:                 # SOF0 baseline
+            prec, ih, iw, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = [struct.unpack_from(">BBB", body, 6 + 3 * i)
+                     for i in range(nc)]
+            sof = (prec, ih, iw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG SOF marker 0xFF{marker:02X} "
+                "(only baseline SOF0)")
+        elif marker == 0xDD:                 # DRI
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:                 # SOS: entropy data follows
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
+                     body[2 + 2 * i] & 15) for i in range(ns)]
+            data_start = pos + 2 + length
+            return _jpeg_decode_scan(data, data_start, sof, scan, qtabs,
+                                     htabs, dri)
+        pos += 2 + length
+    raise ValueError("JPEG stream has no SOS scan")
+
+
+def _jpeg_decode_scan(data, pos, sof, scan, qtabs, htabs, dri):
+    if sof is None:
+        raise ValueError("JPEG SOS before SOF0")
+    prec, ih, iw, comps = sof
+    if prec != 8:
+        raise ValueError(f"unsupported JPEG precision {prec}")
+    if ih <= 0 or iw <= 0:
+        raise ValueError(f"bad JPEG geometry w={iw} h={ih}")
+    if len(comps) not in (1, 3) or len(scan) != len(comps):
+        raise ValueError(f"unsupported JPEG component layout {comps}")
+    if any(samp != 0x11 for _, samp, _ in comps):
+        raise ValueError("unsupported JPEG chroma subsampling "
+                         "(only 4:4:4 / 1×1 factors)")
+    comp_q = []
+    for cid, _, tq in comps:
+        if tq not in qtabs:
+            raise ValueError(f"JPEG component {cid} references missing "
+                             f"quant table {tq}")
+        comp_q.append(qtabs[tq].astype(np.float64))
+    comp_h = []
+    for cid, td, ta in scan:
+        if (0, td) not in htabs or (1, ta) not in htabs:
+            raise ValueError(f"JPEG scan component {cid} references "
+                             f"missing Huffman table dc={td}/ac={ta}")
+        comp_h.append((htabs[(0, td)], htabs[(1, ta)]))
+    bw, bh = (iw + 7) // 8, (ih + 7) // 8
+    n_mcu = bw * bh
+    segs = _jpeg_entropy_segments(data, pos)
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
+              for _ in comps]
+    rd = _JpegBitReader(segs[0])
+    seg_i = 0
+    preds = [0] * len(comps)
+    for mcu in range(n_mcu):
+        if dri and mcu and mcu % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG restart interval underrun")
+            rd = _JpegBitReader(segs[seg_i])
+            preds = [0] * len(comps)
+        by, bx = (mcu // bw) * 8, (mcu % bw) * 8
+        for ci in range(len(comps)):
+            dc_tab, ac_tab = comp_h[ci]
+            qz = comp_q[ci]
+            coef = np.zeros(64, dtype=np.float64)
+            s = rd.decode_huff(dc_tab)
+            preds[ci] += _jpeg_extend(rd.receive(s), s)
+            coef[0] = preds[ci] * qz[0]
+            k = 1
+            while k < 64:
+                rs = rd.decode_huff(ac_tab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break                    # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
+                coef[k] = _jpeg_extend(rd.receive(s), s) * qz[k]
+                k += 1
+            blk = np.zeros(64, dtype=np.float64)
+            blk[_JPEG_ZIGZAG] = coef
+            spatial = _JPEG_DCT.T @ blk.reshape(8, 8) @ _JPEG_DCT
+            planes[ci][by:by + 8, bx:bx + 8] = spatial
+    luma = np.clip(np.round(planes[0][:ih, :iw] + 128.0), 0, 255)
+    return {
+        "width": int(iw),
+        "height": int(ih),
+        "feat_mean": float(luma.mean()),
+        "feat_std": float(luma.std()),
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -409,6 +409,48 @@ def synthesize_png_assets(docs: DataFrame, id_col: str = "doc_id",
         asset_expr(F.col("payload"), "image", "image/png").alias(out_col))
 
 
+def synthesize_jpeg_assets(docs: DataFrame, id_col: str = "doc_id",
+                           out_col: str = "asset") -> DataFrame:
+    """Deterministic REAL baseline-JPEG fixtures whose LOSSY decode is
+    nonetheless oracle-EXACT: each image is a grid of
+    ``(1 + id % 4) × (1 + id % 3)`` constant 8×8 tiles with tile
+    values ``v(b) = 2·((7·id + 13·b) % 96) + 32`` — all EVEN, and the
+    Annex-K luminance table has q[0,0] = 16, so the DC coefficient
+    8·(v−128) quantizes with zero error while every AC coefficient is
+    exactly 0. Decoded mean/std are therefore closed-form in the id
+    (mean/stddev_pop over the planted tile values), which is what the
+    q49 ``jpeg_native`` oracle recomputes in SQL. Varying tile values
+    still exercise the DC-difference Huffman path across magnitude
+    categories and both signs."""
+    from .codecs import encode_jpeg  # by-value shipped (codecs.py)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                wb, hb = 1 + i % 4, 1 + i % 3
+                px = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+                for b in range(wb * hb):
+                    by, bx = divmod(b, wb)
+                    px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                        2 * ((7 * i + 13 * b) % 96) + 32)
+                payloads.append(encode_jpeg(px))
+            yield pd.DataFrame({"id": pdf["id"].astype("int64"),
+                                "payload": payloads})
+
+    raw = docs.select(F.col(id_col).alias("id")).mapInPandas(
+        run, schema=T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]))
+    return raw.select(
+        F.col("id").alias(id_col),
+        asset_expr(F.col("payload"), "image", "image/jpeg").alias(out_col))
+
+
 def synthesize_wav_assets(docs: DataFrame, id_col: str = "doc_id",
                           sample_rate: int = 8000,
                           out_col: str = "asset") -> DataFrame:

@@ -569,6 +569,27 @@ def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND o.o_orderdate <  TIMESTAMP '1997-01-01'
       GROUP BY 1, 2)
     UNION ALL
+    -- r5: TPC-H Q17 (small-quantity-order revenue) — correlated scalar
+    -- aggregate (per-part 0.2*avg quantity) decorrelated
+    SELECT 'q17', CAST(NULL AS BIGINT), 'Brand#13', CAST(NULL AS VARCHAR),
+           ROUND(SUM(l.l_extendedprice) / 7.0, 4),
+           CAST(COUNT(*) AS DOUBLE), CAST(NULL AS TIMESTAMP)
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS lim
+          FROM lineitem GROUP BY l_partkey) a
+      ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND l.l_quantity < a.lim
+    UNION ALL
+    -- r5: TPC-H Q18 (large-volume customers) — grouped-HAVING semi-join
+    SELECT 'q18', t.o_orderkey, c.c_name, o.o_orderstatus,
+           ROUND(o.o_totalprice, 4), t.sum_qty, o.o_orderdate
+    FROM (
+      SELECT l_orderkey AS o_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) t
+    JOIN orders o ON o.o_orderkey = t.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
     SELECT 'seg', c_custkey, c_mktsegment, CAST(NULL AS VARCHAR),
            acctbal, seg_avg, CAST(NULL AS TIMESTAMP)
     FROM (
@@ -599,6 +620,17 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       broadcast; the only shuffles are the lineitem⋈orders fact join
       and the final nation group-by. The ASIA/date filters prune the
       snowflake BEFORE any fact-side work.
+    * ``q17`` (r5) — small-quantity-order revenue: the correlated
+      scalar aggregate (``l_quantity < 0.2 * per-part avg``)
+      decorrelated Spark-side as ONE window aggregate over the
+      brand-pruned fact — the broadcast semi-join on Brand#13 partkeys
+      prunes the lineitem scan FIRST, so the window runs on ~1/25 of
+      the fact; the SQL oracle spells the same query as the classic
+      aggregate-subquery self-join.
+    * ``q18`` (r5) — large-volume customers: grouped HAVING
+      (sum(l_quantity) > 300 per order) as a pre-aggregated build side
+      joined back to orders/customer — the aggregate runs BEFORE the
+      joins, so only the ~0.1% qualifying orderkeys reach the join.
     * ``seg`` — customers above their segment's average balance: the
       correlated-aggregate pattern as ONE window aggregate (no
       self-join), where the SQL formulation is a grouped subquery.
@@ -674,6 +706,37 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("n_items").cast("double").alias("v2"),
                   F.lit(None).cast("timestamp_ntz").alias("d")))
 
+    part = load_table(spark, sf_dir, "part")
+    brand_keys = part.filter(F.col("p_brand") == "Brand#13") \
+        .select("p_partkey")
+    li_brand = li.join(F.broadcast(brand_keys),
+                       li.l_partkey == brand_keys.p_partkey)
+    wq = W.partitionBy("l_partkey")
+    q17 = (li_brand
+           .withColumn("lim", F.avg("l_quantity").over(wq) * 0.2)
+           .filter(F.col("l_quantity") < F.col("lim"))
+           .agg(fround(F.sum("l_extendedprice") / 7.0).alias("v1"),
+                F.count(F.lit(1)).cast("double").alias("v2"))
+           .select(F.lit("q17").alias("part"),
+                   F.lit(None).cast("long").alias("k"),
+                   F.lit("Brand#13").alias("s1"),
+                   F.lit(None).cast("string").alias("s2"),
+                   "v1", "v2",
+                   F.lit(None).cast("timestamp_ntz").alias("d")))
+
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 300))
+    q18 = (big.join(orders, big.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .select(F.lit("q18").alias("part"),
+                   F.col("l_orderkey").alias("k"),
+                   F.col("c_name").alias("s1"),
+                   F.col("o_orderstatus").alias("s2"),
+                   fround(F.col("o_totalprice")).alias("v1"),
+                   F.col("sum_qty").alias("v2"),
+                   F.col("o_orderdate").alias("d")))
+
     w = W.partitionBy("c_mktsegment")
     seg = (cust.withColumn("seg_avg", F.avg("c_acctbal").over(w))
            .filter(F.col("c_acctbal") > F.col("seg_avg"))
@@ -684,7 +747,8 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    fround(F.col("c_acctbal")).alias("v1"),
                    fround(F.col("seg_avg")).alias("v2"),
                    F.lit(None).cast("timestamp_ntz").alias("d")))
-    return q3.unionByName(q10).unionByName(q5).unionByName(seg)
+    return (q3.unionByName(q10).unionByName(q5).unionByName(q17)
+            .unionByName(q18).unionByName(seg))
 
 
 # Phase telemetry for the bench (VERDICT r3 "What's wrong" #2): q69's

@@ -490,3 +490,126 @@ def test_synthesize_png_assets_native_decode(spark):
         n = w * h
         assert r.feat_mean == (n - 1) / 2.0
         assert abs(r.feat_std - ((n * n - 1) / 12.0) ** 0.5) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# JPEG (r5): vendored baseline T.81 encoder/decoder (operators/codecs.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_tiles_decode_exact():
+    """Even-valued constant 8x8 tiles survive the LOSSY pipeline
+    bit-exactly: DC = 8*(v-128) is a multiple of q[0,0]=16 and every
+    AC coefficient is zero — the property the q49 oracle relies on."""
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    for d in (0, 5, 37, 123, 199):
+        wb, hb = 1 + d % 4, 1 + d % 3
+        px = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+        for b in range(wb * hb):
+            by, bx = divmod(b, wb)
+            px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                2 * ((7 * d + 13 * b) % 96) + 32)
+        out = decode_jpeg(encode_jpeg(px))
+        assert (out["width"], out["height"]) == (wb * 8, hb * 8)
+        assert abs(out["feat_mean"] - px.mean()) < 1e-9
+        assert abs(out["feat_std"] - px.astype(float).std()) < 1e-9
+
+
+def test_jpeg_lossy_roundtrip_bounded_error():
+    """Gradient / noise / non-8-multiple geometries: decode matches the
+    source within the quantization error of the Annex-K tables."""
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.codecs import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+    )
+    for h, w in ((16, 24), (13, 21), (8, 8), (1, 1), (9, 40)):
+        y, x = np.mgrid[0:h, 0:w]
+        px = ((np.sin(x / 5.0) + np.cos(y / 4.0)) * 50 + 128).astype(
+            np.uint8)
+        out = decode_jpeg(encode_jpeg(px))
+        assert (out["width"], out["height"]) == (w, h)
+        assert abs(out["feat_mean"] - px.mean()) < 3.0
+        assert abs(out["feat_std"] - px.astype(float).std()) < 6.0
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(32, 32)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(px))
+    assert abs(out["feat_mean"] - px.mean()) < 2.0
+    assert decode_image(encode_jpeg(px)) == out   # magic dispatch
+
+
+def test_jpeg_color_444_roundtrip():
+    """RGB input goes through the JFIF YCbCr transform at 4:4:4; the
+    decoded luma statistics match the closed-form Y of the source."""
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    rgb = np.zeros((24, 16, 3), dtype=np.uint8)
+    rgb[:, :, 0] = np.linspace(0, 255, 16, dtype=np.uint8)[None, :]
+    rgb[:, :, 1] = 100
+    rgb[:, :, 2] = np.linspace(0, 255, 24, dtype=np.uint8)[:, None]
+    payload = encode_jpeg(rgb)
+    out = decode_jpeg(payload)
+    y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+         + 0.114 * rgb[:, :, 2])
+    assert (out["width"], out["height"]) == (16, 24)
+    assert abs(out["feat_mean"] - y.mean()) < 3.0
+    # a 3-component stream really was emitted (2 DQT + 4 DHT segments)
+    assert payload.count(b"\xff\xdb") == 2
+    assert payload.count(b"\xff\xc4") == 4
+
+
+def test_jpeg_error_paths():
+    import numpy as np
+    import pytest
+
+    from bigdata_spark_assignment_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    good = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8))
+    with pytest.raises(ValueError):   # bad SOI
+        decode_jpeg(b"\x89PNG" + b"\x00" * 30)
+    with pytest.raises(ValueError):   # marker misalignment
+        decode_jpeg(b"\xff\xd8junk")
+    with pytest.raises(ValueError):   # progressive SOF2 rejected
+        bad = bytearray(good)
+        bad[bad.index(b"\xff\xc0") + 1] = 0xC2
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError):   # truncated entropy data
+        decode_jpeg(good[:len(good) // 2])
+    with pytest.raises(ValueError):   # empty input to the encoder
+        encode_jpeg(np.zeros((0, 4), dtype=np.uint8))
+
+
+def test_synthesize_jpeg_assets_native_decode(spark):
+    from bigdata_spark_assignment_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_jpeg_assets,
+    )
+    ids = spark.range(30).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id: r for r in
+           extract_media_features(synthesize_jpeg_assets(ids),
+                                  codec="native").collect()}
+    assert len(out) == 30
+    for i in range(30):
+        r = out[i]
+        assert r.codec == "native" and r.modality == "image"
+        wb, hb = 1 + i % 4, 1 + i % 3
+        assert (r.width, r.height) == (wb * 8, hb * 8)
+        vals = [2 * ((7 * i + 13 * b) % 96) + 32
+                for b in range(wb * hb)]
+        mean = sum(vals) / len(vals)
+        var = sum(v * v for v in vals) / len(vals) - mean * mean
+        assert abs(r.feat_mean - mean) < 1e-9
+        assert abs(r.feat_std - var ** 0.5) < 1e-9
