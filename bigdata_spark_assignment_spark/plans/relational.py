@@ -768,9 +768,10 @@ Q69_PHASES: dict[str, float] = {}
            CAST(0 AS BIGINT) AS n_only_back,
            CAST(0 AS BIGINT) AS n_only_source,
            TRUE AS roundtrip_ok
-    FROM n, (VALUES ('csv'), ('jsonl'), ('orc'), ('compact')) AS p(part)
+    FROM n, (VALUES ('csv'), ('jsonl'), ('orc'), ('compact'),
+                    ('zorder')) AS p(part)
     """,
-    tags=("io", "csv", "json", "orc", "compaction"),
+    tags=("io", "csv", "json", "orc", "compaction", "zorder"),
 )
 def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2/S8 driver-visible, one row per FORMAT (r3: csv + jsonl +
@@ -786,6 +787,13 @@ def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(rows / rows_per_file) even-sized parquet files (counted on
     the filesystem) and read back row-complete — the final-write
     compaction every lakehouse job applies at scale.
+
+    The ``zorder`` part (r5) exercises the Z-order clustered sink
+    (``operators.layout.write_zordered``): clustering must be a pure
+    REORDERING — row-identical data back (both exceptAll diffs zero)
+    in exactly the requested file count. The data-skipping payoff the
+    layout exists for (footer min/max pruning on BOTH clustered
+    dimensions) is measured in tests/test_layout.py.
 
     Oracle-backed: ``n_source``/``n_back`` are genuinely SQL-derived
     (each must equal COUNT(*) of customer per format); the diff
@@ -811,8 +819,9 @@ def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q69_PHASES.clear()
     try:
         n_source = cust.count()
-        for part in ("csv", "jsonl", "orc", "compact"):
+        for part in ("csv", "jsonl", "orc", "compact", "zorder"):
             path = os.path.join(root, f"customer_{part}")
+            extra_ok = True
             if part == "csv":
                 t0 = _time.perf_counter()
                 cust.write.mode("overwrite").option("header", True).csv(path)
@@ -836,6 +845,19 @@ def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                              actual - expected, 0,
                              n_back == n_source and actual == expected))
                 continue
+            elif part == "zorder":
+                # r5: the z-order clustered sink (operators.layout) —
+                # clustering must be a pure REORDERING: row-identical
+                # data, exactly the requested file count
+                from ..operators.layout import write_zordered
+
+                t0 = _time.perf_counter()
+                write_zordered(cust, ["c_custkey", "c_acctbal"], path,
+                               n_files=4)
+                write_s += _time.perf_counter() - t0
+                extra_ok = len(glob.glob(
+                    os.path.join(path, "part-*.parquet"))) == 4
+                back = spark.read.schema(cust.schema).parquet(path)
             else:
                 t0 = _time.perf_counter()
                 cust.write.mode("overwrite").orc(path)
@@ -848,7 +870,7 @@ def csv_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.count(F.lit(1)).alias("n_only_source")))
                    .first())
             ok = (n_source == row.n_back and row.n_only_back == 0
-                  and row.n_only_source == 0)
+                  and row.n_only_source == 0 and extra_ok)
             rows.append((part, n_source, row.n_back, row.n_only_back,
                          row.n_only_source, ok))
     finally:

@@ -1,0 +1,113 @@
+"""Z-order clustered layout (operators/layout.py): Morton-key
+correctness against a pure-Python reference, and the actual data-
+skipping payoff measured from real parquet footers."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_spark_assignment_spark.io import load_table
+from bigdata_spark_assignment_spark.operators.layout import (
+    file_skip_stats,
+    write_zordered,
+    zorder_key,
+    zorder_key_py,
+)
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(0, 0), (100, 100), (17, 83), (99, 1), (50, 50), (3, 97)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = (df.withColumn(
+        "z", zorder_key([F.col("x"), F.col("y")],
+                        [F.lit(0), F.lit(0)],
+                        [F.lit(100), F.lit(100)], bits=8))
+        .orderBy("x").collect())
+    for r in got:
+        assert r.z == zorder_key_py([r.x, r.y], [(0, 100), (0, 100)],
+                                    bits=8), (r.x, r.y)
+
+
+def test_zorder_key_degenerate_and_overflow(spark):
+    df = spark.createDataFrame([(5, 7)], "x long, y long")
+    # min == max on x: rank collapses to 0 rather than dividing by zero
+    r = df.withColumn(
+        "z", zorder_key([F.col("x"), F.col("y")],
+                        [F.lit(5), F.lit(0)],
+                        [F.lit(5), F.lit(10)], bits=8)).first()
+    assert r.z == zorder_key_py([5, 7], [(5, 5), (0, 10)], bits=8)
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x")], [F.lit(0)], [F.lit(1)])
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x")] * 4, [F.lit(0)] * 4, [F.lit(1)] * 4,
+                   bits=16)
+
+
+def test_zordered_layout_skips_files_on_both_dimensions(spark, sf_smoke):
+    """The payoff measurement: the same events table written (a) sorted
+    by ts only — the realistic ingest-order baseline — and (b)
+    z-ordered on (user_id, ts). A user_id range predicate can skip
+    almost nothing under (a) because every time-slice file spans the
+    full user range; under (b) it skips most files, while ts-range
+    skipping survives. Measured from the real parquet footer min/max —
+    exactly what scan-level file skipping consults."""
+    ev = load_table(spark, sf_smoke, "events")
+    n = ev.count()
+    lo_u, hi_u = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    lo_t, hi_t = ev.agg(F.min("ts"), F.max("ts")).first()
+    n_files = 16
+    root = tempfile.mkdtemp(prefix="spark_zorder_")
+    try:
+        base_path = os.path.join(root, "by_ts")
+        (ev.repartitionByRange(n_files, "ts").sortWithinPartitions("ts")
+         .write.mode("overwrite").parquet(base_path))
+        z_path = os.path.join(root, "zorder")
+        write_zordered(ev, ["user_id", "ts"], z_path, n_files=n_files)
+
+        # roundtrip: clustering must not change the data
+        back = spark.read.schema(ev.schema).parquet(z_path)
+        assert back.count() == n
+        assert back.exceptAll(ev).count() == 0
+        assert ev.exceptAll(back).count() == 0
+
+        # box 1: narrow user slice (~6% of the id range), full time
+        span_u = hi_u - lo_u
+        u_box = {"user_id": (lo_u + span_u // 2,
+                             lo_u + span_u // 2 + span_u // 16)}
+        base_total, base_hit_u = file_skip_stats(base_path, u_box)
+        z_total, z_hit_u = file_skip_stats(z_path, u_box)
+        assert base_total == n_files and z_total == n_files
+        # ts-sorted layout cannot skip on user_id at all
+        assert base_hit_u >= n_files - 1
+        # z-order skips most files on the non-leading dimension
+        assert z_hit_u <= n_files // 2
+
+        # box 2: narrow time slice — z-order must NOT have destroyed
+        # time locality the way a user_id-only sort would
+        span_t = hi_t - lo_t
+        t_box = {"ts": (lo_t + span_t / 2, lo_t + span_t / 2
+                        + span_t / 16)}
+        _, base_hit_t = file_skip_stats(base_path, t_box)
+        _, z_hit_t = file_skip_stats(z_path, t_box)
+        assert base_hit_t <= 2           # pure ts sort: near-perfect
+        assert z_hit_t <= n_files // 2   # z-order: still skips most
+
+        # combined 2-D box — the realistic mixed shape (one user slice
+        # over half the history): the ts-sort can only use its ts half,
+        # the z-order prunes on BOTH dimensions and wins. (For a
+        # RAZOR-thin time slice the 1-D ts sort is already near-optimal
+        # and z-order's coarser per-dimension resolution can't beat it —
+        # that's inherent to space-filling curves, not a defect.)
+        wide_t = {"ts": (lo_t + span_t / 4, lo_t + span_t / 4
+                         + span_t / 2)}
+        _, base_hit_both = file_skip_stats(base_path, {**u_box, **wide_t})
+        _, z_hit_both = file_skip_stats(z_path, {**u_box, **wide_t})
+        assert z_hit_both < base_hit_both
+        assert z_hit_both <= n_files // 2
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
