@@ -551,3 +551,55 @@ def positional_ngrams(df, n: int, id_col: str = "doc_id",
                   F.concat_ws(" ", *[f"__w{i}" for i in range(n)]))
     return (led.select(F.col("__id").alias(id_col), gram.alias("gram"))
             .filter(F.col("gram").isNotNull()))
+
+
+def unicode_nfc_udf():
+    """Arrow-batched NFC normalization (r5) — the canonical-composition
+    pass every multilingual ingest runs first, so that byte-level
+    dedup/fingerprints agree across sources that ship the same text in
+    composed vs decomposed form.
+
+    Why a pandas_udf: Spark has no built-in Unicode-normalization
+    expression (this is exactly the "UDF only where built-ins can't"
+    case). pandas ``Series.str.normalize`` runs ICU-equivalent stdlib
+    NFC over the whole Arrow batch.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: the closure imports pandas locally, so hint
+    # inference fails (same note as gram_coverage_stats_udf)
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    return pandas_udf(_nfc, "string")
+
+
+def strip_accents_udf():
+    """Arrow-batched accent folding (r5): NFD-decompose, drop combining
+    marks (Unicode category Mn), recompose — the standard
+    accent-insensitive matching/dedup key (DuckDB's ``strip_accents``
+    has the same observable behavior on Latin text, which is what the
+    q28 oracle cross-checks).
+
+    The per-string loop runs INSIDE the Arrow batch (combining-mark
+    category lookups are per-codepoint by nature); transfer is still
+    columnar and the op stays embarrassingly parallel per partition.
+    """
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _strip_one(s):
+        if s is None:
+            return None
+        return unicodedata.normalize(
+            "NFC",
+            "".join(c for c in unicodedata.normalize("NFD", s)
+                    if not unicodedata.combining(c)))
+
+    def _strip(s):
+        return s.map(_strip_one)
+
+    return pandas_udf(_strip, "string")

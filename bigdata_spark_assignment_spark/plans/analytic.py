@@ -322,12 +322,36 @@ def semistructured_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(AVG(CAST(len(string_split(chunk_text, ' ')) AS DOUBLE)), 4)
                AS avg_chunk_tokens,
              CAST(COUNT(DISTINCT md5(chunk_text)) AS BIGINT) AS n_chunk_fps
-      FROM ch GROUP BY lang)
+      FROM ch GROUP BY lang),
+    normsrc AS (
+      -- r5: Unicode-normalization contract over deterministically
+      -- accented text. chr(225/233/241) = composed a/e/n-acute/tilde;
+      -- 'a'||chr(769) = DECOMPOSED a + combining acute. Written via
+      -- chr() so the source stays ASCII (a literal accent in source
+      -- can itself be composed or decomposed - invisible ambiguity).
+      SELECT lang, text,
+             replace(replace(replace(text, 'a', chr(225)),
+                             'e', chr(233)), 'n', chr(241)) AS dirty,
+             replace(replace(text, 'a', 'a' || chr(769)),
+                     'e', 'e' || chr(769)) AS decd
+      FROM documents),
+    norm AS (
+      SELECT lang,
+             CAST(COUNT(*) FILTER (WHERE dirty != text) AS BIGINT)
+               AS n_accented,
+             CAST(COUNT(DISTINCT md5(strip_accents(dirty))) AS BIGINT)
+               AS n_norm_fps,
+             CAST(COUNT(*) FILTER (WHERE strip_accents(dirty) = text)
+               AS BIGINT) AS n_norm_identity,
+             CAST(COUNT(DISTINCT md5(nfc_normalize(decd))) AS BIGINT)
+               AS n_nfc_fps
+      FROM normsrc GROUP BY lang)
     SELECT d.lang, d.n_docs, d.avg_words, d.avg_chars, d.n_mention_data,
-           c.n_chunks, c.avg_chunk_tokens, c.n_chunk_fps
-    FROM docstats d JOIN chstats c USING (lang)
+           c.n_chunks, c.avg_chunk_tokens, c.n_chunk_fps,
+           n.n_accented, n.n_norm_fps, n.n_norm_identity, n.n_nfc_fps
+    FROM docstats d JOIN chstats c USING (lang) JOIN norm n USING (lang)
     """,
-    tags=("strings", "chunking"),
+    tags=("strings", "chunking", "unicode"),
 )
 def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar string surface (split/size, length, lower/contains) PLUS
@@ -335,8 +359,24 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-token overlap via ``operators.textual.chunk_documents``. The
     ``n_chunk_fps`` column is COUNT(DISTINCT md5(chunk_text)) — any
     drift in chunk boundaries or joining changes a fingerprint, so the
-    oracle pins the chunk TEXT exactly, not just the counts."""
-    from ..operators.textual import WS_SPLIT, chunk_documents
+    oracle pins the chunk TEXT exactly, not just the counts.
+
+    r5 adds the Unicode-normalization contract: the corpus is
+    deterministically "dirtied" (composed accents planted on a/e/n;
+    a DECOMPOSED base+combining-acute variant for the NFC leg) with
+    plain replace() on BOTH engines, then the engine's Arrow-batched
+    normalizers (operators.textual.strip_accents_udf / unicode_nfc_udf
+    — Spark has no built-in Unicode normalization, the legitimate UDF
+    case) must agree fingerprint-for-fingerprint with DuckDB's
+    strip_accents / nfc_normalize: per-lang distinct-md5 counts of the
+    normalized text plus the strip(dirty)==original identity count.
+    A one-codepoint divergence in any document flips a fingerprint."""
+    from ..operators.textual import (
+        WS_SPLIT,
+        chunk_documents,
+        strip_accents_udf,
+        unicode_nfc_udf,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     words = F.size(F.split(F.lower("text"), WS_SPLIT))
@@ -359,7 +399,31 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("avg_chunk_tokens"),
              F.countDistinct(F.md5("chunk_text")).alias("n_chunk_fps"))
     )
-    return docstats.join(chstats, "lang")
+    strip_acc = strip_accents_udf()
+    nfc = unicode_nfc_udf()
+    # explicit escapes, not accent literals: a source-file accent can
+    # itself be composed or decomposed (invisible ambiguity)
+    dirty = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "a", "\u00e1"),
+            "e", "\u00e9"),
+        "n", "\u00f1")
+    decd = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "a", "a\u0301"),
+        "e", "e\u0301")
+    normstats = (
+        docs.select("lang", "text", dirty.alias("dirty"),
+                    strip_acc(dirty).alias("snorm"),
+                    nfc(decd).alias("cnorm"))
+        .groupBy("lang")
+        .agg(F.count(F.when(F.col("dirty") != F.col("text"), 1))
+              .alias("n_accented"),
+             F.countDistinct(F.md5("snorm")).alias("n_norm_fps"),
+             F.count(F.when(F.col("snorm") == F.col("text"), 1))
+              .alias("n_norm_identity"),
+             F.countDistinct(F.md5("cnorm")).alias("n_nfc_fps"))
+    )
+    return docstats.join(chstats, "lang").join(normstats, "lang")
 
 
 @register(

@@ -182,3 +182,26 @@ def test_no_cartesian_product_at_10x(spark):
         if "CartesianProduct" in buf.getvalue():
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_q17_decorrelation_prunes_before_window(spark, sf_oracle):
+    """q58's q17 part: the correlated scalar aggregate must become ONE
+    window whose exchange runs on the brand-PRUNED fact — the brand
+    filter reaches the part scan, the partkey semi-join is broadcast,
+    and the only fact shuffle is hashpartitioning(l_partkey)."""
+    p = _plan(spark, sf_oracle, "q58_tpch_suite")
+    assert "EqualTo(p_brand,Brand#13)" in p      # pushed into part scan
+    assert "hashpartitioning(l_partkey" in p     # window exchange
+    assert "CartesianProduct" not in p
+
+
+def test_q18_aggregates_before_joining(spark, sf_oracle):
+    """q58's q18 part: the HAVING aggregate runs BELOW the joins (only
+    qualifying orderkeys reach them) and the dims broadcast — the
+    pre-aggregation exchange on l_orderkey plus the post-agg sum_qty
+    filter must both be present, with no sort-merge join anywhere in
+    the suite at oracle scale."""
+    p = _plan(spark, sf_oracle, "q58_tpch_suite")
+    assert "hashpartitioning(l_orderkey" in p    # pre-agg exchange
+    assert "sum_qty" in p and "> 300.0" in p     # HAVING after the agg
+    assert "SortMergeJoin" not in p

@@ -307,3 +307,36 @@ def test_chunk_udtf_matches_relational_chunker(spark):
     want = sorted(map(tuple, chunk_documents(
         docs, max_tokens=64, overlap=16).collect()))
     assert [tuple(r) for r in got] == want
+
+
+def test_unicode_normalizers_roundtrip_and_edges(spark):
+    """r5 Arrow normalizers: NFC composes decomposed sequences,
+    strip_accents folds to the base letters, and both pass through
+    None / empty / accent-free text unchanged (incl. CJK, which has no
+    combining marks to strip)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_assignment_spark.operators.textual import (
+        strip_accents_udf,
+        unicode_nfc_udf,
+    )
+    rows = [
+        ("dec", "a\u0301e\u0301"),    # decomposed a/e + acute
+        ("comp", "\u00e1\u00e9\u00f1"),  # composed same + n-tilde
+        ("plain", "hello world"),
+        ("empty", ""),
+        ("cjk", "你好"),
+        ("none", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, t string")
+    out = {r.k: r for r in df.select(
+        "k", unicode_nfc_udf()(F.col("t")).alias("nfc"),
+        strip_accents_udf()(F.col("t")).alias("stripped")).collect()}
+    assert out["dec"].nfc == "\u00e1\u00e9"   # composed now
+    assert out["dec"].stripped == "ae"
+    assert out["comp"].nfc == "\u00e1\u00e9\u00f1"  # already NFC
+    assert out["comp"].stripped == "aen"
+    for k in ("plain", "empty", "cjk"):
+        assert out[k].nfc == dict(rows)[k]
+        assert out[k].stripped == dict(rows)[k]
+    assert out["none"].nfc is None and out["none"].stripped is None
