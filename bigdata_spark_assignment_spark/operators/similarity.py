@@ -386,3 +386,130 @@ def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return ann_topk_ivf_prefit(corpus, queries, centers, k=k,
                                id_col=id_col, vec_col=vec_col,
                                n_probe=n_probe)
+
+
+def fit_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",
+                     m: int = 8, k_codes: int = 16,
+                     seed: int = 7) -> list[list[list[float]]]:
+    """Fit product-quantization codebooks (r5): the vector space is
+    split into ``m`` orthogonal subspaces and each gets its own
+    ``k_codes``-centroid KMeans codebook — the classic PQ index build
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    IEEE TPAMI 2011; the memory layout behind FAISS's IVFPQ).
+
+    Index-build step, separable from the query path like
+    ``fit_ivf_centers``: at 100 TB the codebooks are fit once on a
+    sample, persisted beside the corpus, and the corpus is stored as
+    (id, m uint8 codes) — a 32× scan-volume reduction over raw
+    float32×64 vectors, which is the entire point: candidate
+    generation reads codes, never vectors."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first().d
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sl = corpus.select(array_to_vector(
+            F.slice(F.col(vec_col), j * sub + 1, sub)).alias("features"))
+        model = KMeans(k=k_codes, seed=seed + j, featuresCol="features",
+                       predictionCol="code").fit(sl)
+        books.append([list(map(float, c)) for c in model.clusterCenters()])
+    return books
+
+
+def _pq_encode_pandas_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched PQ encoder: per subspace, nearest-centroid id
+    (stable argmin — deterministic under ties). The codebooks ride in
+    the closure; nothing collects to the driver."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = len(codebooks)
+        sub = M.shape[1] // m
+        codes = np.empty((M.shape[0], m), dtype="int32")
+        for j, cb in enumerate(codebooks):
+            C = np.asarray(cb, dtype=np.float64)
+            S = M[:, j * sub:(j + 1) * sub]
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def _pq_adc_cos_pandas_udf(codebooks: list[list[list[float]]]):
+    """Asymmetric-distance (ADC) approximate COSINE: the query stays
+    exact, the corpus side is its reconstruction from the codes —
+    cos ≈ q·ĉ / (|q|·|ĉ|) with q·ĉ and |ĉ|² accumulated per
+    subspace from codebook lookups. Vectorized over the Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def adc_cos(qvecs: pd.Series, codes: pd.Series) -> pd.Series:
+        import numpy as np
+        Q = np.stack(qvecs.to_numpy()).astype(np.float64)
+        Cd = np.stack(codes.to_numpy()).astype(np.int64)
+        m = len(codebooks)
+        sub = Q.shape[1] // m
+        dot = np.zeros(len(Q))
+        cnorm2 = np.zeros(len(Q))
+        for j, cb in enumerate(codebooks):
+            C = np.asarray(cb, dtype=np.float64)       # (k, sub)
+            picked = C[Cd[:, j]]                       # (rows, sub)
+            dot += np.einsum("ij,ij->i", Q[:, j * sub:(j + 1) * sub],
+                             picked)
+            cnorm2 += (picked * picked).sum(axis=1)
+        qnorm = np.sqrt((Q * Q).sum(axis=1))
+        denom = np.maximum(qnorm * np.sqrt(cnorm2), 1e-30)
+        return pd.Series(dot / denom)
+
+    return adc_cos
+
+
+def ann_topk_pq_prefit(corpus: DataFrame, queries: DataFrame,
+                       codebooks: list[list[list[float]]], k: int = 10,
+                       refine: int = 50, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """PQ query path against PRE-FIT codebooks: candidate generation
+    scores every (query, corpus-code) pair with the ADC approximate
+    cosine — reading ONLY the m-byte codes, never the vectors — keeps
+    the top ``refine`` per query, then reranks just those candidates
+    with exact cosine against the real vectors (one broadcast-able
+    join on neighbor id). Recall@k vs brute force is the test
+    contract, tunable via m/k_codes/refine (refine == corpus size is
+    exact search).
+
+    100 TB shape: the ADC pass is a scan of the codes table (32×
+    smaller than the vectors) against a broadcast query batch — no
+    shuffle; the rerank join touches refine·|queries| rows."""
+    encode = _pq_encode_pandas_udf(codebooks)
+    adc = _pq_adc_cos_pandas_udf(codebooks)
+    c_codes = corpus.select(F.col(id_col).alias("neighbor_id"),
+                            encode(F.col(vec_col)).alias("codes"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    scored = (c_codes.join(F.broadcast(q),
+                           F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("approx", adc(F.col("q_vec"), F.col("codes"))))
+    w = W.partitionBy("query_id").orderBy(F.col("approx").desc(),
+                                          F.col("neighbor_id"))
+    cands = (scored.withColumn("r", F.row_number().over(w))
+             .filter(F.col("r") <= refine)
+             .select("query_id", "neighbor_id", "q_vec"))
+    rerank = (cands.join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                       F.col(vec_col).alias("c_vec")),
+                         "neighbor_id")
+              .withColumn("cosine",
+                          cosine_expr(F.col("c_vec"), F.col("q_vec"))))
+    wf = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                           F.col("neighbor_id"))
+    return (rerank.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("int").alias("rank")))

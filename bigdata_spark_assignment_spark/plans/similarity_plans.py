@@ -95,6 +95,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # serving system pays per query batch (VERDICT r2 #8). bench.py warms
 # this cache before the timing loop.
 _IVF_CENTERS: dict[tuple[str, int], list[list[float]]] = {}
+_PQ_BOOKS: dict[tuple[str, int, int], list[list[list[float]]]] = {}
 
 
 def _ivf_centers_for(spark: SparkSession, sf_dir: str,
@@ -106,6 +107,21 @@ def _ivf_centers_for(spark: SparkSession, sf_dir: str,
         emb = load_table(spark, sf_dir, "embeddings")
         _IVF_CENTERS[key] = fit_ivf_centers(emb, n_cells=n_cells, seed=7)
     return _IVF_CENTERS[key]
+
+
+def _pq_books_for(spark: SparkSession, sf_dir: str, m: int = 8,
+                  k_codes: int = 32) -> list[list[list[float]]]:
+    """PQ codebook cache, same contract as ``_ivf_centers_for``: the
+    index BUILD is per-corpus, the timed q42 body measures the query
+    path (encode + ADC + rerank)."""
+    from ..operators.similarity import fit_pq_codebooks
+
+    key = (sf_dir, m, k_codes)
+    if key not in _PQ_BOOKS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _PQ_BOOKS[key] = fit_pq_codebooks(emb, m=m, k_codes=k_codes,
+                                          seed=7)
+    return _PQ_BOOKS[key]
 
 
 @register(
@@ -143,15 +159,25 @@ def _ivf_centers_for(spark: SparkSession, sf_dir: str,
            CAST(CASE n_li WHEN 6000 THEN 39 WHEN 60000 THEN 45
                 WHEN 600000 THEN 42 END AS BIGINT), TRUE
     FROM nq, t, sz
+    UNION ALL
+    -- r5: product quantization (m=8 subspaces x 32 codes, ADC cosine,
+    -- refine=100 exact rerank) - same pinned-numerator contract
+    SELECT 'pq', n_queries, n_truth,
+           CAST(CASE n_li WHEN 6000 THEN 45 WHEN 60000 THEN 45
+                WHEN 600000 THEN 35 END AS BIGINT), TRUE
+    FROM nq, t, sz
     """.format(cos=_DUCK_COS.format(a='cv', b='qv')),
-    tags=("similarity", "topk", "lsh", "ivf"),
+    tags=("similarity", "topk", "lsh", "ivf", "pq"),
 )
 def ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN method suite (merged r1 q42+q51): random-hyperplane LSH
-    (multi-probe, 8 tables) and IVF (pre-fit KMeans quantizer +
+    (multi-probe, 8 tables), IVF (pre-fit KMeans quantizer +
     6-cell probes — ``_ivf_centers_for`` caches the index build so the
-    query body measures the probe path) top-10, each scored against
-    the exact brute-force top-10 IN the query.
+    query body measures the probe path) and PQ (r5: pre-fit 8×32
+    product-quantization codebooks, ADC approximate cosine over the
+    m-byte codes, exact rerank of the top-100 —
+    operators.similarity.ann_topk_pq_prefit) top-10, each scored
+    against the exact brute-force top-10 IN the query.
 
     Oracle-backed self-verifying contract (r3, strengthened r5 per
     VERDICT r4 #5): ``n_queries`` and ``n_truth`` (the brute-force
@@ -163,7 +189,10 @@ def ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured twice in fresh processes, bit-identical — both methods
     are seeded and partition-stable). A recall regression of even ONE
     neighbor now flips the value hash, not just the floor."""
-    from ..operators.similarity import ann_topk_ivf_prefit
+    from ..operators.similarity import (
+        ann_topk_ivf_prefit,
+        ann_topk_pq_prefit,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -175,14 +204,18 @@ def ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = _ivf_centers_for(spark, sf_dir, n_cells=16)
     ivf = (ann_topk_ivf_prefit(emb, queries, centers, k=10, n_probe=6)
            .select(F.lit("ivf").alias("method"), "query_id", "neighbor_id"))
+    books = _pq_books_for(spark, sf_dir, m=8, k_codes=32)
+    pq = (ann_topk_pq_prefit(emb, queries, books, k=10, refine=100)
+          .select(F.lit("pq").alias("method"), "query_id", "neighbor_id"))
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_queries = queries.agg(F.count(F.lit(1)).alias("n_queries"))
     # pinned-recall contract key: lineitem cardinality identifies the
     # driver-testdata scale (metadata-only parquet count, 1-row bcast)
     li_n = load_table(spark, sf_dir, "lineitem") \
         .agg(F.count(F.lit(1)).alias("__li_n"))
-    floors = F.when(F.col("method") == "lsh", F.lit(0.6)).otherwise(F.lit(0.5))
-    return (lsh.unionByName(ivf)
+    floors = F.when(F.col("method") == "lsh", F.lit(0.6)) \
+        .when(F.col("method") == "pq", F.lit(0.6)).otherwise(F.lit(0.5))
+    return (lsh.unionByName(ivf).unionByName(pq)
             .join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
             .groupBy("method")
             .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))

@@ -142,3 +142,45 @@ def test_blocked_cosine_recall_vs_unblocked(spark, sf_smoke):
     # 3 hyperplanes ⇒ P(same bucket) ≈ (1 - θ/π)³; at cos≥0.4 expect
     # ≳0.2 — assert a conservative floor and that blocking does block
     assert recall >= 0.1, f"recall {recall}"
+
+
+def test_ann_pq_recall_at_10(spark, sf_smoke):
+    """PQ (r5): 8×32 codebooks + ADC cosine + top-100 exact rerank must
+    recover most of the brute-force top-10, and the pinned seeded hit
+    count (the q42 hash contract) must reproduce exactly."""
+    from bigdata_spark_assignment_spark.operators.similarity import (
+        ann_topk_pq_prefit,
+        fit_pq_codebooks,
+    )
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = fit_pq_codebooks(emb, m=8, k_codes=32, seed=7)
+    assert len(books) == 8 and all(len(b) == 32 for b in books)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, queries, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ann_topk_pq_prefit(emb, queries, books, k=10,
+                                          refine=100).collect()}
+    # the exact value hashed by q42's oracle at this scale (sf0.001)
+    assert len(exact & approx) == 45
+    assert len(approx) == len(exact) == 50
+
+
+def test_ann_pq_full_refine_is_exact(spark, sf_smoke):
+    """refine == corpus size: the exact rerank sees every candidate, so
+    PQ must reproduce the exact top-k (its correctness limit case) no
+    matter how lossy the codes are."""
+    from bigdata_spark_assignment_spark.operators.similarity import (
+        ann_topk_pq_prefit,
+        fit_pq_codebooks,
+    )
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 3)
+    books = fit_pq_codebooks(emb, m=4, k_codes=8, seed=11)  # very lossy
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    full = {(r.query_id, r.rank): r.neighbor_id
+            for r in ann_topk_pq_prefit(emb, queries, books, k=5,
+                                        refine=n).collect()}
+    assert exact == full
