@@ -335,3 +335,60 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
         return pruned
     cond = pruned[probe_key] == build[build_key]
     return pruned.join(build, cond, "left_semi")
+
+
+def resample_ffill(events: DataFrame, intervals: DataFrame,
+                   ts_col: str, value_col: str,
+                   key_cols: list[str], start_col: str = "w_start",
+                   end_col: str = "w_end",
+                   step_seconds: int = 900) -> DataFrame:
+    """Per-key time-series resampling with forward-fill gap repair (r5)
+    — the feature-engineering primitive behind regular-grid model
+    inputs: each key's window [start, end] becomes a fixed
+    ``step_seconds`` grid, observations aggregate (SUM) into their
+    bucket, and empty buckets carry the LAST observed value forward.
+
+    Returns one row per (key, bucket): the bucket index and start
+    timestamp, the raw bucket sum (NULL for gaps), the forward-filled
+    value (NULL only before a key's first observation), and a gap
+    flag.
+
+    Plan shape: the grid is ``sequence()`` + ``explode`` off the
+    (small) intervals frame — no driver loop; bucketing is integer
+    epoch arithmetic; the gap repair is ONE window pass
+    (last(ignorenulls) over bucket order per key). Everything shuffles
+    once on the key. 100 TB notes: grid size is
+    |keys| · window/step — independent of event volume; the events
+    side aggregates DOWN to buckets before the grid join, so the join
+    touches at most one row per occupied bucket.
+    """
+    step = F.lit(step_seconds)
+    iv = intervals
+    grid = iv.select(
+        *key_cols,
+        F.col(start_col).alias("__w_start"),
+        F.explode(F.sequence(
+            F.col(start_col), F.col(end_col),
+            F.expr(f"INTERVAL {step_seconds} SECONDS"))).alias("bucket_ts"))
+    ev = events.join(iv, key_cols)
+    diff = (F.col(ts_col).cast("timestamp").cast("long")
+            - F.col(start_col).cast("timestamp").cast("long"))
+    obs = (ev.filter((F.col(ts_col) >= F.col(start_col))
+                     & (F.col(ts_col) <= F.col(end_col)))
+           .withColumn("__bsec", F.floor(diff / step) * step)
+           .withColumn("bucket_ts",
+                       F.col(start_col) + F.make_interval(
+                           secs=F.col("__bsec").cast("double")))
+           .groupBy(*key_cols, "bucket_ts")
+           .agg(F.sum(value_col).alias("bucket_sum")))
+    w = (W.partitionBy(*key_cols).orderBy("bucket_ts")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (grid.join(obs, [*key_cols, "bucket_ts"], "left")
+            .select(*key_cols,
+                    ((F.col("bucket_ts").cast("timestamp").cast("long")
+                      - F.col("__w_start").cast("timestamp").cast("long"))
+                     / step_seconds).cast("long").alias("bucket_idx"),
+                    "bucket_ts", "bucket_sum",
+                    F.last("bucket_sum", ignorenulls=True).over(w)
+                     .alias("filled_sum"),
+                    F.col("bucket_sum").isNull().alias("is_gap")))

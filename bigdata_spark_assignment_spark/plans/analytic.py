@@ -700,8 +700,37 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND CAST(e.ts AS TIMESTAMP) >= iv.w_start
       AND CAST(e.ts AS TIMESTAMP) <= iv.w_end
     GROUP BY e.user_id
+    UNION ALL
+    -- r5: per-user 15-min resample of the first hour with forward-fill
+    -- gap repair (operators.relational.resample_ffill)
+    SELECT 'resample',
+           CAST(date_diff('second', f.w_start, f.bts) / 900 AS BIGINT),
+           f.user_id, f.bts, ROUND(f.fv, 4),
+           CAST(CASE WHEN f.sv IS NULL THEN 1 ELSE 0 END AS BIGINT)
+    FROM (
+      WITH grid AS (
+        SELECT user_id, w_start,
+               unnest(generate_series(w_start, w_end,
+                                      INTERVAL 15 MINUTE)) AS bts
+        FROM iv),
+      obs AS (
+        SELECT e.user_id,
+               iv.w_start + CAST(floor(date_diff('second', iv.w_start,
+                   CAST(e.ts AS TIMESTAMP)) / 900.0) AS INTEGER) * 900
+                   * INTERVAL 1 SECOND AS bts,
+               SUM(e.value) AS sv
+        FROM events e JOIN iv USING (user_id)
+        WHERE CAST(e.ts AS TIMESTAMP) >= iv.w_start
+          AND CAST(e.ts AS TIMESTAMP) <= iv.w_end
+        GROUP BY 1, 2)
+      SELECT g.user_id, g.w_start, g.bts, o.sv,
+             last_value(o.sv IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+      FROM grid g LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.bts = o.bts) f
     """,
-    tags=("join", "asof", "range"),
+    tags=("join", "asof", "range", "resample"),
 )
 def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal joins in one tagged result (merged r2 q56+q57 to free
@@ -717,6 +746,13 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       counted per user. The oracle is the plain inequality join — the
       operator must be row-identical while planning as a hash join on
       (bin, user) instead of a nested loop.
+    * ``resample`` (r5) — per-user 15-minute resampling of the same
+      first-hour windows with forward-fill gap repair
+      (operators.relational.resample_ffill): sequence()+explode grid,
+      bucket aggregation BEFORE the grid join, one last(ignorenulls)
+      window pass. Every (user, bucket) row — index, bucket timestamp,
+      filled value, gap flag — is oracle-recomputed via
+      generate_series + last_value IGNORE NULLS.
     """
     from ..operators.relational import asof_join, range_join_binned
 
@@ -749,7 +785,18 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "user_id",
                    F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
                    "v", "n"))
-    return asof.unionByName(rng)
+
+    from ..operators.relational import resample_ffill
+
+    rs = (resample_ffill(events, iv, "ts", "value", ["user_id"],
+                         step_seconds=900)
+          .select(F.lit("resample").alias("part"),
+                  F.col("bucket_idx").alias("id"),
+                  "user_id",
+                  F.col("bucket_ts").alias("ts_asof"),
+                  fround(F.col("filled_sum")).alias("v"),
+                  F.col("is_gap").cast("long").alias("n")))
+    return asof.unionByName(rng).unionByName(rs)
 
 
 @register(

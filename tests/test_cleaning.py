@@ -237,3 +237,39 @@ def test_mixture_sample_deterministic_and_rated(spark, sf_smoke):
         n = by_src_full[src]
         sigma = math.sqrt(n * rate * (1 - rate))
         assert abs(by_src.get(src, 0) - n * rate) < 4 * sigma + 1
+
+
+def test_resample_ffill_grid_gaps_and_leading_nulls(spark):
+    """r5 resample_ffill: fixed grid per key, bucket sums, forward-fill
+    across gaps, NULL before a key's first observation, inclusive end
+    boundary."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        resample_ffill,
+    )
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10", 5.0),   # bucket 0
+         (1, "2024-01-01 00:00:20", 3.0),   # bucket 0 (sums to 8)
+         (1, "2024-01-01 00:45:00", 2.0),   # bucket 3 (gap at 1, 2)
+         (2, "2024-01-01 00:30:00", 7.0),   # key 2: first obs bucket 2
+         (2, "2024-01-01 01:00:00", 1.0)],  # exactly at w_end: bucket 4
+        "user_id long, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:00")],
+        "user_id long, w_start string") \
+        .withColumn("w_start", F.col("w_start").cast("timestamp_ntz")) \
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 1 HOUR"))
+    out = {(r.user_id, r.bucket_idx): r for r in
+           resample_ffill(ev, iv, "ts", "value", ["user_id"],
+                          step_seconds=900).collect()}
+    assert len(out) == 10                      # 2 keys x 5 buckets
+    k1 = [out[(1, i)] for i in range(5)]
+    assert [r.bucket_sum for r in k1] == [8.0, None, None, 2.0, None]
+    assert [r.filled_sum for r in k1] == [8.0, 8.0, 8.0, 2.0, 2.0]
+    assert [r.is_gap for r in k1] == [False, True, True, False, True]
+    k2 = [out[(2, i)] for i in range(5)]
+    assert [r.filled_sum for r in k2] == [None, None, 7.0, 7.0, 1.0]
+    assert k2[0].is_gap and k2[1].is_gap      # leading gaps stay NULL
+    assert k2[4].bucket_sum == 1.0            # w_end inclusive
