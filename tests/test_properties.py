@@ -202,3 +202,57 @@ def test_packing_invariants(spark, doc_lens, seq_tokens):
         assert r.straddles == (r.seq_last > r.seq_first)
         cum += n
     assert out[-1].seq_last + 1 == math.ceil(cum / seq_tokens)
+
+
+# ---------------------------------------------------------------------------
+# r5: JPEG codec + Morton key properties (pure Python/numpy — no Spark
+# round-trip needed; the Spark seams are covered in test_multimodal /
+# test_layout)
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(1, 33), st.integers(1, 33), st.integers(0, 2**31 - 1))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_roundtrip_any_geometry_bounded_error(h, w, seed):
+    """Property: for ANY geometry (including non-8-multiples) and any
+    pixel content, encode→decode preserves geometry exactly and the
+    image mean within the Annex-K quantization error budget."""
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(px))
+    assert (out["width"], out["height"]) == (w, h)
+    # worst case is white noise; DC-exactness keeps the mean tight even
+    # when AC structure is mangled (small images give noisier means)
+    assert abs(out["feat_mean"] - px.mean()) < 6.0
+    assert abs(out["feat_std"] - px.astype(float).std()) < 16.0
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=2, max_size=3),
+       st.integers(2, 16))
+@settings(max_examples=40, deadline=None)
+def test_morton_key_is_bijective_on_ranks(vals, bits):
+    """Property: the Morton spread is a bijection — de-interleaving the
+    z-value recovers each column's quantized rank exactly, for any
+    dimension count and bit width. (Parity with the Spark expression is
+    pinned separately in test_layout.py.)"""
+    from bigdata_spark_assignment_spark.operators.layout import (
+        zorder_key_py,
+    )
+    d = len(vals)
+    if d * bits > 63:
+        return
+    bounds = [(0, 10**6)] * d
+    z = zorder_key_py(vals, bounds, bits=bits)
+    top = (1 << bits) - 1
+    for j, v in enumerate(vals):
+        expected_rank = min(top, int(v / 10**6 * (top + 1)))
+        got_rank = 0
+        for i in range(bits):
+            got_rank |= ((z >> (i * d + j)) & 1) << i
+        assert got_rank == expected_rank
