@@ -133,3 +133,65 @@ def heavy_hitters(df: DataFrame, item_col: str, threshold: int,
             .agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") >= threshold)
             .withColumnRenamed("item", item_col))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — mergeable set-expression
+# estimation (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007's
+# unaggregated-data form). Unlike HLL++, a KMV synopsis supports
+# INTERSECTION estimates: J = |sketch(A∪B) ∩ A ∩ B| / k estimates the
+# Jaccard similarity, and |A∩B| ≈ J · |A∪B|-estimate.
+# ---------------------------------------------------------------------------
+
+
+def md5_hash60_expr(col) -> "F.Column":
+    """60-bit uniform hash from md5 — chosen over xxhash64 because the
+    DuckDB oracle can compute the IDENTICAL value
+    (``('0x' || substr(md5(x), 1, 15))::BIGINT``), making every KMV
+    estimate exactly cross-engine-checkable with no pinned literals."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """The k smallest distinct key hashes — a fixed-size synopsis of an
+    arbitrarily large key set.
+
+    Plan shape: column-pruned scan → hash → distinct (one shuffle on
+    the hash) → ``orderBy().limit(k)`` = TakeOrderedAndProject (each
+    partition keeps its local k; no full sort). At 100 TB add the
+    classic threshold prefilter (``h < k/n_est · 2^60``) before the
+    distinct so the shuffle only ever carries near-minimal hashes."""
+    return (df.select(md5_hash60_expr(F.col(key_col)).alias("h"))
+            .distinct().orderBy("h").limit(k))
+
+
+def kmv_intersection_estimate(a: DataFrame, b: DataFrame, key_col: str,
+                              k: int = 256) -> DataFrame:
+    """1-row frame: KMV estimates of |A∪B| (``est_union``), the shared
+    count among the union sketch's k minima (``j``), and the derived
+    |A∩B| estimate (``est_intersection``).
+
+    Mergeability is the 100 TB point: per-partition (or per-day)
+    sketches union and re-truncate to k rows — the union sketch of the
+    union set — so set-overlap questions across arbitrarily many
+    partitions never rescan data. When the true union is smaller than
+    k the sketch IS the set and every estimate degrades to exact
+    (the CASE branch, mirrored verbatim in the q23 oracle)."""
+    ska, skb = kmv_sketch(a, key_col, k), kmv_sketch(b, key_col, k)
+    unionk = (ska.unionByName(skb).distinct()
+              .orderBy("h").limit(k))
+    shared = (unionk.join(ska, "h", "left_semi")
+              .join(skb, "h", "left_semi"))
+    stats = (unionk.agg(F.count(F.lit(1)).alias("uk"),
+                        F.max("h").alias("kth"))
+             .crossJoin(shared.agg(F.count(F.lit(1)).alias("j"))))
+    # operand order mirrors the oracle SQL exactly so the float results
+    # are bit-identical: ((k-1)·2^60) is one exact double literal
+    est_union = F.when(F.col("uk") < k, F.col("uk").cast("double")) \
+        .otherwise(F.lit(float((k - 1) * (1 << 60))) / F.col("kth"))
+    return stats.select(
+        F.col("uk"), F.col("kth"), F.col("j"),
+        est_union.alias("est_union"),
+        F.round(F.col("j") * est_union / F.col("uk"), 0)
+         .cast("long").alias("est_intersection"))

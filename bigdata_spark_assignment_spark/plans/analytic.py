@@ -169,6 +169,32 @@ def rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST((SELECT COUNT(*) FROM customer
                    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS BIGINT))
     UNION ALL
+    -- r5 session 2: the KMV estimate is recomputed HERE, bit-exactly —
+    -- same md5-derived 60-bit hashes, same k-minima, same arithmetic
+    SELECT 'setops', 'kmv_intersect', s.est_inter, s.j,
+           ROUND(s.est_union, 4)
+    FROM (
+      WITH ha AS (SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM y95),
+      hb AS (SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM y96),
+      ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+      skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+      unionk AS (SELECT DISTINCT h FROM
+                   (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+                 ORDER BY h LIMIT 256),
+      st AS (SELECT (SELECT COUNT(*) FROM unionk) AS uk,
+                    (SELECT MAX(h) FROM unionk) AS kth,
+                    (SELECT COUNT(*) FROM unionk u
+                     WHERE EXISTS (SELECT 1 FROM ska WHERE ska.h = u.h)
+                       AND EXISTS (SELECT 1 FROM skb WHERE skb.h = u.h))
+                      AS j)
+      SELECT j,
+             CASE WHEN uk < 256 THEN CAST(uk AS DOUBLE)
+                  ELSE (256 - 1) * POW(2.0, 60) / kth END AS est_union,
+             CAST(round(j * (CASE WHEN uk < 256 THEN CAST(uk AS DOUBLE)
+                  ELSE (256 - 1) * POW(2.0, 60) / kth END) / uk)
+                  AS BIGINT) AS est_inter
+      FROM st) s
+    UNION ALL
     SELECT 'louter', p_brand,
            CAST(COUNT(*) AS BIGINT),
            CAST(COUNT(*) FILTER (WHERE li.l_partkey IS NULL) AS BIGINT),
@@ -226,6 +252,21 @@ def membership_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             bloom_semi_join(customer, orders.select("o_custkey"),
                             "c_custkey", "o_custkey"),
             "n_with_orders_bloom")))
+
+    # r5 session 2: KMV set-intersection sketch over the same two year
+    # key sets — md5-hash-based so the DuckDB oracle recomputes the
+    # ESTIMATE itself bit-exactly (operators.sketches.kmv_*); the
+    # mergeable-synopsis answer to "how much do these partitions
+    # overlap" that HLL++ cannot give.
+    from ..operators.sketches import kmv_intersection_estimate
+
+    kmv = (kmv_intersection_estimate(y95, y96, "o_custkey", k=256)
+           .select(F.lit("setops").alias("part"),
+                   F.lit("kmv_intersect").alias("k"),
+                   F.col("est_intersection").alias("n1"),
+                   F.col("j").alias("n2"),
+                   fround(F.col("est_union")).alias("v")))
+    setops = setops.unionByName(kmv)
 
     part = load_table(spark, sf_dir, "part")
     li = (load_table(spark, sf_dir, "lineitem")

@@ -36,3 +36,42 @@ def test_percentile_approx_error_bound(spark, sf_oracle):
     for k in exact:
         rel_err = abs(approx[k] - exact[k]) / exact[k]
         assert rel_err < 0.02, (k, exact[k], approx[k])
+
+
+def test_kmv_sketch_mergeable_and_exact_below_k(spark):
+    """r5 KMV: (a) below-k sets degrade to EXACT estimates (the sketch
+    IS the set); (b) the sketch of a union equals the union of
+    sketches re-truncated to k — the mergeability that makes KMV a
+    partition-synopsis at scale."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_assignment_spark.operators.sketches import (
+        kmv_intersection_estimate,
+        kmv_sketch,
+    )
+    a = spark.range(0, 120).withColumnRenamed("id", "key")
+    b = spark.range(80, 200).withColumnRenamed("id", "key")
+    r = kmv_intersection_estimate(a, b, "key", k=256).first()
+    # |A u B| = 200 < k: everything exact
+    assert r.uk == 200 and r.est_union == 200.0
+    assert r.j == 40 and r.est_intersection == 40
+    # mergeability
+    union_direct = kmv_sketch(a.unionByName(b), "key", k=64)
+    union_merged = (kmv_sketch(a, "key", k=64)
+                    .unionByName(kmv_sketch(b, "key", k=64))
+                    .distinct().orderBy("h").limit(64))
+    assert (sorted(x.h for x in union_direct.collect())
+            == sorted(x.h for x in union_merged.collect()))
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    """KMV standard error is ~1/sqrt(k); at k=256 allow 4 sigma
+    (~25%) on a 5000-element union with 40% overlap."""
+    from bigdata_spark_assignment_spark.operators.sketches import (
+        kmv_intersection_estimate,
+    )
+    a = spark.range(0, 3500).withColumnRenamed("id", "key")
+    b = spark.range(1500, 5000).withColumnRenamed("id", "key")
+    r = kmv_intersection_estimate(a, b, "key", k=256).first()
+    assert abs(r.est_union - 5000) / 5000 < 0.25
+    assert abs(r.est_intersection - 2000) / 2000 < 0.35
