@@ -355,16 +355,55 @@ _JPEG_HUFF_AC_CHR = (
      0xF9, 0xFA])
 
 
-def _jpeg_dct_matrix() -> np.ndarray:
-    """Orthonormal 8×8 DCT-II basis: D[u, x] = c(u)/2 · cos((2x+1)uπ/16)."""
-    u = np.arange(8).reshape(8, 1)
-    x = np.arange(8).reshape(1, 8)
-    d = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+def dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal n×n DCT-II basis:
+    D[u, x] = √(2/n)·c(u)·cos((2x+1)uπ/2n), c(0) = 1/√2."""
+    u = np.arange(n).reshape(n, 1)
+    x = np.arange(n).reshape(1, n)
+    d = np.sqrt(2.0 / n) * np.cos((2 * x + 1) * u * np.pi / (2 * n))
     d[0, :] /= np.sqrt(2.0)
     return d
 
 
-_JPEG_DCT = _jpeg_dct_matrix()
+_JPEG_DCT = dct_matrix(8)
+
+
+def phash64(pixels) -> int:
+    """64-bit perceptual image hash (the public pHash construction):
+    downsample to 32×32, 2-D DCT, keep the 8×8 low-frequency corner,
+    and emit one bit per coefficient — above/below the median of the
+    63 non-DC coefficients (DC itself carries only global brightness
+    and is excluded from the median but kept as bit 0 vs median, which
+    is the common variant). Robust to re-encoding, mild noise, and
+    resizing; pairs with ``dedup.neardup_pairs_hamming64`` for
+    image near-dup at corpus scale."""
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim == 3:
+        px = px.mean(axis=2)
+    if px.ndim != 2 or px.size == 0:
+        raise ValueError("pixels must be a non-empty 2-D/3-D array")
+    # area-MEAN downsample (not nearest-neighbor): averaging is the
+    # low-pass step that makes the hash noise-robust
+    if px.shape[0] < 32:
+        px = np.repeat(px, -(-32 // px.shape[0]), axis=0)
+    if px.shape[1] < 32:
+        px = np.repeat(px, -(-32 // px.shape[1]), axis=1)
+    h, w = px.shape
+    yb = np.arange(32) * h // 32
+    xb = np.arange(32) * w // 32
+    sums = np.add.reduceat(np.add.reduceat(px, yb, axis=0), xb, axis=1)
+    ylen = np.diff(np.append(yb, h)).reshape(-1, 1)
+    xlen = np.diff(np.append(xb, w)).reshape(1, -1)
+    small = sums / (ylen * xlen)
+    d32 = dct_matrix(32)
+    coef = (d32 @ (small - small.mean()) @ d32.T)[:8, :8].reshape(64)
+    med = float(np.median(coef[1:]))
+    bits = coef > med
+    out = 0
+    for i in range(63):                      # 63 bits: keep sign bit clear
+        if bits[i + 1]:
+            out |= 1 << i
+    return out
 
 
 def _jpeg_canonical_codes(bits, vals):

@@ -391,6 +391,39 @@ def _simhash_pandas_udf():
     return simhash_votes
 
 
+def neardup_pairs_hamming64(sigs: DataFrame, id_col: str, sig_col: str,
+                            max_hamming: int = 6) -> DataFrame:
+    """Generic near-dup pair join over ANY 64-bit signature column
+    (SimHash text signatures, pHash image signatures, …): candidates
+    by equality on any of the 4 16-bit chunks (pigeonhole-complete for
+    Hamming ≤ 3, recall-vs-cost tradeoff above), exact verification
+    with ``bit_count(a XOR b)``. Extracted r5 from the SimHash
+    operator so the image pipeline reuses the identical plan:
+    posexplode → chunk equi-join (shuffle on (chunk_id, value) only)
+    → distinct → verify."""
+    chunks = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sim"),
+        F.posexplode(F.array(*[
+            F.shiftright(F.col(sig_col), c * 16).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ])).alias("chunk_id", "chunk_val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sim").alias("sim_a"), F.col("b.sim").alias("sim_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming",
+                        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def neardup_pairs_simhash(docs: DataFrame, id_col: str, text_col: str,
                           max_hamming: int = 6,
                           parallelism: int | None = None) -> DataFrame:
@@ -415,27 +448,8 @@ def neardup_pairs_simhash(docs: DataFrame, id_col: str, text_col: str,
         simhash(F.transform(words_expr(F.col(text_col)),
                             lambda t: F.xxhash64(t))).alias("sim"))
     sh = _track_persist(sh)
-    chunks = sh.select(
-        "id", "sim",
-        F.posexplode(F.array(*[
-            F.shiftright(F.col("sim"), c * 16).bitwiseAND(F.lit(0xFFFF))
-            for c in range(4)
-        ])).alias("chunk_id", "chunk_val"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
-               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sim").alias("sim_a"), F.col("b.sim").alias("sim_b"))
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming",
-                        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return neardup_pairs_hamming64(sh, "id", "sim",
+                                   max_hamming=max_hamming)
 
 
 def neardup_clusters(pairs: DataFrame, max_iter: int = 20,

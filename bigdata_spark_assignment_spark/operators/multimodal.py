@@ -590,3 +590,54 @@ def extract_media_features(assets: DataFrame, id_col: str = "doc_id",
         F.col(f"{asset_col}.digest").alias("digest"),
     )
     return flat.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
+
+
+def phash_assets(assets: DataFrame, id_col: str = "doc_id",
+                 asset_col: str = "asset") -> DataFrame:
+    """Per-asset 64-bit perceptual hash (r5): decode the image payload
+    with the vendored codecs and compute ``codecs.phash64`` — the
+    image-side analogue of the SimHash text signature. Feed the result
+    straight into ``dedup.neardup_pairs_hamming64`` for image near-dup
+    detection (re-encoded/noisy copies land within a small Hamming
+    distance; unrelated images do not).
+
+    Arrow-batched mapInPandas like every decode path here: bounded to
+    one batch of payloads per task, embarrassingly parallel, and the
+    output is two longs per asset — the signature table that the
+    chunk-LSH join consumes is ~16 bytes/row regardless of image
+    size."""
+    import struct as _struct
+
+    from .codecs import decode_bmp, phash64  # by-value shipped
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                data = bytes(payload)
+                if data[:2] != b"BM":
+                    continue                  # non-BMP: skip (phash
+                                              # needs raw pixels; BMP is
+                                              # the uncompressed tier)
+                _, _, _, _, offset = _struct.unpack_from("<2sIHHI", data, 0)
+                meta = decode_bmp(data)
+                h, w = meta["height"], meta["width"]
+                stride = (w * 3 + 3) & ~3
+                rows = np.frombuffer(data, dtype=np.uint8,
+                                     count=stride * h,
+                                     offset=offset).reshape(h, stride)
+                gray = rows[::-1, : w * 3].reshape(h, w, 3).mean(axis=2)
+                ids.append(int(i))
+                sigs.append(phash64(gray))
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "phash": pd.Series(sigs, dtype="int64")})
+
+    return (assets.select(F.col(id_col).alias("id"),
+                          F.col(asset_col)["payload"].alias("payload"))
+            .mapInPandas(run, schema=T.StructType([
+                T.StructField("id", T.LongType()),
+                T.StructField("phash", T.LongType()),
+            ]))
+            .select(F.col("id").alias(id_col), "phash"))

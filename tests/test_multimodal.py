@@ -613,3 +613,77 @@ def test_synthesize_jpeg_assets_native_decode(spark):
         var = sum(v * v for v in vals) / len(vals) - mean * mean
         assert abs(r.feat_mean - mean) < 1e-9
         assert abs(r.feat_std - var ** 0.5) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# pHash (r5): perceptual image near-dup = phash64 + the generic
+# 64-bit Hamming chunk-LSH join shared with SimHash
+# ---------------------------------------------------------------------------
+
+
+def _lowfreq_image(rng, h=64, w=96):
+    """Natural-ish test image: random coarse grid upsampled + smoothed,
+    so low-frequency DCT energy is spread across the 8x8 corner the
+    hash reads (a pure sinusoid concentrates energy in 1-2
+    coefficients and leaves the rest as sign noise — pHash is defined
+    for natural images, not tones)."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    coarse = rng.uniform(0, 255, size=(8, 8))
+    img = np.kron(coarse, np.ones((h // 8 + 1, w // 8 + 1)))[:h, :w]
+    pad = np.pad(img, 2, mode="edge")
+    return (sliding_window_view(pad, (5, 5))
+            * (np.ones((5, 5)) / 25.0)).sum(axis=(2, 3))
+
+
+def test_phash64_robust_to_noise_and_distinct_across_images():
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.codecs import phash64
+    rng = np.random.default_rng(3)
+    base = _lowfreq_image(rng)
+    noisy = np.clip(base + rng.normal(0, 6, base.shape), 0, 255)
+    other = _lowfreq_image(rng)
+    h_base = phash64(base)
+    assert bin(h_base ^ phash64(noisy)).count("1") <= 6   # noise survives
+    assert bin(h_base ^ phash64(other)).count("1") >= 16  # distinct
+    assert bin(h_base ^ phash64(base[::2, ::2])).count("1") <= 8  # resize
+
+
+def test_phash_assets_image_neardup_pipeline(spark):
+    """End-to-end: BMP assets → phash_assets → the SimHash-shared
+    Hamming chunk join finds planted noisy copies and nothing else."""
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_spark_assignment_spark.operators.codecs import encode_bmp
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        neardup_pairs_hamming64,
+    )
+    from bigdata_spark_assignment_spark.operators.multimodal import (
+        asset_expr,
+        phash_assets,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(8):                     # 8 distinct base images
+        base = _lowfreq_image(rng, 48, 48)
+        rows.append((2 * i, encode_bmp(np.clip(base, 0, 255)
+                                       .astype(np.uint8))))
+        noisy = np.clip(base + rng.normal(0, 4, base.shape), 0, 255)
+        rows.append((2 * i + 1, encode_bmp(noisy.astype(np.uint8))))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    assets = df.select("doc_id", asset_expr(F.col("payload"), "image",
+                                            "image/bmp").alias("asset"))
+    sigs = phash_assets(assets)
+    assert sigs.count() == 16
+    pairs = {(r.id_a, r.id_b)
+             for r in neardup_pairs_hamming64(
+                 sigs, "doc_id", "phash", max_hamming=8).collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(8)}
+    assert planted <= pairs, planted - pairs   # every copy found
+    assert pairs == planted, pairs - planted   # no cross-image pairs
