@@ -279,3 +279,41 @@ def mixture_sample(df: DataFrame, source_col: str, rates: dict[str, float],
               if thresh is not None
               else F.lit(int(round(default_rate * granularity))))
     return df.filter(bucket < thresh)
+
+
+def weighted_sample_topk(df: DataFrame, weight: Column, k: int,
+                         key_col: str = "doc_id",
+                         salt: str = "ws") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (r5) via the
+    Efraimidis–Spirakis A-ES reduction (IPL 2006, public): each row
+    draws a deterministic uniform u from its salted md5 hash and ranks
+    by ``ln(u) / weight`` — the global top-k under that key IS a
+    weighted sample without replacement (heavier rows win
+    proportionally more often). The corpus-curation primitive behind
+    "sample N documents proportional to quality/length" mixtures.
+
+    Determinism is the contract: u comes from the same md5-derived
+    60-bit hash the mixture sampler and the q23 KMV sketch use, so the
+    DuckDB oracle recomputes the EXACT member set — no tolerance
+    bands, no seeds to reconcile (Spark's own seeded ``sample`` cannot
+    promise cross-engine membership).
+
+    Plan shape: one narrow expression per row (no shuffle), then
+    ``orderBy().limit(k)`` = TakeOrderedAndProject — per-partition
+    local top-k, no global sort. Ties broken on the key column.
+
+    100 TB notes: identical cost to any top-k scan; the weight column
+    is whatever expression the caller prunes to — nothing else is
+    read. Weights must be >= some eps > 0 (guarded here) or the row
+    never wins.
+    """
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"),
+                       F.col(key_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    skey = F.log(u) / F.greatest(weight.cast("double"), F.lit(1e-12))
+    return (df.withColumn("__wskey", skey)
+            .orderBy(F.col("__wskey").desc(), F.col(key_col))
+            .limit(k)
+            .drop("__wskey"))

@@ -246,7 +246,29 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
              CAST((MAX((cum - 1) // 512) + 1) * 512 - SUM(toks)
                   AS BIGINT) AS pack_waste
-      FROM pack GROUP BY lang)
+      FROM pack GROUP BY lang),
+    -- r5 session 2: Efraimidis-Spirakis weighted sample without
+    -- replacement, recomputed EXACTLY (same md5 uniform, same
+    -- ln(u)/w key, same top-200 with doc_id tiebreak)
+    ws AS (
+      SELECT lang,
+             CAST(len(string_split_regex(lower(text), '\\s+'))
+                  AS BIGINT) AS toks
+      FROM (
+        SELECT lang, text
+        FROM documents
+        ORDER BY ln((CAST(CAST(('0x' || substring(
+                       md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS DOUBLE) + 1.0)
+                    / 1152921504606846976.0)
+                 / GREATEST(CAST(len(string_split_regex(lower(text),
+                       '\\s+')) AS DOUBLE), 1e-12) DESC,
+                 doc_id
+        LIMIT 200)),
+    ws_agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_wsample,
+             CAST(SUM(toks) AS BIGINT) AS wsample_tokens
+      FROM ws GROUP BY lang)
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_total,
            TRUE AS split_exact,
@@ -256,10 +278,13 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(ANY_VALUE(m.mix_tokens), 0) AS mix_tokens,
            ANY_VALUE(p.n_pack_seqs) AS n_pack_seqs,
            ANY_VALUE(p.n_straddle) AS n_straddle,
-           ANY_VALUE(p.pack_waste) AS pack_waste
+           ANY_VALUE(p.pack_waste) AS pack_waste,
+           COALESCE(ANY_VALUE(w.n_wsample), 0) AS n_wsample,
+           COALESCE(ANY_VALUE(w.wsample_tokens), 0) AS wsample_tokens
     FROM documents d
     LEFT JOIN mix_agg m ON d.lang = m.lang
     LEFT JOIN pack_agg p ON d.lang = p.lang
+    LEFT JOIN ws_agg w ON d.lang = w.lang
     GROUP BY d.lang
     """,
     tags=("sampling", "split", "ml", "mixture", "packing"),
@@ -286,13 +311,25 @@ def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     their whitespace-token budget per lang) are EXACT oracle-recomputed
     values, not tolerance booleans.
 
+    r5 session 2 adds WEIGHTED sampling without replacement
+    (``operators.cleaning.weighted_sample_topk``, Efraimidis–Spirakis
+    top-k on ln(u)/w): the token-weighted top-200 documents, whose
+    per-lang counts and token budgets (``n_wsample`` /
+    ``wsample_tokens``) the oracle recomputes EXACTLY from the same
+    md5-derived uniforms — deterministic member-set parity, the
+    strongest form a sampler can be checked at.
+
     Session-3 adds SEQUENCE-PACKING accounting
     (``operators.textual.packing_accounting``): concat-and-chunk at
     512 tokens per lang stream — sequences used, boundary-straddling
     docs (what a loss mask must handle), and last-sequence waste, all
     EXACT oracle-recomputed (the packing rule is pure window algebra,
     reproducible across engines)."""
-    from ..operators.cleaning import mixture_sample, stratified_sample
+    from ..operators.cleaning import (
+        mixture_sample,
+        stratified_sample,
+        weighted_sample_topk,
+    )
     from ..operators.textual import packing_accounting, token_count_expr
 
     docs = load_table(spark, sf_dir, "documents")
@@ -318,6 +355,14 @@ def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("straddles").cast("long")).alias("n_straddle"),
             ((F.max("seq_last") + 1) * 512 - F.sum("n_toks"))
              .alias("pack_waste")),
+        # r5 session 2: weighted sampling without replacement —
+        # Efraimidis-Spirakis top-k on ln(u)/w with u from the shared
+        # md5 hash, so the member set is EXACT oracle-recomputed
+        weighted_sample_topk(docs, token_count_expr(F.col("text")),
+                             k=200).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_ws_raw"),
+            F.sum(token_count_expr(F.col("text")).cast("long"))
+             .alias("ws_tokens_raw")),
     ]
     out = count_by_lang[0]
     for frame in count_by_lang[1:]:
@@ -339,4 +384,7 @@ def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("mix_tokens_raw"), F.lit(0).cast("long"))
          .alias("mix_tokens"),
         "n_pack_seqs", "n_straddle", "pack_waste",
+        F.coalesce(F.col("n_ws_raw"), F.lit(0)).alias("n_wsample"),
+        F.coalesce(F.col("ws_tokens_raw"), F.lit(0).cast("long"))
+         .alias("wsample_tokens"),
     )

@@ -273,3 +273,29 @@ def test_resample_ffill_grid_gaps_and_leading_nulls(spark):
     assert [r.filled_sum for r in k2] == [None, None, 7.0, 7.0, 1.0]
     assert k2[0].is_gap and k2[1].is_gap      # leading gaps stay NULL
     assert k2[4].bucket_sum == 1.0            # w_end inclusive
+
+
+def test_weighted_sample_topk_bias_determinism_and_exact_k(spark):
+    """r5 weighted sampling: (a) deterministic member set across calls;
+    (b) exactly k rows (all rows when k >= n); (c) rows with 10x the
+    weight are strongly over-represented vs their population share."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_assignment_spark.operators.cleaning import (
+        weighted_sample_topk,
+    )
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        # 10% heavy rows with weight 50, the rest weight 5
+        F.when(F.col("id") % 10 == 0, 50.0).otherwise(5.0).alias("w"))
+    s1 = {r.doc_id for r in
+          weighted_sample_topk(df, F.col("w"), k=400).collect()}
+    s2 = {r.doc_id for r in
+          weighted_sample_topk(df, F.col("w"), k=400).collect()}
+    assert s1 == s2 and len(s1) == 400
+    heavy = sum(1 for d in s1 if d % 10 == 0)
+    # population share of heavy rows is 10%; with 10x weight their
+    # sample share must be far above it (E ~ 0.5 at these odds)
+    assert heavy / 400 > 0.30, heavy
+    # k >= n keeps everything
+    assert weighted_sample_topk(df, F.col("w"), k=5000).count() == 2000
