@@ -195,3 +195,65 @@ def kmv_intersection_estimate(a: DataFrame, b: DataFrame, key_col: str,
         est_union.alias("est_union"),
         F.round(F.col("j") * est_union / F.col("uk"), 0)
          .cast("long").alias("est_intersection"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) —
+# fixed-size frequency synopsis. Complements Misra-Gries above: MG
+# answers "which items are frequent" (ids only, exact after verify);
+# CMS answers point frequency queries for ARBITRARY items from a
+# d×w counter grid, with one-sided error (estimate ≥ true count,
+# over by ≤ εn with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉).
+# Counters are mergeable by cellwise addition, so per-partition /
+# per-day sketches combine without rescanning — the 100 TB property.
+# ---------------------------------------------------------------------------
+
+
+def cms_bucket_expr(col, seed: int, width: int) -> "F.Column":
+    """Row ``seed``'s bucket for an item — the KMV md5-60-bit trick
+    with a seed prefix, so the DuckDB oracle recomputes every counter
+    AND every estimate bit-exactly:
+    ``('0x' || substr(md5(seed || ':' || item), 1, 15))::BIGINT % w``."""
+    return md5_hash60_expr(
+        F.concat(F.lit(f"{seed}:"), col.cast("string"))) % width
+
+
+def cms_build(df: DataFrame, item_col: str,
+              depth: int = 3, width: int = 512) -> DataFrame:
+    """Build the d×w counter grid → rows (d, bucket, c); absent cells
+    are zero (the estimate side COALESCEs).
+
+    Plan shape: one scan → posexplode into ``depth`` (row, bucket)
+    pairs → hash aggregate. Partial (map-side) aggregation collapses
+    each task's contribution to ≤ d·w rows before the shuffle, so the
+    exchange carries O(d·w) rows per task regardless of input size —
+    the whole point of a sketch build. NULL items are skipped (md5 of
+    NULL is NULL; posexplode keeps the row but the groupBy key is
+    NULL-bucketed and filtered here) to match the MG operator's
+    NULL handling."""
+    buckets = F.array(*[cms_bucket_expr(F.col(item_col), i, width)
+                        for i in range(depth)])
+    return (df.filter(F.col(item_col).isNotNull())
+            .select(F.posexplode(buckets).alias("d", "bucket"))
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def cms_point_estimates(counters: DataFrame, items: DataFrame,
+                        item_col: str, depth: int = 3,
+                        width: int = 512) -> DataFrame:
+    """Point-frequency estimate per ``items`` row: min over the d
+    counters the item hashes to → (item_col, cms_est).
+
+    The counter grid is ≤ d·w rows — broadcast it, so arbitrarily many
+    query items never shuffle; a never-seen item's cells are absent
+    and COALESCE to 0 (CMS estimates unseen items exactly when their
+    cells are collision-free)."""
+    buckets = F.array(*[cms_bucket_expr(F.col(item_col), i, width)
+                        for i in range(depth)])
+    q = items.select(F.col(item_col),
+                     F.posexplode(buckets).alias("d", "bucket"))
+    return (q.join(F.broadcast(counters), ["d", "bucket"], "left")
+            .groupBy(item_col)
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                 .alias("cms_est")))

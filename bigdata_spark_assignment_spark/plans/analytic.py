@@ -943,36 +943,94 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q72_heavy_hitters",
     oracle="""
-    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
-          FROM documents)
-    WHERE token <> ''
-    GROUP BY token
-    HAVING COUNT(*) >= 60
+    WITH toks AS (
+      SELECT token
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+            FROM documents)
+      WHERE token <> ''),
+    heavy AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY token HAVING COUNT(*) >= 60),
+    -- r5 session 3: the d×w count-min counter grid rebuilt from the
+    -- same md5-derived buckets the engine uses — every counter and
+    -- every min-over-rows estimate is recomputed here bit-exactly
+    counters AS (
+      SELECT t.d,
+             CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || token), 1, 15))
+                  AS BIGINT) % 512 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks CROSS JOIN range(3) t(d)
+      GROUP BY 1, 2),
+    est AS (
+      SELECT h.token, MIN(c.c) AS est
+      FROM heavy h CROSS JOIN range(3) t(d)
+      JOIN counters c
+        ON c.d = t.d
+       AND c.bucket = CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || h.token), 1, 15))
+                           AS BIGINT) % 512
+      GROUP BY h.token)
+    SELECT 'mg' AS part, token AS k, cnt AS n1, CAST(NULL AS BIGINT) AS n2
+    FROM heavy
+    UNION ALL
+    SELECT 'cms', h.token, e.est, h.cnt
+    FROM heavy h JOIN est e ON e.token = h.token
     """,
-    tags=("sketch", "heavy-hitters", "text"),
+    tags=("sketch", "heavy-hitters", "count-min", "text"),
 )
 def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent tokens (count ≥ 60) across the document corpus via the
-    two-pass Misra-Gries candidate/verify operator
-    (operators.sketches.heavy_hitters) — EXACT output, sketch-pruned
-    plan. The oracle is the naive full GROUP BY...HAVING, so a hash
-    match proves the sketch pass is a true superset filter (candidate
-    recall 1.0) AND the verify pass counts exactly.
+    """Frequency sketches over the document corpus, tagged:
+
+    * ``mg`` — frequent tokens (count ≥ 60) via the two-pass
+      Misra-Gries candidate/verify operator
+      (operators.sketches.heavy_hitters) — EXACT output, sketch-pruned
+      plan. The oracle leg is the naive full GROUP BY...HAVING, so a
+      hash match proves the sketch pass is a true superset filter
+      (candidate recall 1.0) AND the verify pass counts exactly.
+    * ``cms`` — r5 session 3: a 3×512 count-min sketch built over the
+      same token stream (operators.sketches.cms_build), point-queried
+      for each heavy token (cms_point_estimates). The md5-bucket
+      construction is the KMV trick: DuckDB rebuilds the counter grid
+      and the min-over-rows estimates bit-exactly, so the hash pins
+      the sketch's CONTENTS, not a tolerance band. n2 carries the
+      exact count — at this deliberately tight width the grid holds
+      every collision the oracle must reproduce.
 
     100 TB notes: the naive plan shuffles every distinct token (the
-    full web-corpus vocabulary); this plan shuffles only
-    sketch-surviving candidates — two scans, zero wide shuffle. See
-    the operator docstring for the n/(k+1) guarantee arithmetic.
+    full web-corpus vocabulary); the MG plan shuffles only
+    sketch-surviving candidates (two scans, zero wide shuffle — see
+    the operator docstring for the n/(k+1) arithmetic) and the CMS
+    build's exchange carries ≤ d·w partial-aggregated rows per task
+    no matter the corpus size; estimates then broadcast the grid.
     """
-    from ..operators.sketches import heavy_hitters
+    from ..operators.dedup import _track_persist
+    from ..operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+        heavy_hitters,
+    )
     from ..operators.textual import WS_SPLIT
 
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(
         F.explode(F.split(F.lower("text"), WS_SPLIT)).alias("token")) \
         .filter(F.col("token") != "")
-    return heavy_hitters(tokens, "token", threshold=60, capacity=8192)
+    # persisted: the heavy set feeds both the mg rows and the cms
+    # query-item side
+    heavy = _track_persist(
+        heavy_hitters(tokens, "token", threshold=60, capacity=8192))
+    counters = cms_build(tokens, "token", depth=3, width=512)
+    est = cms_point_estimates(counters, heavy.select("token"),
+                              "token", depth=3, width=512)
+    mg = heavy.select(F.lit("mg").alias("part"),
+                      F.col("token").alias("k"),
+                      F.col("cnt").alias("n1"),
+                      F.lit(None).cast("long").alias("n2"))
+    cms = (heavy.join(est, "token")
+           .select(F.lit("cms").alias("part"),
+                   F.col("token").alias("k"),
+                   F.col("cms_est").alias("n1"),
+                   F.col("cnt").alias("n2")))
+    return mg.unionByName(cms)
 
 
 @register(

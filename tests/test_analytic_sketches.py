@@ -75,3 +75,46 @@ def test_kmv_estimate_within_error_bound(spark):
     r = kmv_intersection_estimate(a, b, "key", k=256).first()
     assert abs(r.est_union - 5000) / 5000 < 0.25
     assert abs(r.est_intersection - 2000) / 2000 < 0.35
+
+
+def test_cms_one_sided_error_and_mergeability(spark):
+    """r5 session 3 CMS: (a) every point estimate ≥ the true count
+    (one-sided error, the CMS invariant); (b) a deliberately tight
+    grid produces at least one strict overestimate (so the q72 oracle
+    is exercising real collisions, not an exact table in disguise);
+    (c) grids merge by cellwise addition — the partition-synopsis
+    property; (d) never-seen items estimate 0 when collision-free at
+    a wide width."""
+    from bigdata_spark_assignment_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+    items = (spark.range(0, 2000)
+             .select((F.col("id") % 500).cast("string").alias("item")))
+    truth = {r.item: r.c for r in
+             items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+             .collect()}
+    grid = cms_build(items, "item", depth=3, width=64)
+    est = {r.item: r.cms_est for r in
+           cms_point_estimates(grid, items.distinct(), "item",
+                               depth=3, width=64).collect()}
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+    assert any(est[k] > truth[k] for k in truth)  # 500 keys in 64 cells
+
+    # mergeability: grid(A ++ B) == cellwise-sum(grid(A), grid(B))
+    a = items.filter(F.col("item").cast("int") < 250)
+    b = items.filter(F.col("item").cast("int") >= 250)
+    merged = (cms_build(a, "item", depth=3, width=64)
+              .unionByName(cms_build(b, "item", depth=3, width=64))
+              .groupBy("d", "bucket").agg(F.sum("c").alias("c")))
+    direct = {(r.d, r.bucket): r.c for r in grid.collect()}
+    summed = {(r.d, r.bucket): r.c for r in merged.collect()}
+    assert direct == summed
+
+    # unseen item at a wide width: all three cells empty -> exact 0
+    unseen = spark.createDataFrame([("zzz-never-seen",)], ["item"])
+    wide = cms_build(items, "item", depth=3, width=1 << 20)
+    z = cms_point_estimates(wide, unseen, "item",
+                            depth=3, width=1 << 20).first()
+    assert z.cms_est == 0
