@@ -752,3 +752,74 @@ def shared_window_stats(docs: DataFrame, window_tokens: int = 10,
                 .agg(F.countDistinct("__id").alias("n_docs_with_shared")))
     return totals.crossJoin(docs_hit).select(
         "n_shared_windows", "n_docs_with_shared", "n_shared_occurrences")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy self-join (SymSpell / FastSS deletion-neighborhood
+# blocking + exact Levenshtein verify)
+# ---------------------------------------------------------------------------
+
+
+def deletion_variants_expr(s: Column, max_dist: int) -> Column:
+    """All distinct strings reachable from ``s`` by ≤ ``max_dist``
+    single-character deletions (including ``s`` itself) — pure Column
+    expressions (transform over sequence + substring), so the whole
+    neighborhood generation stays inside whole-stage codegen.
+
+    Completeness (the FastSS/SymSpell lemma): if lev(a, b) ≤ d, the
+    characters COPIED by an optimal alignment form a common
+    subsequence reachable from both sides by ≤ d deletions (each edit
+    op consumes at most one character of each string), so
+    Dels≤d(a) ∩ Dels≤d(b) ≠ ∅. The converse does not hold — sharing a
+    variant only bounds lev by 2d — which is why callers must verify.
+    """
+    def del1(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: F.concat(
+                F.substring(t, F.lit(1), i - 1),
+                F.substring(t, i + 1, F.length(t))))
+
+    levels = [F.array(s)]
+    for _ in range(max_dist):
+        levels.append(F.array_distinct(
+            F.flatten(F.transform(levels[-1], del1))))
+    return F.array_distinct(F.flatten(F.array(*levels)))
+
+
+def fuzzy_join_edit_distance(df: DataFrame, id_col: str, str_col: str,
+                             max_dist: int = 1) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist``
+    → (id_a, id_b, dist), id_a < id_b — WITHOUT the O(n²) cross join.
+
+    Plan shape: explode each row into its ≤d-deletion neighborhood,
+    join on xxhash64(variant) (8-byte shuffle key; a hash collision
+    only adds a candidate, the verify prunes it), distinct the
+    candidate pairs, then exact ``levenshtein(sa, sb) ≤ d`` — Spark's
+    built-in JVM implementation, identical unit-cost semantics to the
+    DuckDB oracle's ``levenshtein``.
+
+    100 TB notes: the neighborhood has C(len, ≤d) variants per row —
+    the method targets SHORT keys (names, codes, titles ≤ ~50 chars;
+    len+1 variants at d=1). The shuffle carries (hash, id, string)
+    rows, strings ride along so candidates verify without a second
+    join back to the corpus. For long strings use segment blocking
+    (PassJoin) instead: d+1 fixed segments, substring probes. Equal
+    strings share their whole neighborhood — dedup exact duplicates
+    first (dedup_exact) or they dominate the candidate count.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"), F.col(str_col).alias("s"),
+        F.explode(deletion_variants_expr(F.col(str_col), max_dist))
+         .alias("v")).select("id", "s", F.xxhash64("v").alias("vh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (a.join(b, (F.col("a.vh") == F.col("b.vh"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+            .distinct())
+    return (cand
+            .withColumn("dist", F.levenshtein("sa", "sb"))
+            .filter(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", "dist"))

@@ -152,15 +152,48 @@ def dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q33_neardup_jaccard_bruteforce",
-    oracle=_JACCARD_PAIRS_SQL,
-    tags=("dedup", "neardup"),
+    oracle=f"""
+    SELECT 'jaccard' AS part, id_a, id_b, jaccard AS v
+    FROM ({_JACCARD_PAIRS_SQL})
+    UNION ALL
+    -- r5 session 3: the fuzzy-join truth is the brute-force O(n²)
+    -- levenshtein — identical unit-cost semantics in both engines
+    SELECT 'editdist', CAST(a.s_suppkey AS BIGINT),
+           CAST(b.s_suppkey AS BIGINT),
+           CAST(levenshtein(a.s_name, b.s_name) AS DOUBLE)
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+    tags=("dedup", "neardup", "fuzzy-join"),
 )
 def neardup_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (word-3-shingle) Jaccard near-dup pairs at τ=0.6
-    via the shingle inverted index — the LSH recall baseline."""
+    """String-similarity pair mining, tagged:
+
+    * ``jaccard`` — exact n-gram (word-3-shingle) Jaccard near-dup
+      pairs at τ=0.6 via the shingle inverted index — the LSH recall
+      baseline.
+    * ``editdist`` — r5 session 3: all supplier-name pairs within
+      Levenshtein distance 1 via the SymSpell deletion-neighborhood
+      blocked join (operators.dedup.fuzzy_join_edit_distance). The
+      oracle recomputes the truth BRUTE-FORCE (O(n²) levenshtein), so
+      a hash match proves the d-deletion blocking loses no pair
+      (completeness lemma in the operator docstring) and the verify
+      keeps no false candidate.
+    """
+    from ..operators.dedup import fuzzy_join_edit_distance
+
     docs = load_table(spark, sf_dir, "documents")
-    out = neardup_pairs_exact_jaccard(docs, "doc_id", "text", threshold=0.6)
-    return out.select("id_a", "id_b", fround(F.col("jaccard")).alias("jaccard"))
+    jac = (neardup_pairs_exact_jaccard(docs, "doc_id", "text",
+                                       threshold=0.6)
+           .select(F.lit("jaccard").alias("part"), "id_a", "id_b",
+                   fround(F.col("jaccard")).alias("v")))
+    sup = load_table(spark, sf_dir, "supplier")
+    fz = (fuzzy_join_edit_distance(sup, "s_suppkey", "s_name", max_dist=1)
+          .select(F.lit("editdist").alias("part"),
+                  F.col("id_a").cast("long").alias("id_a"),
+                  F.col("id_b").cast("long").alias("id_b"),
+                  F.col("dist").cast("double").alias("v")))
+    return jac.unionByName(fz)
 
 
 @register(

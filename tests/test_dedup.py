@@ -396,3 +396,43 @@ def test_hot_band_cap_noop_on_clean_data(spark):
               neardup_pairs_minhash(df, "doc_id", "text", 0.5,
                                     max_band_size=10).collect()}
     assert capped == uncapped
+
+
+def test_fuzzy_join_edit_distance_matches_bruteforce(spark):
+    """r5 session 3: the deletion-neighborhood blocked join must equal
+    the brute-force cross-join truth at d=1 AND d=2 on a corpus with
+    planted insert/delete/substitute/transpose mutations (a transpose
+    is TWO unit edits under plain Levenshtein — present to prove the
+    d=1 run correctly excludes it and the d=2 run finds it)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        fuzzy_join_edit_distance,
+    )
+    base = ["gradient", "descent", "attention", "tokenizer",
+            "embedding", "transformer", "checkpoint", "optimizer"]
+    rows, i = [], 0
+    for w in base:
+        for s in (w,                      # exact
+                  w[1:],                  # delete (d=1)
+                  w + "x",                # insert (d=1)
+                  "q" + w[1:],            # substitute (d=1)
+                  w[1] + w[0] + w[2:]):   # transpose (d=2 plain-lev)
+            rows.append((i, s)); i += 1
+    df = spark.createDataFrame(rows, ["id", "s"])
+    truth_df = (df.alias("a").crossJoin(df.alias("b"))
+                .filter(F.col("a.id") < F.col("b.id"))
+                .withColumn("dist", F.levenshtein("a.s", "b.s"))
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"), "dist"))
+    for d in (1, 2):
+        got = {(r.id_a, r.id_b, r.dist) for r in
+               fuzzy_join_edit_distance(df, "id", "s", max_dist=d)
+               .collect()}
+        want = {(r.id_a, r.id_b, r.dist) for r in
+                truth_df.filter(F.col("dist") <= d).collect()}
+        assert got == want and len(want) > 0
+    # the transpose pair exists at d=2 but not d=1
+    t2 = {(r.id_a, r.id_b) for r in
+          truth_df.filter(F.col("dist") == 2).collect()}
+    assert t2, "planted transposes should be distance-2 pairs"
