@@ -823,3 +823,145 @@ def fuzzy_join_edit_distance(df: DataFrame, id_col: str, str_col: str,
             .withColumn("dist", F.levenshtein("sa", "sb"))
             .filter(F.col("dist") <= max_dist)
             .select("id_a", "id_b", "dist"))
+
+
+def pagerank(pairs: DataFrame, iters: int = 10, damping: float = 0.85,
+             checkpoint_dir: str | None = None,
+             broadcast_ranks: bool = False,
+             cut_every: int = 3) -> DataFrame:
+    """PageRank centrality over the UNDIRECTED pair graph → (id, rank)
+    after exactly ``iters`` synchronous power iterations — e.g. to
+    pick the most-connected document of a near-dup component as its
+    canonical representative (a centrality-based keep rule, vs q67's
+    keep-min).
+
+    Semantics (mirrored verbatim by the q53 oracle so ranks check
+    cross-engine): symmetric-closure edges, deg = out-degree,
+    rank₀ = 1/N, then
+    ``rank(v) = (1−d)/N + d · Σ_{(u,v)∈E} rank(u)/deg(u)``.
+    The symmetric closure guarantees deg ≥ 1 for every vertex that
+    appears, so there is no dangling mass by construction (a directed
+    variant must redistribute it; out of scope here). Fixed iteration
+    count, not a convergence test: deterministic output, and the
+    unrolled-CTE oracle needs a static depth.
+
+    100 TB notes: each round is one (edge ⋈ rank) shuffle on src plus
+    one aggregate on dst — the degree-annotated edge list is built
+    once and persisted; checkpoints every ``cut_every`` rounds cut the
+    lineage exactly as in ``neardup_clusters`` (same reliable-dir
+    option, same driver-death failure mode without it; the per-round
+    plan here is shallow enough that every-3rd suffices). N rides as a
+    broadcast 1-row aggregate (no driver-side action).
+
+    ``broadcast_ranks=True`` hints BOTH per-round joins broadcast-side
+    on the rank/contribution frames — correct plan when the vertex set
+    is small relative to the corpus (a near-dup pair graph: only docs
+    with duplicates appear), turning each round into scan + broadcast
+    join + one tiny aggregate exchange, no edge shuffle. Leave False
+    when vertices themselves are web-scale (full link graphs).
+    """
+    sc = pairs.sparkSession.sparkContext
+    old_dir = None
+    if checkpoint_dir is not None:
+        old_dir = sc.getCheckpointDir()
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .distinct())
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edgesd = _track_persist(
+        edges.join(deg, "src").select("src", "dst", "deg"))
+    verts = _track_persist(
+        edges.select(F.col("src").alias("id")).distinct())
+    nstats = verts.agg(F.count(F.lit(1)).alias("n"))
+    # (1-d) precomputed in Python and embedded as ONE double literal
+    # on both engines (the oracle repr()s the same value) — a SQL-side
+    # `1 - 0.85` could run in decimal arithmetic and diverge in the
+    # last ulp
+    teleport = F.lit(1.0 - damping)
+    hint = F.broadcast if broadcast_ranks else (lambda df: df)
+    ranks = (verts.crossJoin(F.broadcast(nstats))
+             .select("id", (F.lit(1.0) / F.col("n")).alias("rank")))
+    for it in range(iters):
+        contrib = (edgesd.join(hint(ranks),
+                               edgesd["src"] == ranks["id"])
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("rank") / F.col("deg")).alias("c")))
+        ranks = (verts.join(hint(contrib),
+                            verts["id"] == contrib["dst"], "left")
+                 .crossJoin(F.broadcast(nstats))
+                 .select(verts["id"],
+                         (teleport / F.col("n")
+                          + F.lit(damping)
+                          * F.coalesce(F.col("c"), F.lit(0.0)))
+                         .alias("rank")))
+        if (it + 1) % cut_every == 0 or it == iters - 1:
+            ranks = _cut(ranks)
+    if checkpoint_dir is not None and old_dir is not None:
+        sc.setCheckpointDir(old_dir)
+    return ranks
+
+
+def pagerank_by_component(pairs: DataFrame, labels: DataFrame,
+                          iters: int = 10,
+                          damping: float = 0.85) -> DataFrame:
+    """Same contract as ``pagerank`` (identical rank values — pytest
+    pins the differential), exploiting that PageRank decomposes
+    EXACTLY over connected components: contributions never cross
+    components and the teleport term only needs the GLOBAL vertex
+    count, which rides in as a broadcast 1-row aggregate.
+
+    ``labels`` is the (id, cluster_id) output of ``neardup_clusters``
+    over the same pairs — in a dedup pipeline it is already computed.
+    Each component's edges group to one task that runs all ``iters``
+    numpy iterations locally: ONE job, two shuffles (label join +
+    groupBy component) — versus one barriered job PER ROUND for the
+    iterative operator, whose ~10 sequential job latencies dominate
+    when components are small.
+
+    100 TB notes: right plan when components are bounded (near-dup
+    graphs: dup-cluster-sized blobs). A giant component would skew one
+    task — for full link graphs use ``pagerank``, whose per-round
+    shuffles scale out. The Python seam is the intended one:
+    per-group imperative iteration no Column expression can hold,
+    over three long columns via Arrow.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .distinct())
+    nstats = (edges.select("src").distinct()
+              .agg(F.count(F.lit(1)).alias("n")))
+    lab = labels.select(F.col("id").alias("src"), "cluster_id")
+    e = edges.join(lab, "src").crossJoin(F.broadcast(nstats))
+
+    def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        n = int(pdf["n"].iloc[0])
+        tp = (1.0 - damping) / n
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+        ids, src_idx = np.unique(src, return_inverse=True)
+        # symmetric closure ⇒ every dst is also a src
+        dst_idx = np.searchsorted(ids, dst)
+        deg = np.bincount(src_idx, minlength=len(ids)) \
+            .astype(np.float64)
+        r = np.full(len(ids), 1.0 / n)
+        for _ in range(iters):
+            contrib = np.zeros(len(ids))
+            np.add.at(contrib, dst_idx, r[src_idx] / deg[src_idx])
+            r = tp + damping * contrib
+        return pd.DataFrame({"id": ids, "rank": r})
+
+    return (e.groupBy("cluster_id")
+            .applyInPandas(_run, "id long, rank double"))

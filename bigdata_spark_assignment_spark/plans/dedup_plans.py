@@ -371,6 +371,30 @@ def decontamination_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decon.unionByName(split_row).unionByName(leak_row)
 
 
+def _pagerank_iter_ctes(iters: int, damping: float = 0.85) -> str:
+    """Unrolled PageRank iteration CTEs for the q53 oracle — the
+    damping/teleport doubles are repr()'d from the SAME Python floats
+    the engine embeds via F.lit, so neither side re-derives them in a
+    different numeric type (DuckDB's bare `1 - 0.85` is DECIMAL
+    arithmetic, one ulp off the engine's double)."""
+    tp, dp = repr(1.0 - damping), repr(damping)
+    out = ["it0 AS (SELECT id, CAST(1.0 AS DOUBLE) / n AS rank "
+           "FROM verts CROSS JOIN nstats)"]
+    for k in range(iters):
+        out.append(f"""it{k + 1} AS (
+      SELECT v.id,
+             CAST('{tp}' AS DOUBLE) / n
+               + CAST('{dp}' AS DOUBLE)
+               * COALESCE(s.c, CAST(0 AS DOUBLE)) AS rank
+      FROM verts v CROSS JOIN nstats
+      LEFT JOIN (SELECT e.dst AS vid, SUM(r.rank / d.deg) AS c
+                 FROM edges e
+                 JOIN it{k} r ON e.src = r.id
+                 JOIN deg d ON d.id = e.src
+                 GROUP BY e.dst) s ON s.vid = v.id)""")
+    return ",\n    ".join(out)
+
+
 @register(
     "q53_neardup_clusters",
     oracle=f"""
@@ -387,27 +411,51 @@ def decontamination_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.src, r.label
         FROM edges e JOIN r ON e.dst = r.id
         WHERE r.label < e.src)
-      SELECT id, MIN(label) AS cluster_id FROM r GROUP BY id)
+      SELECT id, MIN(label) AS cluster_id FROM r GROUP BY id),
+    deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+    nstats AS (SELECT COUNT(*) AS n FROM verts),
+    {_pagerank_iter_ctes(10)}
     SELECT m.method, CAST(id AS BIGINT) AS id,
-           CAST(cluster_id AS BIGINT) AS cluster_id
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(NULL AS DOUBLE) AS v
     FROM reach, (VALUES ('prop'), ('star')) AS m(method)
+    UNION ALL
+    SELECT 'pagerank', CAST(id AS BIGINT), CAST(NULL AS BIGINT),
+           ROUND(rank, 6)
+    FROM it10
     """,
-    tags=("dedup", "neardup", "clustering"),
+    tags=("dedup", "neardup", "clustering", "pagerank"),
 )
 def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the MinHash near-dup pair graph, BOTH
-    engines' algorithms: iterative min-label propagation
-    (operators.dedup.neardup_clusters, O(diameter) rounds) and
-    large-star/small-star contraction (neardup_clusters_star,
-    O(log² n) rounds — the web-scale/high-diameter path). Each must
-    agree with DuckDB's recursive-CTE reachability on every (vertex,
-    min-reachable-id) row — iterative DataFrame algorithms vs
-    recursive SQL, the strongest cross-paradigm differential here.
-    The pair graph is persisted so the MinHash sweep is paid once."""
+    """Graph analytics over the MinHash near-dup pair graph, tagged:
+
+    * ``prop`` / ``star`` — connected components via BOTH engines'
+      algorithms: iterative min-label propagation
+      (operators.dedup.neardup_clusters, O(diameter) rounds) and
+      large-star/small-star contraction (neardup_clusters_star,
+      O(log² n) rounds — the web-scale/high-diameter path). Each must
+      agree with DuckDB's recursive-CTE reachability on every (vertex,
+      min-reachable-id) row — iterative DataFrame algorithms vs
+      recursive SQL, the strongest cross-paradigm differential here.
+    * ``pagerank`` — r5 session 3: 10 power iterations of damped
+      PageRank over the same graph (operators.dedup.pagerank; the
+      centrality-based canonical-pick alternative to keep-min). The
+      oracle UNROLLS the ten iterations as chained CTEs with the
+      engine's exact double literals, so every rank checks to 6
+      decimals — a grouped numpy power iteration vs static SQL depth.
+      Runs as ONE job via pagerank_by_component (PageRank decomposes
+      exactly over components; ``prop``'s labels feed the grouping) —
+      the iterative ``pagerank`` operator is the giant-component
+      fallback, pinned equal in tests/test_dedup.py.
+
+    The pair graph is persisted so the MinHash sweep is paid once
+    across all three algorithms."""
     from ..operators.dedup import (
         _track_persist,
         neardup_clusters,
         neardup_clusters_star,
+        pagerank_by_component,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -415,6 +463,15 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup_pairs_minhash(docs, "doc_id", "text", threshold=0.6))
     prop = neardup_clusters(pairs)
     star = neardup_clusters_star(pairs)
-    return (prop.select(F.lit("prop").alias("method"), "id", "cluster_id")
+    nullv = F.lit(None).cast("double").alias("v")
+    # components are dup-cluster-sized -> the grouped one-job variant;
+    # prop's labels are already materialized, so the label join is free
+    pr = (pagerank_by_component(pairs, prop, iters=10, damping=0.85)
+          .select(F.lit("pagerank").alias("method"), "id",
+                  F.lit(None).cast("long").alias("cluster_id"),
+                  fround(F.col("rank"), 6).alias("v")))
+    return (prop.select(F.lit("prop").alias("method"), "id",
+                        "cluster_id", nullv)
             .unionByName(star.select(F.lit("star").alias("method"),
-                                     "id", "cluster_id")))
+                                     "id", "cluster_id", nullv))
+            .unionByName(pr))

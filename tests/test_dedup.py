@@ -436,3 +436,34 @@ def test_fuzzy_join_edit_distance_matches_bruteforce(spark):
     t2 = {(r.id_a, r.id_b) for r in
           truth_df.filter(F.col("dist") == 2).collect()}
     assert t2, "planted transposes should be distance-2 pairs"
+
+
+def test_pagerank_grouped_equals_iterative(spark):
+    """r5 session 3: the grouped per-component numpy PageRank must
+    equal the iterative DataFrame power iteration to 6 decimals on a
+    multi-component graph with asymmetric degrees (star + chain +
+    triangle), and ranks must sum to 1 (teleport + damped mass
+    conservation)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        neardup_clusters,
+        pagerank,
+        pagerank_by_component,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5),          # star around 1
+         (10, 11), (11, 12), (12, 13), (13, 14),  # chain
+         (20, 21), (21, 22), (22, 20)],           # triangle
+        ["id_a", "id_b"])
+    labels = neardup_clusters(pairs)
+    it = {r.id: round(r.rank, 6) for r in
+          pagerank(pairs, iters=10, damping=0.85,
+                   broadcast_ranks=True).collect()}
+    gr = {r.id: round(r.rank, 6) for r in
+          pagerank_by_component(pairs, labels, iters=10,
+                                damping=0.85).collect()}
+    assert it == gr and len(it) == 13
+    assert abs(sum(it.values()) - 1.0) < 1e-9
+    # star hub out-ranks its leaves; chain ends under chain middles
+    assert it[1] > it[2] and it[11] > it[10]
