@@ -770,8 +770,27 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
       FROM grid g LEFT JOIN obs o
         ON g.user_id = o.user_id AND g.bts = o.bts) f
+    UNION ALL
+    -- r5 session 3: median/MAD modified z-score outliers per
+    -- event_type (operators.relational.robust_anomalies) — both
+    -- engines' EXACT interpolated medians must agree
+    SELECT 'anomaly', e.event_id, e.user_id, NULL,
+           ROUND(0.6745 * (e.value - s.med) / s.mad, 4),
+           CAST(NULL AS BIGINT)
+    FROM events e
+    JOIN (
+      WITH med AS (SELECT event_type, median(value) AS med
+                   FROM events GROUP BY 1)
+      SELECT m.event_type, m.med, d.mad
+      FROM med m JOIN (
+        SELECT e2.event_type, median(abs(e2.value - m2.med)) AS mad
+        FROM events e2 JOIN med m2 USING (event_type)
+        GROUP BY 1) d USING (event_type)) s
+      USING (event_type)
+    WHERE s.mad > 0
+      AND abs(0.6745 * (e.value - s.med) / s.mad) > 3.5
     """,
-    tags=("join", "asof", "range", "resample"),
+    tags=("join", "asof", "range", "resample", "anomaly"),
 )
 def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal joins in one tagged result (merged r2 q56+q57 to free
@@ -794,6 +813,12 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       window pass. Every (user, bucket) row — index, bucket timestamp,
       filled value, gap flag — is oracle-recomputed via
       generate_series + last_value IGNORE NULLS.
+    * ``anomaly`` — r5 session 3: robust outlier detection per
+      event_type via the median/MAD modified z-score
+      (operators.relational.robust_anomalies, |mz| > 3.5). Exact
+      interpolated medians on both engines, so every flagged event_id
+      and its rounded score cross-check — the outlier filter whose
+      baseline the outliers can't inflate (unlike mean/stddev).
     """
     from ..operators.relational import asof_join, range_join_binned
 
@@ -837,7 +862,18 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("bucket_ts").alias("ts_asof"),
                   fround(F.col("filled_sum")).alias("v"),
                   F.col("is_gap").cast("long").alias("n")))
-    return asof.unionByName(rng).unionByName(rs)
+
+    from ..operators.relational import robust_anomalies
+
+    anom = (robust_anomalies(events, ["event_type"], "value",
+                             threshold=3.5)
+            .select(F.lit("anomaly").alias("part"),
+                    F.col("event_id").alias("id"),
+                    "user_id",
+                    F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
+                    fround(F.col("mz")).alias("v"),
+                    F.lit(None).cast("long").alias("n")))
+    return asof.unionByName(rng).unionByName(rs).unionByName(anom)
 
 
 @register(

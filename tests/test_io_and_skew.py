@@ -344,3 +344,25 @@ def test_bloom_semi_join_degenerate_inputs(spark):
     build = spark.createDataFrame([(1,), (None,)], "b int")
     out = bloom_semi_join(probe, build, "k", "b").collect()
     assert [r.k for r in out] == [1]   # null keys never match
+
+
+def test_robust_anomalies_planted_and_degenerate(spark):
+    """r5 session 3: (a) a planted far outlier is flagged and the mild
+    noise is not; (b) the outlier does NOT inflate the baseline into
+    missing itself (the median/MAD point vs mean/stddev); (c) a
+    majority-constant group has MAD 0 and is skipped entirely."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        robust_anomalies,
+    )
+    normal = [("a", i, 100.0 + (i % 7) - 3.0) for i in range(50)]
+    rows = (normal
+            + [("a", 99, 10000.0)]              # planted outlier
+            + [("b", i, 5.0) for i in range(20)]
+            + [("b", 99, 123.0)])               # deviant in MAD=0 group
+    df = spark.createDataFrame(rows, ["g", "i", "x"])
+    out = robust_anomalies(df, ["g"], "x", threshold=3.5).collect()
+    assert {(r.g, r.i) for r in out} == {("a", 99)}
+    a99 = [r for r in out if r.i == 99 and r.g == "a"][0]
+    assert a99.med == 100.0 and a99.mad > 0 and a99.mz > 1000
