@@ -603,3 +603,112 @@ def strip_accents_udf():
         return s.map(_strip_one)
 
     return pandas_udf(_strip, "string")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (Sennrich et al. 2016) — tokenizer training as a
+# distributed iterative aggregation. r5 session 3.
+# ---------------------------------------------------------------------------
+
+
+def _merge_pair_fold(syms: Column, left: Column, right: Column) -> Column:
+    """Apply ONE BPE merge (left,right)→left||right over a symbol
+    array with canonical leftmost non-overlapping semantics, as a pure
+    JVM-side fold: walk the array, and when the accumulator's last
+    element is ``left`` and the current is ``right``, replace the last
+    with the merged symbol, else append.
+
+    No re-merge flag is needed: a just-merged last element equals
+    left||right, which can never equal ``left`` (right is non-empty) —
+    so [a a a] under (a,a) folds to [aa a], exactly canonical BPE.
+    Quadratic in word length (array copy per step) — words are short;
+    this keeps the whole training loop in whole-stage codegen instead
+    of a Python seam.
+    """
+    merged = F.concat(left, right)
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left) & (x == right),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def _adjacent_pairs(words: "DataFrame") -> "DataFrame":
+    """(l, r, weight) for every adjacent symbol pair, weighted by word
+    frequency — the count step of one BPE iteration."""
+    n1 = F.size("syms") - 1
+    pairs = F.zip_with(
+        F.slice("syms", F.lit(1), n1), F.slice("syms", F.lit(2), n1),
+        lambda x, y: F.struct(x.alias("l"), y.alias("r")))
+    return (words.filter(F.size("syms") >= 2)
+            .select("weight", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("weight").alias("pair_weight")))
+
+
+def bpe_learn_merges(docs: "DataFrame", text_col: str,
+                     n_merges: int = 8) -> "DataFrame":
+    """Learn ``n_merges`` BPE merge rules from a corpus
+    → (step, l, r, merged, pair_weight), step 1-based in learn order.
+
+    Each iteration: weighted adjacent-pair counts over the distinct
+    WORD table (not the corpus — frequencies ride as weights, the
+    standard trick that makes cost O(vocab), not O(tokens)), argmax
+    with deterministic (count desc, l asc, r asc) tie-break as a
+    1-row TakeOrdered broadcast — never a driver action — then the
+    merge applied corpus-wide by the codegen fold above.
+    localCheckpoint per round cuts the lineage like every iterative
+    operator here.
+
+    100 TB notes: the word table after the first groupBy is vocab-
+    sized (millions, not billions); each round is one explode +
+    aggregate + broadcast map job over it. Tokenizer training is
+    inherently sequential in the merge list — the parallelism is
+    within rounds, as in every published distributed BPE.
+    Rows-only operator (no SQL oracle): the loop is iterative with a
+    data-dependent argmax; pinned instead against a pure-Python
+    reference BPE in tests/test_textual.py.
+    """
+    words = (docs
+             .select(F.explode(F.split(F.lower(F.col(text_col)),
+                                       WS_SPLIT)).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("weight"))
+             .select(F.split("word", "").alias("syms"), "weight")
+             .localCheckpoint())
+    merges = None
+    for step in range(1, n_merges + 1):
+        best = (_adjacent_pairs(words)
+                .orderBy(F.col("pair_weight").desc(),
+                         F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .select("l", "r", F.concat("l", "r").alias("merged"),
+                        "pair_weight")
+                .localCheckpoint())
+        if not best.take(1):   # vocabulary exhausted (no pairs left)
+            break
+        row = (best.select(F.lit(step).alias("step"), "l", "r",
+                           "merged", "pair_weight"))
+        merges = row if merges is None else merges.unionByName(row)
+        words = (words.crossJoin(F.broadcast(best.select(
+                     F.col("l").alias("__l"), F.col("r").alias("__r"))))
+                 .select(_merge_pair_fold(F.col("syms"), F.col("__l"),
+                                          F.col("__r")).alias("syms"),
+                         "weight")
+                 .localCheckpoint())
+    return merges
+
+
+def bpe_apply_expr(tokens: Column, merges: list[tuple[str, str]]) -> Column:
+    """Tokenize a symbol array with an ALREADY-LEARNED merge list
+    (applied in order) — the model-scoring side of BPE, chained
+    codegen folds, no Python. ``merges`` is the small driver-side
+    model artifact (like any fitted ML model's parameters)."""
+    out = tokens
+    for l, r in merges:
+        out = _merge_pair_fold(out, F.lit(l), F.lit(r))
+    return out

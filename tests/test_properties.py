@@ -256,3 +256,37 @@ def test_morton_key_is_bijective_on_ranks(vals, bits):
         for i in range(bits):
             got_rank |= ((z >> (i * d + j)) & 1) << i
         assert got_rank == expected_rank
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@SETTINGS
+@given(st.lists(st.text(alphabet="abcXYZ01", min_size=0, max_size=9),
+                min_size=2, max_size=14),
+       st.integers(min_value=1, max_value=2))
+def test_fuzzy_join_complete_on_random_strings(spark, strings, d):
+    """r5 session 3 (SymSpell lemma, adversarial alphabet): on random
+    short strings — including empties, repeats, and duplicates — the
+    deletion-neighborhood join must return EXACTLY the reference-DP
+    Levenshtein pair set at distance ≤ d."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        fuzzy_join_edit_distance,
+    )
+    rows = list(enumerate(strings))
+    want = {(i, j, _lev_ref(a, b))
+            for i, a in rows for j, b in rows
+            if i < j and _lev_ref(a, b) <= d}
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = {(r.id_a, r.id_b, r.dist)
+           for r in fuzzy_join_edit_distance(df, "id", "s",
+                                             max_dist=d).collect()}
+    assert got == want

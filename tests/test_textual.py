@@ -340,3 +340,68 @@ def test_unicode_normalizers_roundtrip_and_edges(spark):
         assert out[k].nfc == dict(rows)[k]
         assert out[k].stripped == dict(rows)[k]
     assert out["none"].nfc is None and out["none"].stripped is None
+
+
+def _bpe_ref(word_weights: dict, n_merges: int):
+    """Pure-Python canonical BPE (Sennrich et al.) with the operator's
+    (count desc, l asc, r asc) tie-break — learn + apply reference."""
+    vocab = {tuple(w): c for w, c in word_weights.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, c in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((best[0], best[1], counts[best]))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(syms[i] + syms[i + 1]); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_learn_matches_reference(spark):
+    """r5 session 3: distributed BPE training must reproduce the
+    pure-Python canonical reference exactly — merge list (order,
+    pairs, weights) AND the re-tokenized corpus under bpe_apply_expr.
+    Corpus includes repeat-runs ('aaaa') where leftmost
+    non-overlapping semantics are the part naive folds get wrong."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_assignment_spark.operators.textual import (
+        bpe_apply_expr,
+        bpe_learn_merges,
+    )
+    texts = ["low lower lowest", "new newer newest", "aaaa aa aaaa",
+             "low low low new new wide wideست"]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    ww = {}
+    for t in texts:
+        for w in t.lower().split():
+            ww[w] = ww.get(w, 0) + 1
+    ref_merges, ref_vocab = _bpe_ref(ww, 10)
+
+    got = [(r.l, r.r, r.pair_weight) for r in
+           bpe_learn_merges(docs, "text", n_merges=10)
+           .orderBy("step").collect()]
+    assert got == ref_merges
+
+    applied = {tuple(r.toks): r.weight for r in
+               spark.createDataFrame(list(ww.items()), ["word", "weight"])
+               .select(bpe_apply_expr(
+                   F.split("word", ""),
+                   [(l, r) for l, r, _ in ref_merges]).alias("toks"),
+                   "weight")
+               .collect()}
+    ref_applied = {k: v for k, v in ref_vocab.items()}
+    assert applied == ref_applied
