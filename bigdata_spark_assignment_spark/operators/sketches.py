@@ -257,3 +257,35 @@ def cms_point_estimates(counters: DataFrame, items: DataFrame,
             .groupBy(item_col)
             .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
                  .alias("cms_est")))
+
+
+def cms_join_size_estimate(grid_a: DataFrame,
+                           grid_b: DataFrame) -> DataFrame:
+    """1-row estimate of the equi-join size |A ⋈ B| = Σ_k fA(k)·fB(k)
+    from two count-min grids built with the SAME (depth, width,
+    seeds): min over rows d of the bucketwise inner product
+    Σ_b A[d,b]·B[d,b] (Cormode & Muthukrishnan §4.2 — the AMS-style
+    F2/join-size use of CMS). One-sided like the point query: hash
+    collisions only ADD cross terms, so the estimate ≥ the true size,
+    within εn_A·n_B/w with the usual probability.
+
+    The 100 TB use: join-size forecasting for plan decisions (salting,
+    broadcast thresholds) from two d×w synopses — no scan of either
+    side at decision time, and the grids themselves merge cellwise
+    across partitions/days. Both inputs are tiny (≤ d·w rows); the
+    whole computation is one broadcast join over counter cells.
+
+    A depth row with NO overlapping buckets has inner product 0 —
+    which proves the key sets are disjoint (a shared key populates
+    both grids at EVERY depth), so the estimate is exactly 0; the
+    depth spine below encodes that instead of taking the min over only the
+    rows the inner join kept."""
+    depth = grid_a.select("d").distinct()
+    a = grid_a.select("d", "bucket", F.col("c").alias("ca"))
+    b = grid_b.select("d", "bucket", F.col("c").alias("cb"))
+    ips = (a.join(F.broadcast(b), ["d", "bucket"])
+           .groupBy("d")
+           .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip")))
+    return (depth.join(ips, "d", "left")
+            .agg(F.min(F.coalesce(F.col("ip"), F.lit(0)))
+                 .alias("join_size_est")))

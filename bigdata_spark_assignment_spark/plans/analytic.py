@@ -1010,6 +1010,33 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'cms', h.token, e.est, h.cnt
     FROM heavy h JOIN est e ON e.token = h.token
+    UNION ALL
+    -- r5 session 3: CMS join-size estimation (min-over-rows bucket
+    -- inner product) between the 1995/1996 order key multisets,
+    -- recomputed here from the same md5 grids, plus the exact size
+    SELECT 'cms_join', 'o_custkey_95x96',
+      (SELECT CAST(MIN(ip) AS BIGINT) FROM (
+         SELECT a.d, SUM(a.c * b.c) AS ip
+         FROM (SELECT t.d,
+                      CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))
+                           AS BIGINT) % 512 AS bucket,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM orders CROSS JOIN range(3) t(d)
+               WHERE year(o_orderdate) = 1995 GROUP BY 1, 2) a
+         JOIN (SELECT t.d,
+                      CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))
+                           AS BIGINT) % 512 AS bucket,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM orders CROSS JOIN range(3) t(d)
+               WHERE year(o_orderdate) = 1996 GROUP BY 1, 2) b
+           ON a.d = b.d AND a.bucket = b.bucket
+         GROUP BY a.d)),
+      (SELECT CAST(SUM(x.ca * y.cb) AS BIGINT) FROM
+         (SELECT o_custkey, COUNT(*) AS ca FROM orders
+          WHERE year(o_orderdate) = 1995 GROUP BY 1) x
+         JOIN (SELECT o_custkey, COUNT(*) AS cb FROM orders
+               WHERE year(o_orderdate) = 1996 GROUP BY 1) y
+           USING (o_custkey))
     """,
     tags=("sketch", "heavy-hitters", "count-min", "text"),
 )
@@ -1030,6 +1057,12 @@ def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       the sketch's CONTENTS, not a tolerance band. n2 carries the
       exact count — at this deliberately tight width the grid holds
       every collision the oracle must reproduce.
+    * ``cms_join`` — r5 session 3: join-size forecasting between the
+      1995/1996 order-key multisets from two grids alone
+      (cms_join_size_estimate: min-over-rows bucket inner product,
+      the AMS-style use). n1 = estimate (recomputed bit-exactly by
+      the oracle from the same md5 grids), n2 = the true
+      Σ fA(k)·fB(k).
 
     100 TB notes: the naive plan shuffles every distinct token (the
     full web-corpus vocabulary); the MG plan shuffles only
@@ -1066,7 +1099,33 @@ def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("token").alias("k"),
                    F.col("cms_est").alias("n1"),
                    F.col("cnt").alias("n2")))
-    return mg.unionByName(cms)
+
+    # r5 session 3: join-size forecasting from two synopses — the
+    # sketch answers "how big would this join be" without scanning
+    # either side at decision time (cms_join_size_estimate docstring)
+    from ..operators.sketches import cms_join_size_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    o95 = (orders.filter(F.year("o_orderdate") == 1995)
+           .select("o_custkey"))
+    o96 = (orders.filter(F.year("o_orderdate") == 1996)
+           .select("o_custkey"))
+    est_join = cms_join_size_estimate(
+        cms_build(o95, "o_custkey", depth=3, width=512),
+        cms_build(o96, "o_custkey", depth=3, width=512))
+    exact_join = (o95.groupBy("o_custkey")
+                  .agg(F.count(F.lit(1)).alias("ca"))
+                  .join(o96.groupBy("o_custkey")
+                        .agg(F.count(F.lit(1)).alias("cb")),
+                        "o_custkey")
+                  .agg(F.sum(F.col("ca") * F.col("cb"))
+                       .alias("exact_join")))
+    cms_join = (est_join.crossJoin(exact_join)
+                .select(F.lit("cms_join").alias("part"),
+                        F.lit("o_custkey_95x96").alias("k"),
+                        F.col("join_size_est").alias("n1"),
+                        F.col("exact_join").alias("n2")))
+    return mg.unionByName(cms).unionByName(cms_join)
 
 
 @register(

@@ -118,3 +118,35 @@ def test_cms_one_sided_error_and_mergeability(spark):
     z = cms_point_estimates(wide, unseen, "item",
                             depth=3, width=1 << 20).first()
     assert z.cms_est == 0
+
+
+def test_cms_join_size_estimate_bounds(spark):
+    """r5 session 3: the grid inner-product join-size estimate is
+    (a) ≥ the true join size at a tight width (one-sided), (b) EXACT
+    at a wide collision-free width, (c) zero for disjoint key sets at
+    the wide width."""
+    from bigdata_spark_assignment_spark.operators.sketches import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+    a = (spark.range(0, 600)
+         .select((F.col("id") % 100).cast("string").alias("k")))
+    b = (spark.range(0, 900)
+         .select((F.col("id") % 150).cast("string").alias("k")))
+    # truth: keys 0..99 appear 6x in a; in b keys 0..99 appear 6x,
+    # 100..149 appear 6x -> sum over shared 0..99 of 6*6 = 3600
+    truth = 3600
+    tight = cms_join_size_estimate(
+        cms_build(a, "k", depth=3, width=32),
+        cms_build(b, "k", depth=3, width=32)).first().join_size_est
+    assert tight >= truth
+    wide = cms_join_size_estimate(
+        cms_build(a, "k", depth=3, width=1 << 20),
+        cms_build(b, "k", depth=3, width=1 << 20)).first().join_size_est
+    assert wide == truth
+    c = spark.range(0, 50).select(
+        (F.col("id") + 1000).cast("string").alias("k"))
+    disjoint = cms_join_size_estimate(
+        cms_build(a, "k", depth=3, width=1 << 20),
+        cms_build(c, "k", depth=3, width=1 << 20)).first().join_size_est
+    assert disjoint == 0
