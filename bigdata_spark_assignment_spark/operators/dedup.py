@@ -965,3 +965,61 @@ def pagerank_by_component(pairs: DataFrame, labels: DataFrame,
 
     return (e.groupBy("cluster_id")
             .applyInPandas(_run, "id long, rank double"))
+
+
+def neardup_pairs_prefix_jaccard(docs: DataFrame, id_col: str,
+                                 text_col: str, threshold: float = 0.6,
+                                 k_shingle: int = 3) -> DataFrame:
+    """Exact-threshold Jaccard pairs via PREFIX FILTERING (Chaudhuri
+    et al. ICDE 2006 / PPJoin's base filter) — same output contract as
+    ``neardup_pairs_exact_jaccard`` (q33 pins them row-identical), but
+    the inverted index holds only each doc's PREFIX under a global
+    rarest-first shingle order.
+
+    Prefix principle: if J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉, so A cannot
+    avoid its first |A| − ⌈τ·|A|⌉ + 1 shingles in the canonical order
+    — any qualifying pair shares ≥1 PREFIX shingle. Ordering by
+    ascending global frequency puts the RAREST shingles in prefixes,
+    which is what collapses the candidate count (the head of a Zipf
+    vocabulary never lands in a prefix unless a doc is mostly
+    boilerplate).
+
+    This is the deterministic alternative to MinHash-LSH: exact
+    recall by construction (no banding probability), at the cost of a
+    frequency pass. 100 TB notes: one extra global groupBy for the
+    frequency table (broadcast if the shingle vocab fits, else an
+    equi-join); per-doc prefix selection is one window on id; the
+    candidate self-join shuffles only prefix postings —
+    (1−τ)·|doc| + 1 of them per doc vs every shingle for the full
+    index, a ~τ-fraction reduction before the exact verify. The
+    verify joins candidate ids back to the persisted full shingle
+    sets, exactly as the LSH path does.
+    """
+    sh = _track_persist(
+        docs.select(F.col(id_col).alias("id"),
+                    shingles_expr(F.col(text_col), k_shingle).alias("sh"))
+        .filter(F.size("sh") > 0))
+    ex = sh.select("id", F.size("sh").alias("sz"),
+                   F.explode("sh").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    plen = (F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1)
+    w = W.partitionBy("id").orderBy(F.col("df").asc(),
+                                    F.col("shingle").asc())
+    prefix = (ex.join(freq, "shingle")
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= plen)
+              .select("id", "shingle"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -156,6 +156,11 @@ def dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'jaccard' AS part, id_a, id_b, jaccard AS v
     FROM ({_JACCARD_PAIRS_SQL})
     UNION ALL
+    -- r5 session 3: the prefix-filtered join must be ROW-IDENTICAL
+    -- to the full-index truth (prefix filtering loses no pair)
+    SELECT 'jaccard_prefix', id_a, id_b, jaccard
+    FROM ({_JACCARD_PAIRS_SQL})
+    UNION ALL
     -- r5 session 3: the fuzzy-join truth is the brute-force O(n²)
     -- levenshtein — identical unit-cost semantics in both engines
     SELECT 'editdist', CAST(a.s_suppkey AS BIGINT),
@@ -172,6 +177,10 @@ def neardup_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``jaccard`` — exact n-gram (word-3-shingle) Jaccard near-dup
       pairs at τ=0.6 via the shingle inverted index — the LSH recall
       baseline.
+    * ``jaccard_prefix`` — r5 session 3: the same pair set through
+      PREFIX FILTERING (operators.dedup.neardup_pairs_prefix_jaccard,
+      rarest-first global order) — deterministic exact-recall scale
+      path; the oracle pins it row-identical to the full-index truth.
     * ``editdist`` — r5 session 3: all supplier-name pairs within
       Levenshtein distance 1 via the SymSpell deletion-neighborhood
       blocked join (operators.dedup.fuzzy_join_edit_distance). The
@@ -182,18 +191,24 @@ def neardup_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.dedup import fuzzy_join_edit_distance
 
+    from ..operators.dedup import neardup_pairs_prefix_jaccard
+
     docs = load_table(spark, sf_dir, "documents")
     jac = (neardup_pairs_exact_jaccard(docs, "doc_id", "text",
                                        threshold=0.6)
            .select(F.lit("jaccard").alias("part"), "id_a", "id_b",
                    fround(F.col("jaccard")).alias("v")))
+    pfx = (neardup_pairs_prefix_jaccard(docs, "doc_id", "text",
+                                        threshold=0.6)
+           .select(F.lit("jaccard_prefix").alias("part"), "id_a",
+                   "id_b", fround(F.col("jaccard")).alias("v")))
     sup = load_table(spark, sf_dir, "supplier")
     fz = (fuzzy_join_edit_distance(sup, "s_suppkey", "s_name", max_dist=1)
           .select(F.lit("editdist").alias("part"),
                   F.col("id_a").cast("long").alias("id_a"),
                   F.col("id_b").cast("long").alias("id_b"),
                   F.col("dist").cast("double").alias("v")))
-    return jac.unionByName(fz)
+    return jac.unionByName(pfx).unionByName(fz)
 
 
 @register(

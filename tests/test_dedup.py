@@ -467,3 +467,41 @@ def test_pagerank_grouped_equals_iterative(spark):
     assert abs(sum(it.values()) - 1.0) < 1e-9
     # star hub out-ranks its leaves; chain ends under chain middles
     assert it[1] > it[2] and it[11] > it[10]
+
+
+def test_prefix_jaccard_equals_full_index_and_prunes(spark):
+    """r5 session 3: on a boilerplate-heavy corpus the prefix-filtered
+    join must (a) return EXACTLY the full-index pair set and (b) index
+    strictly fewer postings than the full inverted index (the
+    rarest-first prefix excludes the boilerplate head)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        neardup_pairs_exact_jaccard,
+        neardup_pairs_prefix_jaccard,
+    )
+    from bigdata_spark_assignment_spark.operators.textual import (
+        shingles_expr,
+    )
+    header = "terms of service apply to all content here"
+    rows = [(i, f"{header} unique words {i} alpha beta gamma delta "
+                f"epsilon zeta eta theta {i}") for i in range(30)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]       # exact dups
+    rows += [(200, rows[0][1] + " tail"), (201, rows[1][1] + " tail")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in
+            neardup_pairs_exact_jaccard(docs, "doc_id", "text",
+                                        threshold=0.6).collect()}
+    got = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in
+           neardup_pairs_prefix_jaccard(docs, "doc_id", "text",
+                                        threshold=0.6).collect()}
+    assert got == want and len(want) >= 7
+
+    # posting-count reduction: prefix length is sz - ceil(0.6*sz) + 1
+    sh = docs.select(shingles_expr(F.col("text"), 3).alias("sh")) \
+        .select(F.size("sh").alias("sz"))
+    full, prefix = sh.agg(
+        F.sum("sz"),
+        F.sum(F.col("sz") - F.ceil(F.lit(0.6) * F.col("sz")).cast("int")
+              + 1)).first()
+    assert prefix < 0.5 * full
