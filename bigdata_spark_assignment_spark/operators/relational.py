@@ -427,3 +427,39 @@ def robust_anomalies(df: DataFrame, key_cols: list[str], value_col: str,
             .filter(F.col("mad") > 0)
             .withColumn("mz", mz)
             .filter(F.abs(F.col("mz")) > threshold))
+
+
+def funnel_counts(df: DataFrame, user_col: str, ts_col: str,
+                  type_col: str, stages: list[str]) -> DataFrame:
+    """Ordered-funnel analysis: how many users completed stages
+    1..k IN ORDER → (stage, n_users), stage 1-based. A user completes
+    stage k at the EARLIEST event of type ``stages[k-1]`` that is
+    STRICTLY after their stage-(k−1) completion time (the greedy
+    choice — taking the earliest valid event at every stage is what
+    maximizes the chance of completing later stages, so this counts
+    exactly the users for whom ANY ordered assignment exists).
+
+    Plan shape: one filtered min-aggregate per stage, each joined to
+    the previous stage's (user, time) frame on user_id — the frames
+    shrink monotonically down the funnel and reuse the user_id
+    partitioning; no window over full event history, no per-user
+    state. At 100 TB the later-stage frames are broadcast-sized.
+    """
+    import functools
+
+    cur = None
+    outs = []
+    for i, stage in enumerate(stages, 1):
+        ev = df.filter(F.col(type_col) == stage)
+        if cur is None:
+            cur = (ev.groupBy(user_col)
+                   .agg(F.min(ts_col).alias("__t")))
+        else:
+            cur = (ev.join(cur, user_col)
+                   .filter(F.col(ts_col) > F.col("__t"))
+                   .groupBy(user_col)
+                   .agg(F.min(ts_col).alias("__t")))
+        outs.append(cur.agg(F.count(F.lit(1)).alias("n_users"))
+                    .select(F.lit(i).cast("long").alias("stage"),
+                            "n_users"))
+    return functools.reduce(lambda a, b: a.unionByName(b), outs)

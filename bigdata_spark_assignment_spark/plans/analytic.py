@@ -562,20 +562,53 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM gaps)
-    SELECT user_id,
-           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
-           CAST(COUNT(*) AS BIGINT) AS n_events
+    SELECT 'sess' AS part, user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n1,
+           CAST(COUNT(*) AS BIGINT) AS n2
     FROM sess
     GROUP BY user_id
+    UNION ALL
+    -- r5 session 3: ordered view→click→purchase funnel — stage-k
+    -- completion = earliest stage event STRICTLY after stage k−1
+    SELECT 'funnel', t.stage, t.n, CAST(NULL AS BIGINT)
+    FROM (
+      WITH t1 AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      t2 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+        FROM events e JOIN t1 USING (user_id)
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.t
+        GROUP BY 1),
+      t3 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+        FROM events e JOIN t2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2.t
+        GROUP BY 1)
+      SELECT 1 AS stage, CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n
+      UNION ALL
+      SELECT 2, CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+      UNION ALL
+      SELECT 3, CAST((SELECT COUNT(*) FROM t3) AS BIGINT)) t
     """,
-    tags=("window", "sessionization"),
+    tags=("window", "sessionization", "funnel"),
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity) via lag + cumulative
-    sum — the batch mirror of streaming session_window (plans.streaming).
+    """User-journey analytics over the event log, tagged:
 
-    100 TB notes: one shuffle on user_id serves both windows; per-user
-    state never materializes beyond the sort — no driver involvement.
+    * ``sess`` — gap-based sessionization (30-min inactivity) via lag
+      + cumulative sum — the batch mirror of streaming session_window
+      (plans.streaming). Per-user session/event counts.
+    * ``funnel`` — r5 session 3: ordered view→click→purchase funnel
+      (operators.relational.funnel_counts): users completing stages
+      1..k in order, greedy-earliest completion times (the assignment
+      that exists iff any ordered assignment exists). The oracle
+      re-derives each stage frame with the same strict-after chain.
+
+    100 TB notes: sessionization is one shuffle on user_id serving
+    both windows; the funnel is one filtered min-aggregate per stage
+    with monotonically shrinking frames (broadcast-sized down-funnel),
+    not a window over full event history.
     """
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -586,13 +619,26 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     cum = W.partitionBy("user_id").orderBy("ts", "event_id") \
         .rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
+    sess = (
         ev.withColumn("is_new", is_new)
         .withColumn("session_id", F.sum("is_new").over(cum))
         .groupBy("user_id")
-        .agg(F.countDistinct("session_id").alias("n_sessions"),
-             F.count(F.lit(1)).alias("n_events"))
+        .agg(F.countDistinct("session_id").alias("n1"),
+             F.count(F.lit(1)).alias("n2"))
+        .select(F.lit("sess").alias("part"), "user_id", "n1", "n2")
     )
+
+    from ..operators.relational import funnel_counts
+
+    fun = (funnel_counts(
+               ev.withColumn("ts", F.col("ts").cast("timestamp")),
+               "user_id", "ts", "event_type",
+               ["view", "click", "purchase"])
+           .select(F.lit("funnel").alias("part"),
+                   F.col("stage").alias("user_id"),
+                   F.col("n_users").alias("n1"),
+                   F.lit(None).cast("long").alias("n2")))
+    return sess.unionByName(fun)
 
 
 @register(

@@ -366,3 +366,35 @@ def test_robust_anomalies_planted_and_degenerate(spark):
     assert {(r.g, r.i) for r in out} == {("a", 99)}
     a99 = [r for r in out if r.i == 99 and r.g == "a"][0]
     assert a99.med == 100.0 and a99.mad > 0 and a99.mz > 1000
+
+
+def test_funnel_counts_ordered_semantics(spark):
+    """r5 session 3: funnel completion requires STRICT order — a click
+    before the first view must not count, an equal-timestamp event
+    must not count (strictly after), and the greedy-earliest
+    assignment must find interleaved completions."""
+    import datetime as dt
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        funnel_counts,
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = [
+        # u1: clean v->c->p
+        (1, s(0), "view"), (1, s(1), "click"), (1, s(2), "purchase"),
+        # u2: click BEFORE view, purchase after view -> stops at stage 1
+        (2, s(0), "click"), (2, s(1), "view"), (2, s(2), "purchase"),
+        # u3: click at the SAME ts as view -> not strictly after
+        (3, s(0), "view"), (3, s(0), "click"),
+        # u4: v, early p, c, late p -> completes via the later purchase
+        (4, s(0), "view"), (4, s(1), "purchase"), (4, s(2), "click"),
+        (4, s(3), "purchase"),
+        # u5: view only
+        (5, s(0), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r.stage: r.n_users for r in
+           funnel_counts(df, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"]).collect()}
+    assert got == {1: 5, 2: 2, 3: 2}  # stage2/3: u1 and u4 only

@@ -205,3 +205,51 @@ def test_q18_aggregates_before_joining(spark, sf_oracle):
     assert "hashpartitioning(l_orderkey" in p    # pre-agg exchange
     assert "sum_qty" in p and "> 300.0" in p     # HAVING after the agg
     assert "SortMergeJoin" not in p
+
+
+def test_cms_build_partial_aggregates_before_exchange(spark, sf_oracle):
+    """r5 session 3: the CMS build's defining property is that the
+    exchange carries partial-aggregated (d, bucket) counts — ≤ d·w
+    rows per task — never raw items; and point estimates broadcast
+    the grid rather than shuffling query items."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+    docs = load_table(spark, sf_oracle, "documents")
+    toks = (docs.select(F.explode(F.split(F.lower("text"), "\\s+"))
+                        .alias("token"))
+            .filter(F.col("token") != ""))
+    grid = cms_build(toks, "token")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        grid.explain("formatted")
+    p = buf.getvalue()
+    # partial agg (HashAggregate) BELOW the exchange, final above
+    ex = p.index("Exchange (")
+    assert "HashAggregate" in p[:ex] and "HashAggregate" in p[ex:]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cms_point_estimates(grid, toks.distinct(), "token") \
+            .explain("formatted")
+    q = buf.getvalue()
+    assert "BroadcastHashJoin LeftOuter" in q
+    assert "CartesianProduct" not in q
+
+
+def test_fuzzy_and_prefix_joins_are_equi_joins(spark, sf_oracle):
+    """r5 session 3: neither string-similarity join may degrade to a
+    cartesian/nested-loop candidate stage — the fuzzy join must join
+    on the variant hash, the prefix join on the (windowed) prefix
+    shingle."""
+    p = _plan(spark, sf_oracle, "q33_neardup_jaccard_bruteforce")
+    assert "CartesianProduct" not in p
+    assert "xxhash64" in p          # deletion-variant hash join key
+    assert p.count("Window") >= 2   # prefix row_number per doc
