@@ -712,3 +712,41 @@ def bpe_apply_expr(tokens: Column, merges: list[tuple[str, str]]) -> Column:
     for l, r in merges:
         out = _merge_pair_fold(out, F.lit(l), F.lit(r))
     return out
+
+
+def distribution_drift(docs: "DataFrame", group_col: str,
+                       text_col: str) -> "DataFrame":
+    """Per-group token-distribution diagnostics for data-mixture
+    monitoring → (group_col, n_tokens, entropy, kl_vs_corpus):
+    Shannon entropy of the group's unigram distribution (nats) and
+    KL(P_group ‖ P_corpus) — the drift number that says "this source's
+    language is diverging from the mixture" before a model does.
+    KL is finite by construction: every group token is also a corpus
+    token, so p_corpus > 0 wherever p_group > 0.
+
+    Plan shape: one token explode feeding three hash aggregates
+    (corpus totals ride as a broadcast 1-row frame; corpus per-token
+    counts join the group counts on token), then a per-group sum —
+    two shuffles on token, one on group. Formula arrangement is
+    mirrored verbatim in the q36 oracle (``s*1.0/ng`` then a single
+    ln) so the doubles agree to rounding.
+    """
+    toks = (docs
+            .select(F.col(group_col).alias("g"),
+                    F.explode(F.split(F.lower(F.col(text_col)),
+                                      WS_SPLIT)).alias("token"))
+            .filter(F.col("token") != ""))
+    ct = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    nt = toks.agg(F.count(F.lit(1)).alias("n"))
+    st = toks.groupBy("g", "token").agg(F.count(F.lit(1)).alias("s"))
+    ns = toks.groupBy("g").agg(F.count(F.lit(1)).alias("ng"))
+    ps = F.col("s") * 1.0 / F.col("ng")
+    pc = F.col("c") * 1.0 / F.col("n")
+    return (st.join(ns, "g").join(ct, "token")
+            .crossJoin(F.broadcast(nt))
+            .groupBy("g", "ng")
+            .agg((-F.sum(ps * F.log(ps))).alias("entropy"),
+                 F.sum(ps * F.log(ps / pc)).alias("kl_vs_corpus"))
+            .select(F.col("g").alias(group_col),
+                    F.col("ng").alias("n_tokens"),
+                    "entropy", "kl_vs_corpus"))

@@ -52,24 +52,69 @@ _LANG_ID_ORACLE = f"""
              {_duck_marker_score('de')} AS s_de,
              {_duck_marker_score('fr')} AS s_fr
       FROM documents)
-    SELECT lang, {_duck_lang_id_case()} AS pred_lang,
-           CAST(COUNT(*) AS BIGINT) AS n
+    SELECT 'confusion' AS part, lang AS k1,
+           {_duck_lang_id_case()} AS k2,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
     FROM s
-    GROUP BY 1, 2
+    GROUP BY 1, 2, 3
+    UNION ALL
+    -- r5 session 3: per-source unigram entropy + KL vs the corpus
+    -- mixture (operators.textual.distribution_drift) — formula
+    -- arrangement mirrored verbatim ((s*1.0/ng), single ln)
+    SELECT 'drift', source, NULL, ng,
+           ROUND(-SUM((s * 1.0 / ng) * ln(s * 1.0 / ng)), 4),
+           ROUND(SUM((s * 1.0 / ng) * ln((s * 1.0 / ng) / (c * 1.0 / n))), 4)
+    FROM (
+      WITH toks AS (
+        SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents),
+      tok AS (SELECT * FROM toks WHERE token <> ''),
+      ct AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+      st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS s
+             FROM tok GROUP BY 1, 2),
+      ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ng FROM tok GROUP BY 1)
+      SELECT st.source, st.token, st.s, ns.ng, ct.c, nt.n
+      FROM st JOIN ns USING (source) JOIN ct USING (token) CROSS JOIN nt)
+    GROUP BY source, ng
 """
 
 
-@register("q36_lang_id_confusion", oracle=_LANG_ID_ORACLE, tags=("text", "langid"))
+@register("q36_lang_id_confusion", oracle=_LANG_ID_ORACLE,
+          tags=("text", "langid", "drift"))
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID vs the labeled lang column — a confusion
-    table. (Accuracy is whatever the marker lists earn; determinism and
-    oracle parity are the contract.)"""
+    """Corpus-language diagnostics, tagged:
+
+    * ``confusion`` — heuristic language ID vs the labeled lang column
+      as a confusion table. (Accuracy is whatever the marker lists
+      earn; determinism and oracle parity are the contract.)
+    * ``drift`` — r5 session 3: per-source unigram Shannon entropy and
+      KL(P_source ‖ P_corpus) (operators.textual.distribution_drift) —
+      the data-mixture drift monitor: a source whose language diverges
+      from the mixture moves its KL before a trained model would. Both
+      sums re-derived exactly by the oracle.
+    """
+    from ..operators.textual import distribution_drift
+
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    conf = (
         docs.select("lang", lang_id_expr(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("confusion").alias("part"),
+                F.col("lang").alias("k1"), F.col("pred_lang").alias("k2"),
+                "n", F.lit(None).cast("double").alias("v1"),
+                F.lit(None).cast("double").alias("v2"))
     )
+    drift = (distribution_drift(docs, "source", "text")
+             .select(F.lit("drift").alias("part"),
+                     F.col("source").alias("k1"),
+                     F.lit(None).cast("string").alias("k2"),
+                     F.col("n_tokens").alias("n"),
+                     fround(F.col("entropy")).alias("v1"),
+                     fround(F.col("kl_vs_corpus")).alias("v2")))
+    return conf.unionByName(drift)
 
 
 _TEXT_METRICS_ORACLE = f"""

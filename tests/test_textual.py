@@ -405,3 +405,28 @@ def test_bpe_learn_matches_reference(spark):
                .collect()}
     ref_applied = {k: v for k, v in ref_vocab.items()}
     assert applied == ref_applied
+
+
+def test_distribution_drift_entropy_and_kl(spark):
+    """r5 session 3: (a) KL ≥ 0 with equality iff the group matches the
+    corpus mixture; (b) uniform group entropy = ln(V) exactly; (c) a
+    skewed source shows strictly higher KL than a mixture-matching
+    one."""
+    import math
+
+    from bigdata_spark_assignment_spark.operators.textual import (
+        distribution_drift,
+    )
+    uni = " ".join(f"w{i}" for i in range(8))       # uniform over 8
+    rows = ([("a", uni)] * 4                        # matches corpus? no -
+            + [("b", uni)] * 4                      # a and b identical
+            + [("c", "w0 w0 w0 w0 w0 w0 w0 w1")])   # skewed
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {r.source: r for r in
+           distribution_drift(df, "source", "text").collect()}
+    # a and b have identical distributions -> identical metrics
+    assert abs(out["a"].entropy - math.log(8)) < 1e-9
+    assert out["a"].kl_vs_corpus >= 0 and out["c"].kl_vs_corpus >= 0
+    assert abs(out["a"].kl_vs_corpus - out["b"].kl_vs_corpus) < 1e-12
+    assert out["c"].kl_vs_corpus > out["a"].kl_vs_corpus + 0.1
+    assert out["c"].entropy < out["a"].entropy      # skew lowers entropy
