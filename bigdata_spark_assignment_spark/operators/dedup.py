@@ -828,7 +828,8 @@ def fuzzy_join_edit_distance(df: DataFrame, id_col: str, str_col: str,
 def pagerank(pairs: DataFrame, iters: int = 10, damping: float = 0.85,
              checkpoint_dir: str | None = None,
              broadcast_ranks: bool = False,
-             cut_every: int = 3) -> DataFrame:
+             cut_every: int = 3,
+             weight_col: str | None = None) -> DataFrame:
     """PageRank centrality over the UNDIRECTED pair graph → (id, rank)
     after exactly ``iters`` synchronous power iterations — e.g. to
     pick the most-connected document of a near-dup component as its
@@ -844,6 +845,13 @@ def pagerank(pairs: DataFrame, iters: int = 10, damping: float = 0.85,
     variant must redistribute it; out of scope here). Fixed iteration
     count, not a convergence test: deterministic output, and the
     unrolled-CTE oracle needs a static depth.
+
+    ``weight_col`` names an edge-weight column on ``pairs`` (e.g.
+    trade volume, co-occurrence count): parallel edges sum their
+    weights under the symmetric closure, out-strength replaces degree,
+    and contributions become ``rank(u)·w(u,v)/outw(u)`` — globally
+    scale-invariant (doubling every weight changes nothing; pinned in
+    pytest). Unweighted keeps the integer-degree path untouched.
 
     100 TB notes: each round is one (edge ⋈ rank) shuffle on src plus
     one aggregate on dst — the degree-annotated edge list is built
@@ -872,14 +880,30 @@ def pagerank(pairs: DataFrame, iters: int = 10, damping: float = 0.85,
         def _cut(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
-    edges = (pairs.select(F.col("id_a").alias("src"),
-                          F.col("id_b").alias("dst"))
-             .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                       F.col("id_a").alias("dst")))
-             .distinct())
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edgesd = _track_persist(
-        edges.join(deg, "src").select("src", "dst", "deg"))
+    if weight_col is None:
+        edges = (pairs.select(F.col("id_a").alias("src"),
+                              F.col("id_b").alias("dst"))
+                 .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                           F.col("id_a").alias("dst")))
+                 .distinct())
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        edgesd = _track_persist(
+            edges.join(deg, "src").select("src", "dst", "deg",
+                                          F.lit(None).alias("w")))
+        contrib_num = F.col("rank") / F.col("deg")
+    else:
+        edges = (pairs.select(F.col("id_a").alias("src"),
+                              F.col("id_b").alias("dst"),
+                              F.col(weight_col).cast("double").alias("w"))
+                 .unionByName(pairs.select(
+                     F.col("id_b").alias("src"),
+                     F.col("id_a").alias("dst"),
+                     F.col(weight_col).cast("double").alias("w")))
+                 .groupBy("src", "dst").agg(F.sum("w").alias("w")))
+        deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
+        edgesd = _track_persist(
+            edges.join(deg, "src").select("src", "dst", "deg", "w"))
+        contrib_num = F.col("rank") * F.col("w") / F.col("deg")
     verts = _track_persist(
         edges.select(F.col("src").alias("id")).distinct())
     nstats = verts.agg(F.count(F.lit(1)).alias("n"))
@@ -895,7 +919,7 @@ def pagerank(pairs: DataFrame, iters: int = 10, damping: float = 0.85,
         contrib = (edgesd.join(hint(ranks),
                                edgesd["src"] == ranks["id"])
                    .groupBy("dst")
-                   .agg(F.sum(F.col("rank") / F.col("deg")).alias("c")))
+                   .agg(F.sum(contrib_num).alias("c")))
         ranks = (verts.join(hint(contrib),
                             verts["id"] == contrib["dst"], "left")
                  .crossJoin(F.broadcast(nstats))
@@ -913,7 +937,8 @@ def pagerank(pairs: DataFrame, iters: int = 10, damping: float = 0.85,
 
 def pagerank_by_component(pairs: DataFrame, labels: DataFrame,
                           iters: int = 10,
-                          damping: float = 0.85) -> DataFrame:
+                          damping: float = 0.85,
+                          weight_col: str | None = None) -> DataFrame:
     """Same contract as ``pagerank`` (identical rank values — pytest
     pins the differential), exploiting that PageRank decomposes
     EXACTLY over connected components: contributions never cross
@@ -935,11 +960,22 @@ def pagerank_by_component(pairs: DataFrame, labels: DataFrame,
     per-group imperative iteration no Column expression can hold,
     over three long columns via Arrow.
     """
-    edges = (pairs.select(F.col("id_a").alias("src"),
-                          F.col("id_b").alias("dst"))
-             .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                       F.col("id_a").alias("dst")))
-             .distinct())
+    if weight_col is None:
+        edges = (pairs.select(F.col("id_a").alias("src"),
+                              F.col("id_b").alias("dst"))
+                 .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                           F.col("id_a").alias("dst")))
+                 .distinct()
+                 .withColumn("w", F.lit(1.0)))
+    else:
+        edges = (pairs.select(F.col("id_a").alias("src"),
+                              F.col("id_b").alias("dst"),
+                              F.col(weight_col).cast("double").alias("w"))
+                 .unionByName(pairs.select(
+                     F.col("id_b").alias("src"),
+                     F.col("id_a").alias("dst"),
+                     F.col(weight_col).cast("double").alias("w")))
+                 .groupBy("src", "dst").agg(F.sum("w").alias("w")))
     nstats = (edges.select("src").distinct()
               .agg(F.count(F.lit(1)).alias("n")))
     lab = labels.select(F.col("id").alias("src"), "cluster_id")
@@ -951,15 +987,15 @@ def pagerank_by_component(pairs: DataFrame, labels: DataFrame,
         tp = (1.0 - damping) / n
         src = pdf["src"].to_numpy()
         dst = pdf["dst"].to_numpy()
+        w = pdf["w"].to_numpy()
         ids, src_idx = np.unique(src, return_inverse=True)
         # symmetric closure ⇒ every dst is also a src
         dst_idx = np.searchsorted(ids, dst)
-        deg = np.bincount(src_idx, minlength=len(ids)) \
-            .astype(np.float64)
+        outw = np.bincount(src_idx, weights=w, minlength=len(ids))
         r = np.full(len(ids), 1.0 / n)
         for _ in range(iters):
             contrib = np.zeros(len(ids))
-            np.add.at(contrib, dst_idx, r[src_idx] / deg[src_idx])
+            np.add.at(contrib, dst_idx, r[src_idx] * w / outw[src_idx])
             r = tp + damping * contrib
         return pd.DataFrame({"id": ids, "rank": r})
 

@@ -505,3 +505,41 @@ def test_prefix_jaccard_equals_full_index_and_prunes(spark):
         F.sum(F.col("sz") - F.ceil(F.lit(0.6) * F.col("sz")).cast("int")
               + 1)).first()
     assert prefix < 0.5 * full
+
+
+def test_pagerank_weighted_forms_agree_and_scale_invariant(spark):
+    """r5 session 3 weighted PageRank: (a) grouped and iterative forms
+    agree on a weighted multi-component graph; (b) globally scaling
+    every weight leaves ranks unchanged; (c) shifting weight toward a
+    vertex raises its rank vs the unweighted run."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        neardup_clusters,
+        pagerank,
+        pagerank_by_component,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 10.0), (1, 3, 1.0), (2, 3, 1.0),   # triangle, 2 favored
+         (7, 8, 5.0), (8, 9, 5.0)],                # chain
+        ["id_a", "id_b", "wt"])
+    labels = neardup_clusters(pairs)
+    it = {r.id: round(r.rank, 9) for r in
+          pagerank(pairs, broadcast_ranks=True, weight_col="wt")
+          .collect()}
+    gr = {r.id: round(r.rank, 9) for r in
+          pagerank_by_component(pairs, labels, weight_col="wt")
+          .collect()}
+    assert set(it) == set(gr) == {1, 2, 3, 7, 8, 9}
+    assert all(abs(it[k] - gr[k]) < 1e-9 for k in it)
+
+    scaled = pairs.withColumn("wt", F.col("wt") * 1000.0)
+    sc = {r.id: round(r.rank, 9) for r in
+          pagerank_by_component(scaled, labels, weight_col="wt")
+          .collect()}
+    assert all(abs(sc[k] - gr[k]) < 1e-9 for k in gr)
+
+    unw = {r.id: r.rank for r in
+           pagerank_by_component(pairs, labels).collect()}
+    # vertices 1 and 2 share the heavy edge; both gain over uniform
+    assert gr[2] > unw[2] and gr[3] < unw[3]
