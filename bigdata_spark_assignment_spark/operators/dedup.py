@@ -1059,3 +1059,40 @@ def neardup_pairs_prefix_jaccard(docs: DataFrame, id_col: str,
                         jaccard_expr(F.col("sh_a"), F.col("sh_b")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over the undirected pair graph
+    → (id, n_triangles) for every vertex in the graph (0 for
+    triangle-free vertices) — the building block of local clustering
+    coefficients and the classic "how clique-ish is this near-dup
+    blob" diagnostic.
+
+    Plan shape (the standard distributed formulation): orient every
+    edge low→high (id_a < id_b after normalization), enumerate each
+    triangle EXACTLY ONCE as u<v<w with edges (u,v),(v,w),(u,w) via
+    two equi-joins — wedge generation joins on the middle vertex, the
+    closing join on the (u,w) pair — then explode each found triangle
+    to its three corners and count per vertex. Shuffle volume is
+    O(edges + wedges); at web scale, degree-order orientation (join
+    low-degree side first) bounds wedge counts, and near-dup graphs
+    are small-component by construction.
+    """
+    e = (pairs.select(F.least("id_a", "id_b").alias("u"),
+                      F.greatest("id_a", "id_b").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct())
+    w1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = w1.join(w2, "b")                       # a < b < c
+    closing = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = wedges.join(closing, ["a", "c"])
+    corner = (tris.select(F.explode(F.array("a", "b", "c"))
+                  .alias("id"))
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_triangles")))
+    verts = (e.select(F.col("u").alias("id"))
+             .unionByName(e.select(F.col("v").alias("id"))).distinct())
+    return (verts.join(corner, "id", "left")
+            .select("id", F.coalesce(F.col("n_triangles"), F.lit(0))
+                    .cast("long").alias("n_triangles")))

@@ -418,7 +418,10 @@ def _pagerank_iter_ctes(iters: int, damping: float = 0.85) -> str:
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs),
-    verts AS (SELECT DISTINCT src AS id FROM edges)
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    edges_lh AS (
+      SELECT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+      FROM pairs WHERE id_a <> id_b GROUP BY 1, 2)
     , reach AS (
       WITH RECURSIVE r(id, label) AS (
         SELECT id, id FROM verts
@@ -439,6 +442,19 @@ def _pagerank_iter_ctes(iters: int, damping: float = 0.85) -> str:
     SELECT 'pagerank', CAST(id AS BIGINT), CAST(NULL AS BIGINT),
            ROUND(rank, 6)
     FROM it10
+    UNION ALL
+    -- r5 session 3: per-vertex triangle counts — each triangle
+    -- enumerated once as u<v<w via the two-join wedge+closing plan
+    SELECT 'triangles', CAST(v.id AS BIGINT),
+           CAST(COALESCE(t.nt, 0) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM verts v LEFT JOIN (
+      SELECT id, COUNT(*) AS nt FROM (
+        SELECT unnest([tri.a, tri.b, tri.c]) AS id FROM (
+          SELECT w1.u AS a, w1.v AS b, w2.v AS c
+          FROM edges_lh w1
+          JOIN edges_lh w2 ON w1.v = w2.u
+          JOIN edges_lh w3 ON w3.u = w1.u AND w3.v = w2.v) tri)
+      GROUP BY id) t ON t.id = v.id
     """,
     tags=("dedup", "neardup", "clustering", "pagerank"),
 )
@@ -463,6 +479,10 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       exactly over components; ``prop``'s labels feed the grouping) —
       the iterative ``pagerank`` operator is the giant-component
       fallback, pinned equal in tests/test_dedup.py.
+    * ``triangles`` — r5 session 3: per-vertex triangle counts
+      (operators.dedup.triangle_counts, u<v<w wedge+closing joins,
+      each triangle found once); the oracle re-enumerates them with
+      the same orientation. cluster_id carries the count.
 
     The pair graph is persisted so the MinHash sweep is paid once
     across all three algorithms."""
@@ -471,6 +491,7 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup_clusters,
         neardup_clusters_star,
         pagerank_by_component,
+        triangle_counts,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -485,8 +506,11 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.lit("pagerank").alias("method"), "id",
                   F.lit(None).cast("long").alias("cluster_id"),
                   fround(F.col("rank"), 6).alias("v")))
+    tri = (triangle_counts(pairs)
+           .select(F.lit("triangles").alias("method"), "id",
+                   F.col("n_triangles").alias("cluster_id"), nullv))
     return (prop.select(F.lit("prop").alias("method"), "id",
                         "cluster_id", nullv)
             .unionByName(star.select(F.lit("star").alias("method"),
                                      "id", "cluster_id", nullv))
-            .unionByName(pr))
+            .unionByName(pr).unionByName(tri))

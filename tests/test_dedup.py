@@ -543,3 +543,21 @@ def test_pagerank_weighted_forms_agree_and_scale_invariant(spark):
            pagerank_by_component(pairs, labels).collect()}
     # vertices 1 and 2 share the heavy edge; both gain over uniform
     assert gr[2] > unw[2] and gr[3] < unw[3]
+
+
+def test_triangle_counts_known_graph(spark):
+    """r5 session 3: hand-checked triangle counts — K4 (every vertex in
+    3 triangles), one extra triangle sharing a vertex, a path (zero),
+    reversed/duplicate edge inputs normalized."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        triangle_counts,
+    )
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    extra = [(4, 10), (10, 11), (11, 4)]      # triangle at vertex 4
+    path = [(20, 21), (21, 22)]
+    dups = [(2, 1), (1, 2)]                   # reversed + duplicate
+    df = spark.createDataFrame(k4 + extra + path + dups,
+                               ["id_a", "id_b"])
+    got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 4, 10: 1, 11: 1,
+                   20: 0, 21: 0, 22: 0}
