@@ -1051,10 +1051,12 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND c.bucket = CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || h.token), 1, 15))
                            AS BIGINT) % 512
       GROUP BY h.token)
-    SELECT 'mg' AS part, token AS k, cnt AS n1, CAST(NULL AS BIGINT) AS n2
+    SELECT 'mg' AS part, token AS k, cnt AS n1, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+           CAST(NULL AS DOUBLE) AS v3
     FROM heavy
     UNION ALL
-    SELECT 'cms', h.token, e.est, h.cnt
+    SELECT 'cms', h.token, e.est, h.cnt, NULL, NULL, NULL
     FROM heavy h JOIN est e ON e.token = h.token
     UNION ALL
     -- r5 session 3: CMS join-size estimation (min-over-rows bucket
@@ -1082,9 +1084,42 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE year(o_orderdate) = 1995 GROUP BY 1) x
          JOIN (SELECT o_custkey, COUNT(*) AS cb FROM orders
                WHERE year(o_orderdate) = 1996 GROUP BY 1) y
-           USING (o_custkey))
+           USING (o_custkey)),
+      NULL, NULL, NULL
+    UNION ALL
+    -- r5 session 4: pairwise association rules over order→brand
+    -- baskets (operators.mining.association_rules) — every support /
+    -- confidence / lift ratio re-derived from exact counts
+    SELECT 'assoc', r.antecedent || '->' || r.consequent, r.pair_count,
+           NULL, ROUND(r.pair_count * 1.0 / r.n, 4),
+           ROUND(r.pair_count * 1.0 / r.n_a, 4),
+           ROUND(r.pair_count * 1.0 * r.n / (r.n_a * r.n_b), 4)
+    FROM (
+      WITH b AS (
+        SELECT l.l_orderkey AS basket, pa.p_brand AS item
+        FROM lineitem l JOIN part pa ON l.l_partkey = pa.p_partkey
+        GROUP BY 1, 2),
+      nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM b),
+      it AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+      itf AS (SELECT it.item, it.c, nb.n FROM it, nb
+              WHERE it.c >= CEIL(0.02 * nb.n)),
+      pr AS (SELECT a.item AS x, b2.item AS y,
+                    CAST(COUNT(*) AS BIGINT) AS pc
+             FROM b a JOIN b b2 USING (basket)
+             WHERE a.item < b2.item GROUP BY 1, 2),
+      prf AS (SELECT pr.*, nb.n FROM pr, nb
+              WHERE pr.pc >= CEIL(0.02 * nb.n))
+      SELECT prf.x AS antecedent, prf.y AS consequent, prf.pc AS pair_count,
+             prf.n, ia.c AS n_a, ib.c AS n_b
+      FROM prf JOIN itf ia ON ia.item = prf.x
+               JOIN itf ib ON ib.item = prf.y
+      UNION ALL
+      SELECT prf.y, prf.x, prf.pc, prf.n, ib.c, ia.c
+      FROM prf JOIN itf ia ON ia.item = prf.x
+               JOIN itf ib ON ib.item = prf.y) r
+    WHERE r.pair_count * 1.0 / r.n_a >= 0.15
     """,
-    tags=("sketch", "heavy-hitters", "count-min", "text"),
+    tags=("sketch", "heavy-hitters", "count-min", "text", "mining"),
 )
 def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency sketches over the document corpus, tagged:
@@ -1110,12 +1145,22 @@ def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       the oracle from the same md5 grids), n2 = the true
       Σ fA(k)·fB(k).
 
+    * ``assoc`` — r5 session 4: pairwise association rules over
+      order→brand baskets (operators.mining.association_rules,
+      support ≥ 2% of baskets, confidence ≥ 0.15). k is
+      ``antecedent->consequent``; n1 the pair count; v1/v2/v3 the
+      support/confidence/lift ratios, every one an exact-count
+      ratio the oracle recomputes digit-for-digit.
+
     100 TB notes: the naive plan shuffles every distinct token (the
     full web-corpus vocabulary); the MG plan shuffles only
     sketch-surviving candidates (two scans, zero wide shuffle — see
     the operator docstring for the n/(k+1) arithmetic) and the CMS
     build's exchange carries ≤ d·w partial-aggregated rows per task
     no matter the corpus size; estimates then broadcast the grid.
+    The assoc plan Apriori-prunes with a broadcast semi-join before
+    the pair self-join and caps per-basket fan-out (mining.py module
+    docstring) — the item-domain long tail never reaches a shuffle.
     """
     from ..operators.dedup import _track_persist
     from ..operators.sketches import (
@@ -1136,15 +1181,20 @@ def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = cms_build(tokens, "token", depth=3, width=512)
     est = cms_point_estimates(counters, heavy.select("token"),
                               "token", depth=3, width=512)
+    nullv = F.lit(None).cast("double")
     mg = heavy.select(F.lit("mg").alias("part"),
                       F.col("token").alias("k"),
                       F.col("cnt").alias("n1"),
-                      F.lit(None).cast("long").alias("n2"))
+                      F.lit(None).cast("long").alias("n2"),
+                      nullv.alias("v1"), nullv.alias("v2"),
+                      nullv.alias("v3"))
     cms = (heavy.join(est, "token")
            .select(F.lit("cms").alias("part"),
                    F.col("token").alias("k"),
                    F.col("cms_est").alias("n1"),
-                   F.col("cnt").alias("n2")))
+                   F.col("cnt").alias("n2"),
+                   nullv.alias("v1"), nullv.alias("v2"),
+                   nullv.alias("v3")))
 
     # r5 session 3: join-size forecasting from two synopses — the
     # sketch answers "how big would this join be" without scanning
@@ -1170,8 +1220,32 @@ def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.lit("cms_join").alias("part"),
                         F.lit("o_custkey_95x96").alias("k"),
                         F.col("join_size_est").alias("n1"),
-                        F.col("exact_join").alias("n2")))
-    return mg.unionByName(cms).unionByName(cms_join)
+                        F.col("exact_join").alias("n2"),
+                        nullv.alias("v1"), nullv.alias("v2"),
+                        nullv.alias("v3")))
+
+    # r5 session 4: market-basket association rules over order→brand
+    # baskets — the frequent-pattern-mining family (mining.py)
+    from ..operators.mining import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part_dim = load_table(spark, sf_dir, "part")
+    branded = (li.select("l_orderkey", "l_partkey")
+               .join(F.broadcast(part_dim.select("p_partkey", "p_brand")),
+                     F.col("l_partkey") == F.col("p_partkey")))
+    rules = association_rules(branded, "l_orderkey", "p_brand",
+                              min_support=0.02, min_confidence=0.15)
+    assoc = rules.select(
+        F.lit("assoc").alias("part"),
+        F.concat(F.col("antecedent"), F.lit("->"),
+                 F.col("consequent")).alias("k"),
+        F.col("pair_count").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        fround(F.col("support")).alias("v1"),
+        fround(F.col("confidence")).alias("v2"),
+        fround(F.col("lift")).alias("v3"))
+    return (mg.unionByName(cms).unionByName(cms_join)
+            .unionByName(assoc))
 
 
 @register(
