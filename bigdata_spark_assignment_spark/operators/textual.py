@@ -750,3 +750,72 @@ def distribution_drift(docs: "DataFrame", group_col: str,
             .select(F.col("g").alias(group_col),
                     F.col("ng").alias("n_tokens"),
                     "entropy", "kl_vs_corpus"))
+
+
+def bm25_topk(docs: "DataFrame", queries: list[tuple[str, list[str]]],
+              id_col: str = "doc_id", text_col: str = "text",
+              k: int = 5, k1: float = 1.2, b: float = 0.75,
+              min_term_len: int = 2) -> "DataFrame":
+    """BM25 ranked retrieval: top-``k`` documents per query.
+
+    The inverted-index operator family the reference's aggregation
+    surface lacks, built as pure relational algebra so the q61 oracle
+    re-derives every score. Per (query, doc):
+
+        score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (Robertson/Lucene
+                                                      form, ≥ 0 always)
+
+    ``dl`` counts tokens of length ≥ ``min_term_len`` (the same stream
+    term frequencies are built from, so length normalization and tf use
+    one tokenization contract).
+
+    Returns (query_id, doc_id, doc_len, n_matched_terms, score, rnk)
+    with rnk assigned on (round(score, 4) DESC, doc_id) — ranking on
+    the ROUNDED score is deliberate: both engines agree on 4 decimals
+    by the float discipline, so the rank is cross-engine deterministic
+    even where unrounded doubles differ in the last ulp.
+
+    100 TB notes: the postings table (tf per doc-term) is the
+    inverted index; the query table is tiny and broadcast, so ONLY
+    postings matching query terms survive the join — the full index is
+    never shuffled (the classic term-at-a-time evaluation). df and
+    corpus stats are vocab-sized / 1-row broadcast aggregates. Skew:
+    a stop-word query term touches its full posting list by necessity;
+    the per-(query, doc) aggregate then shuffles at most
+    |queries|·|matched docs| rows, and top-k is a window per query —
+    replaceable by TakeOrderedAndProject per query at extreme scale.
+    """
+    from pyspark.sql import Window as W
+
+    tokens = (docs.select(F.col(id_col).alias("doc_id"),
+                          F.explode(words_expr(F.col(text_col)))
+                          .alias("term"))
+              .filter(F.length("term") >= min_term_len))
+    tf = tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    spark = docs.sparkSession
+    qrows = [(qid, t) for qid, terms in queries for t in terms]
+    qdf = spark.createDataFrame(qrows, ["query_id", "term"])
+
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (tf.join(F.broadcast(qdf), "term")
+              .join(F.broadcast(df_tab), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("query_id", "doc_id")
+              .agg(F.any_value("dl").alias("doc_len"),
+                   F.count(F.lit(1)).alias("n_matched_terms"),
+                   F.round(F.sum(idf * norm), 4).alias("score")))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                          F.col("doc_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= int(k)))

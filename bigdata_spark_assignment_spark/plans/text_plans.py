@@ -484,9 +484,22 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(jpeg_part).unionByName(wav_part))
 
 
+# BM25 retrieval queries (q61 `bm25` part) — fixed term sets over the
+# corpus vocabulary; one tuple per query, mirrored into the oracle's
+# VALUES list below.
+_BM25_QUERIES: list[tuple[str, list[str]]] = [
+    ("joins", ["join", "hash", "merge"]),
+    ("streaming", ["stream", "window", "watermark"]),
+    ("vectorized", ["vector", "batch", "codegen"]),
+]
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 5
+_BM25_QUERY_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms)
+
+
 @register(
     "q61_tfidf_top_terms",
-    oracle="""
+    oracle=f"""
     WITH tokens AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
       FROM documents),
@@ -504,26 +517,75 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                    ORDER BY tfidf DESC, term) AS rnk
-      FROM scored WHERE doc_id < 20)
-    SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rnk
+      FROM scored WHERE doc_id < 20),
+    -- r5 session 4: BM25 ranked retrieval over the same token stream
+    -- (operators.textual.bm25_topk) — Robertson/Lucene idf, k1/b as
+    -- Python literals repr()'d on the engine side, rank on the
+    -- ROUNDED score so the ordering is cross-engine deterministic
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks GROUP BY 1),
+    bstats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    q(query_id, term) AS (VALUES {_BM25_QUERY_VALUES}),
+    bscored AS (
+      SELECT q.query_id, tf.doc_id,
+             ANY_VALUE(dl.dl) AS doc_len,
+             CAST(COUNT(*) AS BIGINT) AS n_matched,
+             ROUND(SUM(
+               ln(1.0 + (bstats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / bstats.avgdl))), 4) AS score
+      FROM tf JOIN q USING (term) JOIN df USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN bstats
+      GROUP BY 1, 2),
+    branked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rnk
+      FROM bscored)
+    SELECT 'tfidf' AS part, doc_id, term, tf, df, tfidf AS v,
+           CAST(rnk AS INTEGER) AS rnk
     FROM ranked WHERE rnk <= 3
+    UNION ALL
+    SELECT 'bm25', doc_id, query_id, doc_len, n_matched, score,
+           CAST(rnk AS INTEGER)
+    FROM branked WHERE rnk <= {_BM25_K}
     """,
-    tags=("text", "tfidf"),
+    tags=("text", "tfidf", "bm25", "retrieval"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document (first 20 docs) — relational
-    TF-IDF (operators.textual.tf_idf_terms), checked digit-for-digit
-    against the oracle's re-derivation. Deterministic tie-break on
-    term."""
+    """Text-relevance scoring in one tagged result:
+
+    * ``tfidf`` — top-3 TF-IDF terms per document (first 20 docs) —
+      relational TF-IDF (operators.textual.tf_idf_terms), checked
+      digit-for-digit against the oracle's re-derivation.
+      Deterministic tie-break on term.
+    * ``bm25`` — r5 session 4: BM25 ranked retrieval
+      (operators.textual.bm25_topk): top-5 documents for three fixed
+      multi-term queries over the corpus inverted index
+      (Robertson/Lucene idf, k1=1.2, b=0.75). term carries the
+      query_id, tf the doc length, df the matched-term count, v the
+      rounded score. The oracle re-derives every score from the same
+      token stream and ranks on the same rounded key.
+    """
     from pyspark.sql import Window as W
 
-    from ..operators.textual import tf_idf_terms
+    from ..operators.textual import bm25_topk, tf_idf_terms
 
     docs = load_table(spark, sf_dir, "documents")
     scored = tf_idf_terms(docs).filter(F.col("doc_id") < 20)
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
-    return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-            .filter(F.col("rnk") <= 3))
+    tfidf = (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+             .filter(F.col("rnk") <= 3)
+             .select(F.lit("tfidf").alias("part"), "doc_id", "term",
+                     "tf", "df", F.col("tfidf").alias("v"), "rnk"))
+    bm25 = (bm25_topk(docs, _BM25_QUERIES, k=_BM25_K,
+                      k1=_BM25_K1, b=_BM25_B)
+            .select(F.lit("bm25").alias("part"), "doc_id",
+                    F.col("query_id").alias("term"),
+                    F.col("doc_len").alias("tf"),
+                    F.col("n_matched_terms").alias("df"),
+                    F.col("score").alias("v"), "rnk"))
+    return tfidf.unionByName(bm25)
 
 
 @register(

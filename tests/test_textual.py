@@ -430,3 +430,56 @@ def test_distribution_drift_entropy_and_kl(spark):
     assert abs(out["a"].kl_vs_corpus - out["b"].kl_vs_corpus) < 1e-12
     assert out["c"].kl_vs_corpus > out["a"].kl_vs_corpus + 0.1
     assert out["c"].entropy < out["a"].entropy      # skew lowers entropy
+
+
+def test_bm25_hand_computed_and_ranked(spark):
+    """BM25 on a 3-doc corpus small enough to compute by hand; checks
+    the Robertson idf, length normalization direction, rounded-score
+    ranking, and that the query table drives a broadcast join."""
+    import math
+
+    from bigdata_spark_assignment_spark.operators.textual import bm25_topk
+
+    rows = [
+        (1, "spark spark join"),        # tf(spark)=2, dl=3
+        (2, "spark filter scan scan"),  # tf(spark)=1, dl=4
+        (3, "join join join"),          # no 'spark', dl=3
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(docs, [("q", ["spark"])], k=3)
+    got = {r.doc_id: r for r in out.collect()}
+    # doc 3 has no query term -> absent entirely
+    assert set(got) == {1, 2}
+    n_docs, avgdl = 3, (3 + 4 + 3) / 3
+    df = 2
+    idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def score(tf, dl):
+        return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                     4)
+
+    assert got[1].score == pytest.approx(score(2, 3))
+    assert got[2].score == pytest.approx(score(1, 4))
+    # higher tf, shorter doc -> doc 1 ranks first
+    assert got[1].rnk == 1 and got[2].rnk == 2
+    assert got[1].doc_len == 3 and got[1].n_matched_terms == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_multi_term_and_k_cap(spark):
+    from bigdata_spark_assignment_spark.operators.textual import bm25_topk
+
+    rows = [(i, "alpha beta " + ("alpha " * (i % 3))) for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(docs, [("q1", ["alpha", "beta"]),
+                           ("q2", ["gamma"])], k=4).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert len(per_q["q1"]) == 4                      # k cap holds
+    assert "q2" not in per_q                          # no gamma anywhere
+    ranks = sorted(r.rnk for r in per_q["q1"])
+    assert ranks == [1, 2, 3, 4]
+    # both terms matched by every doc with i%3>0; n_matched_terms = 2
+    assert all(r.n_matched_terms == 2 for r in per_q["q1"])
