@@ -1096,3 +1096,96 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     return (verts.join(corner, "id", "left")
             .select("id", F.coalesce(F.col("n_triangles"), F.lit(0))
                     .cast("long").alias("n_triangles")))
+
+
+def bfs_hops_by_component(pairs: DataFrame, labels: DataFrame,
+                          max_hops: int = 20) -> DataFrame:
+    """Hop distance (unweighted shortest path) of every vertex from its
+    component's canonical seed — the graph-traversal family alongside
+    CC/PageRank/triangles. The seed is the component's min id, which is
+    exactly ``cluster_id`` in the ``neardup_clusters`` labels, so a
+    dedup pipeline gets provenance ("how far is this doc from the
+    cluster canonical") with no extra seed table.
+
+    Grouped one-job form (same rationale as ``pagerank_by_component``):
+    symmetric-closure edges join the broadcastable label frame, each
+    component's edges land in one task, and the whole BFS frontier
+    iteration runs locally in numpy/dict — two shuffles total versus
+    one distributed join PER LEVEL for ``bfs_hops``. Right plan while
+    components are dup-cluster-sized; for giant components use the
+    iterative operator (pinned equal in tests/test_dedup.py).
+
+    Returns (id, hops), hops ≤ ``max_hops`` (deeper vertices omitted —
+    mirrored by the oracle's recursion bound).
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .distinct())
+    lab = labels.select(F.col("id").alias("src"), "cluster_id")
+    e = edges.join(lab, "src")
+
+    def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        seed = int(pdf["cluster_id"].iloc[0])
+        adj: dict[int, list[int]] = {}
+        for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+            adj.setdefault(int(s), []).append(int(d))
+        hops = {seed: 0}
+        frontier = [seed]
+        depth = 0
+        while frontier and depth < max_hops:
+            depth += 1
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in hops:
+                        hops[v] = depth
+                        nxt.append(v)
+            frontier = nxt
+        return pd.DataFrame({"id": sorted(hops),
+                             "hops": [hops[i] for i in sorted(hops)]})
+
+    return (e.groupBy("cluster_id")
+            .applyInPandas(_run, "id long, hops long"))
+
+
+def bfs_hops(pairs: DataFrame, seeds: DataFrame,
+             max_hops: int = 20, cut_every: int = 3) -> DataFrame:
+    """Distributed frontier-expansion BFS from an arbitrary seed set:
+    per level, join the frontier to the edge table, anti-join out
+    visited vertices, accumulate (id, hops). One shuffle join per
+    level — the scale-out path when a component (or the seed set's
+    reach) is too big for one task; ``bfs_hops_by_component`` is the
+    one-job fast path for bounded components.
+
+    ``seeds`` is a 1-column (id) frame. Early-stops on an empty
+    frontier (one cheap isEmpty action per level — unavoidable for
+    data-dependent termination); lineage is cut with localCheckpoint
+    every ``cut_every`` levels, the same discipline as
+    ``neardup_clusters``' label iteration.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .distinct())
+    edges = _track_persist(edges)
+    visited = seeds.select(F.col("id").cast("long")) \
+                   .withColumn("hops", F.lit(0).cast("long"))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited.select("id")
+    for depth in range(1, max_hops + 1):
+        nxt = (edges.join(frontier.withColumnRenamed("id", "src"), "src")
+               .select(F.col("dst").alias("id")).distinct()
+               .join(visited.select("id"), "id", "left_anti")
+               .withColumn("hops", F.lit(depth).cast("long")))
+        if depth % cut_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        if depth % cut_every == 0:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    return visited

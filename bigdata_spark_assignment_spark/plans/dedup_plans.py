@@ -455,6 +455,20 @@ def _pagerank_iter_ctes(iters: int, damping: float = 0.85) -> str:
           JOIN edges_lh w2 ON w1.v = w2.u
           JOIN edges_lh w3 ON w3.u = w1.u AND w3.v = w2.v) tri)
       GROUP BY id) t ON t.id = v.id
+    UNION ALL
+    -- r5 session 4: BFS hop distance from each component's canonical
+    -- (min-id) vertex — level-bounded recursive enumeration, MIN(dist)
+    -- = shortest path, same 20-hop bound as the engine operator
+    SELECT 'bfs', CAST(id AS BIGINT), CAST(hops AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM (
+      WITH RECURSIVE hb(id, dist) AS (
+        SELECT DISTINCT cluster_id, 0 FROM reach
+        UNION
+        SELECT e.src, hb.dist + 1
+        FROM edges e JOIN hb ON e.dst = hb.id
+        WHERE hb.dist < 20)
+      SELECT id, MIN(dist) AS hops FROM hb GROUP BY id)
     """,
     tags=("dedup", "neardup", "clustering", "pagerank"),
 )
@@ -483,11 +497,20 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       (operators.dedup.triangle_counts, u<v<w wedge+closing joins,
       each triangle found once); the oracle re-enumerates them with
       the same orientation. cluster_id carries the count.
+    * ``bfs`` — r5 session 4: hop distance of every vertex from its
+      component's canonical min-id vertex
+      (operators.dedup.bfs_hops_by_component, the grouped one-job
+      traversal; the per-level distributed ``bfs_hops`` is the
+      giant-component path, pinned equal in tests/test_dedup.py).
+      cluster_id carries the hop count; the oracle re-derives it as
+      MIN(dist) over a level-bounded recursive enumeration — an
+      imperative frontier BFS vs recursive SQL differential.
 
     The pair graph is persisted so the MinHash sweep is paid once
-    across all three algorithms."""
+    across all four algorithm families."""
     from ..operators.dedup import (
         _track_persist,
+        bfs_hops_by_component,
         neardup_clusters,
         neardup_clusters_star,
         pagerank_by_component,
@@ -509,8 +532,11 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = (triangle_counts(pairs)
            .select(F.lit("triangles").alias("method"), "id",
                    F.col("n_triangles").alias("cluster_id"), nullv))
+    bfs = (bfs_hops_by_component(pairs, prop, max_hops=20)
+           .select(F.lit("bfs").alias("method"), "id",
+                   F.col("hops").alias("cluster_id"), nullv))
     return (prop.select(F.lit("prop").alias("method"), "id",
                         "cluster_id", nullv)
             .unionByName(star.select(F.lit("star").alias("method"),
                                      "id", "cluster_id", nullv))
-            .unionByName(pr).unionByName(tri))
+            .unionByName(pr).unionByName(tri).unionByName(bfs))

@@ -561,3 +561,51 @@ def test_triangle_counts_known_graph(spark):
     got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 4, 10: 1, 11: 1,
                    20: 0, 21: 0, 22: 0}
+
+
+def test_bfs_hops_hand_graph_and_forms_agree(spark):
+    """r5 session 4: hop distances on a hand-checkable multi-component
+    graph — the grouped per-component BFS and the per-level distributed
+    frontier BFS must agree exactly, and the distances are the known
+    ones (star: all 1; chain: position; triangle: ≤1)."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        bfs_hops,
+        bfs_hops_by_component,
+        neardup_clusters,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5),          # star around 1
+         (10, 11), (11, 12), (12, 13), (13, 14),  # chain from 10
+         (20, 21), (21, 22), (22, 20)],           # triangle
+        ["id_a", "id_b"])
+    labels = neardup_clusters(pairs)
+    grouped = {r.id: r.hops for r in
+               bfs_hops_by_component(pairs, labels).collect()}
+    seeds = labels.select("cluster_id").distinct() \
+                  .withColumnRenamed("cluster_id", "id")
+    iterative = {r.id: r.hops for r in bfs_hops(pairs, seeds).collect()}
+    assert grouped == iterative
+    expect = {1: 0, 2: 1, 3: 1, 4: 1, 5: 1,
+              10: 0, 11: 1, 12: 2, 13: 3, 14: 4,
+              20: 0, 21: 1, 22: 1}
+    assert grouped == expect
+
+
+def test_bfs_max_hops_truncates_both_forms(spark):
+    """Vertices beyond max_hops are omitted — identically by both
+    forms (the oracle mirrors the same recursion bound)."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        bfs_hops,
+        bfs_hops_by_component,
+        neardup_clusters,
+    )
+    chain = [(i, i + 1) for i in range(1, 8)]   # 1-2-...-8, seed 1
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    labels = neardup_clusters(pairs)
+    grouped = {r.id: r.hops for r in
+               bfs_hops_by_component(pairs, labels, max_hops=3).collect()}
+    seeds = labels.select("cluster_id").distinct() \
+                  .withColumnRenamed("cluster_id", "id")
+    iterative = {r.id: r.hops for r in
+                 bfs_hops(pairs, seeds, max_hops=3).collect()}
+    assert grouped == iterative == {1: 0, 2: 1, 3: 2, 4: 3}
