@@ -463,3 +463,45 @@ def funnel_counts(df: DataFrame, user_col: str, ts_col: str,
                     .select(F.lit(i).cast("long").alias("stage"),
                             "n_users"))
     return functools.reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def ewma_smooth(df: DataFrame, key_cols: list[str],
+                order_cols: list[str], value_col: str,
+                alpha: float = 0.5, horizon: int = 8,
+                out_col: str = "ewma") -> DataFrame:
+    """Finite-horizon exponentially-weighted moving average per key:
+
+        ewma_t = Σ_{j<H, t−j exists} (1−α)^j · x_{t−j}
+                 ───────────────────────────────────────
+                 Σ_{j<H, t−j exists} (1−α)^j
+
+    The horizon truncation is what makes the smoother BOTH
+    oracle-expressible (the infinite recursive form needs a recursive
+    CTE with per-row arithmetic the float discipline can't pin) and
+    shuffle-free beyond one window sort: each output row reads its H
+    predecessors via ``lag``, so the whole operator is a single
+    partition-sort window with every term in whole-stage codegen — no
+    self-join, no UDF, no state. Truncation error is bounded by
+    (1−α)^H (≈0.4% of the weight mass at α=0.5, H=8); callers needing
+    the exact recursive form at 100 TB run it as a stateful streaming
+    fold instead (streaming/stateful.py pattern).
+
+    Missing predecessors (series head) renormalize over the weights
+    actually present — the standard ``adjust=True`` pandas semantics.
+    ``order_cols`` must be a deterministic total order per key (pass a
+    unique tiebreaker, e.g. the event id).
+
+    Returns the input plus ``out_col``. Weights are Python floats
+    embedded via ``F.lit`` and summed left-to-right j=0..H−1; the q56
+    oracle unrolls the SAME literals in the SAME order, so doubles
+    agree to rounding.
+    """
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    num: Column = F.lit(0.0)
+    den: Column = F.lit(0.0)
+    for j in range(int(horizon)):
+        wj = (1.0 - alpha) ** j
+        lj = F.lag(F.col(value_col), j).over(w)
+        num = num + F.when(lj.isNotNull(), F.lit(wj) * lj).otherwise(0.0)
+        den = den + F.when(lj.isNotNull(), F.lit(wj)).otherwise(0.0)
+    return df.withColumn(out_col, num / den)

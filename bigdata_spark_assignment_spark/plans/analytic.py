@@ -758,9 +758,31 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("kll_median_in_decile")))
 
 
+def _ewma_sql(alpha: float = 0.5, horizon: int = 8) -> tuple[str, str]:
+    """Unrolled finite-horizon EWMA numerator/denominator for the q56
+    oracle — weight literals are repr()'d from the SAME Python floats
+    the engine embeds via F.lit, summed in the same left-to-right
+    order, so the doubles agree to rounding (the
+    ``_pagerank_iter_ctes`` trick)."""
+    lag = ("LAG(value, {j}) OVER (PARTITION BY user_id "
+           "ORDER BY CAST(ts AS TIMESTAMP), event_id)")
+    nums, dens = ["0.0"], ["0.0"]
+    for j in range(horizon):
+        wj = repr((1.0 - alpha) ** j)
+        lj = lag.format(j=j)
+        nums.append(f"CASE WHEN {lj} IS NULL THEN 0.0 "
+                    f"ELSE CAST('{wj}' AS DOUBLE) * {lj} END")
+        dens.append(f"CASE WHEN {lj} IS NULL THEN 0.0 "
+                    f"ELSE CAST('{wj}' AS DOUBLE) END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql(alpha=0.5, horizon=8)
+
+
 @register(
     "q56_temporal_join_suite",
-    oracle="""
+    oracle=f"""
     WITH views AS (
       SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
       FROM events WHERE event_type = 'view'),
@@ -835,8 +857,15 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       USING (event_type)
     WHERE s.mad > 0
       AND abs(0.6745 * (e.value - s.med) / s.mad) > 3.5
+    UNION ALL
+    -- r5 session 4: finite-horizon EWMA (alpha=0.5, H=8) per user —
+    -- same unrolled weight literals, same summation order as the
+    -- engine's lag-chain window expression
+    SELECT 'ewma', event_id, user_id, NULL,
+           ROUND(({_EWMA_NUM}) / ({_EWMA_DEN}), 4), NULL
+    FROM events
     """,
-    tags=("join", "asof", "range", "resample", "anomaly"),
+    tags=("join", "asof", "range", "resample", "anomaly", "ewma"),
 )
 def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal joins in one tagged result (merged r2 q56+q57 to free
@@ -865,6 +894,13 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       interpolated medians on both engines, so every flagged event_id
       and its rounded score cross-check — the outlier filter whose
       baseline the outliers can't inflate (unlike mean/stddev).
+    * ``ewma`` — r5 session 4: finite-horizon exponentially-weighted
+      smoothing of each user's value series
+      (operators.relational.ewma_smooth, α=0.5, H=8): one
+      partition-sort window, every term a codegen ``lag`` expression;
+      head-of-series renormalization (pandas adjust=True semantics).
+      The oracle unrolls the same weight literals in the same
+      summation order.
     """
     from ..operators.relational import asof_join, range_join_binned
 
@@ -919,7 +955,19 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
                     fround(F.col("mz")).alias("v"),
                     F.lit(None).cast("long").alias("n")))
-    return asof.unionByName(rng).unionByName(rs).unionByName(anom)
+
+    from ..operators.relational import ewma_smooth
+
+    ew = (ewma_smooth(events, ["user_id"], ["ts", "event_id"], "value",
+                      alpha=0.5, horizon=8)
+          .select(F.lit("ewma").alias("part"),
+                  F.col("event_id").alias("id"),
+                  "user_id",
+                  F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
+                  fround(F.col("ewma")).alias("v"),
+                  F.lit(None).cast("long").alias("n")))
+    return (asof.unionByName(rng).unionByName(rs).unionByName(anom)
+            .unionByName(ew))
 
 
 @register(

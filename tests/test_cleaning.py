@@ -299,3 +299,42 @@ def test_weighted_sample_topk_bias_determinism_and_exact_k(spark):
     assert heavy / 400 > 0.30, heavy
     # k >= n keeps everything
     assert weighted_sample_topk(df, F.col("w"), k=5000).count() == 2000
+
+
+def test_ewma_smooth_hand_computed(spark):
+    """r5 session 4: finite-horizon EWMA — hand-checked values with
+    head renormalization (adjust=True semantics), per-key isolation,
+    and a single-window plan (no join, no extra exchange)."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        ewma_smooth,
+    )
+    rows = [("u", 1, 10.0), ("u", 2, 20.0), ("u", 3, 30.0),
+            ("v", 1, 5.0)]
+    df = spark.createDataFrame(rows, ["k", "seq", "value"])
+    out = {(r.k, r.seq): r.ewma for r in
+           ewma_smooth(df, ["k"], ["seq"], "value",
+                       alpha=0.5, horizon=8).collect()}
+    # weights 1, .5, .25 over available lags, renormalized
+    assert out[("u", 1)] == pytest.approx(10.0)
+    assert out[("u", 2)] == pytest.approx((20 + 0.5 * 10) / 1.5)
+    assert out[("u", 3)] == pytest.approx((30 + 0.5 * 20 + 0.25 * 10)
+                                          / 1.75)
+    assert out[("v", 1)] == pytest.approx(5.0)  # keys don't leak
+
+    # pandas cross-check on a longer series (ewm adjust=True equals
+    # the H-truncated form once the horizon covers the series)
+    import pandas as pd_
+
+    series = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0]
+    df2 = spark.createDataFrame(
+        [("w", i, v) for i, v in enumerate(series)],
+        ["k", "seq", "value"])
+    got = [r.ewma for r in
+           ewma_smooth(df2, ["k"], ["seq"], "value", alpha=0.5,
+                       horizon=8).orderBy("seq").collect()]
+    want = pd_.Series(series).ewm(alpha=0.5, adjust=True).mean().tolist()
+    assert got == pytest.approx(want)
+
+    plan = (ewma_smooth(df, ["k"], ["seq"], "value")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan and plan.count("Exchange") == 1
