@@ -505,3 +505,80 @@ def ewma_smooth(df: DataFrame, key_cols: list[str],
         num = num + F.when(lj.isNotNull(), F.lit(wj) * lj).otherwise(0.0)
         den = den + F.when(lj.isNotNull(), F.lit(wj)).otherwise(0.0)
     return df.withColumn(out_col, num / den)
+
+
+def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
+                     period_days: int = 1) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity
+    period, counted per activity-period offset.
+
+    Returns (cohort_day, offset, n_users, retention) where
+    ``cohort_day`` is the epoch-day of the cohort period start,
+    ``offset`` the whole number of periods between the cohort period
+    and the activity period, ``n_users`` the distinct users from that
+    cohort active at that offset, and ``retention`` =
+    n_users / cohort size (the offset-0 count; 1.0 at offset 0 by
+    construction).
+
+    Plan: first-activity per user (one shuffle on user), joined back
+    onto the event stream on user (the cohort table is
+    user-cardinality — at 100 TB this is a plain co-partitioned join,
+    NOT broadcast), then one distinct-count aggregate on
+    (cohort, offset) and a cohort-sized broadcast join for the
+    denominator. Period arithmetic is integer epoch-day division so
+    both engines bucket identically (no timezone/DST hazards —
+    sessions pin UTC).
+    """
+    epoch_day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    firsts = (df.select(F.col(user_col).alias("u"),
+                        epoch_day.alias("d"))
+              .groupBy("u")
+              .agg(F.min("d").alias("d0")))
+    cohort = (F.floor(F.col("d0") / period_days) * period_days) \
+        .cast("long")
+    acts = (df.select(F.col(user_col).alias("u"), epoch_day.alias("d"))
+            .join(firsts, "u")
+            .select(cohort.alias("cohort_day"),
+                    F.floor((F.col("d") - F.floor(F.col("d0") / period_days)
+                             * period_days) / period_days)
+                    .cast("long").alias("offset"),
+                    "u")
+            .groupBy("cohort_day", "offset")
+            .agg(F.countDistinct("u").alias("n_users")))
+    base = (acts.filter(F.col("offset") == 0)
+            .select("cohort_day", F.col("n_users").alias("n_base")))
+    return (acts.join(F.broadcast(base), "cohort_day")
+            .select("cohort_day", "offset", "n_users",
+                    (F.col("n_users") / F.col("n_base"))
+                    .alias("retention")))
+
+
+def transition_matrix(df: DataFrame, key_cols: list[str],
+                      order_cols: list[str],
+                      state_col: str) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive states of each key's ordered sequence.
+
+    Returns (from_state, to_state, n, p) with
+    p = n / Σ_to n  (row-stochastic per from_state). One window pass
+    (lag over the per-key sort — sequences never cross keys, so the
+    partition bound is also the correctness bound), one pair
+    aggregate, and a from_state-sized broadcast join for the
+    denominator. ``order_cols`` must totally order each key's events
+    (pass a unique tiebreaker).
+
+    The q30 oracle re-derives every count and probability with the
+    same LAG chain; at 100 TB the only shuffle is the per-key window
+    sort, shared with sessionization's.
+    """
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    pairs = (df.select(F.lag(F.col(state_col)).over(w).alias("from_state"),
+                       F.col(state_col).alias("to_state"))
+             .filter(F.col("from_state").isNotNull())
+             .groupBy("from_state", "to_state")
+             .agg(F.count(F.lit(1)).alias("n")))
+    totals = (pairs.groupBy("from_state")
+              .agg(F.sum("n").alias("n_from")))
+    return (pairs.join(F.broadcast(totals), "from_state")
+            .select("from_state", "to_state", "n",
+                    (F.col("n") / F.col("n_from")).alias("p")))

@@ -564,13 +564,14 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gaps)
     SELECT 'sess' AS part, user_id,
            CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n1,
-           CAST(COUNT(*) AS BIGINT) AS n2
+           CAST(COUNT(*) AS BIGINT) AS n2,
+           CAST(NULL AS DOUBLE) AS v
     FROM sess
     GROUP BY user_id
     UNION ALL
     -- r5 session 3: ordered view→click→purchase funnel — stage-k
     -- completion = earliest stage event STRICTLY after stage k−1
-    SELECT 'funnel', t.stage, t.n, CAST(NULL AS BIGINT)
+    SELECT 'funnel', t.stage, t.n, CAST(NULL AS BIGINT), NULL
     FROM (
       WITH t1 AS (
         SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t
@@ -590,8 +591,51 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 2, CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
       UNION ALL
       SELECT 3, CAST((SELECT COUNT(*) FROM t3) AS BIGINT)) t
+    UNION ALL
+    -- r5 session 4: daily cohort-retention triangle — cohort = each
+    -- user's first-activity epoch-day; retention vs the offset-0 base
+    SELECT 'cohort', c.cohort_day, c.n_users, c.offset,
+           ROUND(c.n_users * 1.0 / b.nb, 4)
+    FROM (
+      WITH ed AS (
+        SELECT user_id AS u,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events),
+      f AS (SELECT u, MIN(d) AS d0 FROM ed GROUP BY 1)
+      SELECT f.d0 AS cohort_day, ed.d - f.d0 AS offset,
+             CAST(COUNT(DISTINCT ed.u) AS BIGINT) AS n_users
+      FROM ed JOIN f USING (u)
+      GROUP BY 1, 2) c
+    JOIN (
+      WITH ed AS (
+        SELECT user_id AS u,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events),
+      f AS (SELECT u, MIN(d) AS d0 FROM ed GROUP BY 1)
+      SELECT f.d0 AS cohort_day, CAST(COUNT(DISTINCT ed.u) AS BIGINT) AS nb
+      FROM ed JOIN f USING (u)
+      WHERE ed.d = f.d0
+      GROUP BY 1) b USING (cohort_day)
+    UNION ALL
+    -- r5 session 4: first-order Markov transitions between
+    -- consecutive event types per user (row-stochastic per source)
+    SELECT 'markov:' || m.from_state || '->' || m.to_state, NULL,
+           m.n, NULL, ROUND(m.n * 1.0 / m.nf, 4)
+    FROM (
+      WITH s AS (
+        SELECT event_type,
+               LAG(event_type) OVER (
+                 PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        FROM events),
+      c AS (SELECT prev AS from_state, event_type AS to_state,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT from_state, SUM(n) AS nf FROM c GROUP BY 1)
+      SELECT c.from_state, c.to_state, c.n, t.nf
+      FROM c JOIN t USING (from_state)) m
     """,
-    tags=("window", "sessionization", "funnel"),
+    tags=("window", "sessionization", "funnel", "cohort", "markov"),
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-journey analytics over the event log, tagged:
@@ -604,11 +648,21 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
       1..k in order, greedy-earliest completion times (the assignment
       that exists iff any ordered assignment exists). The oracle
       re-derives each stage frame with the same strict-after chain.
+    * ``cohort`` — r5 session 4: daily cohort-retention triangle
+      (operators.relational.cohort_retention): users bucketed by
+      first-activity epoch-day, distinct-counted per day offset;
+      user_id carries the cohort day, n2 the offset, v the retention
+      ratio vs the offset-0 base.
+    * ``markov:<from>-><to>`` — r5 session 4: first-order Markov
+      transition matrix between consecutive event types per user
+      (operators.relational.transition_matrix); n1 the transition
+      count, v the row-stochastic probability.
 
-    100 TB notes: sessionization is one shuffle on user_id serving
-    both windows; the funnel is one filtered min-aggregate per stage
-    with monotonically shrinking frames (broadcast-sized down-funnel),
-    not a window over full event history.
+    100 TB notes: sessionization, the Markov lag pass and the funnel
+    share one user_id shuffle domain; the cohort join is
+    co-partitioned on user (first-activity table is user-cardinality,
+    NOT broadcast), and only cohort-sized / state-domain-sized
+    aggregates broadcast for the ratio denominators.
     """
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -619,13 +673,15 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     cum = W.partitionBy("user_id").orderBy("ts", "event_id") \
         .rowsBetween(W.unboundedPreceding, W.currentRow)
+    nullv = F.lit(None).cast("double").alias("v")
     sess = (
         ev.withColumn("is_new", is_new)
         .withColumn("session_id", F.sum("is_new").over(cum))
         .groupBy("user_id")
         .agg(F.countDistinct("session_id").alias("n1"),
              F.count(F.lit(1)).alias("n2"))
-        .select(F.lit("sess").alias("part"), "user_id", "n1", "n2")
+        .select(F.lit("sess").alias("part"), "user_id", "n1", "n2",
+                nullv)
     )
 
     from ..operators.relational import funnel_counts
@@ -637,8 +693,26 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.lit("funnel").alias("part"),
                    F.col("stage").alias("user_id"),
                    F.col("n_users").alias("n1"),
-                   F.lit(None).cast("long").alias("n2")))
-    return sess.unionByName(fun)
+                   F.lit(None).cast("long").alias("n2"), nullv))
+
+    from ..operators.relational import cohort_retention, transition_matrix
+
+    coh = (cohort_retention(ev, "user_id", "ts", period_days=1)
+           .select(F.lit("cohort").alias("part"),
+                   F.col("cohort_day").alias("user_id"),
+                   F.col("n_users").alias("n1"),
+                   F.col("offset").alias("n2"),
+                   fround(F.col("retention")).alias("v")))
+    mkv = (transition_matrix(ev, ["user_id"], ["ts", "event_id"],
+                             "event_type")
+           .select(F.concat(F.lit("markov:"), F.col("from_state"),
+                            F.lit("->"), F.col("to_state")).alias("part"),
+                   F.lit(None).cast("long").alias("user_id"),
+                   F.col("n").alias("n1"),
+                   F.lit(None).cast("long").alias("n2"),
+                   fround(F.col("p")).alias("v")))
+    return (sess.unionByName(fun).unionByName(coh)
+            .unionByName(mkv))
 
 
 @register(

@@ -338,3 +338,59 @@ def test_ewma_smooth_hand_computed(spark):
     plan = (ewma_smooth(df, ["k"], ["seq"], "value")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan and plan.count("Exchange") == 1
+
+
+def test_cohort_retention_hand_computed(spark):
+    """r5 session 4: 2 daily cohorts; retention ratios and the
+    offset-0 base are the hand-derived ones."""
+    import datetime as dt
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        cohort_retention,
+    )
+    t = dt.datetime(2024, 1, 1)
+
+    def at(day):
+        return t + dt.timedelta(days=day)
+
+    rows = [  # users a,b first seen day0; c first seen day1
+        ("a", at(0)), ("a", at(1)), ("a", at(2)),
+        ("b", at(0)), ("b", at(2)),
+        ("c", at(1)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(r.cohort_day, r.offset): (r.n_users, r.retention)
+           for r in cohort_retention(df, "user_id", "ts").collect()}
+    d0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert out[(d0, 0)] == (2, 1.0)
+    assert out[(d0, 1)] == (1, 0.5)       # only a returns day 1
+    assert out[(d0, 2)] == (2, 1.0)       # both return day 2
+    assert out[(d0 + 1, 0)] == (1, 1.0)   # c's cohort
+    assert len(out) == 4
+
+
+def test_transition_matrix_row_stochastic(spark):
+    """r5 session 4: hand-checked first-order transitions; rows are
+    probability-normalized per source state and sequences never cross
+    keys."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        transition_matrix,
+    )
+    rows = [("u", 1, "view"), ("u", 2, "click"), ("u", 3, "view"),
+            ("u", 4, "click"), ("u", 5, "buy"),
+            ("w", 1, "view"), ("w", 2, "view")]
+    df = spark.createDataFrame(rows, ["k", "seq", "state"])
+    out = {(r.from_state, r.to_state): (r.n, r.p)
+           for r in transition_matrix(df, ["k"], ["seq"],
+                                      "state").collect()}
+    # view -> click twice, view -> view once (w); click -> view/buy
+    assert out[("view", "click")] == (2, pytest.approx(2 / 3))
+    assert out[("view", "view")] == (1, pytest.approx(1 / 3))
+    assert out[("click", "view")] == (1, pytest.approx(0.5))
+    assert out[("click", "buy")] == (1, pytest.approx(0.5))
+    assert len(out) == 4
+    # no cross-key transition (w's last 'view' -> u's first 'view')
+    froms = {}
+    for (f, _), (n, p) in out.items():
+        froms[f] = froms.get(f, 0.0) + p
+    assert all(abs(s - 1.0) < 1e-9 for s in froms.values())
