@@ -582,3 +582,71 @@ def transition_matrix(df: DataFrame, key_cols: list[str],
     return (pairs.join(F.broadcast(totals), "from_state")
             .select("from_state", "to_state", "n",
                     (F.col("n") / F.col("n_from")).alias("p")))
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  value_len: int = 24) -> DataFrame:
+    """Long-format table profile — the ANALYZE-TABLE / corpus-QA
+    operator: per column, null count, exact distinct count, min, max,
+    modal value and its count, each as a (column, stat, value) row
+    with ``value`` stringified (truncated to ``value_len`` chars AFTER
+    aggregation, so grouping/ordering see full values).
+
+    Two scans, by design:
+
+    1. **Stats pass** — ONE aggregate computes every per-column
+       null/distinct/min/max (no shuffle beyond the 1-row final
+       exchange); the row is exploded to long format JVM-side.
+    2. **Top-value pass** — the melt pattern: explode each row into
+       (column, value-as-string) pairs, count, keep each column's
+       modal value (ties broken on the string value, so the pick is
+       deterministic and cross-engine mirrorable). This pass shuffles
+       |rows|·|cols| pairs — the price of EXACT modes; at 100 TB
+       profile a sample, or swap the distinct/mode legs for
+       approx_count_distinct + the q72 sketches (same output schema).
+
+    min/max compare in each column's NATIVE type (numeric min, binary
+    string collation) and stringify afterwards — matching the q12
+    oracle's ``CAST(MIN(c) AS VARCHAR)``.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+             .cast("long").alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        for stat, pre in [("n_nulls", "__nn_"), ("n_distinct", "__nd_"),
+                          ("min", "__mn_"), ("max", "__mx_")]:
+            structs.append(F.struct(
+                F.lit(c).alias("column"), F.lit(stat).alias("stat"),
+                F.substring(F.col(f"{pre}{c}").cast("string"),
+                            1, value_len).alias("value")))
+    stats_long = (one.select(F.explode(F.array(*structs)).alias("r"))
+                  .select("r.*"))
+
+    melt = (df.select(F.explode(F.array(*[
+                F.struct(F.lit(c).alias("column"),
+                         F.col(c).cast("string").alias("value"))
+                for c in cols])).alias("r"))
+            .select("r.*")
+            .filter(F.col("value").isNotNull()))
+    cnt = (melt.groupBy("column", "value")
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("column").orderBy(F.col("n").desc(),
+                                        F.col("value"))
+    top = (cnt.withColumn("__rk", F.row_number().over(w))
+           .filter(F.col("__rk") == 1))
+    top_long = (top.select(
+        "column", F.lit("top_value").alias("stat"),
+        F.substring("value", 1, value_len).alias("value"))
+        .unionByName(top.select(
+            "column", F.lit("top_count").alias("stat"),
+            F.col("n").cast("string").alias("value"))))
+    return stats_long.unionByName(top_long)

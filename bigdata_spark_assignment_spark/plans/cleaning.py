@@ -22,9 +22,52 @@ from ..operators.cleaning import (
 from .registry import fround, register
 
 
+# q12 `profile` part: columns profiled and the truncation applied to
+# stringified values (mirrored into the generated oracle legs)
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+_PROFILE_VLEN = 24
+
+
+def _profile_oracle_legs() -> str:
+    """Per-column UNION ALL legs re-deriving profile_table's stats —
+    generated from the same column list/truncation constants as the
+    engine call, so the two sides cannot drift by transcription."""
+    legs = []
+    for c in _PROFILE_COLS:
+        legs.append(f"""
+    SELECT 'profile' AS part, '{c}' AS k1, 'n_nulls' AS k2,
+           CAST(COUNT(*) FILTER ({c} IS NULL) AS VARCHAR) AS s,
+           CAST(NULL AS BIGINT) AS n
+    FROM documents
+    UNION ALL
+    SELECT 'profile', '{c}', 'n_distinct',
+           CAST(COUNT(DISTINCT {c}) AS VARCHAR), NULL FROM documents
+    UNION ALL
+    SELECT 'profile', '{c}', 'min',
+           substr(CAST(MIN({c}) AS VARCHAR), 1, {_PROFILE_VLEN}), NULL
+    FROM documents
+    UNION ALL
+    SELECT 'profile', '{c}', 'max',
+           substr(CAST(MAX({c}) AS VARCHAR), 1, {_PROFILE_VLEN}), NULL
+    FROM documents
+    UNION ALL
+    SELECT 'profile', '{c}', t.k2, t.s, NULL FROM (
+      SELECT 'top_value' AS k2,
+             substr(v, 1, {_PROFILE_VLEN}) AS s, cnt FROM (
+        SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS cnt
+        FROM documents WHERE {c} IS NOT NULL GROUP BY 1
+        ORDER BY cnt DESC, v ASC LIMIT 1)
+      UNION ALL
+      SELECT 'top_count', CAST(cnt AS VARCHAR), cnt FROM (
+        SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS cnt
+        FROM documents WHERE {c} IS NOT NULL GROUP BY 1
+        ORDER BY cnt DESC, v ASC LIMIT 1)) t""")
+    return "\n    UNION ALL".join(legs)
+
+
 @register(
     "q12_sentinel_cleaning",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT NULLIF(CASE WHEN lang = 'en' THEN 'NA' ELSE lang END, 'NA') AS lang_clean,
              CASE WHEN source = 'src0' THEN 'Unknow'
@@ -33,26 +76,36 @@ from .registry import fround, register
                   WHEN source = 'src3' THEN NULL
                   ELSE source END AS s
       FROM documents)
-    SELECT lang_clean,
+    SELECT 'clean' AS part, lang_clean AS k1,
            CASE WHEN s IS NULL OR s IN ('Unknow', 'None', '', ' ')
-                THEN 'unknown' ELSE s END AS source_clean,
+                THEN 'unknown' ELSE s END AS k2,
+           CAST(NULL AS VARCHAR) AS s,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM d
-    GROUP BY 1, 2
+    GROUP BY 1, 2, 3
+    UNION ALL{_profile_oracle_legs()}
     """,
-    tags=("cleaning",),
+    tags=("cleaning", "profile"),
 )
 def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1+U2 in the reference's actual cleaning sequence (merged r1
-    q12+q13 so both fit the driver's checked prefix).
+    """Data-quality suite over the documents table, tagged:
 
-    U2 (``Main.scala:20-25``): "NA" → NULL as a native expression; dirt
-    turns 'en' rows into the "NA" sentinel, so the NULL group in the
-    output proves the rewrite happened. U1 (``Main.scala:13-18``):
-    null/"Unknow"/"None"/""/" " → "unknown"; dirt maps four source
-    buckets onto the four dirty tokens so every branch of the
-    when-chain is exercised. Grouped on both cleaned columns — one
-    scan, one shuffle.
+    * ``clean`` — U1+U2 in the reference's actual cleaning sequence
+      (merged r1 q12+q13 so both fit the driver's checked prefix).
+      U2 (``Main.scala:20-25``): "NA" → NULL as a native expression;
+      dirt turns 'en' rows into the "NA" sentinel, so the NULL group
+      in the output proves the rewrite happened. U1
+      (``Main.scala:13-18``): null/"Unknow"/"None"/""/" " →
+      "unknown"; dirt maps four source buckets onto the four dirty
+      tokens so every branch of the when-chain is exercised. Grouped
+      on both cleaned columns — one scan, one shuffle.
+    * ``profile`` — r5 session 4: the ANALYZE-TABLE operator
+      (operators.relational.profile_table): per column, null count,
+      exact distinct count, min/max (native-type comparison,
+      stringified after), modal value + count (deterministic
+      string-value tie-break). k1 = column, k2 = stat, s = the
+      stringified value; every row re-derived by generated oracle
+      legs sharing the engine's column list and truncation constants.
     """
     docs = load_table(spark, sf_dir, "documents")
     lang_dirty = F.when(F.col("lang") == "en", "NA").otherwise(F.col("lang"))
@@ -63,12 +116,24 @@ def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("source") == "src3", F.lit(None).cast("string"))
         .otherwise(F.col("source"))
     )
-    return (
-        docs.select(na_to_null_expr(lang_dirty).alias("lang_clean"),
-                    null_to_unknown_expr(src_dirty).alias("source_clean"))
-        .groupBy("lang_clean", "source_clean")
+    clean = (
+        docs.select(na_to_null_expr(lang_dirty).alias("k1"),
+                    null_to_unknown_expr(src_dirty).alias("k2"))
+        .groupBy("k1", "k2")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("clean").alias("part"), "k1", "k2",
+                F.lit(None).cast("string").alias("s"), "n")
     )
+
+    from ..operators.relational import profile_table
+
+    prof = (profile_table(docs, _PROFILE_COLS, value_len=_PROFILE_VLEN)
+            .select(F.lit("profile").alias("part"),
+                    F.col("column").alias("k1"),
+                    F.col("stat").alias("k2"),
+                    F.col("value").alias("s"),
+                    F.lit(None).cast("long").alias("n")))
+    return clean.unionByName(prof)
 
 
 @register(

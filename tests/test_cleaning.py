@@ -394,3 +394,30 @@ def test_transition_matrix_row_stochastic(spark):
     for (f, _), (n, p) in out.items():
         froms[f] = froms.get(f, 0.0) + p
     assert all(abs(s - 1.0) < 1e-9 for s in froms.values())
+
+
+def test_profile_table_hand_computed(spark):
+    """r5 session 4: ANALYZE-style profile — null/distinct counts,
+    NATIVE-type min/max (numeric 9 < 10 even though '9' > '10'),
+    deterministic modal tie-break on the string value, and value
+    truncation applied after aggregation."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        profile_table,
+    )
+    rows = [(9, "b", None), (10, "a", "x" * 40),
+            (11, "a", "y"), (12, "b", None)]
+    df = spark.createDataFrame(rows, ["num", "cat", "s"])
+    out = {(r.column, r.stat): r.value
+           for r in profile_table(df, value_len=24).collect()}
+    assert out[("num", "n_nulls")] == "0"
+    assert out[("s", "n_nulls")] == "2"
+    assert out[("num", "n_distinct")] == "4"
+    assert out[("cat", "n_distinct")] == "2"
+    assert out[("num", "min")] == "9" and out[("num", "max")] == "12"
+    # modal tie between 'a' and 'b' (2 each) -> min string wins
+    assert out[("cat", "top_value")] == "a"
+    assert out[("cat", "top_count")] == "2"
+    # lexicographic: 'y' > 'xxxx…'; the 40-char min truncates to 24
+    assert out[("s", "max")] == "y"
+    assert out[("s", "min")] == "x" * 24
+    assert len(out) == 18  # 3 cols x 6 stats
