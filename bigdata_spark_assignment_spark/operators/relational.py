@@ -650,3 +650,49 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
             "column", F.lit("top_count").alias("stat"),
             F.col("n").cast("string").alias("value"))))
     return stats_long.unionByName(top_long)
+
+
+def pareto_frontier_2d(df: DataFrame, maximize_col: str,
+                       minimize_col: str,
+                       tiebreak_col: str) -> DataFrame:
+    """2-D Pareto frontier (skyline / preference query): rows not
+    dominated by any other — no row exists with ``maximize_col`` ≥ and
+    ``minimize_col`` ≤ it, strict in at least one. Duplicate frontier
+    POINTS (equal in both dims) collapse to the ``tiebreak_col``-min
+    representative, so output is deterministic.
+
+    Algorithm: sort by (max desc, min asc, tiebreak asc); a row
+    survives iff its minimize value is strictly below the running min
+    of all earlier rows — the classic sort-based sweep, as a window
+    expression.
+
+    Two phases because skyline is DISTRIBUTIVE (frontier of a union =
+    frontier of the frontiers):
+
+    1. local prune — the same sweep partitioned by
+       ``spark_partition_id()``: embarrassingly parallel, no shuffle,
+       discards all but each partition's local frontier (survivor
+       count is O(log n) per partition for independent dims);
+    2. global sweep over the tiny survivor set — the only serialized
+       window, fed by rows that fit one task by construction.
+
+    The q10 oracle re-derives the sweep; the definitional NOT-EXISTS
+    dominance check runs in pytest (tests/test_cleaning.py) — at
+    driver scale the quadratic definition costs ~9 s in the oracle
+    engine, the sweep milliseconds.
+    """
+    def sweep(frame: DataFrame, part_cols: list[Column]) -> DataFrame:
+        w = (W.partitionBy(*part_cols)
+             .orderBy(F.col(maximize_col).desc(),
+                      F.col(minimize_col).asc(),
+                      F.col(tiebreak_col).asc())
+             .rowsBetween(W.unboundedPreceding, -1))
+        pm = F.min(minimize_col).over(w)
+        return (frame.withColumn("__pm", pm)
+                .filter(F.col("__pm").isNull()
+                        | (F.col(minimize_col) < F.col("__pm")))
+                .drop("__pm"))
+
+    local = sweep(df.withColumn("__pid", F.spark_partition_id()),
+                  [F.col("__pid")]).drop("__pid")
+    return sweep(local, [])

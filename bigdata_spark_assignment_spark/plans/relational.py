@@ -433,28 +433,67 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q10_topk_orders",
     oracle="""
-    SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice, o_orderpriority
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 25
+    SELECT * FROM (
+      SELECT 'topk' AS part, o_orderkey,
+             ROUND(o_totalprice, 4) AS o_totalprice, o_orderpriority,
+             CAST(NULL AS BIGINT) AS d
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 25)
+    UNION ALL
+    -- r5 session 4: 2-D Pareto frontier (max price, min orderdate) —
+    -- the sort-based sweep re-derived as a running-min window;
+    -- the quadratic NOT-EXISTS dominance definition is pinned against
+    -- this operator in pytest at sf0.001
+    SELECT 'pareto', o_orderkey, ROUND(o_totalprice, 4),
+           o_orderpriority, d
+    FROM (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, d,
+             MIN(d) OVER (ORDER BY o_totalprice DESC, d ASC,
+                          o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM (SELECT *, date_diff('day', DATE '1970-01-01',
+                                o_orderdate) AS d
+            FROM orders))
+    WHERE pm IS NULL OR d < pm
     """,
-    tags=("sort", "limit"),
+    tags=("sort", "limit", "skyline"),
 )
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k by value with a deterministic tie-break.
+    """Preference queries over orders, tagged:
 
-    100 TB notes: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject
-    — each partition keeps its local top-k, only k rows per partition
-    reach the driver-side merge. No full sort, no full shuffle.
+    * ``topk`` — global top-25 by value with a deterministic
+      tie-break. ``orderBy().limit(k)`` compiles to
+      TakeOrderedAndProject — each partition keeps its local top-k,
+      only k rows per partition reach the driver-side merge. No full
+      sort, no full shuffle.
+    * ``pareto`` — r5 session 4: the 2-D Pareto frontier
+      (operators.relational.pareto_frontier_2d): orders maximizing
+      price while minimizing order date ("biggest-earliest"), via the
+      distributive local-prune → global-sweep plan. d carries the
+      epoch-day of the minimized dimension.
     """
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    topk = (
         orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(25)
-        .select("o_orderkey",
+        .select(F.lit("topk").alias("part"), "o_orderkey",
                 fround(F.col("o_totalprice")).alias("o_totalprice"),
-                "o_orderpriority")
+                "o_orderpriority",
+                F.lit(None).cast("long").alias("d"))
     )
+
+    from ..operators.relational import pareto_frontier_2d
+
+    days = orders.withColumn(
+        "d", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+             .cast("long"))
+    pareto = (pareto_frontier_2d(days, "o_totalprice", "d", "o_orderkey")
+              .select(F.lit("pareto").alias("part"), "o_orderkey",
+                      fround(F.col("o_totalprice")).alias("o_totalprice"),
+                      "o_orderpriority", "d"))
+    return topk.unionByName(pareto)
 
 
 @register(

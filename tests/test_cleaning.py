@@ -421,3 +421,45 @@ def test_profile_table_hand_computed(spark):
     assert out[("s", "max")] == "y"
     assert out[("s", "min")] == "x" * 24
     assert len(out) == 18  # 3 cols x 6 stats
+
+
+def test_pareto_frontier_hand_and_definitional(spark, sf_smoke):
+    """r5 session 4: skyline — hand-checked frontier incl.
+    duplicate-point collapse, then the quadratic NOT-EXISTS dominance
+    DEFINITION cross-checked against the sweep on real sf0.001
+    orders (the oracle uses the sweep form; this is the independent
+    algorithm differential)."""
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+    rows = [  # (id, maximize, minimize)
+        (1, 10.0, 5), (2, 10.0, 3), (3, 9.0, 3), (4, 9.0, 2),
+        (5, 8.0, 2), (6, 8.0, 2), (7, 7.0, 1), (8, 1.0, 9),
+        (9, 9.0, 2),
+    ]
+    df = spark.createDataFrame(rows, ["id", "mx", "mn"])
+    got = {r.id for r in
+           pareto_frontier_2d(df, "mx", "mn", "id").collect()}
+    # 2 beats 1 (same mx, lower mn); 4 beats 3/5/6/9... no: 5/6 have
+    # lower mx but equal mn -> dominated by 4; 9 duplicates 4 ->
+    # collapses to min id 4; 7 survives (lowest mn); 8 dominated.
+    assert got == {2, 4, 7}
+
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long")
+        .alias("d"))
+    swept = {r.o_orderkey for r in
+             pareto_frontier_2d(orders, "o_totalprice", "d",
+                                "o_orderkey").collect()}
+    rowsv = orders.collect()
+    def dominated(r):
+        return any(
+            (s.o_totalprice > r.o_totalprice and s.d <= r.d)
+            or (s.o_totalprice >= r.o_totalprice and s.d < r.d)
+            or (s.o_totalprice == r.o_totalprice and s.d == r.d
+                and s.o_orderkey < r.o_orderkey)
+            for s in rowsv)
+    definitional = {r.o_orderkey for r in rowsv if not dominated(r)}
+    assert swept == definitional and swept
