@@ -563,13 +563,15 @@ def transition_matrix(df: DataFrame, key_cols: list[str],
     p = n / Σ_to n  (row-stochastic per from_state). One window pass
     (lag over the per-key sort — sequences never cross keys, so the
     partition bound is also the correctness bound), one pair
-    aggregate, and a from_state-sized broadcast join for the
-    denominator. ``order_cols`` must totally order each key's events
-    (pass a unique tiebreaker).
+    aggregate, then the denominator as a SUM window over the
+    state-domain-sized pair table — no join, so the event scan and
+    lag pass run exactly once (a broadcast-join denominator re-plans
+    the whole lag branch per side). ``order_cols`` must totally order
+    each key's events (pass a unique tiebreaker).
 
     The q30 oracle re-derives every count and probability with the
-    same LAG chain; at 100 TB the only shuffle is the per-key window
-    sort, shared with sessionization's.
+    same LAG chain; at 100 TB the only full-data shuffle is the
+    per-key window sort, shared with sessionization's.
     """
     w = W.partitionBy(*key_cols).orderBy(*order_cols)
     pairs = (df.select(F.lag(F.col(state_col)).over(w).alias("from_state"),
@@ -577,11 +579,9 @@ def transition_matrix(df: DataFrame, key_cols: list[str],
              .filter(F.col("from_state").isNotNull())
              .groupBy("from_state", "to_state")
              .agg(F.count(F.lit(1)).alias("n")))
-    totals = (pairs.groupBy("from_state")
-              .agg(F.sum("n").alias("n_from")))
-    return (pairs.join(F.broadcast(totals), "from_state")
-            .select("from_state", "to_state", "n",
-                    (F.col("n") / F.col("n_from")).alias("p")))
+    n_from = F.sum("n").over(W.partitionBy("from_state"))
+    return pairs.select("from_state", "to_state", "n",
+                        (F.col("n") / n_from).alias("p"))
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None,

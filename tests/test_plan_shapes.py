@@ -253,3 +253,109 @@ def test_fuzzy_and_prefix_joins_are_equi_joins(spark, sf_oracle):
     assert "CartesianProduct" not in p
     assert "xxhash64" in p          # deletion-variant hash join key
     assert p.count("Window") >= 2   # prefix row_number per doc
+
+
+def test_assoc_rules_apriori_prune_and_copartition(spark, sf_oracle):
+    """r5 session 4 (q72 assoc): the Apriori item prune must be a
+    broadcast LEFT-SEMI join BEFORE the pair self-join, and the pair
+    self-join must be an equi-join on the basket key — never a
+    cartesian/theta join."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.mining import (
+        association_rules,
+    )
+    li = load_table(spark, sf_oracle, "lineitem")
+    part = load_table(spark, sf_oracle, "part")
+    branded = (li.select("l_orderkey", "l_partkey")
+               .join(F.broadcast(part.select("p_partkey", "p_brand")),
+                     F.col("l_partkey") == F.col("p_partkey")))
+    rules = association_rules(branded, "l_orderkey", "p_brand",
+                              min_support=0.02, min_confidence=0.15)
+    p = rules._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bm25_only_query_postings_survive(spark, sf_oracle):
+    """r5 session 4 (q61 bm25): the query-term table must broadcast
+    into the postings join (term-at-a-time pruning) — the inverted
+    index itself must never be the build side."""
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.textual import bm25_topk
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = bm25_topk(docs, [("q", ["join", "hash"])], k=5)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ewma_is_one_window_no_join(spark, sf_oracle):
+    """r5 session 4 (q56 ewma): the whole smoother must plan as ONE
+    window over one exchange — any join or second exchange means the
+    lag-chain form regressed."""
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.relational import (
+        ewma_smooth,
+    )
+    ev = load_table(spark, sf_oracle, "events")
+    out = ewma_smooth(ev, ["user_id"], ["ts", "event_id"], "value")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p
+    assert p.count("Exchange") == 1
+    assert p.count("Window") == 1
+
+
+def test_transition_matrix_single_scan_no_join(spark, sf_oracle):
+    """r5 session 4 (q30 markov): ONE event scan through one lag
+    window + pair aggregate; the row-stochastic denominator is a sum
+    window over the tiny pair table — a join here would re-plan the
+    whole lag branch per side (the bug this pin caught on first
+    write)."""
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.relational import (
+        transition_matrix,
+    )
+    ev = load_table(spark, sf_oracle, "events")
+    out = transition_matrix(ev, ["user_id"], ["ts", "event_id"],
+                            "event_type")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p
+    assert p.count("FileScan") == 1
+    assert p.count("Window") == 2  # lag pass + denominator sum
+
+
+def test_pareto_local_prune_precedes_global_sweep(spark, sf_oracle):
+    """r5 session 4 (q10 pareto): two Window nodes — the partition-id
+    local prune (parallel) then the global sweep — and the global
+    window's input must be the pruned frame, not the full scan (pin:
+    exactly one single-partition exchange)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+    orders = load_table(spark, sf_oracle, "orders").withColumn(
+        "d", F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long"))
+    out = pareto_frontier_2d(orders, "o_totalprice", "d", "o_orderkey")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Window") == 2
+    assert "SinglePartition" in p
+
+
+def test_profile_stats_pass_is_one_aggregate(spark, sf_oracle):
+    """r5 session 4 (q12 profile): the stats pass must be a single
+    global aggregate over one scan (no joins); only the modal-value
+    melt adds a groupBy shuffle."""
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.relational import (
+        profile_table,
+    )
+    docs = load_table(spark, sf_oracle, "documents")
+    p = (profile_table(docs)._jdf.queryExecution().executedPlan()
+         .toString())
+    assert "Join" not in p or "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
