@@ -696,3 +696,44 @@ def pareto_frontier_2d(df: DataFrame, maximize_col: str,
     local = sweep(df.withColumn("__pid", F.spark_partition_id()),
                   [F.col("__pid")]).drop("__pid")
     return sweep(local, [])
+
+
+def cusum_changepoint(df: DataFrame, key_cols: list[str],
+                      order_cols: list[str], value_col: str,
+                      rank_decimals: int | None = None) -> DataFrame:
+    """CUSUM change-point detection per key: the point where the
+    cumulative sum of deviations from the series mean attains its
+    maximum absolute value — the classic single-change-point location
+    statistic (a mean shift at t makes |S_t| peak at t).
+
+    Returns one row per key: the original columns of the peak row plus
+    ``cusum_stat`` (max |S_t|) and ``n_points``. Deterministic: ties
+    on |S_t| break on ``order_cols``; pass ``rank_decimals`` to pick
+    the peak on the ROUNDED statistic — the cross-engine float
+    discipline (the series mean is an unordered double aggregate, so
+    two engines can disagree in the last ulp; rounding the rank key
+    keeps the argmax identical — the q61 BM25 rule).
+
+    Plan: ONE partition-sort window serves the running sum, while the
+    series mean and length ride the same partition as frame-less
+    window aggregates (no join, no second scan — the q30 markov
+    lesson); the argmax is a row_number over the same partition.
+    ``order_cols`` must totally order each key's rows.
+    """
+    wk = W.partitionBy(*key_cols)
+    ws = wk.orderBy(*order_cols)
+    wcum = ws.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mean = F.avg(value_col).over(wk)
+    s = F.sum(F.col(value_col)).over(wcum) \
+        - F.count(F.lit(1)).over(wcum) * mean
+    scored = (df.withColumn("__s", F.abs(s))
+              .withColumn("__n", F.count(F.lit(1)).over(wk)))
+    rank_key = (F.round(F.col("__s"), rank_decimals)
+                if rank_decimals is not None else F.col("__s"))
+    pick = W.partitionBy(*key_cols).orderBy(rank_key.desc(),
+                                            *order_cols)
+    return (scored.withColumn("__rk", F.row_number().over(pick))
+            .filter(F.col("__rk") == 1)
+            .withColumnRenamed("__s", "cusum_stat")
+            .withColumnRenamed("__n", "n_points")
+            .drop("__rk"))

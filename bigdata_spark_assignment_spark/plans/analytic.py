@@ -938,6 +938,29 @@ _EWMA_NUM, _EWMA_DEN = _ewma_sql(alpha=0.5, horizon=8)
     SELECT 'ewma', event_id, user_id, NULL,
            ROUND(({_EWMA_NUM}) / ({_EWMA_DEN}), 4), NULL
     FROM events
+    UNION ALL
+    -- r5 session 4: CUSUM change-point per user — peak |S_t| of the
+    -- mean-deviation cumsum, argmax on the ROUNDED statistic (float
+    -- discipline: the series mean is an unordered double aggregate)
+    SELECT 'cusum', m.event_id, m.user_id, NULL, ROUND(m.s, 4), m.np
+    FROM (
+      SELECT event_id, user_id, s, np,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ROUND(s, 4) DESC,
+                                         tsx, event_id) AS rk
+      FROM (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsx,
+               ABS(SUM(value) OVER w_cum
+                   - (COUNT(*) OVER w_cum) * (AVG(value) OVER w_all))
+                 AS s,
+               CAST(COUNT(*) OVER w_all AS BIGINT) AS np
+        FROM events
+        WINDOW w_cum AS (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW),
+               w_all AS (PARTITION BY user_id))) m
+    WHERE m.rk = 1
     """,
     tags=("join", "asof", "range", "resample", "anomaly", "ewma"),
 )
@@ -975,6 +998,12 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       head-of-series renormalization (pandas adjust=True semantics).
       The oracle unrolls the same weight literals in the same
       summation order.
+    * ``cusum`` — r5 session 4: CUSUM change-point location per user
+      (operators.relational.cusum_changepoint): the event where the
+      cumulative mean-deviation sum peaks in absolute value, argmax
+      taken on the ROUNDED statistic so the pick is cross-engine
+      deterministic. id = the peak event, v = the peak |S_t|,
+      n = series length.
     """
     from ..operators.relational import asof_join, range_join_binned
 
@@ -1040,8 +1069,19 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
                   fround(F.col("ewma")).alias("v"),
                   F.lit(None).cast("long").alias("n")))
+
+    from ..operators.relational import cusum_changepoint
+
+    cp = (cusum_changepoint(events, ["user_id"], ["ts", "event_id"],
+                            "value", rank_decimals=4)
+          .select(F.lit("cusum").alias("part"),
+                  F.col("event_id").alias("id"),
+                  "user_id",
+                  F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
+                  fround(F.col("cusum_stat")).alias("v"),
+                  F.col("n_points").alias("n")))
     return (asof.unionByName(rng).unionByName(rs).unionByName(anom)
-            .unionByName(ew))
+            .unionByName(ew).unionByName(cp))
 
 
 @register(

@@ -463,3 +463,29 @@ def test_pareto_frontier_hand_and_definitional(spark, sf_smoke):
             for s in rowsv)
     definitional = {r.o_orderkey for r in rowsv if not dominated(r)}
     assert swept == definitional and swept
+
+
+def test_cusum_changepoint_finds_planted_shift(spark):
+    """r5 session 4: CUSUM — on a series with a mean shift at t=10 the
+    peak |S_t| lands exactly at the last pre-shift point; per-key
+    isolation and the stat value are hand-checkable."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        cusum_changepoint,
+    )
+    series = [0.0] * 10 + [5.0] * 10       # shift after index 9
+    rows = [("u", i, v) for i, v in enumerate(series)]
+    rows += [("w", i, float(i % 2)) for i in range(6)]  # no shift
+    df = spark.createDataFrame(rows, ["k", "seq", "value"])
+    out = {r.k: r for r in
+           cusum_changepoint(df, ["k"], ["seq"], "value",
+                             rank_decimals=4).collect()}
+    # mean=2.5; S_t = -2.5*(t+1) for t<10, peaks at t=9 with |S|=25
+    assert out["u"].seq == 9
+    assert out["u"].cusum_stat == pytest.approx(25.0)
+    assert out["u"].n_points == 20
+    # the flat series peaks at its first point (tie-break on order)
+    assert out["w"].n_points == 6
+
+    plan = (cusum_changepoint(df, ["k"], ["seq"], "value")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan and plan.count("FileScan") == 0
