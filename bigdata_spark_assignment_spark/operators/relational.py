@@ -737,3 +737,44 @@ def cusum_changepoint(df: DataFrame, key_cols: list[str],
             .withColumnRenamed("__s", "cusum_stat")
             .withColumnRenamed("__n", "n_points")
             .drop("__rk"))
+
+
+def welch_ttest(df: DataFrame, variant_col: str, metric_col: str,
+                key_cols: list[str] | None = None,
+                variant_a: str = "a",
+                variant_b: str = "b") -> DataFrame:
+    """Welch's unequal-variance t-test between two variants — the
+    experiment-analysis (A/B) aggregate, per optional ``key_cols``
+    stratum.
+
+    Returns (keys…, n_a, n_b, mean_a, mean_b, mean_diff, t_stat, dof):
+
+        t   = (m_a − m_b) / sqrt(s²_a/n_a + s²_b/n_b)
+        dof = (s²_a/n_a + s²_b/n_b)² /
+              ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))
+
+    with sample variances. ONE aggregation pass: both variants' n /
+    mean / var come from conditional aggregates over the same scan —
+    no per-variant filtering, no join, map-side partials all the way
+    (the canonical 100 TB shape for a per-stratum test). Strata with
+    n ≤ 1 on either side yield NULL t/dof rather than dividing by
+    zero. The q62 oracle mirrors the exact formula arrangement.
+    """
+    key_cols = key_cols or []
+    a = F.when(F.col(variant_col) == variant_a, F.col(metric_col))
+    b = F.when(F.col(variant_col) == variant_b, F.col(metric_col))
+    g = df.groupBy(*key_cols).agg(
+        F.count(a).alias("n_a"), F.count(b).alias("n_b"),
+        F.avg(a).alias("mean_a"), F.avg(b).alias("mean_b"),
+        F.var_samp(a).alias("var_a"), F.var_samp(b).alias("var_b"))
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    guard = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0)
+    t = F.when(guard,
+               (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2))
+    dof = F.when(guard, se2 * se2 / (
+        (F.col("var_a") / F.col("n_a")) ** 2 / (F.col("n_a") - 1)
+        + (F.col("var_b") / F.col("n_b")) ** 2 / (F.col("n_b") - 1)))
+    return g.select(
+        *key_cols, "n_a", "n_b", "mean_a", "mean_b",
+        (F.col("mean_a") - F.col("mean_b")).alias("mean_diff"),
+        t.alias("t_stat"), dof.alias("dof"))

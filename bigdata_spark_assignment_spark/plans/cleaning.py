@@ -257,24 +257,87 @@ def impute_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 100 AS bucket
       FROM documents)
-    SELECT lang,
-           CASE WHEN bucket < 80 THEN 'train' ELSE 'eval' END AS split,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM b GROUP BY 1, 2
+    SELECT 'split' AS part, lang AS k1,
+           CASE WHEN bucket < 80 THEN 'train' ELSE 'eval' END AS k2,
+           CAST(COUNT(*) AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+           CAST(NULL AS DOUBLE) AS v3
+    FROM b GROUP BY 1, 2, 3
+    UNION ALL
+    -- r5 session 4: Welch's t-test between the md5-assigned variants
+    -- (operators.relational.welch_ttest) — same formula arrangement
+    SELECT 'ttest', g.event_type, NULL, g.n_a, g.n_b,
+           ROUND(g.mean_a - g.mean_b, 4),
+           ROUND((g.mean_a - g.mean_b)
+                 / sqrt(g.var_a / g.n_a + g.var_b / g.n_b), 4),
+           ROUND(POWER(g.var_a / g.n_a + g.var_b / g.n_b, 2)
+                 / (POWER(g.var_a / g.n_a, 2) / (g.n_a - 1)
+                    + POWER(g.var_b / g.n_b, 2) / (g.n_b - 1)), 4)
+    FROM (
+      WITH v AS (
+        SELECT event_type, value,
+               CASE WHEN CAST(('0x' || substring(
+                        md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS variant
+        FROM events)
+      SELECT event_type,
+             CAST(COUNT(value) FILTER (variant = 'a') AS BIGINT) AS n_a,
+             CAST(COUNT(value) FILTER (variant = 'b') AS BIGINT) AS n_b,
+             AVG(value) FILTER (variant = 'a') AS mean_a,
+             AVG(value) FILTER (variant = 'b') AS mean_b,
+             VAR_SAMP(value) FILTER (variant = 'a') AS var_a,
+             VAR_SAMP(value) FILTER (variant = 'b') AS var_b
+      FROM v GROUP BY 1) g
     """,
-    tags=("split", "sampling"),
+    tags=("split", "sampling", "abtest"),
 )
 def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible train/eval split on md5(doc_id) buckets
-    (operators.cleaning.deterministic_split) — the oracle recomputes
-    the SAME assignment, proving the split is engine-independent (the
-    property randomSplit lacks). Counted per (lang, split)."""
+    """Experiment-infrastructure suite, tagged:
+
+    * ``split`` — reproducible train/eval split on md5(doc_id) buckets
+      (operators.cleaning.deterministic_split) — the oracle recomputes
+      the SAME assignment, proving the split is engine-independent
+      (the property randomSplit lacks). Counted per (lang, split).
+    * ``ttest`` — r5 session 4: Welch's unequal-variance t-test
+      (operators.relational.welch_ttest) between two variants assigned
+      by the same salted-md5 machinery ('ab:' salt decorrelates from
+      every other hash use), per event_type: n per arm, mean
+      difference, t statistic, Welch degrees of freedom — the A/B
+      readout whose assignment AND statistics the oracle reproduces
+      end-to-end.
+    """
     from ..operators.cleaning import deterministic_split
+    from ..operators.relational import welch_ttest
 
     docs = load_table(spark, sf_dir, "documents")
     out = deterministic_split(docs, "doc_id", train_pct=80)
-    return (out.groupBy("lang", "split")
-            .agg(F.count(F.lit(1)).alias("n")))
+    nullL = F.lit(None).cast("long")
+    nullD = F.lit(None).cast("double")
+    split = (out.groupBy("lang", "split")
+             .agg(F.count(F.lit(1)).alias("n1"))
+             .select(F.lit("split").alias("part"),
+                     F.col("lang").alias("k1"),
+                     F.col("split").alias("k2"), "n1",
+                     nullL.alias("n2"), nullD.alias("v1"),
+                     nullD.alias("v2"), nullD.alias("v3")))
+
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 2
+    assigned = events.withColumn(
+        "variant", F.when(bucket == 0, "a").otherwise("b"))
+    tt = (welch_ttest(assigned, "variant", "value",
+                      key_cols=["event_type"])
+          .select(F.lit("ttest").alias("part"),
+                  F.col("event_type").alias("k1"),
+                  F.lit(None).cast("string").alias("k2"),
+                  F.col("n_a").alias("n1"), F.col("n_b").alias("n2"),
+                  fround(F.col("mean_diff")).alias("v1"),
+                  fround(F.col("t_stat")).alias("v2"),
+                  fround(F.col("dof")).alias("v3")))
+    return split.unionByName(tt)
 
 
 @register(

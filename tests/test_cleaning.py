@@ -489,3 +489,40 @@ def test_cusum_changepoint_finds_planted_shift(spark):
     plan = (cusum_changepoint(df, ["k"], ["seq"], "value")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan and plan.count("FileScan") == 0
+
+
+def test_welch_ttest_hand_computed_and_guards(spark):
+    """r5 session 4: Welch's t — checked against a pure-Python
+    computation of the same formula; degenerate strata (n<=1 or zero
+    variance on both arms) yield NULL t/dof instead of dividing by
+    zero."""
+    import statistics
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        welch_ttest,
+    )
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [2.5, 3.5, 4.5]
+    rows = ([("s", "a", v) for v in a] + [("s", "b", v) for v in b]
+            + [("tiny", "a", 1.0), ("tiny", "b", 2.0)])
+    df = spark.createDataFrame(rows, ["stratum", "variant", "value"])
+    out = {r.stratum: r for r in
+           welch_ttest(df, "variant", "value",
+                       key_cols=["stratum"]).collect()}
+    va, vb = statistics.variance(a), statistics.variance(b)
+    ma, mb = statistics.mean(a), statistics.mean(b)
+    se2 = va / len(a) + vb / len(b)
+    t = (ma - mb) / se2 ** 0.5
+    dof = se2 ** 2 / ((va / len(a)) ** 2 / (len(a) - 1)
+                      + (vb / len(b)) ** 2 / (len(b) - 1))
+    r = out["s"]
+    assert (r.n_a, r.n_b) == (4, 3)
+    assert r.mean_diff == pytest.approx(ma - mb)
+    assert r.t_stat == pytest.approx(t)
+    assert r.dof == pytest.approx(dof)
+    # n=1 per arm -> guarded NULLs
+    assert out["tiny"].t_stat is None and out["tiny"].dof is None
+
+    plan = (welch_ttest(df, "variant", "value", key_cols=["stratum"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan  # one conditional-aggregate pass
