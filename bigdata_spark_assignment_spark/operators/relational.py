@@ -739,6 +739,61 @@ def cusum_changepoint(df: DataFrame, key_cols: list[str],
             .drop("__rk"))
 
 
+def acf(df: DataFrame, key_cols: list[str], order_cols: list[str],
+        value_col: str, max_lag: int = 5) -> DataFrame:
+    """Sample autocorrelation function per key: for each lag
+    j = 1..max_lag,
+
+        r_j = Σ_{t>j} (x_t − x̄)(x_{t−j} − x̄) / Σ_t (x_t − x̄)²
+
+    — the classic biased ACF estimator (global series mean and
+    variance in the denominator, the convention statsmodels/R use),
+    the diagnostic behind seasonality detection and AR-order choice.
+
+    Returns one row per (keys…, lag) with ``n_points`` (series
+    length), ``n_pairs`` (overlapping pairs at that lag) and
+    ``acf_r``; keys whose centered sum of squares is 0 (constant
+    series) yield NULL r rather than 0/0.
+
+    Plan: ONE partition-sort window serves every lagged term (each
+    lag-j product is a codegen ``lag`` expression over the same sort —
+    no self-join, no UDF), the series mean rides the partition as a
+    frame-less window aggregate, then one grouped aggregate per key
+    sums the products and an inline ``stack`` unpivots the per-lag
+    columns to rows. Two shuffles total (window sort + final group),
+    both on the key — the same shape at 100 TB. ``order_cols`` must
+    totally order each key's rows (pass a unique tiebreaker).
+    """
+    wk = W.partitionBy(*key_cols)
+    ws = wk.orderBy(*order_cols)
+    mean = F.avg(value_col).over(wk)
+    dev = F.col(value_col) - mean
+    proj = [F.col(c) for c in key_cols] + [
+        (dev * dev).alias("__d0"),
+        F.col(value_col).alias("__x"),
+        mean.alias("__m")]
+    for j in range(1, int(max_lag) + 1):
+        lj = F.lag(F.col(value_col), j).over(ws)
+        proj.append(F.when(lj.isNotNull(), dev * (lj - mean))
+                    .alias(f"__p{j}"))
+    terms = df.select(*proj)
+    aggs = [F.count(F.lit(1)).alias("n_points"),
+            F.sum("__d0").alias("__ss")]
+    for j in range(1, int(max_lag) + 1):
+        aggs += [F.count(f"__p{j}").alias(f"__n{j}"),
+                 F.sum(f"__p{j}").alias(f"__s{j}")]
+    g = terms.groupBy(*key_cols).agg(*aggs)
+    stack = ", ".join(
+        f"{j}L, __n{j}, __s{j}" for j in range(1, int(max_lag) + 1))
+    return (g.selectExpr(*key_cols, "n_points", "__ss",
+                         f"stack({max_lag}, {stack}) "
+                         "AS (lag, n_pairs, __s)")
+            .select(*key_cols, "lag", "n_points", "n_pairs",
+                    F.when(F.col("__ss") > 0,
+                           F.col("__s") / F.col("__ss"))
+                    .alias("acf_r")))
+
+
 def welch_ttest(df: DataFrame, variant_col: str, metric_col: str,
                 key_cols: list[str] | None = None,
                 variant_a: str = "a",

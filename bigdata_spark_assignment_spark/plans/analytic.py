@@ -854,6 +854,35 @@ def _ewma_sql(alpha: float = 0.5, horizon: int = 8) -> tuple[str, str]:
 _EWMA_NUM, _EWMA_DEN = _ewma_sql(alpha=0.5, horizon=8)
 
 
+def _acf_sql(max_lag: int) -> str:
+    """q56 ``acf`` oracle leg — one per-user aggregate per lag over
+    the SAME lag-chain windows the engine's single partition-sort
+    window produces (operators.relational.acf)."""
+    lag_cols = ", ".join(
+        f"LAG(value, {j}) OVER (PARTITION BY user_id "
+        f"ORDER BY CAST(ts AS TIMESTAMP), event_id) AS lx{j}"
+        for j in range(1, max_lag + 1))
+    legs = " UNION ALL ".join(f"""
+      SELECT user_id, CAST({j} AS BIGINT) AS lag,
+             SUM((value - m) * (value - m)) AS ss,
+             SUM((value - m) * (lx{j} - m)) AS s,
+             CAST(COUNT((value - m) * (lx{j} - m)) AS BIGINT) AS np
+      FROM acf_t GROUP BY user_id""" for j in range(1, max_lag + 1))
+    return f"""
+    SELECT 'acf', x.lag, x.user_id, NULL,
+           CASE WHEN x.ss > 0 THEN ROUND(x.s / x.ss, 4) END, x.np
+    FROM (
+      WITH acf_t AS (
+        SELECT user_id, value,
+               AVG(value) OVER (PARTITION BY user_id) AS m,
+               {lag_cols}
+        FROM events)
+      {legs}) x"""
+
+
+_ACF_SQL = _acf_sql(max_lag=5)
+
+
 @register(
     "q56_temporal_join_suite",
     oracle=f"""
@@ -961,8 +990,14 @@ _EWMA_NUM, _EWMA_DEN = _ewma_sql(alpha=0.5, horizon=8)
                          AND CURRENT ROW),
                w_all AS (PARTITION BY user_id))) m
     WHERE m.rk = 1
+    UNION ALL
+    -- r5 session 5: sample autocorrelation r_1..r_5 per user
+    -- (operators.relational.acf) — same lag-chain windows, same
+    -- global-mean centering, ratio rounded on both engines
+    {_ACF_SQL}
     """,
-    tags=("join", "asof", "range", "resample", "anomaly", "ewma"),
+    tags=("join", "asof", "range", "resample", "anomaly", "ewma",
+          "acf"),
 )
 def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal joins in one tagged result (merged r2 q56+q57 to free
@@ -1004,6 +1039,13 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       taken on the ROUNDED statistic so the pick is cross-engine
       deterministic. id = the peak event, v = the peak |S_t|,
       n = series length.
+    * ``acf`` — r5 session 5: sample autocorrelation r_1..r_5 of each
+      user's value series (operators.relational.acf): one
+      partition-sort window feeds every lag product as a codegen
+      ``lag`` expression, one grouped aggregate sums them, ``stack``
+      unpivots lags to rows. id = lag, v = r_lag, n = overlapping
+      pairs; constant series yield NULL r. The oracle re-derives the
+      identical estimator per lag from the same window chain.
     """
     from ..operators.relational import asof_join, range_join_binned
 
@@ -1080,8 +1122,19 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
                   fround(F.col("cusum_stat")).alias("v"),
                   F.col("n_points").alias("n")))
+
+    from ..operators.relational import acf as acf_fn
+
+    ac = (acf_fn(events, ["user_id"], ["ts", "event_id"], "value",
+                 max_lag=5)
+          .select(F.lit("acf").alias("part"),
+                  F.col("lag").cast("long").alias("id"),
+                  "user_id",
+                  F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
+                  fround(F.col("acf_r")).alias("v"),
+                  F.col("n_pairs").alias("n")))
     return (asof.unionByName(rng).unionByName(rs).unionByName(anom)
-            .unionByName(ew).unionByName(cp))
+            .unionByName(ew).unionByName(cp).unionByName(ac))
 
 
 @register(

@@ -526,3 +526,41 @@ def test_welch_ttest_hand_computed_and_guards(spark):
     plan = (welch_ttest(df, "variant", "value", key_cols=["stratum"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan  # one conditional-aggregate pass
+
+
+def test_acf_hand_computed_and_guards(spark):
+    """r5 session 5: sample ACF — numpy cross-check on a planted
+    series, per-key isolation, NULL on constant series, and the
+    two-exchange no-join plan (window sort + final group)."""
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.relational import acf
+
+    series = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    rows = [("u", i, v) for i, v in enumerate(series)]
+    rows += [("c", i, 7.0) for i in range(4)]  # constant → NULL r
+    df = spark.createDataFrame(rows, ["k", "seq", "value"])
+    out = {(r.k, r.lag): r for r in
+           acf(df, ["k"], ["seq"], "value", max_lag=3).collect()}
+
+    x = np.array(series)
+    dev = x - x.mean()
+    ss = float((dev * dev).sum())
+    for j in (1, 2, 3):
+        want = float((dev[j:] * dev[:-j]).sum()) / ss
+        got = out[("u", j)]
+        assert got.acf_r == pytest.approx(want)
+        assert got.n_pairs == len(series) - j
+        assert got.n_points == len(series)
+    # statsmodels convention sanity: r_1 of an alternating series < 0
+    alt = acf(spark.createDataFrame(
+        [("a", i, float((-1) ** i)) for i in range(10)],
+        ["k", "seq", "value"]), ["k"], ["seq"], "value", max_lag=1)
+    assert alt.collect()[0].acf_r < -0.8
+
+    for j in (1, 2, 3):
+        assert out[("c", j)].acf_r is None  # 0/0 guarded
+
+    plan = (acf(df, ["k"], ["seq"], "value", max_lag=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan and plan.count("Exchange") <= 2
