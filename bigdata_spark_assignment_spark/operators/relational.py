@@ -362,6 +362,26 @@ def resample_ffill(events: DataFrame, intervals: DataFrame,
     side aggregates DOWN to buckets before the grid join, so the join
     touches at most one row per occupied bucket.
     """
+    gridded = _resample_grid(events, intervals, ts_col, value_col,
+                             key_cols, start_col, end_col, step_seconds)
+    w = (W.partitionBy(*key_cols).orderBy("bucket_ts")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return gridded.select(
+        *key_cols, "bucket_idx", "bucket_ts", "bucket_sum",
+        F.last("bucket_sum", ignorenulls=True).over(w)
+         .alias("filled_sum"),
+        F.col("bucket_sum").isNull().alias("is_gap"))
+
+
+def _resample_grid(events: DataFrame, intervals: DataFrame,
+                   ts_col: str, value_col: str, key_cols: list[str],
+                   start_col: str, end_col: str,
+                   step_seconds: int) -> DataFrame:
+    """Shared grid-and-bucket stage for the resample family: explode
+    each key's [start, end] into a ``step_seconds`` grid, SUM
+    observations into buckets BEFORE the grid join, left-join grid to
+    occupied buckets. One shuffle on the key; grid size is
+    |keys| · window/step regardless of event volume."""
     step = F.lit(step_seconds)
     iv = intervals
     grid = iv.select(
@@ -381,17 +401,62 @@ def resample_ffill(events: DataFrame, intervals: DataFrame,
                            secs=F.col("__bsec").cast("double")))
            .groupBy(*key_cols, "bucket_ts")
            .agg(F.sum(value_col).alias("bucket_sum")))
-    w = (W.partitionBy(*key_cols).orderBy("bucket_ts")
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
     return (grid.join(obs, [*key_cols, "bucket_ts"], "left")
             .select(*key_cols,
                     ((F.col("bucket_ts").cast("timestamp").cast("long")
                       - F.col("__w_start").cast("timestamp").cast("long"))
                      / step_seconds).cast("long").alias("bucket_idx"),
-                    "bucket_ts", "bucket_sum",
-                    F.last("bucket_sum", ignorenulls=True).over(w)
-                     .alias("filled_sum"),
-                    F.col("bucket_sum").isNull().alias("is_gap")))
+                    "bucket_ts", "bucket_sum"))
+
+
+def resample_interp(events: DataFrame, intervals: DataFrame,
+                    ts_col: str, value_col: str,
+                    key_cols: list[str], start_col: str = "w_start",
+                    end_col: str = "w_end",
+                    step_seconds: int = 900) -> DataFrame:
+    """Per-key resampling with time-weighted LINEAR interpolation gap
+    repair — the companion to ``resample_ffill`` when the series is a
+    sampled continuous signal rather than a step function.
+
+    Gap semantics (documented, deliberate): interior gaps interpolate
+    linearly on the bucket index between the surrounding observed
+    buckets; trailing gaps carry the last observation forward
+    (constant extrapolation, matching ffill); leading gaps stay NULL
+    (nothing to anchor the line). Occupied buckets keep their exact
+    bucket sum.
+
+    Returns one row per (key, bucket): bucket index/timestamp, raw
+    bucket sum (NULL for gaps), ``interp_sum``, and a gap flag.
+
+    Plan: the shared ``_resample_grid`` stage (one key shuffle), then
+    BOTH anchor lookups — last non-null value/index behind, first
+    non-null value/index ahead — ride ONE window sort (same partition,
+    same ascending order; the forward frame reuses the sort). No
+    self-join, no UDF; the arithmetic is pure codegen. The q56 oracle
+    re-derives every filled value via the same two IGNORE NULLS
+    window frames.
+    """
+    gridded = _resample_grid(events, intervals, ts_col, value_col,
+                             key_cols, start_col, end_col, step_seconds)
+    order = W.partitionBy(*key_cols).orderBy("bucket_idx")
+    back = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    fwd = order.rowsBetween(W.currentRow, W.unboundedFollowing)
+    occ_idx = F.when(F.col("bucket_sum").isNotNull(),
+                     F.col("bucket_idx"))
+    prev_v = F.last("bucket_sum", ignorenulls=True).over(back)
+    prev_i = F.last(occ_idx, ignorenulls=True).over(back)
+    next_v = F.first("bucket_sum", ignorenulls=True).over(fwd)
+    next_i = F.first(occ_idx, ignorenulls=True).over(fwd)
+    interp = (
+        F.when(F.col("bucket_sum").isNotNull(), F.col("bucket_sum"))
+         .when(prev_v.isNotNull() & next_v.isNotNull(),
+               prev_v + (next_v - prev_v)
+               * (F.col("bucket_idx") - prev_i) / (next_i - prev_i))
+         .when(prev_v.isNotNull(), prev_v))
+    return gridded.select(
+        *key_cols, "bucket_idx", "bucket_ts", "bucket_sum",
+        interp.alias("interp_sum"),
+        F.col("bucket_sum").isNull().alias("is_gap"))
 
 
 def robust_anomalies(df: DataFrame, key_cols: list[str], value_col: str,
@@ -737,6 +802,98 @@ def cusum_changepoint(df: DataFrame, key_cols: list[str],
             .withColumnRenamed("__s", "cusum_stat")
             .withColumnRenamed("__n", "n_points")
             .drop("__rk"))
+
+
+def mann_whitney_u(df: DataFrame, variant_col: str, metric_col: str,
+                   key_cols: list[str] | None = None,
+                   variant_a: str = "a",
+                   variant_b: str = "b") -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two variants —
+    the nonparametric companion to ``welch_ttest`` for skewed metrics
+    (revenue, latency) where mean comparisons mislead.
+
+    Returns (keys…, n_a, n_b, u_stat, z_stat) per stratum:
+
+        U_a = R_a − n_a(n_a+1)/2
+        z   = (U_a − n_a·n_b/2) / σ,
+        σ²  = n_a·n_b/12 · ((n+1) − T/(n(n−1))),  T = Σ_ties (t³−t)
+
+    with average ranks for ties and the standard tie-corrected normal
+    approximation. Strata where σ = 0 (all values tied) or either arm
+    is empty yield NULL z.
+
+    Plan: ranking is ONE partition-sort window per stratum (``rank``
+    over the metric; the tie count rides the same sort as a
+    (stratum, value)-partitioned count, so average ranks are pure
+    arithmetic — no self-join with a distinct-values table). The tie
+    term needs no per-value pass either: Σ_rows (t²−1) = Σ_values
+    t(t²−1) = T, so it folds into the same grouped aggregate as the
+    rank sums. Total cost: one window sort + one group exchange —
+    the 100 TB shape. The q62 oracle reproduces ranks, tie term and
+    z end-to-end.
+    """
+    key_cols = key_cols or []
+    d = df.filter(F.col(metric_col).isNotNull()
+                  & F.col(variant_col).isin([variant_a, variant_b]))
+    wr = W.partitionBy(*key_cols).orderBy(metric_col)
+    wt = W.partitionBy(*key_cols, metric_col)
+    avg_rank = (F.rank().over(wr)
+                + (F.count(F.lit(1)).over(wt) - F.lit(1)) / F.lit(2.0))
+    tie_row = F.count(F.lit(1)).over(wt) ** 2 - F.lit(1.0)
+    ranked = d.select(
+        *key_cols, F.col(variant_col).alias("__v"),
+        avg_rank.alias("__r"), tie_row.alias("__t"))
+    is_a = F.col("__v") == variant_a
+    g = ranked.groupBy(*key_cols).agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(~is_a, 1)).alias("n_b"),
+        F.sum(F.when(is_a, F.col("__r"))).alias("__ra"),
+        F.sum("__t").alias("__ties"))
+    n = F.col("n_a") + F.col("n_b")
+    u = F.col("__ra") - F.col("n_a") * (F.col("n_a") + 1) / F.lit(2.0)
+    var = (F.col("n_a") * F.col("n_b") / F.lit(12.0)
+           * ((n + 1) - F.col("__ties") / (n * (n - 1))))
+    guard = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0)
+    z = F.when(guard,
+               (u - F.col("n_a") * F.col("n_b") / F.lit(2.0))
+               / F.sqrt(var))
+    return g.select(*key_cols, "n_a", "n_b", u.alias("u_stat"),
+                    z.alias("z_stat"))
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-squared test of independence between two
+    categorical columns — the experiment-health check (sample-ratio
+    mismatch, segment balance) and the categorical-association
+    screen.
+
+    Returns ONE row: (chi2, dof, n) with dof = (R−1)(C−1).
+
+    Plan: one grouped count to the (a, b) cell table (tiny — category
+    cardinality squared), marginals as frame-less window sums over
+    the cell table (no join back), then a single-row aggregate. Zero
+    cells contribute (0−e)²/e = e without being materialized:
+    Σ_all e = n, so χ² = Σ_observed ((o−e)²/e − e) + n — the identity
+    that keeps the plan free of a dense cell cross-join at any
+    cardinality. The q62 oracle re-derives the same identity.
+    """
+    cells = (df.filter(F.col(col_a).isNotNull()
+                       & F.col(col_b).isNotNull())
+             .groupBy(col_a, col_b)
+             .agg(F.count(F.lit(1)).cast("double").alias("__o")))
+    wa = W.partitionBy(col_a)
+    wb = W.partitionBy(col_b)
+    wn = W.partitionBy()
+    e = (F.sum("__o").over(wa) * F.sum("__o").over(wb)
+         / F.sum("__o").over(wn))
+    scored = cells.select(
+        F.col(col_a), F.col(col_b), F.col("__o"),
+        ((F.col("__o") - e) ** 2 / e - e).alias("__c"))
+    return (scored.agg(
+        (F.sum("__c") + F.sum("__o")).alias("chi2"),
+        ((F.countDistinct(col_a) - 1)
+         * (F.countDistinct(col_b) - 1)).cast("long").alias("dof"),
+        F.sum("__o").cast("long").alias("n")))
 
 
 def acf(df: DataFrame, key_cols: list[str], order_cols: list[str],

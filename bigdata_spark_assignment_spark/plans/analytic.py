@@ -942,6 +942,53 @@ _ACF_SQL = _acf_sql(max_lag=5)
       FROM grid g LEFT JOIN obs o
         ON g.user_id = o.user_id AND g.bts = o.bts) f
     UNION ALL
+    -- r5 session 5: linear-interpolation gap repair on the same grid
+    -- (operators.relational.resample_interp): interior gaps linear on
+    -- bucket index, trailing gaps carry forward, leading gaps NULL
+    SELECT 'interp', f.bi, f.user_id, f.bts,
+           ROUND(CASE WHEN f.sv IS NOT NULL THEN f.sv
+                      WHEN f.pv IS NOT NULL AND f.nv IS NOT NULL
+                      THEN f.pv + (f.nv - f.pv) * (f.bi - f.pi)
+                                  / (f.ni - f.pi)
+                      WHEN f.pv IS NOT NULL THEN f.pv END, 4),
+           CAST(CASE WHEN f.sv IS NULL THEN 1 ELSE 0 END AS BIGINT)
+    FROM (
+      WITH grid AS (
+        SELECT user_id, w_start,
+               unnest(generate_series(w_start, w_end,
+                                      INTERVAL 15 MINUTE)) AS bts
+        FROM iv),
+      obs AS (
+        SELECT e.user_id,
+               iv.w_start + CAST(floor(date_diff('second', iv.w_start,
+                   CAST(e.ts AS TIMESTAMP)) / 900.0) AS INTEGER) * 900
+                   * INTERVAL 1 SECOND AS bts,
+               SUM(e.value) AS sv
+        FROM events e JOIN iv USING (user_id)
+        WHERE CAST(e.ts AS TIMESTAMP) >= iv.w_start
+          AND CAST(e.ts AS TIMESTAMP) <= iv.w_end
+        GROUP BY 1, 2),
+      g2 AS (
+        SELECT g.user_id, g.bts,
+               CAST(date_diff('second', g.w_start, g.bts) / 900
+                    AS BIGINT) AS bi,
+               o.sv
+        FROM grid g LEFT JOIN obs o
+          ON g.user_id = o.user_id AND g.bts = o.bts)
+      SELECT user_id, bts, bi, sv,
+             last_value(sv IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN sv IS NOT NULL THEN bi END
+                        IGNORE NULLS) OVER wb AS pi,
+             first_value(sv IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN sv IS NOT NULL THEN bi END
+                         IGNORE NULLS) OVER wf AS ni
+      FROM g2
+      WINDOW wb AS (PARTITION BY user_id ORDER BY bi
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY bi
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ) f
+    UNION ALL
     -- r5 session 3: median/MAD modified z-score outliers per
     -- event_type (operators.relational.robust_anomalies) — both
     -- engines' EXACT interpolated medians must agree
@@ -997,7 +1044,7 @@ _ACF_SQL = _acf_sql(max_lag=5)
     {_ACF_SQL}
     """,
     tags=("join", "asof", "range", "resample", "anomaly", "ewma",
-          "acf"),
+          "acf", "interp"),
 )
 def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal joins in one tagged result (merged r2 q56+q57 to free
@@ -1039,6 +1086,14 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       taken on the ROUNDED statistic so the pick is cross-engine
       deterministic. id = the peak event, v = the peak |S_t|,
       n = series length.
+    * ``interp`` — r5 session 5: the same 15-minute grid repaired by
+      time-weighted LINEAR interpolation
+      (operators.relational.resample_interp): interior gaps linear on
+      the bucket index between surrounding observations, trailing
+      gaps constant-extrapolated, leading gaps NULL. Both anchor
+      lookups (last behind / first ahead, IGNORE NULLS) ride one
+      window sort; the oracle re-derives every filled value from the
+      same two frames.
     * ``acf`` — r5 session 5: sample autocorrelation r_1..r_5 of each
       user's value series (operators.relational.acf): one
       partition-sort window feeds every lag product as a codegen
@@ -1090,6 +1145,17 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   fround(F.col("filled_sum")).alias("v"),
                   F.col("is_gap").cast("long").alias("n")))
 
+    from ..operators.relational import resample_interp
+
+    ip = (resample_interp(events, iv, "ts", "value", ["user_id"],
+                          step_seconds=900)
+          .select(F.lit("interp").alias("part"),
+                  F.col("bucket_idx").alias("id"),
+                  "user_id",
+                  F.col("bucket_ts").alias("ts_asof"),
+                  fround(F.col("interp_sum")).alias("v"),
+                  F.col("is_gap").cast("long").alias("n")))
+
     from ..operators.relational import robust_anomalies
 
     anom = (robust_anomalies(events, ["event_type"], "value",
@@ -1133,8 +1199,9 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
                   fround(F.col("acf_r")).alias("v"),
                   F.col("n_pairs").alias("n")))
-    return (asof.unionByName(rng).unionByName(rs).unionByName(anom)
-            .unionByName(ew).unionByName(cp).unionByName(ac))
+    return (asof.unionByName(rng).unionByName(rs).unionByName(ip)
+            .unionByName(anom).unionByName(ew).unionByName(cp)
+            .unionByName(ac))
 
 
 @register(

@@ -289,6 +289,78 @@ def impute_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              VAR_SAMP(value) FILTER (variant = 'a') AS var_a,
              VAR_SAMP(value) FILTER (variant = 'b') AS var_b
       FROM v GROUP BY 1) g
+    UNION ALL
+    -- r5 session 5: Mann-Whitney U over the same assignment
+    -- (operators.relational.mann_whitney_u) — average ranks for
+    -- ties, tie-corrected normal z, ranks/ties re-derived end-to-end
+    SELECT 'mwu', g.event_type, NULL, g.n_a, g.n_b,
+           ROUND(g.ra - g.n_a * (g.n_a + 1) / 2.0, 4),
+           CASE WHEN g.n_a > 0 AND g.n_b > 0
+                 AND g.n_a * g.n_b / 12.0
+                     * ((g.n_a + g.n_b + 1)
+                        - g.ties / ((g.n_a + g.n_b)
+                                    * (g.n_a + g.n_b - 1.0))) > 0
+                THEN ROUND(
+                  (g.ra - g.n_a * (g.n_a + 1) / 2.0
+                   - g.n_a * g.n_b / 2.0)
+                  / sqrt(g.n_a * g.n_b / 12.0
+                         * ((g.n_a + g.n_b + 1)
+                            - g.ties / ((g.n_a + g.n_b)
+                                        * (g.n_a + g.n_b - 1.0)))), 4)
+           END,
+           NULL
+    FROM (
+      WITH v2 AS (
+        SELECT event_type, value,
+               CASE WHEN CAST(('0x' || substring(
+                        md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS variant
+        FROM events WHERE value IS NOT NULL),
+      r AS (
+        SELECT event_type, variant,
+               RANK() OVER (PARTITION BY event_type ORDER BY value)
+                 + (COUNT(*) OVER (PARTITION BY event_type, value)
+                    - 1) / 2.0 AS rk,
+               POWER(COUNT(*) OVER (PARTITION BY event_type, value),
+                     2) - 1.0 AS tr
+        FROM v2)
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (variant = 'a') AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (variant = 'b') AS BIGINT) AS n_b,
+             SUM(rk) FILTER (variant = 'a') AS ra,
+             SUM(tr) AS ties
+      FROM r GROUP BY 1) g
+    UNION ALL
+    -- r5 session 5: chi-squared independence of event_type x variant
+    -- (operators.relational.chi2_independence) — zero cells folded in
+    -- via the chi2 = n + SUM((o-e)^2/e - e) identity on BOTH engines
+    SELECT 'chi2', NULL, NULL, g.n, g.dof, ROUND(g.chi2, 4),
+           NULL, NULL
+    FROM (
+      WITH v3 AS (
+        SELECT event_type,
+               CASE WHEN CAST(('0x' || substring(
+                        md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS variant
+        FROM events
+        WHERE event_type IS NOT NULL),
+      cells AS (
+        SELECT event_type, variant, CAST(COUNT(*) AS DOUBLE) AS o
+        FROM v3 GROUP BY 1, 2),
+      sc AS (
+        SELECT o,
+               SUM(o) OVER (PARTITION BY event_type)
+                 * SUM(o) OVER (PARTITION BY variant)
+                 / SUM(o) OVER () AS e,
+               event_type, variant
+        FROM cells)
+      SELECT SUM((o - e) * (o - e) / e - e) + SUM(o) AS chi2,
+             CAST((COUNT(DISTINCT event_type) - 1)
+                  * (COUNT(DISTINCT variant) - 1) AS BIGINT) AS dof,
+             CAST(SUM(o) AS BIGINT) AS n
+      FROM sc) g
     """,
     tags=("split", "sampling", "abtest"),
 )
@@ -306,9 +378,22 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       difference, t statistic, Welch degrees of freedom — the A/B
       readout whose assignment AND statistics the oracle reproduces
       end-to-end.
+    * ``mwu`` — r5 session 5: Mann-Whitney U / Wilcoxon rank-sum over
+      the same variants (operators.relational.mann_whitney_u):
+      average ranks for ties from ONE partition-sort window, the tie
+      term folded into the same grouped aggregate via
+      Σ_rows(t²−1) = Σ_ties(t³−t), tie-corrected normal z. v1 = U_a,
+      v2 = z — the nonparametric readout for skewed metrics, ranks
+      and tie term oracle-reproduced end-to-end.
+    * ``chi2`` — r5 session 5: Pearson chi-squared independence of
+      event_type × variant (operators.relational.chi2_independence),
+      zero cells folded in via χ² = n + Σ_obs((o−e)²/e − e) so no
+      dense cell cross-join exists at any cardinality. n1 = n,
+      n2 = dof, v1 = χ².
     """
     from ..operators.cleaning import deterministic_split
-    from ..operators.relational import welch_ttest
+    from ..operators.relational import (chi2_independence,
+                                        mann_whitney_u, welch_ttest)
 
     docs = load_table(spark, sf_dir, "documents")
     out = deterministic_split(docs, "doc_id", train_pct=80)
@@ -337,7 +422,26 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                   fround(F.col("mean_diff")).alias("v1"),
                   fround(F.col("t_stat")).alias("v2"),
                   fround(F.col("dof")).alias("v3")))
-    return split.unionByName(tt)
+
+    mw = (mann_whitney_u(assigned, "variant", "value",
+                         key_cols=["event_type"])
+          .select(F.lit("mwu").alias("part"),
+                  F.col("event_type").alias("k1"),
+                  F.lit(None).cast("string").alias("k2"),
+                  F.col("n_a").alias("n1"), F.col("n_b").alias("n2"),
+                  fround(F.col("u_stat")).alias("v1"),
+                  fround(F.col("z_stat")).alias("v2"),
+                  F.lit(None).cast("double").alias("v3")))
+
+    c2 = (chi2_independence(assigned, "event_type", "variant")
+          .select(F.lit("chi2").alias("part"),
+                  F.lit(None).cast("string").alias("k1"),
+                  F.lit(None).cast("string").alias("k2"),
+                  F.col("n").alias("n1"), F.col("dof").alias("n2"),
+                  fround(F.col("chi2")).alias("v1"),
+                  F.lit(None).cast("double").alias("v2"),
+                  F.lit(None).cast("double").alias("v3")))
+    return split.unionByName(tt).unionByName(mw).unionByName(c2)
 
 
 @register(

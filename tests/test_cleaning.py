@@ -564,3 +564,98 @@ def test_acf_hand_computed_and_guards(spark):
     plan = (acf(df, ["k"], ["seq"], "value", max_lag=3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan and plan.count("Exchange") <= 2
+
+
+def test_resample_interp_linear_tail_and_head(spark):
+    """r5 session 5: linear-interpolation gap repair — interior gaps
+    interpolate on the bucket index, trailing gaps carry forward,
+    leading gaps stay NULL, occupied buckets keep exact sums, and both
+    anchor windows share one sort (single exchange, no self-join)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        resample_interp,
+    )
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10", 4.0),   # bucket 0
+         (1, "2024-01-01 00:45:00", 10.0),  # bucket 3 (gaps at 1, 2)
+         (2, "2024-01-01 00:30:00", 7.0)],  # key 2: head gaps, tail gap
+        "user_id long, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:00")],
+        "user_id long, w_start string") \
+        .withColumn("w_start", F.col("w_start").cast("timestamp_ntz")) \
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 1 HOUR"))
+    q = resample_interp(ev, iv, "ts", "value", ["user_id"],
+                        step_seconds=900)
+    out = {(r.user_id, r.bucket_idx): r for r in q.collect()}
+    assert len(out) == 10
+    k1 = [out[(1, i)] for i in range(5)]
+    # 4 → 10 over 3 steps: interior gaps at 6.0 and 8.0
+    assert [r.interp_sum for r in k1] == [4.0, 6.0, 8.0, 10.0, 10.0]
+    assert [r.is_gap for r in k1] == [False, True, True, False, True]
+    k2 = [out[(2, i)] for i in range(5)]
+    assert [r.interp_sum for r in k2] == [None, None, 7.0, 7.0, 7.0]
+
+    # both anchor frames (last-behind / first-ahead) fuse into ONE
+    # Window operator over one key-partitioned sort in the final plan
+    plan = (q._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Window [") == 1
+    assert "unboundedpreceding" in plan and "unboundedfollowing" in plan
+
+
+def test_mann_whitney_u_hand_computed_and_ties(spark):
+    """r5 session 5: Mann-Whitney U — hand-checked U and tie-corrected
+    z on a tied sample, per-stratum isolation, NULL z when all values
+    tie, and a no-join one-window plan."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        mann_whitney_u,
+    )
+    rows = [("s", "a", 1.0), ("s", "a", 2.0),
+            ("s", "b", 2.0), ("s", "b", 3.0),
+            ("t", "a", 5.0), ("t", "a", 5.0), ("t", "b", 5.0)]
+    df = spark.createDataFrame(rows, ["stratum", "variant", "value"])
+    out = {r.stratum: r for r in
+           mann_whitney_u(df, "variant", "value",
+                          key_cols=["stratum"]).collect()}
+    # ranks: 1→1, {2,2}→2.5, 3→4; R_a=3.5, U=0.5; T=6;
+    # σ²=(4/12)((5)−6/12)=1.5; z=(0.5−2)/√1.5
+    s = out["s"]
+    assert (s.n_a, s.n_b) == (2, 2)
+    assert s.u_stat == pytest.approx(0.5)
+    assert s.z_stat == pytest.approx(-1.5 / 1.5 ** 0.5)
+    assert out["t"].z_stat is None  # all tied → σ=0 → guarded NULL
+
+    plan = (mann_whitney_u(df, "variant", "value",
+                           key_cols=["stratum"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan
+
+
+def test_chi2_independence_hand_computed_and_zero_cells(spark):
+    """r5 session 5: chi-squared — hand-checked 2×2 statistic, and the
+    zero-cell identity (χ² = n + Σ_obs((o−e)²/e − e)) verified against
+    a dense-table reference on a table with an empty cell."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        chi2_independence,
+    )
+    rows = ([("r1", "c1")] * 10 + [("r1", "c2")] * 20
+            + [("r2", "c1")] * 30 + [("r2", "c2")] * 40)
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = chi2_independence(df, "a", "b").collect()[0]
+    want = (4 / 12 + 4 / 18 + 4 / 28 + 4 / 42)
+    assert got.chi2 == pytest.approx(want)
+    assert got.dof == 1 and got.n == 100
+
+    # zero cell: (r2, c2) absent — dense reference includes e22 term
+    rows2 = ([("r1", "c1")] * 5 + [("r1", "c2")] * 5
+             + [("r2", "c1")] * 10)
+    got2 = chi2_independence(
+        spark.createDataFrame(rows2, ["a", "b"]), "a", "b").collect()[0]
+    # totals: rows 10/10, cols 15/5, n=20 → e = [7.5, 2.5, 7.5, 2.5]
+    want2 = ((5 - 7.5) ** 2 / 7.5 + (5 - 2.5) ** 2 / 2.5
+             + (10 - 7.5) ** 2 / 7.5 + (0 - 2.5) ** 2 / 2.5)
+    assert got2.chi2 == pytest.approx(want2)
+    assert got2.n == 20
