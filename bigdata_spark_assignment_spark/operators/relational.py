@@ -804,6 +804,52 @@ def cusum_changepoint(df: DataFrame, key_cols: list[str],
             .drop("__rk"))
 
 
+def equidepth_histogram(df: DataFrame, value_col: str,
+                        n_buckets: int = 8) -> DataFrame:
+    """EXACT equi-depth (equal-frequency) histogram — the optimizer /
+    data-profiling statistic `ntile` would compute with a global sort,
+    built instead in the distributed-exact two-phase shape:
+
+    1. group rows to the distinct-VALUE table (one key shuffle over
+       the data; output is |distinct values| rows, usually orders of
+       magnitude smaller),
+    2. exclusive cumulative count over that value table ordered by
+       value, bucket = floor(cum_before · B / total) clamped to B−1,
+    3. one grouped aggregate back to B rows.
+
+    Ties are atomic: a value's whole count lands in one bucket (the
+    standard whole-value equi-depth convention), so bucket depths are
+    equal up to the largest tie group. NULLs are excluded. Returns
+    (bucket, n_rows, n_values, lo, hi).
+
+    The only non-key-partitioned step is the window over the DISTINCT
+    VALUE table — the skyline rule: a SinglePartition exchange is fine
+    when its input is frontier-sized, not data-sized (range-partition
+    the value table first if distinct cardinality itself is huge).
+    All arithmetic is integer counts, so both engines bucket
+    identically — no float discipline needed. The q12 oracle
+    re-derives every bucket row.
+    """
+    counts = (df.filter(F.col(value_col).isNotNull())
+              .groupBy(value_col)
+              .agg(F.count(F.lit(1)).alias("__c")))
+    wcum = (W.orderBy(value_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy()
+    cum_before = F.sum("__c").over(wcum) - F.col("__c")
+    total = F.sum("__c").over(wall)
+    bucket = F.least(
+        F.floor(cum_before * F.lit(int(n_buckets)) / total),
+        F.lit(int(n_buckets) - 1)).cast("long")
+    return (counts.select(F.col(value_col).alias("__v"),
+                          "__c", bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.sum("__c").alias("n_rows"),
+                 F.count(F.lit(1)).alias("n_values"),
+                 F.min("__v").alias("lo"),
+                 F.max("__v").alias("hi")))
+
+
 def mann_whitney_u(df: DataFrame, variant_col: str, metric_col: str,
                    key_cols: list[str] | None = None,
                    variant_a: str = "a",

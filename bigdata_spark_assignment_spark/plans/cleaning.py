@@ -84,8 +84,32 @@ def _profile_oracle_legs() -> str:
     FROM d
     GROUP BY 1, 2, 3
     UNION ALL{_profile_oracle_legs()}
+    UNION ALL
+    -- r5 session 5: exact equi-depth histogram of n_chars
+    -- (operators.relational.equidepth_histogram) — whole-value
+    -- buckets from the exclusive cumulative count over the distinct-
+    -- value table; integer arithmetic end-to-end
+    SELECT 'hist', 'n_chars', CAST(h.bucket AS VARCHAR),
+           CAST(h.lo AS VARCHAR) || ':' || CAST(h.hi AS VARCHAR)
+             || ':' || CAST(h.n_values AS VARCHAR),
+           h.n_rows
+    FROM (
+      WITH vc AS (
+        SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      b AS (
+        SELECT v, c,
+               LEAST(CAST(floor((SUM(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) - c) * 8 / SUM(c) OVER ()) AS BIGINT),
+                     7) AS bucket
+        FROM vc)
+      SELECT bucket, SUM(c) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             MIN(v) AS lo, MAX(v) AS hi
+      FROM b GROUP BY 1) h
     """,
-    tags=("cleaning", "profile"),
+    tags=("cleaning", "profile", "histogram"),
 )
 def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality suite over the documents table, tagged:
@@ -106,6 +130,11 @@ def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       string-value tie-break). k1 = column, k2 = stat, s = the
       stringified value; every row re-derived by generated oracle
       legs sharing the engine's column list and truncation constants.
+    * ``hist`` — r5 session 5: exact equi-depth histogram of
+      ``n_chars`` (operators.relational.equidepth_histogram, B=8):
+      distinct-value counts → exclusive cumulative split → whole-value
+      buckets, all integer arithmetic. k2 = bucket, s = lo:hi:n_values,
+      n = rows in bucket.
     """
     docs = load_table(spark, sf_dir, "documents")
     lang_dirty = F.when(F.col("lang") == "en", "NA").otherwise(F.col("lang"))
@@ -133,7 +162,17 @@ def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("stat").alias("k2"),
                     F.col("value").alias("s"),
                     F.lit(None).cast("long").alias("n")))
-    return clean.unionByName(prof)
+
+    from ..operators.relational import equidepth_histogram
+
+    hist = (equidepth_histogram(docs, "n_chars", n_buckets=8)
+            .select(F.lit("hist").alias("part"),
+                    F.lit("n_chars").alias("k1"),
+                    F.col("bucket").cast("string").alias("k2"),
+                    F.concat_ws(":", F.col("lo"), F.col("hi"),
+                                F.col("n_values")).alias("s"),
+                    F.col("n_rows").alias("n")))
+    return clean.unionByName(prof).unionByName(hist)
 
 
 @register(

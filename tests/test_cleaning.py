@@ -659,3 +659,27 @@ def test_chi2_independence_hand_computed_and_zero_cells(spark):
              + (10 - 7.5) ** 2 / 7.5 + (0 - 2.5) ** 2 / 2.5)
     assert got2.chi2 == pytest.approx(want2)
     assert got2.n == 20
+
+
+def test_equidepth_histogram_exact_and_atomic_ties(spark):
+    """r5 session 5: equi-depth histogram — equal depths on a uniform
+    sample, whole-value atomicity under a dominant tie group, NULL
+    exclusion, and bucket stats."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        equidepth_histogram,
+    )
+    df = spark.createDataFrame([(float(i),) for i in range(100)],
+                               "v double")
+    out = sorted(equidepth_histogram(df, "v", n_buckets=4).collect())
+    assert [r.n_rows for r in out] == [25, 25, 25, 25]
+    assert [r.lo for r in out] == [0.0, 25.0, 50.0, 75.0]
+    assert [r.hi for r in out] == [24.0, 49.0, 74.0, 99.0]
+
+    # one value carries 90% of the mass: its whole count stays in ONE
+    # bucket; other buckets absorb the rest
+    rows = [(5.0,)] * 90 + [(float(i),) for i in range(10)]
+    df2 = spark.createDataFrame(rows + [(None,)], "v double")
+    out2 = sorted(equidepth_histogram(df2, "v", n_buckets=4).collect())
+    assert sum(r.n_rows for r in out2) == 100  # NULL excluded
+    heavy = [r for r in out2 if r.lo <= 5.0 <= r.hi]
+    assert len(heavy) == 1 and heavy[0].n_rows >= 90
