@@ -512,8 +512,50 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) * 1.0 / (SELECT COUNT(*) FROM lineitem) AS share
       FROM lineitem GROUP BY l_orderkey
       ORDER BY cnt DESC, l_orderkey LIMIT 3)
+    UNION ALL
+    -- r5 session 5: grid-blocked radius join
+    -- (operators.spatial.radius_neighbor_stats) — synthetic integer
+    -- planar points from the shared md5 derivation; the oracle is the
+    -- brute-force O(n^2) distance join the grid plan must equal
+    SELECT 'radius', CAST(p.id AS VARCHAR),
+           CAST(COALESCE(s.n, 0) AS DOUBLE), CAST(s.mind AS DOUBLE)
+    FROM (
+      SELECT event_id AS id,
+             CAST(('0x' || substring(md5('x:' ||
+               CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 AS x,
+             CAST(('0x' || substring(md5('y:' ||
+               CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 AS y
+      FROM events WHERE event_id % 4 = 0) p
+    LEFT JOIN (
+      SELECT a.id AS id, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y)) AS mind
+      FROM (
+        SELECT event_id AS id,
+               CAST(('0x' || substring(md5('x:' ||
+                 CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 1000 AS x,
+               CAST(('0x' || substring(md5('y:' ||
+                 CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 1000 AS y
+        FROM events WHERE event_id % 4 = 0) a
+      JOIN (
+        SELECT event_id AS id,
+               CAST(('0x' || substring(md5('x:' ||
+                 CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 1000 AS x,
+               CAST(('0x' || substring(md5('y:' ||
+                 CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 1000 AS y
+        FROM events WHERE event_id % 4 = 0) b
+        ON a.id <> b.id
+       AND (a.x - b.x) * (a.x - b.x)
+           + (a.y - b.y) * (a.y - b.y) <= 625
+      GROUP BY a.id) s ON p.id = s.id
     """,
-    tags=("join", "skew", "diagnostics"),
+    tags=("join", "skew", "diagnostics", "spatial"),
 )
 def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew suite (SURVEY.md §4.3), tagged parts:
@@ -532,6 +574,15 @@ def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       join keys with row counts and table share, oracle-recomputed.
       Here its output FEEDS the join part's hot list (as a DataFrame —
       no driver collect).
+    * ``radius`` — r5 session 5: grid-blocked radius join
+      (operators.spatial.radius_neighbor_stats, r=25 on a 1000×1000
+      integer plane): every point explodes to its 3×3 cell
+      neighborhood, the equi-join on cell keys generates each pair
+      via exactly one offset, and the exact integer dist² ≤ r² verify
+      runs in codegen — shuffle O(9n) on cell keys vs the oracle's
+      O(n²) brute-force distance join, which it must (and does)
+      equal row-for-row. Points derive from the shared md5 machinery
+      so both engines see identical coordinates.
     """
     from ..operators.skew import key_skew_stats, salted_join
 
@@ -550,7 +601,27 @@ def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").cast("string").alias("k"),
         F.col("n_rows").cast("double").alias("v1"),
         F.round("share", 6).alias("v2"))
-    return join_part.unionByName(diag_part)
+
+    from ..operators.spatial import radius_neighbor_stats
+
+    def coord(salt: str):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt),
+                           F.col("event_id").cast("string"))),
+            1, 8), 16, 10).cast("long") % 1000
+
+    pts = (load_table(spark, sf_dir, "events")
+           .filter(F.col("event_id") % 4 == 0)
+           .select(F.col("event_id").alias("id"),
+                   coord("x:").alias("x"), coord("y:").alias("y")))
+    radius_part = (radius_neighbor_stats(pts, "id", "x", "y", radius=25)
+                   .select(F.lit("radius").alias("part"),
+                           F.col("id").cast("string").alias("k"),
+                           F.col("n_neighbors").cast("double")
+                           .alias("v1"),
+                           F.col("min_dist2").cast("double")
+                           .alias("v2")))
+    return join_part.unionByName(diag_part).unionByName(radius_part)
 
 
 @register(
