@@ -1036,3 +1036,32 @@ def welch_ttest(df: DataFrame, variant_col: str, metric_col: str,
         *key_cols, "n_a", "n_b", "mean_a", "mean_b",
         (F.col("mean_a") - F.col("mean_b")).alias("mean_diff"),
         t.alias("t_stat"), dof.alias("dof"))
+
+
+def rrf_fuse(rankings: DataFrame, query_col: str = "query_id",
+             id_col: str = "doc_id", rank_col: str = "rnk",
+             k0: int = 60, top_k: int = 5,
+             rank_decimals: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion of truncated rankings from multiple
+    retrieval sources:  score(q, d) = Σ_sources 1/(k0 + rank) — the
+    standard Cormack/Clarke combiner for hybrid (lexical + dense)
+    retrieval. Input is the UNION of per-source rankings
+    (query, id, rank); items missing from a source's list simply
+    contribute nothing (truncated-list RRF).
+
+    Returns (query, id, rrf_score, n_sources, rnk) for the fused
+    top-``top_k``, ranked on (round(score, rank_decimals) DESC, id).
+    With two sources the score is a two-addend IEEE sum (exactly
+    commutative), and ranks are small integers, so both engines agree
+    bit-for-bit; the rounding guard covers wider fan-ins where
+    summation order varies. One grouped aggregate over lists of
+    length Σ k_source per query + one window — trivially scalable.
+    """
+    g = (rankings.groupBy(query_col, id_col)
+         .agg(F.sum(F.lit(1.0) / (F.lit(int(k0)) + F.col(rank_col)))
+              .alias("rrf_score"),
+              F.count(F.lit(1)).alias("n_sources")))
+    w = W.partitionBy(query_col).orderBy(
+        F.round("rrf_score", rank_decimals).desc(), id_col)
+    return (g.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= int(top_k)))

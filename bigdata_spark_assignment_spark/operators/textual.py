@@ -819,3 +819,36 @@ def bm25_topk(docs: "DataFrame", queries: list[tuple[str, list[str]]],
                                           F.col("doc_id"))
     return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
             .filter(F.col("rnk") <= int(k)))
+
+
+def term_match_topk(docs: "DataFrame", queries: list[tuple[str, list[str]]],
+                    id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 5, min_term_len: int = 2) -> "DataFrame":
+    """Coordination-level ranking: top-``k`` documents per query by
+    total term frequency of matched query terms — the cheap boolean-
+    retrieval baseline BM25 is usually fused against. Same
+    tokenization contract as ``bm25_topk`` (one shared stream
+    definition), same plan shape: broadcast query table onto the
+    postings, one grouped sum, window top-k. Integer scores, so the
+    (score DESC, doc_id) rank needs no float discipline at all.
+
+    Returns (query_id, doc_id, match_tf, rnk).
+    """
+    from pyspark.sql import Window as W
+
+    tokens = (docs.select(F.col(id_col).alias("doc_id"),
+                          F.explode(words_expr(F.col(text_col)))
+                          .alias("term"))
+              .filter(F.length("term") >= min_term_len))
+    tf = tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    spark = docs.sparkSession
+    qrows = [(qid, t) for qid, terms in queries for t in terms]
+    qdf = spark.createDataFrame(qrows, ["query_id", "term"])
+    scored = (tf.join(F.broadcast(qdf), "term")
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("tf").alias("match_tf")))
+    w = W.partitionBy("query_id").orderBy(F.col("match_tf").desc(),
+                                          F.col("doc_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= int(k)))

@@ -541,7 +541,31 @@ _BM25_QUERY_VALUES = ", ".join(
     branked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, doc_id) AS rnk
-      FROM bscored)
+      FROM bscored),
+    -- r5 session 5: reciprocal-rank fusion of the BM25 ranking with
+    -- the coordination-tf ranking (operators.relational.rrf_fuse +
+    -- operators.textual.term_match_topk) — truncated-list RRF, k0=60
+    coord AS (
+      SELECT q.query_id, tf.doc_id, SUM(tf.tf) AS match_tf
+      FROM tf JOIN q USING (term) GROUP BY 1, 2),
+    cranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY match_tf DESC, doc_id)
+             AS rnk
+      FROM coord),
+    runion AS (
+      SELECT query_id, doc_id, rnk FROM branked WHERE rnk <= {_BM25_K}
+      UNION ALL
+      SELECT query_id, doc_id, rnk FROM cranked WHERE rnk <= {_BM25_K}),
+    rrf AS (
+      SELECT query_id, doc_id, SUM(1.0 / (60 + rnk)) AS score,
+             CAST(COUNT(*) AS BIGINT) AS ns
+      FROM runion GROUP BY 1, 2),
+    rrfranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY ROUND(score, 6) DESC,
+                                            doc_id) AS rnk
+      FROM rrf)
     SELECT 'tfidf' AS part, doc_id, term, tf, df, tfidf AS v,
            CAST(rnk AS INTEGER) AS rnk
     FROM ranked WHERE rnk <= 3
@@ -549,8 +573,12 @@ _BM25_QUERY_VALUES = ", ".join(
     SELECT 'bm25', doc_id, query_id, doc_len, n_matched, score,
            CAST(rnk AS INTEGER)
     FROM branked WHERE rnk <= {_BM25_K}
+    UNION ALL
+    SELECT 'rrf', doc_id, query_id, ns, NULL, ROUND(score, 6),
+           CAST(rnk AS INTEGER)
+    FROM rrfranked WHERE rnk <= {_BM25_K}
     """,
-    tags=("text", "tfidf", "bm25", "retrieval"),
+    tags=("text", "tfidf", "bm25", "retrieval", "rrf"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-relevance scoring in one tagged result:
@@ -566,10 +594,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       query_id, tf the doc length, df the matched-term count, v the
       rounded score. The oracle re-derives every score from the same
       token stream and ranks on the same rounded key.
+    * ``rrf`` — r5 session 5: reciprocal-rank fusion
+      (operators.relational.rrf_fuse, k0=60) of the BM25 top-5 with
+      the coordination-tf top-5 (operators.textual.term_match_topk —
+      integer scores, same tokenization contract): the standard
+      hybrid-retrieval combiner. tf = number of source lists the doc
+      appeared in, v = the fused score (6 dp), rank on the rounded
+      score. Both source rankings AND the fusion are oracle-re-derived.
     """
     from pyspark.sql import Window as W
 
-    from ..operators.textual import bm25_topk, tf_idf_terms
+    from ..operators.relational import rrf_fuse
+    from ..operators.textual import (bm25_topk, term_match_topk,
+                                     tf_idf_terms)
 
     docs = load_table(spark, sf_dir, "documents")
     scored = tf_idf_terms(docs).filter(F.col("doc_id") < 20)
@@ -578,14 +615,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("rnk") <= 3)
              .select(F.lit("tfidf").alias("part"), "doc_id", "term",
                      "tf", "df", F.col("tfidf").alias("v"), "rnk"))
-    bm25 = (bm25_topk(docs, _BM25_QUERIES, k=_BM25_K,
-                      k1=_BM25_K1, b=_BM25_B)
-            .select(F.lit("bm25").alias("part"), "doc_id",
-                    F.col("query_id").alias("term"),
-                    F.col("doc_len").alias("tf"),
-                    F.col("n_matched_terms").alias("df"),
-                    F.col("score").alias("v"), "rnk"))
-    return tfidf.unionByName(bm25)
+    bm = bm25_topk(docs, _BM25_QUERIES, k=_BM25_K,
+                   k1=_BM25_K1, b=_BM25_B)
+    bm25 = (bm.select(F.lit("bm25").alias("part"), "doc_id",
+                      F.col("query_id").alias("term"),
+                      F.col("doc_len").alias("tf"),
+                      F.col("n_matched_terms").alias("df"),
+                      F.col("score").alias("v"), "rnk"))
+    co = term_match_topk(docs, _BM25_QUERIES, k=_BM25_K)
+    fused = rrf_fuse(
+        bm.select("query_id", "doc_id", "rnk")
+          .unionByName(co.select("query_id", "doc_id", "rnk")),
+        k0=60, top_k=_BM25_K)
+    rrf = fused.select(
+        F.lit("rrf").alias("part"), "doc_id",
+        F.col("query_id").alias("term"),
+        F.col("n_sources").alias("tf"),
+        F.lit(None).cast("long").alias("df"),
+        F.round("rrf_score", 6).alias("v"), "rnk")
+    return tfidf.unionByName(bm25).unionByName(rrf)
 
 
 @register(

@@ -483,3 +483,48 @@ def test_bm25_multi_term_and_k_cap(spark):
     assert ranks == [1, 2, 3, 4]
     # both terms matched by every doc with i%3>0; n_matched_terms = 2
     assert all(r.n_matched_terms == 2 for r in per_q["q1"])
+
+
+def test_rrf_fuse_hand_computed_and_truncation(spark):
+    """r5 session 5: RRF — hand-checked fused scores, single-list
+    items contribute one addend, top_k truncation, deterministic
+    tie-break on id."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        rrf_fuse,
+    )
+    rows = [  # two sources for query q: lists [d1, d2] and [d2, d3]
+        ("q", 1, 1), ("q", 2, 2),
+        ("q", 2, 1), ("q", 3, 2),
+    ]
+    df = spark.createDataFrame(rows, "query_id string, doc_id long, rnk int")
+    out = {r.doc_id: r for r in
+           rrf_fuse(df, top_k=3).collect()}
+    assert out[2].rrf_score == pytest.approx(1 / 61 + 1 / 62)
+    assert out[1].rrf_score == pytest.approx(1 / 61)
+    assert out[3].rrf_score == pytest.approx(1 / 62)
+    assert out[2].rnk == 1 and out[2].n_sources == 2
+    # d1 (1/61) beats d3 (1/62); tie impossible here, but rank order:
+    assert out[1].rnk == 2 and out[3].rnk == 3
+
+    assert len(rrf_fuse(df, top_k=1).collect()) == 1
+
+
+def test_term_match_topk_integer_scores(spark):
+    """Coordination ranking: matched-term tf sums, doc_id tie-break,
+    and the broadcast-join plan (query table never shuffles the
+    postings)."""
+    from bigdata_spark_assignment_spark.operators.textual import (
+        term_match_topk,
+    )
+    docs = spark.createDataFrame(
+        [(1, "spark join join hash"), (2, "join merge"),
+         (3, "nothing relevant"), (4, "hash hash hash")],
+        "doc_id long, text string")
+    out = term_match_topk(docs, [("q", ["join", "hash"])], k=3).collect()
+    ranked = [(r.doc_id, r.match_tf, r.rnk) for r in
+              sorted(out, key=lambda r: r.rnk)]
+    assert ranked == [(1, 3, 1), (4, 3, 2), (2, 1, 3)]  # tie → doc_id
+
+    plan = (term_match_topk(docs, [("q", ["join"])], k=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
