@@ -1189,3 +1189,105 @@ def bfs_hops(pairs: DataFrame, seeds: DataFrame,
             visited = visited.localCheckpoint(eager=True)
         frontier = nxt.select("id")
     return visited
+
+
+def sssp_by_component(pairs: DataFrame, labels: DataFrame,
+                      weight_col: str = "weight",
+                      max_rounds: int = 20) -> DataFrame:
+    """Weighted single-source shortest paths from each component's
+    canonical (min-id) vertex — the min-plus companion to
+    ``bfs_hops_by_component`` when edges carry costs (here: near-dup
+    distance, 1 − similarity). Semantics contract shared by BOTH
+    engine forms and the q53 oracle: the minimum total weight over
+    paths of at most ``max_rounds`` edges (hop-bounded Bellman-Ford —
+    with positive weights and rounds ≥ component diameter this IS the
+    shortest path, and the bound is what makes the oracle's recursive
+    enumeration finite).
+
+    Grouped one-job form (the ``pagerank_by_component`` rationale):
+    weighted symmetric edges join the broadcastable label frame, each
+    component relaxes locally in a dict — two shuffles total. Integer
+    weights keep every distance exact across engines.
+
+    Returns (id, dist) for vertices reachable within the bound.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"),
+                          F.col(weight_col).alias("w"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst"),
+                                       F.col(weight_col).alias("w")))
+             .groupBy("src", "dst").agg(F.min("w").alias("w")))
+    lab = labels.select(F.col("id").alias("src"), "cluster_id")
+    e = edges.join(lab, "src")
+
+    def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        seed = int(pdf["cluster_id"].iloc[0])
+        es = list(zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy(),
+                      pdf["w"].to_numpy()))
+        dist: dict[int, int] = {seed: 0}
+        for _ in range(max_rounds):
+            # SYNCHRONOUS relaxation: read the previous round's
+            # snapshot, write a fresh dict — in-place updates would
+            # let a lucky edge order cascade several hops in one
+            # round, breaking the ≤ max_rounds-edge contract the
+            # distributed form and the oracle recursion both honor
+            # (and making the result depend on edge order).
+            nxt = dict(dist)
+            for s, d, w in es:
+                s, d, w = int(s), int(d), int(w)
+                if s in dist and dist[s] + w < nxt.get(d, 1 << 62):
+                    nxt[d] = dist[s] + w
+            if nxt == dist:
+                break
+            dist = nxt
+        return pd.DataFrame({"id": sorted(dist),
+                             "dist": [dist[i] for i in sorted(dist)]})
+
+    return (e.groupBy("cluster_id")
+            .applyInPandas(_run, "id long, dist long"))
+
+
+def sssp(pairs: DataFrame, seeds: DataFrame,
+         weight_col: str = "weight", max_rounds: int = 20,
+         cut_every: int = 3) -> DataFrame:
+    """Distributed hop-bounded Bellman-Ford from an arbitrary seed
+    set: per round, relax every edge out of the current distance
+    frame (one join), fold candidates into the running minimum (one
+    grouped min), early-stop when a round improves nothing. The
+    scale-out path for giant components; ``sssp_by_component`` is the
+    one-job fast path — pinned equal in tests/test_dedup.py.
+
+    Same semantics contract: min weight over ≤ ``max_rounds``-edge
+    paths. Lineage is cut with localCheckpoint every ``cut_every``
+    rounds (the ``neardup_clusters`` discipline); the per-round
+    isEmpty improvement probe is the unavoidable action for
+    data-dependent termination.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"),
+                          F.col(weight_col).alias("w"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst"),
+                                       F.col(weight_col).alias("w")))
+             .groupBy("src", "dst").agg(F.min("w").alias("w")))
+    edges = _track_persist(edges)
+    dist = (seeds.select(F.col("id").cast("long"))
+            .withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True))
+    for rnd in range(1, max_rounds + 1):
+        cand = (edges.join(dist.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"),
+                        (F.col("dist") + F.col("w")).alias("dist")))
+        folded = (dist.unionByName(cand)
+                  .groupBy("id").agg(F.min("dist").alias("dist")))
+        if rnd % cut_every == 0:
+            folded = folded.localCheckpoint(eager=True)
+        improved = (folded.alias("n")
+                    .join(dist.alias("o"), "id", "left")
+                    .filter(F.col("o.dist").isNull()
+                            | (F.col("n.dist") < F.col("o.dist"))))
+        if improved.isEmpty():
+            break
+        dist = folded
+    return dist

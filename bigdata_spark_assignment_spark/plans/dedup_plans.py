@@ -469,8 +469,32 @@ def _pagerank_iter_ctes(iters: int, damping: float = 0.85) -> str:
         FROM edges e JOIN hb ON e.dst = hb.id
         WHERE hb.dist < 20)
       SELECT id, MIN(dist) AS hops FROM hb GROUP BY id)
+    UNION ALL
+    -- r5 session 5: weighted shortest paths from the canonical vertex
+    -- (operators.dedup.sssp_by_component) — integer near-dup-distance
+    -- weights (10001 − round(jaccard·10⁴)), min-plus over ≤20-edge
+    -- paths; the same hop bound makes the recursive enumeration finite
+    SELECT 'sssp', CAST(id AS BIGINT), CAST(dist AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM (
+      WITH RECURSIVE ew AS (
+        SELECT id_a AS src, id_b AS dst,
+               10001 - CAST(FLOOR(jaccard * 10000 + 0.5) AS BIGINT)
+                 AS w
+        FROM pairs
+        UNION ALL
+        SELECT id_b, id_a,
+               10001 - CAST(FLOOR(jaccard * 10000 + 0.5) AS BIGINT)
+        FROM pairs),
+      sp(id, dist, hops) AS (
+        SELECT DISTINCT cluster_id, CAST(0 AS BIGINT), 0 FROM reach
+        UNION
+        SELECT e.dst, sp.dist + e.w, sp.hops + 1
+        FROM ew e JOIN sp ON e.src = sp.id
+        WHERE sp.hops < 20)
+      SELECT id, MIN(dist) AS dist FROM sp GROUP BY id)
     """,
-    tags=("dedup", "neardup", "clustering", "pagerank"),
+    tags=("dedup", "neardup", "clustering", "pagerank", "sssp"),
 )
 def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the MinHash near-dup pair graph, tagged:
@@ -505,15 +529,25 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       cluster_id carries the hop count; the oracle re-derives it as
       MIN(dist) over a level-bounded recursive enumeration — an
       imperative frontier BFS vs recursive SQL differential.
+    * ``sssp`` — r5 session 5: WEIGHTED shortest paths from the same
+      canonical vertices (operators.dedup.sssp_by_component): integer
+      near-dup-distance weights 10001 − round(jaccard·10⁴), min-plus
+      relaxation bounded at 20 edges — the semantics contract all
+      three implementations share (grouped Bellman-Ford, the
+      distributed per-round ``sssp`` pinned equal in
+      tests/test_dedup.py, and the oracle's hop-bounded recursive
+      enumeration). cluster_id carries the distance; integer weights
+      make every value exact across engines.
 
     The pair graph is persisted so the MinHash sweep is paid once
-    across all four algorithm families."""
+    across all five algorithm families."""
     from ..operators.dedup import (
         _track_persist,
         bfs_hops_by_component,
         neardup_clusters,
         neardup_clusters_star,
         pagerank_by_component,
+        sssp_by_component,
         triangle_counts,
     )
 
@@ -535,8 +569,16 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     bfs = (bfs_hops_by_component(pairs, prop, max_hops=20)
            .select(F.lit("bfs").alias("method"), "id",
                    F.col("hops").alias("cluster_id"), nullv))
+    weighted = pairs.withColumn(
+        "weight",
+        (F.lit(10001) - F.floor(F.col("jaccard") * 10000 + 0.5))
+        .cast("long"))
+    sp = (sssp_by_component(weighted, prop, max_rounds=20)
+          .select(F.lit("sssp").alias("method"), "id",
+                  F.col("dist").alias("cluster_id"), nullv))
     return (prop.select(F.lit("prop").alias("method"), "id",
                         "cluster_id", nullv)
             .unionByName(star.select(F.lit("star").alias("method"),
                                      "id", "cluster_id", nullv))
-            .unionByName(pr).unionByName(tri).unionByName(bfs))
+            .unionByName(pr).unionByName(tri).unionByName(bfs)
+            .unionByName(sp))

@@ -609,3 +609,51 @@ def test_bfs_max_hops_truncates_both_forms(spark):
     iterative = {r.id: r.hops for r in
                  bfs_hops(pairs, seeds, max_hops=3).collect()}
     assert grouped == iterative == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_sssp_hand_graph_and_forms_agree(spark):
+    """r5 session 5: weighted shortest paths — a graph where the
+    cheapest path is NOT the fewest-hop path, grouped Bellman-Ford ==
+    distributed per-round relaxation, multi-component isolation."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        neardup_clusters,
+        sssp,
+        sssp_by_component,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 10), (1, 3, 50),   # 1→3: 20 via 2, not 50
+         (1, 4, 1), (4, 5, 1), (5, 3, 1),      # and 3 via 4,5 costs 3
+         (20, 21, 7)],                         # second component
+        ["id_a", "id_b", "weight"])
+    labels = neardup_clusters(pairs.select("id_a", "id_b"))
+    grouped = {r.id: r.dist for r in
+               sssp_by_component(pairs, labels).collect()}
+    seeds = labels.select("cluster_id").distinct() \
+                  .withColumnRenamed("cluster_id", "id")
+    iterative = {r.id: r.dist for r in sssp(pairs, seeds).collect()}
+    assert grouped == iterative
+    assert grouped == {1: 0, 2: 10, 3: 3, 4: 1, 5: 2, 20: 0, 21: 7}
+
+
+def test_sssp_hop_bound_contract_both_forms(spark):
+    """The documented semantics: min weight over paths of at most
+    max_rounds edges. With a bound of 2, the cheap 3-edge detour is
+    invisible and the direct edge wins — identically in both forms."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        neardup_clusters,
+        sssp,
+        sssp_by_component,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1),      # 3-edge path cost 3
+         (1, 4, 100)],                          # 1-edge path cost 100
+        ["id_a", "id_b", "weight"])
+    labels = neardup_clusters(pairs.select("id_a", "id_b"))
+    grouped = {r.id: r.dist for r in
+               sssp_by_component(pairs, labels, max_rounds=2).collect()}
+    seeds = labels.select("cluster_id").distinct() \
+                  .withColumnRenamed("cluster_id", "id")
+    iterative = {r.id: r.dist for r in
+                 sssp(pairs, seeds, max_rounds=2).collect()}
+    assert grouped == iterative
+    assert grouped[4] == 100 and grouped[3] == 2
