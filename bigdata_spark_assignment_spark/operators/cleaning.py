@@ -20,6 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from .relational import distinct_count_expr
 
@@ -317,3 +318,37 @@ def weighted_sample_topk(df: DataFrame, weight: Column, k: int,
             .orderBy(F.col("__wskey").desc(), F.col(key_col))
             .limit(k)
             .drop("__wskey"))
+
+
+def target_encode_loo(df: DataFrame, cat_col: str, target_col: str,
+                      out_col: str = "te") -> DataFrame:
+    """Leave-one-out target (mean) encoding of a categorical column —
+    the ML featurization that replaces a category with the mean of
+    the target over the OTHER rows of its group:
+
+        te_i = (Σ_group y − y_i) / (n_group − 1)
+
+    Excluding the row's own target is what prevents the direct
+    target-leakage a plain group-mean encoding commits. Fallbacks,
+    documented and tested: a singleton group (nothing to leave out)
+    and an all-null-target group encode as the GLOBAL target mean
+    (the prior); a row whose own target is NULL gets the plain group
+    mean. NULL categories form their own group (SQL PARTITION BY
+    semantics on both engines).
+
+    Plan: group sum/count ride a frame-less window on the category
+    (one shuffle), the global prior is a frame-less empty-partition
+    window — all codegen, no joins, no fit/transform state. At
+    100 TB this is one exchange on the category key; the global
+    window sees one row per task's aggregate, not the data.
+    """
+    wg = W.partitionBy(cat_col)
+    wall = W.partitionBy()
+    y = F.col(target_col)
+    s = F.sum(target_col).over(wg)
+    n = F.count(target_col).over(wg)
+    gmean = F.avg(target_col).over(wall)
+    te = (F.when(y.isNotNull() & (n > 1), (s - y) / (n - 1))
+          .when(y.isNull() & (n >= 1), s / n)
+          .otherwise(gmean))
+    return df.withColumn(out_col, te)

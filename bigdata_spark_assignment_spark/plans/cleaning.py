@@ -243,8 +243,31 @@ def day_part_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM dp, mp
     GROUP BY 2
+    UNION ALL
+    -- r5 session 5: leave-one-out target encoding of the dirty
+    -- priority against o_totalprice
+    -- (operators.cleaning.target_encode_loo) — per-category sum and
+    -- mean of the encoded values, NULL category as its own group
+    SELECT 'loo', g.prio, g.n, ROUND(g.s, 4), ROUND(g.a, 4),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM (
+      WITH dte AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderpriority END AS prio,
+               o_totalprice AS y
+        FROM orders),
+      enc AS (
+        SELECT prio,
+               CASE WHEN COUNT(y) OVER w > 1
+                    THEN (SUM(y) OVER w - y) / (COUNT(y) OVER w - 1)
+                    ELSE AVG(y) OVER () END AS te
+        FROM dte
+        WINDOW w AS (PARTITION BY prio))
+      SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(te) AS s, AVG(te) AS a
+      FROM enc GROUP BY 1) g
     """,
-    tags=("cleaning", "impute"),
+    tags=("cleaning", "impute", "encoding"),
 )
 def impute_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5+A6/M1+M2 in one tagged result (merged r2 q16+q17 to free
@@ -256,6 +279,13 @@ def impute_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``mode`` (``Main.scala:262-267``) — mode imputation with a
       deterministic tie-break (highest count, then smallest value).
       Dirt: every 7th order's priority becomes NULL.
+    * ``loo`` — r5 session 5: leave-one-out target encoding of the
+      same dirty priority against o_totalprice
+      (operators.cleaning.target_encode_loo): group sum/count on a
+      frame-less category window, global prior for singletons — the
+      leakage-free mean encoding. Readout per category: n, rounded
+      sum and mean of the encoded column; the oracle re-derives the
+      per-row encoding end-to-end.
     """
     li = load_table(spark, sf_dir, "lineitem")
     dirty = li.select(
@@ -285,7 +315,23 @@ def impute_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(None).cast("double").alias("avg_imputed"),
                          F.lit(None).cast("long").alias("n_was_null"),
                          F.lit(None).cast("long").alias("n_rows")))
-    return mean_row.unionByName(mode_rows)
+
+    from ..operators.cleaning import target_encode_loo
+
+    dte = orders.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority")).alias("prio"),
+        F.col("o_totalprice").alias("y"))
+    loo_rows = (target_encode_loo(dte, "prio", "y")
+                .groupBy("prio")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     fround(F.sum("te")).alias("sum_imputed"),
+                     fround(F.avg("te")).alias("avg_imputed"))
+                .select(F.lit("loo").alias("part"), "prio", "n",
+                        "sum_imputed", "avg_imputed",
+                        F.lit(None).cast("long").alias("n_was_null"),
+                        F.lit(None).cast("long").alias("n_rows")))
+    return mean_row.unionByName(mode_rows).unionByName(loo_rows)
 
 
 @register(

@@ -683,3 +683,30 @@ def test_equidepth_histogram_exact_and_atomic_ties(spark):
     assert sum(r.n_rows for r in out2) == 100  # NULL excluded
     heavy = [r for r in out2 if r.lo <= 5.0 <= r.hi]
     assert len(heavy) == 1 and heavy[0].n_rows >= 90
+
+
+def test_target_encode_loo_hand_computed_and_fallbacks(spark):
+    """r5 session 5: leave-one-out encoding — hand-checked values,
+    singleton→global-prior fallback, null-target→group-mean, NULL
+    category as its own group, and the no-join window plan."""
+    from bigdata_spark_assignment_spark.operators.cleaning import (
+        target_encode_loo,
+    )
+    rows = [("a", 10.0), ("a", 20.0), ("a", 30.0),
+            ("b", 100.0),            # singleton → global mean
+            (None, 1.0), (None, 3.0),
+            ("a", None)]             # null target → group mean
+    df = spark.createDataFrame(rows, "cat string, y double")
+    out = target_encode_loo(df, "cat", "y").collect()
+    gmean = (10 + 20 + 30 + 100 + 1 + 3) / 6
+    got = {(r.cat, r.y): r.te for r in out}
+    assert got[("a", 10.0)] == pytest.approx(25.0)   # (60-10)/2
+    assert got[("a", 20.0)] == pytest.approx(20.0)
+    assert got[("a", 30.0)] == pytest.approx(15.0)
+    assert got[("b", 100.0)] == pytest.approx(gmean)
+    assert got[(None, 1.0)] == pytest.approx(3.0)    # null-cat group
+    assert got[("a", None)] == pytest.approx(20.0)   # group mean
+
+    plan = (target_encode_loo(df, "cat", "y")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan
