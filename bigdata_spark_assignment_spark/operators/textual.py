@@ -852,3 +852,45 @@ def term_match_topk(docs: "DataFrame", queries: list[tuple[str, list[str]]],
                                           F.col("doc_id"))
     return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
             .filter(F.col("rnk") <= int(k)))
+
+
+def bigram_doc_scores(docs: "DataFrame", id_col: str = "doc_id",
+                      text_col: str = "text") -> "DataFrame":
+    """Per-document mean ln p(w_i | w_{i−1}) under the corpus bigram
+    LM, plus perplexity exp(−mean) — the step up from the unigram
+    quality proxy (q74's ``unigram_doc_scores``): repetitive or
+    formulaic text scores HIGH (predictable transitions), incoherent
+    token soup scores LOW, which is exactly the CCNet/Gopher-style
+    LM-quality axis.
+
+    MLE estimates, p = c(w_{i−1} w_i) / c_prefix(w_{i−1}), with NO
+    smoothing — sound here because the corpus scores ITSELF, so every
+    scored bigram was seen at least once (a held-out scorer would add
+    add-k; documented, not needed for the quality-filter use). Docs
+    with fewer than 2 tokens are omitted (no bigrams to score).
+
+    Plan: bigrams come from a shuffle-free arrays_zip of the word
+    array against its own tail (no posexplode + per-doc window sort);
+    the bigram and prefix count tables are token-keyed aggregates the
+    occurrence stream then joins — the same inverted-index shape as
+    bm25. Returns (doc_id, bigram_logprob, bigram_ppl, n_bigrams);
+    the q74 oracle re-derives every score from the same token stream.
+    """
+    w = words_expr(F.col(text_col))
+    sz = F.size(w)
+    occ = (docs.filter(sz >= 2)
+           .select(F.col(id_col).alias("doc_id"),
+                   F.explode(F.arrays_zip(
+                       F.slice(w, 1, sz - 1).alias("t"),
+                       F.slice(w, 2, sz - 1).alias("nxt"))).alias("p"))
+           .select("doc_id", F.col("p.t").alias("t"),
+                   F.col("p.nxt").alias("nxt")))
+    bgc = occ.groupBy("t", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    prec = bgc.groupBy("t").agg(F.sum("c").alias("pc"))
+    scored = (occ.join(bgc, ["t", "nxt"]).join(prec, "t")
+              .groupBy("doc_id")
+              .agg(F.avg(F.log(F.col("c") / F.col("pc")))
+                   .alias("bigram_logprob"),
+                   F.count(F.lit(1)).alias("n_bigrams")))
+    return scored.withColumn("bigram_ppl",
+                             F.exp(-F.col("bigram_logprob")))

@@ -700,12 +700,37 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN ROUND(clf, 4) > 0.2 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_flag_clf
       FROM docsc JOIN (SELECT doc_id, lang FROM words) w2 USING (doc_id)
-      GROUP BY w2.lang)
+      GROUP BY w2.lang),
+    -- r5 session 5: corpus bigram LM scores
+    -- (operators.textual.bigram_doc_scores) — MLE p(w_i|w_{i-1}),
+    -- same token stream, every score re-derived
+    bgl AS (
+      SELECT doc_id,
+             unnest([array_to_string(w[i:i+1], ' ')
+                     for i in range(1, len(w))]) AS bg
+      FROM words WHERE len(w) >= 2),
+    bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bgl GROUP BY 1),
+    prec AS (SELECT split_part(bg, ' ', 1) AS pre, SUM(c) AS pc
+             FROM bgc GROUP BY 1),
+    bdoc AS (
+      SELECT bgl.doc_id,
+             AVG(ln(bgc.c * 1.0 / prec.pc)) AS blogprob
+      FROM bgl JOIN bgc USING (bg)
+      JOIN prec ON split_part(bgl.bg, ' ', 1) = prec.pre
+      GROUP BY 1),
+    blm AS (
+      SELECT w2.lang,
+             ROUND(AVG(blogprob), 4) AS avg_bigram_logprob,
+             ROUND(AVG(exp(-blogprob)), 4) AS avg_bigram_ppl
+      FROM bdoc JOIN (SELECT doc_id, lang FROM words) w2 USING (doc_id)
+      GROUP BY 1)
     SELECT rep.*, lm.avg_unigram_logprob, lm.min_unigram_logprob,
-           lm.n_flag_lowprob, lm.avg_clf_score, lm.n_flag_clf
-    FROM rep JOIN lm USING (lang)
+           lm.n_flag_lowprob, lm.avg_clf_score, lm.n_flag_clf,
+           blm.avg_bigram_logprob, blm.avg_bigram_ppl
+    FROM rep JOIN lm USING (lang) JOIN blm USING (lang)
     """,
-    tags=("text", "quality", "dedup", "gopher", "lm"),
+    tags=("text", "quality", "dedup", "gopher", "lm", "bigram"),
 )
 def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText-style repetition filters (Rae et al. 2021,
@@ -729,6 +754,14 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
       score (``textual.hashed_weight_expr``, fastText-style inference
       with md5 pseudo-weights so the oracle reproduces them exactly);
       flag > 0.2 ≈ the 90th percentile.
+    * ``avg_bigram_logprob`` + ``avg_bigram_ppl`` — r5 session 5:
+      per-doc mean ln p(w_i|w_{i−1}) under the corpus bigram LM and
+      its perplexity (``textual.bigram_doc_scores``): MLE transition
+      probabilities (self-scoring, so no unseen bigrams), bigrams
+      from a shuffle-free arrays_zip of the word array against its
+      tail, counts as token-keyed aggregates the occurrence stream
+      joins — the step up from the unigram proxy on the same
+      tokenization contract.
 
     No reference precedent (the reference processes no free text);
     this is the §2.9 training-data-quality surface.
@@ -746,6 +779,7 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the final per-lang join is a 5-row broadcast.
     """
     from ..operators.textual import (
+        bigram_doc_scores,
         gram_coverage_stats_udf,
         unigram_doc_scores,
     )
@@ -770,7 +804,13 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.avg("clf")).alias("avg_clf_score"),
         F.sum(F.when(F.round("clf", 4) > 0.2, 1).otherwise(0))
          .alias("n_flag_clf"))
-    return _repetition_lang_agg(fracs).join(lm, "lang")
+    blm = (bigram_doc_scores(docs)
+           .join(docs.select("doc_id", "lang"), "doc_id")
+           .groupBy("lang")
+           .agg(fround(F.avg("bigram_logprob"))
+                .alias("avg_bigram_logprob"),
+                fround(F.avg("bigram_ppl")).alias("avg_bigram_ppl")))
+    return _repetition_lang_agg(fracs).join(lm, "lang").join(blm, "lang")
 
 
 def _repetition_lang_agg(fracs: DataFrame) -> DataFrame:

@@ -528,3 +528,31 @@ def test_term_match_topk_integer_scores(spark):
     plan = (term_match_topk(docs, [("q", ["join"])], k=2)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_doc_scores_hand_computed(spark):
+    """r5 session 5: corpus bigram LM — hand-checked MLE transition
+    probabilities, perplexity relation, short-doc omission, and the
+    repetitive-text-scores-higher property."""
+    import math
+
+    from bigdata_spark_assignment_spark.operators.textual import (
+        bigram_doc_scores,
+    )
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ab"),        # transitions ab→ab only
+         (2, "ab cd ab ef"),        # ab→cd, cd→ab, ab→ef
+         (3, "xy")],                # 1 token → omitted
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_doc_scores(docs).collect()}
+    assert 3 not in out
+    # corpus bigram counts: (ab,ab)=3 (ab,cd)=1 (cd,ab)=1 (ab,ef)=1
+    # prefix counts: ab=5, cd=1
+    lp1 = math.log(3 / 5)                      # each of doc1's 3 bigrams
+    assert out[1].bigram_logprob == pytest.approx(lp1)
+    assert out[1].bigram_ppl == pytest.approx(math.exp(-lp1))
+    assert out[1].n_bigrams == 3
+    lp2 = (math.log(1 / 5) + math.log(1 / 1) + math.log(1 / 5)) / 3
+    assert out[2].bigram_logprob == pytest.approx(lp2)
+    # the repetitive doc is more predictable under the LM
+    assert out[1].bigram_logprob > out[2].bigram_logprob
