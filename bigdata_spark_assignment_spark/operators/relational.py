@@ -1065,3 +1065,60 @@ def rrf_fuse(rankings: DataFrame, query_col: str = "query_id",
         F.round("rrf_score", rank_decimals).desc(), id_col)
     return (g.withColumn("rnk", F.row_number().over(w).cast("int"))
             .filter(F.col("rnk") <= int(top_k)))
+
+
+def seasonal_decompose(df: DataFrame, key_cols: list[str],
+                       order_cols: list[str], value_col: str,
+                       period: int = 6, half_window: int = 3) -> DataFrame:
+    """Classic additive seasonal decomposition per key:
+
+        trend_t    = centered moving average (±half_window rows,
+                     NULL unless the window is full — the standard
+                     edge convention)
+        seasonal_t = mean of (x − trend) over the key's rows sharing
+                     t's phase (position mod ``period``)
+        resid_t    = x − trend − seasonal
+
+    The moving-average decomposition (the first stage of STL, without
+    the loess refinement); phases are POSITIONAL (row index mod
+    period) so irregular sampling decomposes deterministically.
+    Convention notes, mirrored by the oracle: seasonal means are the
+    raw phase means of the detrended series (no grand-mean
+    re-centering), and the detrended values are quantized to 1e−6
+    ("micro-units") before the phase mean — float discipline, not
+    statistics: the trend is an EXPLICIT lag/lead chain summed
+    left-to-right (the EWMA trick — a windowed AVG would sum in
+    engine-specific order, e.g. DuckDB's segment trees), and phase
+    SUMs over integral micro-units are exact in double regardless of
+    accumulation order, so every resid is bit-identical across
+    engines instead of drifting an ulp at rounding boundaries.
+
+    Plan: ONE partition-sort window serves the row index and every
+    lag/lead term; the phase means ride a second frame-less window on
+    (key, phase) — no join, no second scan. Returns the input plus
+    (pos, phase, trend, seasonal, resid).
+    """
+    ws = W.partitionBy(*key_cols).orderBy(*order_cols)
+    pos = F.row_number().over(ws) - F.lit(1)
+    h = int(half_window)
+    terms = [F.lag(F.col(value_col), j).over(ws) for j in range(h, 0, -1)]
+    terms += [F.col(value_col)]
+    terms += [F.lead(F.col(value_col), j).over(ws)
+              for j in range(1, h + 1)]
+    total: Column = F.lit(0.0)
+    present: Column = F.lit(0)
+    for t in terms:
+        total = total + F.coalesce(t, F.lit(0.0))
+        present = present + F.when(t.isNotNull(), 1).otherwise(0)
+    trend = F.when(present == (2 * h + 1), total / F.lit(2 * h + 1.0))
+    base = (df.withColumn("pos", pos.cast("long"))
+            .withColumn("phase", (pos % int(period)).cast("long"))
+            .withColumn("trend", trend))
+    d_micro = F.round((F.col(value_col) - F.col("trend")) * 1e6, 0)
+    base = base.withColumn("__dm", d_micro)
+    wp = W.partitionBy(*key_cols, "phase")
+    seasonal_micro = F.sum("__dm").over(wp) / F.count("__dm").over(wp)
+    return (base.withColumn("seasonal", seasonal_micro / F.lit(1e6))
+            .withColumn("resid_micro", F.col("__dm") - seasonal_micro)
+            .withColumn("resid", F.col("resid_micro") / F.lit(1e6))
+            .drop("__dm"))

@@ -1042,9 +1042,46 @@ _ACF_SQL = _acf_sql(max_lag=5)
     -- (operators.relational.acf) — same lag-chain windows, same
     -- global-mean centering, ratio rounded on both engines
     {_ACF_SQL}
+    UNION ALL
+    -- r5 session 5: additive seasonal decomposition per user
+    -- (operators.relational.seasonal_decompose, period 6, ±3 MA):
+    -- trend as the engine's EXPLICIT left-to-right lag/lead chain
+    -- (windowed AVG sums in engine-specific order), detrended values
+    -- quantized to micro-units so the phase sums are order-exact
+    SELECT 'seasonal', s.event_id, s.user_id, NULL,
+           s.resid_micro, s.phase
+    FROM (
+      SELECT event_id, user_id, phase,
+             dm - SUM(dm) OVER wp * 1.0 / COUNT(dm) OVER wp
+               AS resid_micro
+      FROM (
+        SELECT event_id, user_id,
+               CAST((rn - 1) % 6 AS BIGINT) AS phase,
+               ROUND((value - CASE WHEN t1 IS NOT NULL
+                                    AND t2 IS NOT NULL
+                                    AND t3 IS NOT NULL
+                                    AND t5 IS NOT NULL
+                                    AND t6 IS NOT NULL
+                                    AND t7 IS NOT NULL
+                  THEN (((((((0.0 + t1) + t2) + t3) + value)
+                          + t5) + t6) + t7) / 7.0 END)
+                  * 1000000, 0) AS dm
+        FROM (
+          SELECT event_id, user_id, value,
+                 ROW_NUMBER() OVER w AS rn,
+                 LAG(value, 3) OVER w AS t1,
+                 LAG(value, 2) OVER w AS t2,
+                 LAG(value, 1) OVER w AS t3,
+                 LEAD(value, 1) OVER w AS t5,
+                 LEAD(value, 2) OVER w AS t6,
+                 LEAD(value, 3) OVER w AS t7
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id)))
+      WINDOW wp AS (PARTITION BY user_id, phase)) s
     """,
     tags=("join", "asof", "range", "resample", "anomaly", "ewma",
-          "acf", "interp"),
+          "acf", "interp", "seasonal"),
 )
 def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal joins in one tagged result (merged r2 q56+q57 to free
@@ -1101,6 +1138,17 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       unpivots lags to rows. id = lag, v = r_lag, n = overlapping
       pairs; constant series yield NULL r. The oracle re-derives the
       identical estimator per lag from the same window chain.
+    * ``seasonal`` — r5 session 5: additive seasonal decomposition
+      (operators.relational.seasonal_decompose, period 6, ±3 centered
+      MA): trend from one partition-sort window (NULL at edges),
+      positional phase means of the detrended series from a second
+      frame-less window on (user, phase), residual emitted per event
+      in exact micro-units (v = resid·10⁶ — integral dm minus an
+      exact-operand division, bit-identical across engines with NO
+      rounding; a 4-dp ROUND was observed to flip at a decimal half
+      where the two engines' round implementations disagree on the
+      binary value), n = phase. The MA-decomposition stage of STL,
+      fully window-algebraic — no join, no UDF.
     """
     from ..operators.relational import asof_join, range_join_binned
 
@@ -1199,9 +1247,20 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
                   fround(F.col("acf_r")).alias("v"),
                   F.col("n_pairs").alias("n")))
+
+    from ..operators.relational import seasonal_decompose
+
+    sd = (seasonal_decompose(events, ["user_id"], ["ts", "event_id"],
+                             "value", period=6, half_window=3)
+          .select(F.lit("seasonal").alias("part"),
+                  F.col("event_id").alias("id"),
+                  "user_id",
+                  F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
+                  F.col("resid_micro").alias("v"),
+                  F.col("phase").alias("n")))
     return (asof.unionByName(rng).unionByName(rs).unionByName(ip)
             .unionByName(anom).unionByName(ew).unionByName(cp)
-            .unionByName(ac))
+            .unionByName(ac).unionByName(sd))
 
 
 @register(

@@ -710,3 +710,33 @@ def test_target_encode_loo_hand_computed_and_fallbacks(spark):
     plan = (target_encode_loo(df, "cat", "y")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    """r5 session 5: seasonal decomposition — on a series that is
+    exactly trend + periodic pattern, the residual vanishes wherever
+    the MA window is full; edges have NULL trend; additivity holds."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        seasonal_decompose,
+    )
+    season = [5.0, -3.0, 1.0, -1.0]          # period 4, ±2 MA window
+    rows = [("u", i, 10.0 + season[i % 4]) for i in range(16)]
+    df = spark.createDataFrame(rows, "k string, seq int, value double")
+    out = {r.seq: r for r in
+           seasonal_decompose(df, ["k"], ["seq"], "value",
+                              period=4, half_window=2).collect()}
+    assert out[0].trend is None and out[15].trend is None
+    full = [r for r in out.values() if r.trend is not None]
+    assert len(full) == 12
+    # MA over ±2 of a period-4 signal is NOT flat (5-term window), but
+    # the phase means absorb what the trend misses on this exact
+    # trend+season series: residuals vanish in the interior
+    interior = [out[i] for i in range(4, 12)]
+    for r in interior:
+        assert abs(r.resid) < 1e-6, (r.seq, r.resid)
+    # additivity: value == trend + seasonal + resid wherever defined
+    for r in full:
+        assert r.value == pytest.approx(r.trend + r.seasonal + r.resid,
+                                        abs=1e-6)
+    # phases cycle positionally
+    assert [out[i].phase for i in range(8)] == [0, 1, 2, 3, 0, 1, 2, 3]
