@@ -1122,3 +1122,85 @@ def seasonal_decompose(df: DataFrame, key_cols: list[str],
             .withColumn("resid_micro", F.col("__dm") - seasonal_micro)
             .withColumn("resid", F.col("resid_micro") / F.lit(1e6))
             .drop("__dm"))
+
+
+def exact_percentiles(df: DataFrame, value_col: str,
+                      ps: list[float],
+                      key_cols: list[str] | None = None) -> DataFrame:
+    """EXACT linearly-interpolated percentiles (the percentile_cont /
+    numpy-linear convention: position h = (n−1)·p over the sorted
+    multiset) — without sorting the data: rows group to the
+    distinct-VALUE table per key, a cumulative count assigns each
+    value its 0-based position range [start, start+c−1], and each
+    requested percentile reads its two bracketing positions via
+    conditional aggregation over that (frontier-sized) table — the
+    ``equidepth_histogram`` shape, so the only non-key exchange
+    touches distinct values, never rows.
+
+    Returns one row per (keys…, p) with ``value``. NULLs excluded;
+    empty groups vanish. ``ps`` are Python literals embedded on both
+    engine and oracle sides, so h and the interpolation weights are
+    identical doubles.
+    """
+    key_cols = key_cols or []
+    counts = (df.filter(F.col(value_col).isNotNull())
+              .groupBy(*key_cols, value_col)
+              .agg(F.count(F.lit(1)).alias("__c")))
+    wcum = (W.partitionBy(*key_cols).orderBy(value_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy(*key_cols)
+    with_pos = counts.select(
+        *key_cols, F.col(value_col).alias("__v"), "__c",
+        (F.sum("__c").over(wcum) - F.col("__c")).alias("__start"),
+        F.sum("__c").over(wall).alias("__n"))
+    aggs = []
+    for i, p in enumerate(ps):
+        h = (F.col("__n") - 1) * F.lit(float(p))
+        k1, k2 = F.floor(h), F.ceil(h)
+        in1 = (F.col("__start") <= k1) & (k1 < F.col("__start") + F.col("__c"))
+        in2 = (F.col("__start") <= k2) & (k2 < F.col("__start") + F.col("__c"))
+        aggs += [F.max(F.when(in1, F.col("__v"))).alias(f"__v1_{i}"),
+                 F.max(F.when(in2, F.col("__v"))).alias(f"__v2_{i}"),
+                 F.max(F.when(in1, h - k1)).alias(f"__f_{i}")]
+    g = with_pos.groupBy(*key_cols).agg(*aggs)
+    outs = []
+    for i, p in enumerate(ps):
+        v1, v2, f = (F.col(f"__v1_{i}"), F.col(f"__v2_{i}"),
+                     F.col(f"__f_{i}"))
+        outs.append(F.struct(F.lit(float(p)).alias("p"),
+                             (v1 + f * (v2 - v1)).alias("value")))
+    return (g.select(*key_cols,
+                     F.explode(F.array(*outs)).alias("__q"))
+            .select(*key_cols, F.col("__q.p").alias("p"),
+                    F.col("__q.value").alias("value")))
+
+
+def winsorize(df: DataFrame, value_col: str,
+              p_lo: float = 0.05, p_hi: float = 0.95,
+              key_cols: list[str] | None = None,
+              out_col: str = "winsorized") -> DataFrame:
+    """Winsorization: clamp each row's value to its group's exact
+    interpolated [p_lo, p_hi] percentile caps — the outlier treatment
+    that bounds influence without dropping rows (the robust
+    alternative to trimming before means/regressions).
+
+    Plan: caps come from ``exact_percentiles`` (distinct-value table,
+    no data sort) and join back on the key — group-cardinality
+    broadcast in practice. Adds ``out_col`` plus ``lo_cap`` /
+    ``hi_cap`` / ``was_capped``. NULL values pass through unclamped
+    (was_capped NULL).
+    """
+    key_cols = key_cols or []
+    caps = (exact_percentiles(df, value_col, [p_lo, p_hi], key_cols)
+            .groupBy(*key_cols)
+            .agg(F.max(F.when(F.col("p") == float(p_lo), F.col("value")))
+                 .alias("lo_cap"),
+                 F.max(F.when(F.col("p") == float(p_hi), F.col("value")))
+                 .alias("hi_cap")))
+    joined = (df.join(F.broadcast(caps), key_cols)
+              if key_cols else df.crossJoin(F.broadcast(caps)))
+    y = F.col(value_col)
+    clamped = F.least(F.greatest(y, F.col("lo_cap")), F.col("hi_cap"))
+    return (joined.withColumn(out_col, clamped)
+            .withColumn("was_capped",
+                        F.when(y.isNotNull(), y != clamped)))

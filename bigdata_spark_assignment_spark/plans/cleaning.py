@@ -446,8 +446,55 @@ def impute_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * (COUNT(DISTINCT variant) - 1) AS BIGINT) AS dof,
              CAST(SUM(o) AS BIGINT) AS n
       FROM sc) g
+    UNION ALL
+    -- r5 session 5: winsorized metric readout per event_type
+    -- (operators.relational.winsorize over exact_percentiles) — the
+    -- exact interpolated 5%/95% caps re-derived via the same
+    -- distinct-value position construction, no engine quantile builtin
+    SELECT 'wins', g.event_type, NULL, g.n, g.nc,
+           ROUND(g.lo, 4), ROUND(g.hi, 4), ROUND(g.wmean, 4)
+    FROM (
+      WITH vc AS (
+        SELECT event_type, value AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      pos AS (
+        SELECT event_type, v, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - c AS s,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM vc),
+      caps AS (
+        SELECT event_type,
+          MAX(CASE WHEN s <= floor((n-1)*0.05)
+                    AND floor((n-1)*0.05) < s + c THEN v END) AS lo1,
+          MAX(CASE WHEN s <= ceil((n-1)*0.05)
+                    AND ceil((n-1)*0.05) < s + c THEN v END) AS lo2,
+          MAX(CASE WHEN s <= floor((n-1)*0.05)
+                    AND floor((n-1)*0.05) < s + c
+              THEN (n-1)*0.05 - floor((n-1)*0.05) END) AS lof,
+          MAX(CASE WHEN s <= floor((n-1)*0.95)
+                    AND floor((n-1)*0.95) < s + c THEN v END) AS hi1,
+          MAX(CASE WHEN s <= ceil((n-1)*0.95)
+                    AND ceil((n-1)*0.95) < s + c THEN v END) AS hi2,
+          MAX(CASE WHEN s <= floor((n-1)*0.95)
+                    AND floor((n-1)*0.95) < s + c
+              THEN (n-1)*0.95 - floor((n-1)*0.95) END) AS hif
+        FROM pos GROUP BY 1),
+      cc AS (
+        SELECT event_type, lo1 + lof * (lo2 - lo1) AS lo,
+               hi1 + hif * (hi2 - hi1) AS hi
+        FROM caps)
+      SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN e.value < cc.lo OR e.value > cc.hi
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             ANY_VALUE(cc.lo) AS lo, ANY_VALUE(cc.hi) AS hi,
+             AVG(LEAST(GREATEST(e.value, cc.lo), cc.hi)) AS wmean
+      FROM events e JOIN cc USING (event_type)
+      WHERE e.value IS NOT NULL
+      GROUP BY 1) g
     """,
-    tags=("split", "sampling", "abtest"),
+    tags=("split", "sampling", "abtest", "winsorize"),
 )
 def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment-infrastructure suite, tagged:
@@ -475,6 +522,13 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       zero cells folded in via χ² = n + Σ_obs((o−e)²/e − e) so no
       dense cell cross-join exists at any cardinality. n1 = n,
       n2 = dof, v1 = χ².
+    * ``wins`` — r5 session 5: winsorized metric readout per
+      event_type (operators.relational.winsorize): exact interpolated
+      5%/95% caps from the distinct-value position construction
+      (operators.relational.exact_percentiles — no data sort, no
+      engine quantile builtin on either side), rows clamped, mean of
+      the clamped metric. n1 = rows, n2 = capped, v1/v2 = caps,
+      v3 = winsorized mean.
     """
     from ..operators.cleaning import deterministic_split
     from ..operators.relational import (chi2_independence,
@@ -526,7 +580,23 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                   fround(F.col("chi2")).alias("v1"),
                   F.lit(None).cast("double").alias("v2"),
                   F.lit(None).cast("double").alias("v3")))
-    return split.unionByName(tt).unionByName(mw).unionByName(c2)
+
+    from ..operators.relational import winsorize
+
+    wz = winsorize(events.filter(F.col("value").isNotNull()),
+                   "value", 0.05, 0.95, key_cols=["event_type"])
+    wins = (wz.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n1"),
+                 F.sum(F.col("was_capped").cast("long")).alias("n2"),
+                 fround(F.any_value("lo_cap")).alias("v1"),
+                 fround(F.any_value("hi_cap")).alias("v2"),
+                 fround(F.avg("winsorized")).alias("v3"))
+            .select(F.lit("wins").alias("part"),
+                    F.col("event_type").alias("k1"),
+                    F.lit(None).cast("string").alias("k2"),
+                    "n1", "n2", "v1", "v2", "v3"))
+    return (split.unionByName(tt).unionByName(mw).unionByName(c2)
+            .unionByName(wins))
 
 
 @register(

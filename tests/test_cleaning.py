@@ -740,3 +740,51 @@ def test_seasonal_decompose_recovers_planted_pattern(spark):
                                         abs=1e-6)
     # phases cycle positionally
     assert [out[i].phase for i in range(8)] == [0, 1, 2, 3, 0, 1, 2, 3]
+
+
+def test_exact_percentiles_numpy_parity_and_ties(spark):
+    """r5 session 5: exact interpolated percentiles — numpy 'linear'
+    parity on random data with ties, per-key isolation, NULL
+    exclusion."""
+    import random
+
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        exact_percentiles,
+    )
+    rng = random.Random(11)
+    vals_a = [round(rng.uniform(0, 100), 1) for _ in range(197)]
+    vals_b = [5.0] * 10 + [1.0, 9.0]          # heavy ties
+    rows = ([("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+            + [("a", None)])
+    df = spark.createDataFrame(rows, "k string, v double")
+    ps = [0.05, 0.5, 0.95]
+    out = {(r.k, r.p): r.value for r in
+           exact_percentiles(df, "v", ps, ["k"]).collect()}
+    for k, vals in (("a", vals_a), ("b", vals_b)):
+        for p in ps:
+            want = float(np.percentile(vals, p * 100,
+                                       method="linear"))
+            assert out[(k, p)] == pytest.approx(want), (k, p)
+
+
+def test_winsorize_caps_and_mean(spark):
+    """Winsorization: caps clamp both tails, interior untouched,
+    was_capped flags exactly the clamped rows."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        winsorize,
+    )
+    vals = [float(i) for i in range(1, 21)]     # 1..20
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "k string, v double")
+    out = {r.v: r for r in
+           winsorize(df, "v", 0.05, 0.95, ["k"]).collect()}
+    # numpy linear: p05 of 1..20 = 1.95, p95 = 19.05
+    assert out[1.0].lo_cap == pytest.approx(1.95)
+    assert out[20.0].hi_cap == pytest.approx(19.05)
+    assert out[1.0].winsorized == pytest.approx(1.95)
+    assert out[20.0].winsorized == pytest.approx(19.05)
+    assert out[10.0].winsorized == 10.0 and not out[10.0].was_capped
+    assert out[1.0].was_capped and out[20.0].was_capped
+    assert sum(1 for r in out.values() if r.was_capped) == 2
