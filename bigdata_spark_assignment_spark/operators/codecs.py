@@ -109,6 +109,35 @@ def decode_bmp(data: bytes) -> dict:
     }
 
 
+def decode_bmp_pixels(data: bytes) -> "np.ndarray":
+    """Like ``decode_bmp`` but returns the grayscale pixel GRID
+    ``(h, w) uint8`` (channel average, exact for the B=G=R images
+    ``encode_bmp`` writes) — the entry point transform ops (resize)
+    use; ``decode_bmp`` stays the stats contract."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload (bad magic/size)")
+    _, _, _, _, offset = struct.unpack_from(_BMP_FILE_HEADER, data, 0)
+    (info_size, w, h_raw, planes, bpp, comp, _, _, _, _,
+     _) = struct.unpack_from(_BMP_INFO_HEADER, data, 14)
+    if info_size < 40 or comp != 0 or bpp != 24 or planes != 1:
+        raise ValueError("unsupported BMP for pixel decode")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP geometry w={w} h={h_raw}")
+    stride = (w * 3 + 3) & ~3
+    if offset + stride * h > len(data):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h,
+                         offset=offset).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    # exact integer channel average (B=G=R images make this lossless)
+    return ((bgr[:, :, 0].astype(np.uint16)
+             + bgr[:, :, 1] + bgr[:, :, 2]) // 3).astype(np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # PNG — stdlib-zlib, written from the public PNG spec (8-byte
 # signature; length/type/data/CRC chunk grammar; IHDR geometry; IDAT

@@ -277,6 +277,66 @@ def resize_images(assets: DataFrame, width: int = 32, height: int = 32,
     return flat.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+RESIZED_NATIVE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("feat_mean", T.DoubleType()),
+    T.StructField("feat_std", T.DoubleType()),
+])
+
+
+def resize_images_native(assets: DataFrame, width: int = 8,
+                         height: int = 8, id_col: str = "doc_id",
+                         asset_col: str = "asset") -> DataFrame:
+    """REAL image resize (r5 session 5 — retires the stub for BMP
+    payloads): decode the 24-bit BMP to its grayscale pixel grid
+    (``codecs.decode_bmp_pixels``), nearest-neighbor resample to
+    (width, height) with integer source indices
+    ``sy = y·h // height, sx = x·w // width`` (the exact-arithmetic
+    convention a SQL oracle can re-derive), re-encode as BMP, and
+    RE-DECODE the new payload for the emitted stats — the round trip
+    proves the output is a valid image, not just an array.
+
+    Same Spark contract as the stub: Arrow-batched ``mapInPandas``,
+    payload-column pruning, one output row per input row; decode
+    failures surface as errors (a real parser's path), they don't
+    silently pass through.
+    """
+    from .codecs import decode_bmp, decode_bmp_pixels, encode_bmp
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            ids, payloads, means, stds = [], [], [], []
+            for i, p in zip(pdf["id"], pdf["payload"]):
+                px = decode_bmp_pixels(bytes(p))
+                h, w = px.shape
+                sy = (np.arange(height, dtype=np.int64) * h) // height
+                sx = (np.arange(width, dtype=np.int64) * w) // width
+                out = encode_bmp(px[np.ix_(sy, sx)])
+                stats = decode_bmp(out)      # round-trip the payload
+                ids.append(int(i))
+                payloads.append(out)
+                means.append(stats["feat_mean"])
+                stds.append(stats["feat_std"])
+            yield pd.DataFrame({
+                "doc_id": pd.array(ids, dtype="int64"),
+                "payload": payloads,
+                "width": pd.array([width] * len(ids), dtype="int32"),
+                "height": pd.array([height] * len(ids), dtype="int32"),
+                "feat_mean": pd.array(means, dtype="float64"),
+                "feat_std": pd.array(stds, dtype="float64"),
+            })
+
+    flat = assets.select(
+        F.col(id_col).alias("id"),
+        F.col(f"{asset_col}.payload").alias("payload"))
+    return flat.mapInPandas(run, schema=RESIZED_NATIVE_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("src_digest", T.StringType()),

@@ -327,6 +327,35 @@ def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(SUM(st.s), 4) AS m4,
              0.0 AS m5
       FROM jids j JOIN jstats st USING (doc_id)),
+    -- r5 session 5: REAL nearest-neighbor resize of the BMP fixtures
+    -- to 8x8 (operators.multimodal.resize_images_native): source
+    -- index sy = y*h//8, sx = x*w//8, so the resampled ramp pixels
+    -- are closed-form and the resized image's mean/std re-derive here
+    rsum AS (
+      SELECT i.doc_id,
+             (SELECT SUM(((y.y * i.h // 8) * i.w + (x.x * i.w // 8))
+                         % 256)
+              FROM (SELECT unnest(generate_series(0, 7)) AS y) y,
+                   (SELECT unnest(generate_series(0, 7)) AS x) x)
+               AS px_sum,
+             (SELECT SUM(POWER(((y.y * i.h // 8) * i.w
+                                + (x.x * i.w // 8)) % 256, 2))
+              FROM (SELECT unnest(generate_series(0, 7)) AS y) y,
+                   (SELECT unnest(generate_series(0, 7)) AS x) x)
+               AS px_sq
+      FROM ids i),
+    rsz AS (
+      SELECT 'resize_native' AS part, 'all' AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_assets,
+             CAST(COUNT(DISTINCT px_sum) AS BIGINT) AS n_distinct,
+             CAST(SUM(8) AS DOUBLE) AS m1,
+             CAST(SUM(8) AS DOUBLE) AS m2,
+             ROUND(SUM(px_sum / 64.0), 4) AS m3,
+             ROUND(SUM(sqrt(px_sq / 64.0
+                            - (px_sum / 64.0) * (px_sum / 64.0))), 4)
+               AS m4,
+             0.0 AS m5
+      FROM rsum),
     wav AS (
       SELECT 'wav_native' AS part, 'all' AS grp,
              CAST(COUNT(*) AS BIGINT) AS n_assets,
@@ -342,6 +371,7 @@ def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT * FROM bmp
     UNION ALL SELECT * FROM png
     UNION ALL SELECT * FROM jpg
+    UNION ALL SELECT * FROM rsz
     UNION ALL SELECT * FROM wav
     """,
     tags=("multimodal", "pandas-udf", "codec"),
@@ -385,6 +415,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
         extract_media_features,
         resize_images,
+        resize_images_native,
         sample_frames,
         synthesize_bmp_assets,
         synthesize_jpeg_assets,
@@ -469,6 +500,21 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("jpeg_native").alias("part"), F.lit("all").alias("grp"),
                 "n_assets", "n_distinct", "m1", "m2", "m3", "m4",
                 F.lit(0.0).alias("m5")))
+    resize_part = (
+        resize_images_native(synthesize_bmp_assets(media_docs),
+                             width=8, height=8)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_assets"),
+             F.countDistinct(F.round(F.col("feat_mean") * 64, 0)
+                             .cast("long")).alias("n_distinct"),
+             F.sum("width").cast("double").alias("m1"),
+             F.sum("height").cast("double").alias("m2"),
+             fround(F.sum("feat_mean")).alias("m3"),
+             fround(F.sum("feat_std")).alias("m4"))
+        .select(F.lit("resize_native").alias("part"),
+                F.lit("all").alias("grp"),
+                "n_assets", "n_distinct", "m1", "m2", "m3", "m4",
+                F.lit(0.0).alias("m5")))
     wav_part = (
         media.filter(F.col("modality") == "audio").groupBy()
         .agg(F.count(F.lit(1)).alias("n_assets"),
@@ -481,7 +527,8 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("wav_native").alias("part"), F.lit("all").alias("grp"),
                 "n_assets", "n_distinct", "m1", "m2", "m3", "m4", "m5"))
     return (stub_part.unionByName(bmp_part).unionByName(png_part)
-            .unionByName(jpeg_part).unionByName(wav_part))
+            .unionByName(jpeg_part).unionByName(resize_part)
+            .unionByName(wav_part))
 
 
 # BM25 retrieval queries (q61 `bm25` part) — fixed term sets over the

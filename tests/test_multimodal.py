@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigdata_spark_assignment_spark.io import load_table
@@ -687,3 +689,43 @@ def test_phash_assets_image_neardup_pipeline(spark):
     planted = {(2 * i, 2 * i + 1) for i in range(8)}
     assert planted <= pairs, planted - pairs   # every copy found
     assert pairs == planted, pairs - planted   # no cross-image pairs
+
+
+def test_resize_images_native_roundtrip_and_values(spark):
+    """r5 session 5: REAL nearest-neighbor resize — output payloads
+    are valid BMPs (re-decoded), geometry is the target, and the
+    sampled pixels match the integer-index reference."""
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.codecs import (
+        decode_bmp_pixels,
+    )
+    from bigdata_spark_assignment_spark.operators.multimodal import (
+        resize_images_native,
+        synthesize_bmp_assets,
+    )
+    docs = spark.range(6).select(F.col("id").alias("doc_id"))
+    assets = synthesize_bmp_assets(docs)
+    out = {r.doc_id: r for r in
+           resize_images_native(assets, width=8, height=8).collect()}
+    assert len(out) == 6
+    for i, r in out.items():
+        assert (r.width, r.height) == (8, 8)
+        px = decode_bmp_pixels(bytes(r.payload))   # valid BMP out
+        assert px.shape == (8, 8)
+        w, h = 4 + i % 13, 3 + i % 7
+        src = (np.arange(w * h, dtype=np.int64) % 256).reshape(h, w)
+        sy = (np.arange(8) * h) // 8
+        sx = (np.arange(8) * w) // 8
+        want = src[np.ix_(sy, sx)]
+        assert (px == want).all()
+        assert r.feat_mean == pytest.approx(want.mean())
+        assert r.feat_std == pytest.approx(want.std())
+
+
+def test_decode_bmp_pixels_rejects_garbage(spark):
+    from bigdata_spark_assignment_spark.operators.codecs import (
+        decode_bmp_pixels,
+    )
+    with pytest.raises(ValueError):
+        decode_bmp_pixels(b"not a bmp at all")
