@@ -893,6 +893,34 @@ def decode_wav(data: bytes) -> dict:
     }
 
 
+def decode_wav_samples(data: bytes) -> tuple["np.ndarray", int]:
+    """Like ``decode_wav`` but returns the raw int16 sample ARRAY
+    (interleaved if multi-channel) and the sample rate — the entry
+    point frame-level feature extraction uses; ``decode_wav`` stays
+    the stats contract."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = raw = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack_from(_WAV_FMT, body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt / data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16 or n_channels < 1:
+        raise ValueError("unsupported WAV for sample decode")
+    return np.frombuffer(raw, dtype="<i2"), int(sample_rate)
+
+
 # ---------------------------------------------------------------------------
 # Executor shipping: serialize this module's functions BY VALUE inside
 # UDF closures (see module docstring). PySpark's UDF pickler is its

@@ -701,3 +701,58 @@ def phash_assets(assets: DataFrame, id_col: str = "doc_id",
                 T.StructField("phash", T.LongType()),
             ]))
             .select(F.col("id").alias(id_col), "phash"))
+
+
+AUDIO_FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("n_in_frame", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.IntegerType()),
+])
+
+
+def audio_frame_features(assets: DataFrame, frame_len: int = 16,
+                         id_col: str = "doc_id",
+                         asset_col: str = "asset") -> DataFrame:
+    """REAL per-frame audio features over PCM-16 WAV payloads — the
+    explode-shaped audio op (one asset row fans out to one row per
+    non-overlapping ``frame_len``-sample frame): frame RMS
+    (√mean(v²)) and peak |v|. The trailing partial frame is kept with
+    its true length (``n_in_frame``) — the convention the q49 oracle
+    mirrors; hop == frame_len (non-overlapping) keeps output volume
+    ≤ samples/frame_len per asset.
+
+    Arrow-batched ``mapInPandas`` over the pruned payload column;
+    decode goes through ``codecs.decode_wav_samples`` (real RIFF
+    walk), so malformed payloads raise rather than pass silently.
+    """
+    from .codecs import decode_wav_samples
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            ids, idxs, ns, rmss, peaks = [], [], [], [], []
+            for i, p in zip(pdf["id"], pdf["payload"]):
+                samples, _ = decode_wav_samples(bytes(p))
+                v = samples.astype(np.float64)
+                for f in range((len(v) + frame_len - 1) // frame_len):
+                    fr = v[f * frame_len:(f + 1) * frame_len]
+                    ids.append(int(i))
+                    idxs.append(f)
+                    ns.append(int(fr.size))
+                    rmss.append(float(np.sqrt((fr * fr).mean())))
+                    peaks.append(int(np.abs(fr).max()))
+            yield pd.DataFrame({
+                "doc_id": pd.array(ids, dtype="int64"),
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "n_in_frame": pd.array(ns, dtype="int32"),
+                "rms": pd.array(rmss, dtype="float64"),
+                "peak": pd.array(peaks, dtype="int32"),
+            })
+
+    flat = assets.select(
+        F.col(id_col).alias("id"),
+        F.col(f"{asset_col}.payload").alias("payload"))
+    return flat.mapInPandas(run, schema=AUDIO_FRAME_SCHEMA)

@@ -356,6 +356,30 @@ def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS m4,
              0.0 AS m5
       FROM rsum),
+    -- r5 session 5: REAL per-frame audio features over the WAV ramps
+    -- (operators.multimodal.audio_frame_features, 16-sample frames,
+    -- trailing partial kept): frame RMS/peak re-derived by summing
+    -- the ramp squares over a generate_series grid
+    aframes AS (
+      SELECT i.doc_id, f.f AS frame_idx,
+             LEAST(16 * (f.f + 1), i.ns) - 16 * f.f AS nif,
+             LEAST(16 * (f.f + 1), i.ns) - 1 AS peak,
+             (SELECT SUM(POWER(s.s, 2))
+              FROM (SELECT unnest(generate_series(16 * f.f,
+                       LEAST(16 * (f.f + 1), i.ns) - 1)) AS s) s) AS sq
+      FROM ids i,
+           LATERAL (SELECT unnest(generate_series(0,
+                      CAST(ceil(i.ns / 16.0) AS INTEGER) - 1)) AS f) f),
+    audio AS (
+      SELECT 'audio_frames' AS part, 'all' AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_assets,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+             CAST(SUM(nif) AS DOUBLE) AS m1,
+             ROUND(SUM(sqrt(sq * 1.0 / nif)), 4) AS m2,
+             CAST(SUM(peak) AS DOUBLE) AS m3,
+             CAST(MAX(frame_idx) AS DOUBLE) AS m4,
+             0.0 AS m5
+      FROM aframes),
     wav AS (
       SELECT 'wav_native' AS part, 'all' AS grp,
              CAST(COUNT(*) AS BIGINT) AS n_assets,
@@ -372,6 +396,7 @@ def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT * FROM png
     UNION ALL SELECT * FROM jpg
     UNION ALL SELECT * FROM rsz
+    UNION ALL SELECT * FROM audio
     UNION ALL SELECT * FROM wav
     """,
     tags=("multimodal", "pandas-udf", "codec"),
@@ -412,6 +437,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero these parts and hash-mismatch: codec != 'stub' is asserted
     IN the checked result, not trusted from the seam."""
     from ..operators.multimodal import (
+        audio_frame_features,
         extract_features,
         extract_media_features,
         resize_images,
@@ -515,6 +541,20 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("all").alias("grp"),
                 "n_assets", "n_distinct", "m1", "m2", "m3", "m4",
                 F.lit(0.0).alias("m5")))
+    audio_part = (
+        audio_frame_features(synthesize_wav_assets(media_docs),
+                             frame_len=16)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_assets"),
+             F.countDistinct("doc_id").alias("n_distinct"),
+             F.sum("n_in_frame").cast("double").alias("m1"),
+             fround(F.sum("rms")).alias("m2"),
+             F.sum("peak").cast("double").alias("m3"),
+             F.max("frame_idx").cast("double").alias("m4"))
+        .select(F.lit("audio_frames").alias("part"),
+                F.lit("all").alias("grp"),
+                "n_assets", "n_distinct", "m1", "m2", "m3", "m4",
+                F.lit(0.0).alias("m5")))
     wav_part = (
         media.filter(F.col("modality") == "audio").groupBy()
         .agg(F.count(F.lit(1)).alias("n_assets"),
@@ -528,7 +568,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_assets", "n_distinct", "m1", "m2", "m3", "m4", "m5"))
     return (stub_part.unionByName(bmp_part).unionByName(png_part)
             .unionByName(jpeg_part).unionByName(resize_part)
-            .unionByName(wav_part))
+            .unionByName(audio_part).unionByName(wav_part))
 
 
 # BM25 retrieval queries (q61 `bm25` part) — fixed term sets over the

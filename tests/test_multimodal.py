@@ -729,3 +729,31 @@ def test_decode_bmp_pixels_rejects_garbage(spark):
     )
     with pytest.raises(ValueError):
         decode_bmp_pixels(b"not a bmp at all")
+
+
+def test_audio_frame_features_hand_computed(spark):
+    """r5 session 5: per-frame audio features — exact RMS/peak on the
+    known ramp, trailing partial frame kept with its true length,
+    explode fan-out = ceil(n/frame_len) rows per asset."""
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.multimodal import (
+        audio_frame_features,
+        synthesize_wav_assets,
+    )
+    docs = spark.range(3).select(F.col("id").alias("doc_id"))
+    out = audio_frame_features(synthesize_wav_assets(docs),
+                               frame_len=16).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i in range(3):
+        n = 10 + i % 50
+        frames = sorted(by_doc[i], key=lambda r: r.frame_idx)
+        assert len(frames) == (n + 15) // 16
+        for f, r in enumerate(frames):
+            lo, hi = 16 * f, min(16 * (f + 1), n)
+            v = np.arange(lo, hi, dtype=np.float64)
+            assert r.n_in_frame == hi - lo
+            assert r.rms == pytest.approx(float(np.sqrt((v * v).mean())))
+            assert r.peak == hi - 1
