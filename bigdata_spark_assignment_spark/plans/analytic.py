@@ -1512,6 +1512,11 @@ def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textual import WS_SPLIT
 
     docs = load_table(spark, sf_dir, "documents")
+    # NOT persisted (measured, r5 session 5): the exploded stream is
+    # scanned three times (MG candidate, MG verify, CMS build) but
+    # re-tokenizing is as fast as cache reads at every tested scale,
+    # and materializing an exploded token stream is exactly the
+    # memory shape to avoid at 100 TB — the A/B showed ±0.1s.
     tokens = docs.select(
         F.explode(F.split(F.lower("text"), WS_SPLIT)).alias("token")) \
         .filter(F.col("token") != "")
