@@ -1204,3 +1204,90 @@ def winsorize(df: DataFrame, value_col: str,
     return (joined.withColumn(out_col, clamped)
             .withColumn("was_capped",
                         F.when(y.isNotNull(), y != clamped)))
+
+
+# Poisson(1) CDF as EXACT 32-bit integer thresholds (floor(cdf·2³²),
+# precomputed): weight = #{t : u ≥ t} for a uniform 32-bit hash u.
+# Integer comparisons end-to-end — no float CDF on either engine.
+POISSON1_THRESHOLDS = [1580030168, 3160060337, 3950075421,
+                       4213413783, 4279248373, 4292415291]
+
+
+def poisson_weight_expr(u: Column) -> Column:
+    """Poisson(1) bootstrap weight from a uniform 32-bit integer hash
+    (capped at 6 — cumulative mass beyond is < 6e-4)."""
+    w: Column = F.lit(0)
+    for t in POISSON1_THRESHOLDS:
+        w = w + F.when(u >= F.lit(t), 1).otherwise(0)
+    return w
+
+
+def poisson_bootstrap_ci(df: DataFrame, id_col: str, variant_col: str,
+                         metric_col: str, n_boot: int = 50,
+                         alpha: float = 0.05, salt: str = "boot",
+                         variant_a: str = "a", variant_b: str = "b",
+                         diff_decimals: int = 4) -> DataFrame:
+    """Bootstrap confidence interval for the A/B mean difference via
+    the POISSON bootstrap — the resampling scheme that actually
+    distributes: instead of drawing n rows with replacement (which
+    needs global coordination), every row independently contributes
+    a Poisson(1) weight per replicate, derived here from a salted md5
+    of (replicate, row id) so the "randomness" is engine-independent
+    and the q62 oracle re-derives every weight from integer threshold
+    comparisons.
+
+    Returns ONE row: (n_boot_effective, diff_obs, ci_lo, ci_hi) —
+    the observed unweighted mean difference and the percentile-
+    bootstrap [α/2, 1−α/2] interval over replicate diffs. Replicates
+    where either arm drew zero total weight are dropped (counted out
+    of n_boot_effective). Replicate diffs are ROUNDED to
+    ``diff_decimals`` before the percentile selection — the float
+    discipline that keeps the order statistics identical across
+    engines (weighted sums are unordered double aggregates).
+
+    Plan: rows explode ×n_boot (bounded fan-out), one grouped
+    conditional aggregate to the n_boot-row replicate table, then the
+    ``exact_percentiles`` position construction over that tiny table.
+    At 100 TB the explode dominates — n_boot·rows map-side work, one
+    shuffle of n_boot partial-aggregated rows per task.
+    """
+    d = df.filter(F.col(metric_col).isNotNull()
+                  & F.col(variant_col).isin([variant_a, variant_b]))
+    rows = d.select(
+        F.col(variant_col).alias("__v"),
+        F.col(metric_col).alias("__y"),
+        F.col(id_col).cast("string").alias("__id"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1)))
+         .alias("__b"))
+    u = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"),
+                       F.col("__b").cast("string"),
+                       F.lit(":"), F.col("__id"))), 1, 8),
+        16, 10).cast("long")
+    w = poisson_weight_expr(u).cast("double")
+    is_a = F.col("__v") == variant_a
+    reps = (rows.withColumn("__w", w)
+            .groupBy("__b")
+            .agg(F.sum(F.when(is_a, F.col("__w") * F.col("__y"))).alias("sa"),
+                 F.sum(F.when(is_a, F.col("__w"))).alias("na"),
+                 F.sum(F.when(~is_a, F.col("__w") * F.col("__y"))).alias("sb"),
+                 F.sum(F.when(~is_a, F.col("__w"))).alias("nb"))
+            .filter((F.col("na") > 0) & (F.col("nb") > 0))
+            .select(F.round(F.col("sa") / F.col("na")
+                            - F.col("sb") / F.col("nb"),
+                            diff_decimals).alias("diff")))
+    ci = (exact_percentiles(reps, "diff",
+                            [alpha / 2.0, 1.0 - alpha / 2.0])
+          .groupBy()
+          .agg(F.max(F.when(F.col("p") == alpha / 2.0, F.col("value")))
+               .alias("ci_lo"),
+               F.max(F.when(F.col("p") == 1.0 - alpha / 2.0,
+                            F.col("value"))).alias("ci_hi")))
+    raw_a = F.col(variant_col) == variant_a
+    obs = d.agg(
+        (F.avg(F.when(raw_a, F.col(metric_col)))
+         - F.avg(F.when(~raw_a, F.col(metric_col)))).alias("diff_obs"))
+    eff = reps.agg(F.count(F.lit(1)).alias("n_boot_effective"))
+    return (eff.crossJoin(F.broadcast(obs))
+            .crossJoin(F.broadcast(ci))
+            .select("n_boot_effective", "diff_obs", "ci_lo", "ci_hi"))

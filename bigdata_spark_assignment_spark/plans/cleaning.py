@@ -334,9 +334,25 @@ def impute_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_row.unionByName(mode_rows).unionByName(loo_rows)
 
 
+def _poisson_w_sql(u_expr: str) -> str:
+    """Poisson(1) weight from a 32-bit hash as the SAME integer
+    threshold comparisons the engine uses
+    (operators.relational.POISSON1_THRESHOLDS)."""
+    from ..operators.relational import POISSON1_THRESHOLDS
+    terms = " + ".join(
+        f"CASE WHEN {u_expr} >= {t} THEN 1 ELSE 0 END"
+        for t in POISSON1_THRESHOLDS)
+    return f"({terms})"
+
+
+_BOOT_W = _poisson_w_sql(
+    "CAST(('0x' || substring(md5('boot:' || CAST(b AS VARCHAR) || ':' "
+    "|| CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)")
+
+
 @register(
     "q62_deterministic_hash_split",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT lang,
              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -493,8 +509,74 @@ def impute_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events e JOIN cc USING (event_type)
       WHERE e.value IS NOT NULL
       GROUP BY 1) g
+    UNION ALL
+    -- r5 session 5: Poisson-bootstrap CI for the A/B mean difference
+    -- (operators.relational.poisson_bootstrap_ci) — every replicate
+    -- weight re-derived from the same integer md5 thresholds, diffs
+    -- rounded BEFORE the percentile selection, caps via the same
+    -- position construction as the wins part
+    SELECT 'boot', NULL, NULL, g.neff, NULL,
+           ROUND(g.diff_obs, 4), ROUND(g.lo, 4), ROUND(g.hi, 4)
+    FROM (
+      WITH bd AS (
+        SELECT b.b AS b, e.event_id, e.value,
+               CASE WHEN CAST(('0x' || substring(
+                        md5('ab:' || CAST(e.user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS variant
+        FROM events e
+        CROSS JOIN (SELECT unnest(generate_series(0, 49)) AS b) b
+        WHERE e.value IS NOT NULL),
+      bw AS (
+        SELECT b, value, variant, {_BOOT_W} AS w FROM bd),
+      reps AS (
+        SELECT b,
+               SUM(CASE WHEN variant = 'a' THEN w * value END) AS sa,
+               SUM(CASE WHEN variant = 'a' THEN CAST(w AS DOUBLE) END)
+                 AS na,
+               SUM(CASE WHEN variant = 'b' THEN w * value END) AS sb,
+               SUM(CASE WHEN variant = 'b' THEN CAST(w AS DOUBLE) END)
+                 AS nb
+        FROM bw GROUP BY 1),
+      diffs AS (
+        SELECT ROUND(sa / na - sb / nb, 4) AS diff
+        FROM reps WHERE na > 0 AND nb > 0),
+      vc2 AS (SELECT diff AS v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM diffs GROUP BY 1),
+      pos2 AS (
+        SELECT v, c,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) - c AS s,
+               SUM(c) OVER () AS n
+        FROM vc2),
+      caps2 AS (
+        SELECT
+          MAX(CASE WHEN s <= floor((n-1)*0.025)
+                    AND floor((n-1)*0.025) < s + c THEN v END) AS lo1,
+          MAX(CASE WHEN s <= ceil((n-1)*0.025)
+                    AND ceil((n-1)*0.025) < s + c THEN v END) AS lo2,
+          MAX(CASE WHEN s <= floor((n-1)*0.025)
+                    AND floor((n-1)*0.025) < s + c
+              THEN (n-1)*0.025 - floor((n-1)*0.025) END) AS lof,
+          MAX(CASE WHEN s <= floor((n-1)*0.975)
+                    AND floor((n-1)*0.975) < s + c THEN v END) AS hi1,
+          MAX(CASE WHEN s <= ceil((n-1)*0.975)
+                    AND ceil((n-1)*0.975) < s + c THEN v END) AS hi2,
+          MAX(CASE WHEN s <= floor((n-1)*0.975)
+                    AND floor((n-1)*0.975) < s + c
+              THEN (n-1)*0.975 - floor((n-1)*0.975) END) AS hif
+        FROM pos2),
+      obs AS (
+        SELECT AVG(CASE WHEN variant = 'a' THEN value END)
+               - AVG(CASE WHEN variant = 'b' THEN value END) AS d
+        FROM bd WHERE b = 0),
+      neff AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM diffs)
+      SELECT neff.n AS neff, obs.d AS diff_obs,
+             caps2.lo1 + caps2.lof * (caps2.lo2 - caps2.lo1) AS lo,
+             caps2.hi1 + caps2.hif * (caps2.hi2 - caps2.hi1) AS hi
+      FROM neff, obs, caps2) g
     """,
-    tags=("split", "sampling", "abtest", "winsorize"),
+    tags=("split", "sampling", "abtest", "winsorize", "bootstrap"),
 )
 def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment-infrastructure suite, tagged:
@@ -529,6 +611,15 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       engine quantile builtin on either side), rows clamped, mean of
       the clamped metric. n1 = rows, n2 = capped, v1/v2 = caps,
       v3 = winsorized mean.
+    * ``boot`` — r5 session 5: percentile-bootstrap CI for the A/B
+      mean difference via the POISSON bootstrap
+      (operators.relational.poisson_bootstrap_ci): each row draws a
+      Poisson(1) weight per replicate from integer md5-threshold
+      comparisons (the resampling that needs no global coordination
+      — n_boot·rows map-side work, one tiny shuffle), replicate
+      diffs round BEFORE the percentile selection, caps via the same
+      position construction as ``wins``. n1 = effective replicates,
+      v1 = observed diff, v2/v3 = the 95% interval.
     """
     from ..operators.cleaning import deterministic_split
     from ..operators.relational import (chi2_independence,
@@ -595,8 +686,20 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("event_type").alias("k1"),
                     F.lit(None).cast("string").alias("k2"),
                     "n1", "n2", "v1", "v2", "v3"))
+    from ..operators.relational import poisson_bootstrap_ci
+
+    boot = (poisson_bootstrap_ci(assigned, "event_id", "variant",
+                                 "value", n_boot=50, alpha=0.05)
+            .select(F.lit("boot").alias("part"),
+                    F.lit(None).cast("string").alias("k1"),
+                    F.lit(None).cast("string").alias("k2"),
+                    F.col("n_boot_effective").alias("n1"),
+                    F.lit(None).cast("long").alias("n2"),
+                    fround(F.col("diff_obs")).alias("v1"),
+                    fround(F.col("ci_lo")).alias("v2"),
+                    fround(F.col("ci_hi")).alias("v3")))
     return (split.unionByName(tt).unionByName(mw).unionByName(c2)
-            .unionByName(wins))
+            .unionByName(wins).unionByName(boot))
 
 
 @register(

@@ -788,3 +788,29 @@ def test_winsorize_caps_and_mean(spark):
     assert out[10.0].winsorized == 10.0 and not out[10.0].was_capped
     assert out[1.0].was_capped and out[20.0].was_capped
     assert sum(1 for r in out.values() if r.was_capped) == 2
+
+
+def test_poisson_bootstrap_ci_properties(spark):
+    """r5 session 5: Poisson bootstrap — deterministic across calls,
+    CI brackets the observed diff on a clearly-separated sample, and
+    weights follow the integer-threshold Poisson(1) inversion."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        POISSON1_THRESHOLDS,
+        poisson_bootstrap_ci,
+    )
+    rows = ([(i, "a", 10.0 + (i % 7) * 0.1) for i in range(200)]
+            + [(i + 1000, "b", 5.0 + (i % 5) * 0.1) for i in range(200)])
+    df = spark.createDataFrame(rows, "id long, variant string, y double")
+    r1 = poisson_bootstrap_ci(df, "id", "variant", "y",
+                              n_boot=40).collect()[0]
+    r2 = poisson_bootstrap_ci(df, "id", "variant", "y",
+                              n_boot=40).collect()[0]
+    assert (r1.ci_lo, r1.ci_hi, r1.diff_obs) == (r2.ci_lo, r2.ci_hi,
+                                                 r2.diff_obs)
+    assert r1.n_boot_effective == 40
+    # true diff ~ 5.1; the CI must bracket the observed diff tightly
+    assert r1.ci_lo < r1.diff_obs < r1.ci_hi
+    assert 4.5 < r1.ci_lo and r1.ci_hi < 5.7
+    # thresholds are a valid CDF grid for 32-bit hashes
+    assert POISSON1_THRESHOLDS == sorted(POISSON1_THRESHOLDS)
+    assert POISSON1_THRESHOLDS[-1] < 1 << 32
