@@ -894,3 +894,44 @@ def bigram_doc_scores(docs: "DataFrame", id_col: str = "doc_id",
                    F.count(F.lit(1)).alias("n_bigrams")))
     return scored.withColumn("bigram_ppl",
                              F.exp(-F.col("bigram_logprob")))
+
+
+def phrase_search(docs: "DataFrame", phrases: list[tuple[str, list[str]]],
+                  id_col: str = "doc_id", text_col: str = "text",
+                  min_term_len: int = 0) -> "DataFrame":
+    """Exact phrase search over a POSITIONAL inverted index: for each
+    (phrase_id, [t1..tk]) count occurrences of the consecutive token
+    sequence per document — the retrieval op BM25's bag-of-words
+    scoring cannot express.
+
+    Plan: one posexplode builds the positional postings once; each
+    phrase filters its k term posting lists (broadcast literals) and
+    equi-joins them on (doc, pos+i) — k−1 joins per phrase keyed on
+    (doc_id, position), each join's inputs already pruned to single
+    terms' postings. That is the classic positional-index phrase
+    plan: work is O(Σ postings of the phrase's terms), never a scan
+    of the corpus per phrase. Returns (phrase_id, doc_id, n_matches)
+    for docs with ≥ 1 match.
+    """
+    tokens = (docs.select(F.col(id_col).alias("doc_id"),
+                          F.posexplode(words_expr(F.col(text_col)))
+                          .alias("pos", "term"))
+              .filter(F.length("term") >= min_term_len))
+    outs = []
+    for pid, terms in phrases:
+        if not terms:
+            raise ValueError(f"empty phrase {pid!r}")
+        m = (tokens.filter(F.col("term") == terms[0])
+             .select("doc_id", F.col("pos").alias("p0")))
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = (tokens.filter(F.col("term") == t)
+                   .select("doc_id", (F.col("pos") - i).alias("p0")))
+            m = m.join(nxt, ["doc_id", "p0"])
+        outs.append(m.groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("n_matches"))
+                    .select(F.lit(pid).alias("phrase_id"),
+                            "doc_id", "n_matches"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

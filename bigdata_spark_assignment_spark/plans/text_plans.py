@@ -583,6 +583,32 @@ _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 5
 _BM25_QUERY_VALUES = ", ".join(
     f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms)
 
+# q61 `phrase` part: exact consecutive-token phrases over the
+# positional index (operators.textual.phrase_search) — the oracle leg
+# is GENERATED per phrase from this same list
+_PHRASE_QUERIES: list[tuple[str, list[str]]] = [
+    ("p2", ["table", "hash"]),
+    ("p3", ["slow", "hash", "batch"]),
+]
+
+
+def _phrase_oracle_legs() -> str:
+    legs = []
+    for pid, terms in _PHRASE_QUERIES:
+        k = len(terms)
+        conds = " AND ".join(f"w[i + {j}] = '{terms[j]}'"
+                             for j in range(k))
+        legs.append(f"""
+      SELECT '{pid}' AS phrase_id, doc_id,
+             CAST(len([i for i in range(1, len(w) - {k} + 2)
+                       if {conds}]) AS BIGINT) AS n_matches
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(text), '\\s+') AS w
+            FROM documents)
+      WHERE len([i for i in range(1, len(w) - {k} + 2)
+                 if {conds}]) > 0""")
+    return " UNION ALL ".join(legs)
+
 
 @register(
     "q61_tfidf_top_terms",
@@ -664,8 +690,14 @@ _BM25_QUERY_VALUES = ", ".join(
     SELECT 'rrf', doc_id, query_id, ns, NULL, ROUND(score, 6),
            CAST(rnk AS INTEGER)
     FROM rrfranked WHERE rnk <= {_BM25_K}
+    UNION ALL
+    -- r5 session 5: exact phrase occurrences per doc
+    -- (operators.textual.phrase_search) — consecutive-token windows
+    -- re-enumerated per phrase from the same token arrays
+    SELECT 'phrase', doc_id, phrase_id, n_matches, NULL, NULL, NULL
+    FROM ({_phrase_oracle_legs()})
     """,
-    tags=("text", "tfidf", "bm25", "retrieval", "rrf"),
+    tags=("text", "tfidf", "bm25", "retrieval", "rrf", "phrase"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-relevance scoring in one tagged result:
@@ -688,6 +720,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       hybrid-retrieval combiner. tf = number of source lists the doc
       appeared in, v = the fused score (6 dp), rank on the rounded
       score. Both source rankings AND the fusion are oracle-re-derived.
+    * ``phrase`` — r5 session 5: exact consecutive-token phrase
+      occurrences (operators.textual.phrase_search): one positional
+      posting build, per-phrase k−1 equi-joins on (doc, pos+i) over
+      single-term posting lists — O(Σ phrase-term postings), never a
+      corpus scan per phrase. term = phrase_id, tf = match count;
+      the oracle re-enumerates every window per phrase.
     """
     from pyspark.sql import Window as W
 
@@ -720,7 +758,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sources").alias("tf"),
         F.lit(None).cast("long").alias("df"),
         F.round("rrf_score", 6).alias("v"), "rnk")
-    return tfidf.unionByName(bm25).unionByName(rrf)
+
+    from ..operators.textual import phrase_search
+
+    phrase = (phrase_search(docs, _PHRASE_QUERIES)
+              .select(F.lit("phrase").alias("part"), "doc_id",
+                      F.col("phrase_id").alias("term"),
+                      F.col("n_matches").alias("tf"),
+                      F.lit(None).cast("long").alias("df"),
+                      F.lit(None).cast("double").alias("v"),
+                      F.lit(None).cast("int").alias("rnk")))
+    return (tfidf.unionByName(bm25).unionByName(rrf)
+            .unionByName(phrase))
 
 
 @register(

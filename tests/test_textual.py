@@ -556,3 +556,27 @@ def test_bigram_doc_scores_hand_computed(spark):
     assert out[2].bigram_logprob == pytest.approx(lp2)
     # the repetitive doc is more predictable under the LM
     assert out[1].bigram_logprob > out[2].bigram_logprob
+
+
+def test_phrase_search_hand_computed(spark):
+    """r5 session 5: positional phrase search — overlapping windows
+    counted, order matters, multi-word phrases, absent docs omitted,
+    and the posting-join plan has no cartesian product."""
+    from bigdata_spark_assignment_spark.operators.textual import (
+        phrase_search,
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),        # 'a b' twice, 'b a' twice
+         (2, "b a"),              # 'b a' once, no 'a b'
+         (3, "c c c"),            # neither
+         (4, "x a b y a b c")],   # 'a b' twice, 'a b c' once
+        "doc_id long, text string")
+    q = phrase_search(docs, [("ab", ["a", "b"]),
+                             ("ba", ["b", "a"]),
+                             ("abc", ["a", "b", "c"])])
+    got = {(r.phrase_id, r.doc_id): r.n_matches for r in q.collect()}
+    assert got == {("ab", 1): 2, ("ab", 4): 2,
+                   ("ba", 1): 2, ("ba", 2): 1,
+                   ("abc", 4): 1}
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
