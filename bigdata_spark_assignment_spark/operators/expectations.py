@@ -1,0 +1,89 @@
+"""Data-quality expectations — the dbt-test / Great-Expectations
+check family as composable DataFrame aggregates: each check returns
+ONE row (check, n_violations, status) and the suite unions them, so
+a whole table's contract evaluates as a handful of aggregate jobs
+(most fuse into shared scans when checks share a table).
+
+Design rules:
+* A check COUNTS violations rather than failing fast — the pipeline
+  decides whether to quarantine, alert, or abort.
+* Everything is a plain aggregate/anti-join: uniqueness is a grouped
+  HAVING-style count, referential integrity a left-anti join
+  (broadcast the parent when it is dimension-sized) — the shapes
+  that survive 100 TB.
+* NULL semantics are explicit per check (documented on each).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["expect_unique", "expect_not_null", "expect_in_set",
+           "expect_range", "expect_subset", "run_expectations"]
+
+
+def _result(name: str, violations: Column) -> list[Column]:
+    v = violations.cast("long")
+    return [F.lit(name).alias("check"), v.alias("n_violations"),
+            F.when(v == 0, "pass").otherwise("fail").alias("status")]
+
+
+def expect_unique(df: DataFrame, cols: list[str],
+                  name: str | None = None) -> DataFrame:
+    """Violations = rows beyond the first per duplicated key (so a
+    key seen 3× contributes 2). NULL keys participate as a group —
+    duplicate NULLs are duplicates."""
+    name = name or f"unique({','.join(cols)})"
+    g = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c"))
+    return g.agg(*_result(name, F.sum(F.col("__c") - 1)))
+
+
+def expect_not_null(df: DataFrame, col: str,
+                    name: str | None = None) -> DataFrame:
+    name = name or f"not_null({col})"
+    return df.agg(*_result(
+        name, F.count(F.when(F.col(col).isNull(), 1))))
+
+
+def expect_in_set(df: DataFrame, col: str, values: list,
+                  name: str | None = None) -> DataFrame:
+    """NULL is a violation (it is not in the set) — pair with an
+    explicit not_null check if NULLs are separately contracted."""
+    name = name or f"in_set({col})"
+    bad = F.col(col).isNull() | ~F.col(col).isin(values)
+    return df.agg(*_result(name, F.count(F.when(bad, 1))))
+
+
+def expect_range(df: DataFrame, col: str, lo, hi,
+                 name: str | None = None) -> DataFrame:
+    """Inclusive bounds; NULL passes (range constrains present
+    values — chain not_null for presence)."""
+    name = name or f"range({col})"
+    bad = F.col(col).isNotNull() & ~F.col(col).between(lo, hi)
+    return df.agg(*_result(name, F.count(F.when(bad, 1))))
+
+
+def expect_subset(child: DataFrame, child_col: str, parent: DataFrame,
+                  parent_col: str, name: str | None = None,
+                  broadcast_parent: bool = True) -> DataFrame:
+    """Referential integrity: child values (non-NULL) must exist in
+    the parent key set. Violations count CHILD ROWS, not distinct
+    orphan keys. Left-anti join on the (deduplicated) parent keys —
+    broadcast when the parent is dimension-sized."""
+    name = name or f"subset({child_col}->{parent_col})"
+    keys = parent.select(F.col(parent_col).alias(child_col)).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    orphans = (child.filter(F.col(child_col).isNotNull())
+               .join(keys, child_col, "left_anti"))
+    return orphans.agg(*_result(name, F.count(F.lit(1))))
+
+
+def run_expectations(checks: list[DataFrame]) -> DataFrame:
+    """Union the one-row check results into the suite report."""
+    if not checks:
+        raise ValueError("no checks given")
+    return reduce(lambda a, b: a.unionByName(b), checks)

@@ -108,8 +108,48 @@ def _profile_oracle_legs() -> str:
              CAST(COUNT(*) AS BIGINT) AS n_values,
              MIN(v) AS lo, MAX(v) AS hi
       FROM b GROUP BY 1) h
+    UNION ALL
+    -- r5 session 5: data-quality expectations
+    -- (operators.expectations) — every check's violation count
+    -- re-derived; the dirty-lang check MUST fail (detection proof)
+    SELECT 'expect', 'unique(doc_id)',
+           CASE WHEN v = 0 THEN 'pass' ELSE 'fail' END, NULL, v
+    FROM (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS v
+          FROM (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id))
+    UNION ALL
+    SELECT 'expect', 'not_null(text)',
+           CASE WHEN v = 0 THEN 'pass' ELSE 'fail' END, NULL, v
+    FROM (SELECT CAST(COUNT(*) FILTER (text IS NULL) AS BIGINT) AS v
+          FROM documents)
+    UNION ALL
+    SELECT 'expect', 'in_set(lang)',
+           CASE WHEN v = 0 THEN 'pass' ELSE 'fail' END, NULL, v
+    FROM (SELECT CAST(COUNT(*) FILTER (lang IS NULL OR lang NOT IN
+            ('en','es','de','fr','zh')) AS BIGINT) AS v
+          FROM documents)
+    UNION ALL
+    SELECT 'expect', 'in_set(lang_dirty)',
+           CASE WHEN v = 0 THEN 'pass' ELSE 'fail' END, NULL, v
+    FROM (SELECT CAST(COUNT(*) FILTER (d IS NULL OR d NOT IN
+            ('en','es','de','fr','zh')) AS BIGINT) AS v
+          FROM (SELECT CASE WHEN lang = 'en' THEN 'NA' ELSE lang END
+                  AS d FROM documents))
+    UNION ALL
+    SELECT 'expect', 'range(n_chars)',
+           CASE WHEN v = 0 THEN 'pass' ELSE 'fail' END, NULL, v
+    FROM (SELECT CAST(COUNT(*) FILTER (n_chars IS NOT NULL AND
+            (n_chars < 1 OR n_chars > 100000)) AS BIGINT) AS v
+          FROM documents)
+    UNION ALL
+    SELECT 'expect', 'subset(o_custkey->c_custkey)',
+           CASE WHEN v = 0 THEN 'pass' ELSE 'fail' END, NULL, v
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS v
+          FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
     """,
-    tags=("cleaning", "profile", "histogram"),
+    tags=("cleaning", "profile", "histogram", "expectations"),
 )
 def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality suite over the documents table, tagged:
@@ -135,6 +175,13 @@ def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       distinct-value counts → exclusive cumulative split → whole-value
       buckets, all integer arithmetic. k2 = bucket, s = lo:hi:n_values,
       n = rows in bucket.
+    * ``expect`` — r5 session 5: the dbt-test-style data-quality
+      contract (operators.expectations): uniqueness, presence,
+      value-set, range, and referential-integrity checks as one-row
+      aggregates unioned into a suite report. k1 = check,
+      k2 = pass/fail, n = violation count. The dirty-lang check is
+      PLANTED to fail (en→'NA'), proving detection; every count is
+      oracle-re-derived.
     """
     docs = load_table(spark, sf_dir, "documents")
     lang_dirty = F.when(F.col("lang") == "en", "NA").otherwise(F.col("lang"))
@@ -172,7 +219,38 @@ def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws(":", F.col("lo"), F.col("hi"),
                                 F.col("n_values")).alias("s"),
                     F.col("n_rows").alias("n")))
-    return clean.unionByName(prof).unionByName(hist)
+
+    from ..operators.expectations import (
+        expect_in_set,
+        expect_not_null,
+        expect_range,
+        expect_subset,
+        expect_unique,
+        run_expectations,
+    )
+
+    langs = ["en", "es", "de", "fr", "zh"]
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    checks = run_expectations([
+        expect_unique(docs, ["doc_id"], name="unique(doc_id)"),
+        expect_not_null(docs, "text", name="not_null(text)"),
+        expect_in_set(docs, "lang", langs, name="in_set(lang)"),
+        expect_in_set(docs.select(lang_dirty.alias("lang")), "lang",
+                      langs, name="in_set(lang_dirty)"),
+        expect_range(docs, "n_chars", 1, 100000,
+                     name="range(n_chars)"),
+        expect_subset(orders, "o_custkey", customer, "c_custkey",
+                      name="subset(o_custkey->c_custkey)"),
+    ])
+    expect_part = checks.select(
+        F.lit("expect").alias("part"),
+        F.col("check").alias("k1"),
+        F.col("status").alias("k2"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("n_violations").alias("n"))
+    return (clean.unionByName(prof).unionByName(hist)
+            .unionByName(expect_part))
 
 
 @register(
