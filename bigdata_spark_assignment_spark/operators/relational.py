@@ -1291,3 +1291,48 @@ def poisson_bootstrap_ci(df: DataFrame, id_col: str, variant_col: str,
     return (eff.crossJoin(F.broadcast(obs))
             .crossJoin(F.broadcast(ci))
             .select("n_boot_effective", "diff_obs", "ci_lo", "ci_hi"))
+
+
+def gini_coefficient(df: DataFrame, value_col: str,
+                     key_cols: list[str] | None = None) -> DataFrame:
+    """Gini concentration coefficient per key — the inequality
+    diagnostic (revenue concentration, partition-size skew, token
+    frequency inequality):
+
+        G = 2·Σ_i i·x_(i) / (n·Σx) − (n+1)/n      (x ascending)
+
+    computed WITHOUT sorting the data: a tie block of value v with
+    count c at exclusive cumulative position p contributes
+    v·(c·p + c(c+1)/2) to the rank-weighted sum, so the whole
+    statistic reads off the distinct-value table — the
+    ``equidepth_histogram`` / ``exact_percentiles`` shape again (one
+    key shuffle to distinct values, a frontier-sized cumulative
+    window, one aggregate). Negative values are rejected by guard
+    (Gini is defined for non-negative distributions); NULLs are
+    excluded; a single-row or all-zero group yields G = NULL.
+
+    Returns (keys…, n_rows, total, gini).
+    """
+    key_cols = key_cols or []
+    counts = (df.filter(F.col(value_col).isNotNull())
+              .groupBy(*key_cols, value_col)
+              .agg(F.count(F.lit(1)).alias("__c")))
+    wcum = (W.partitionBy(*key_cols).orderBy(value_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    p = F.sum("__c").over(wcum) - F.col("__c")
+    v = F.col(value_col)
+    block = v * (F.col("__c") * p
+                 + F.col("__c") * (F.col("__c") + 1) / F.lit(2.0))
+    g = (counts.withColumn("__rw", block)
+         .withColumn("__neg", F.when(v < 0, 1).otherwise(0))
+         .groupBy(*key_cols)
+         .agg(F.sum("__c").alias("n_rows"),
+              F.sum(v * F.col("__c")).alias("total"),
+              F.sum("__rw").alias("__rwsum"),
+              F.sum("__neg").alias("__nneg")))
+    n, t = F.col("n_rows"), F.col("total")
+    guard = (F.col("__nneg") == 0) & (n > 1) & (t > 0)
+    gini = F.when(guard,
+                  F.lit(2.0) * F.col("__rwsum") / (n * t)
+                  - (n + 1) / n)
+    return g.select(*key_cols, "n_rows", "total", gini.alias("gini"))

@@ -457,8 +457,29 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 o_orderdate) AS d
             FROM orders))
     WHERE pm IS NULL OR d < pm
+    UNION ALL
+    -- r5 session 5: Gini revenue concentration per priority
+    -- (operators.relational.gini_coefficient) — rank-weighted sum
+    -- read off the distinct-value table (tie block at exclusive
+    -- position p contributes v·(c·p + c(c+1)/2)), no data sort
+    SELECT 'gini', g.n, ROUND(g.gini, 4), g.prio, NULL
+    FROM (
+      WITH vc AS (
+        SELECT o_orderpriority AS prio, o_totalprice AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+      pos AS (
+        SELECT prio, v, c,
+               SUM(c) OVER (PARTITION BY prio ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - c AS p
+        FROM vc)
+      SELECT prio, SUM(c) AS n,
+             2.0 * SUM(v * (c * p + c * (c + 1) / 2.0))
+               / (SUM(c) * SUM(v * c)) - (SUM(c) + 1) / SUM(c) AS gini
+      FROM pos GROUP BY 1) g
     """,
-    tags=("sort", "limit", "skyline"),
+    tags=("sort", "limit", "skyline", "gini"),
 )
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference queries over orders, tagged:
@@ -473,6 +494,12 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       price while minimizing order date ("biggest-earliest"), via the
       distributive local-prune → global-sweep plan. d carries the
       epoch-day of the minimized dimension.
+    * ``gini`` — r5 session 5: Gini revenue concentration per
+      priority (operators.relational.gini_coefficient): the
+      rank-weighted sum reads off the distinct-value table (tie
+      block at exclusive position p contributes v·(c·p + c(c+1)/2))
+      — no data sort, the exact-percentiles shape. o_orderkey
+      carries n, o_totalprice the rounded coefficient.
     """
     orders = load_table(spark, sf_dir, "orders")
     topk = (
@@ -493,7 +520,17 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.lit("pareto").alias("part"), "o_orderkey",
                       fround(F.col("o_totalprice")).alias("o_totalprice"),
                       "o_orderpriority", "d"))
-    return topk.unionByName(pareto)
+
+    from ..operators.relational import gini_coefficient
+
+    gini = (gini_coefficient(orders, "o_totalprice",
+                             ["o_orderpriority"])
+            .select(F.lit("gini").alias("part"),
+                    F.col("n_rows").alias("o_orderkey"),
+                    fround(F.col("gini")).alias("o_totalprice"),
+                    "o_orderpriority",
+                    F.lit(None).cast("long").alias("d")))
+    return topk.unionByName(pareto).unionByName(gini)
 
 
 @register(

@@ -814,3 +814,38 @@ def test_poisson_bootstrap_ci_properties(spark):
     # thresholds are a valid CDF grid for 32-bit hashes
     assert POISSON1_THRESHOLDS == sorted(POISSON1_THRESHOLDS)
     assert POISSON1_THRESHOLDS[-1] < 1 << 32
+
+
+def test_gini_coefficient_known_values_and_guards(spark):
+    """r5 session 5: Gini — 0 for perfect equality, the known value
+    for one-holder concentration ((n-1)/n), numpy sorted-formula
+    parity on random data with ties, and the guards (negative values,
+    singleton, all-zero)."""
+    import random
+
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        gini_coefficient,
+    )
+    rng = random.Random(5)
+    vals = [float(rng.randint(0, 20)) for _ in range(157)]
+    rows = ([("eq", 7.0)] * 10
+            + [("one", 0.0)] * 9 + [("one", 100.0)]
+            + [("rand", v) for v in vals]
+            + [("neg", -1.0), ("neg", 5.0)]
+            + [("single", 3.0)]
+            + [("zero", 0.0), ("zero", 0.0)])
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r.k: r for r in
+           gini_coefficient(df, "v", ["k"]).collect()}
+    assert out["eq"].gini == pytest.approx(0.0, abs=1e-12)
+    assert out["one"].gini == pytest.approx(0.9)   # (n-1)/n, n=10
+    x = np.sort(np.array(vals))
+    n = len(x)
+    want = float(2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum())
+                 - (n + 1) / n)
+    assert out["rand"].gini == pytest.approx(want)
+    assert out["neg"].gini is None
+    assert out["single"].gini is None
+    assert out["zero"].gini is None
