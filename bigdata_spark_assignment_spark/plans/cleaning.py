@@ -104,7 +104,7 @@ def _profile_oracle_legs() -> str:
                        ROW) - c) * 8 / SUM(c) OVER ()) AS BIGINT),
                      7) AS bucket
         FROM vc)
-      SELECT bucket, SUM(c) AS n_rows,
+      SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_rows,
              CAST(COUNT(*) AS BIGINT) AS n_values,
              MIN(v) AS lo, MAX(v) AS hi
       FROM b GROUP BY 1) h

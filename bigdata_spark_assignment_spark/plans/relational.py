@@ -462,7 +462,8 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- (operators.relational.gini_coefficient) — rank-weighted sum
     -- read off the distinct-value table (tie block at exclusive
     -- position p contributes v·(c·p + c(c+1)/2)), no data sort
-    SELECT 'gini', g.n, ROUND(g.gini, 4), g.prio, NULL
+    SELECT 'gini', CAST(g.n AS BIGINT), ROUND(g.gini, 4), g.prio,
+           CAST(NULL AS BIGINT)
     FROM (
       WITH vc AS (
         SELECT o_orderpriority AS prio, o_totalprice AS v,
@@ -474,9 +475,16 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW) - c AS p
         FROM vc)
+      -- mirror the engine's degenerate-group guard
+      -- (operators/relational.py gini_coefficient): any negative
+      -- value, a singleton group, or a non-positive total => NULL
       SELECT prio, SUM(c) AS n,
-             2.0 * SUM(v * (c * p + c * (c + 1) / 2.0))
-               / (SUM(c) * SUM(v * c)) - (SUM(c) + 1) / SUM(c) AS gini
+             CASE WHEN SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) = 0
+                       AND SUM(c) > 1 AND SUM(v * c) > 0
+                  THEN 2.0 * SUM(v * (c * p + c * (c + 1) / 2.0))
+                         / (SUM(c) * SUM(v * c))
+                       - (SUM(c) + 1) / SUM(c)
+             END AS gini
       FROM pos GROUP BY 1) g
     """,
     tags=("sort", "limit", "skyline", "gini"),

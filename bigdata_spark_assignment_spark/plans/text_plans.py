@@ -246,7 +246,7 @@ def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length(payload)).alias("total_bytes"),
-            F.max(F.length(payload)).alias("max_bytes"),
+            F.max(F.length(payload)).cast("long").alias("max_bytes"),
             F.countDistinct(F.sha2(payload, 256)).alias("n_distinct_payloads"),
         )
     )
