@@ -38,7 +38,10 @@ def expect_unique(df: DataFrame, cols: list[str],
     duplicate NULLs are duplicates."""
     name = name or f"unique({','.join(cols)})"
     g = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c"))
-    return g.agg(*_result(name, F.sum(F.col("__c") - 1)))
+    # SUM over zero groups is NULL -> would read as 'fail' on an
+    # empty table; an empty table has zero violations (ADVICE r5)
+    return g.agg(*_result(
+        name, F.coalesce(F.sum(F.col("__c") - 1), F.lit(0))))
 
 
 def expect_not_null(df: DataFrame, col: str,

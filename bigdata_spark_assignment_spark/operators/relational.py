@@ -1200,7 +1200,12 @@ def winsorize(df: DataFrame, value_col: str,
     joined = (df.join(F.broadcast(caps), key_cols)
               if key_cols else df.crossJoin(F.broadcast(caps)))
     y = F.col(value_col)
-    clamped = F.least(F.greatest(y, F.col("lo_cap")), F.col("hi_cap"))
+    # guard the clamp: greatest/least SKIP nulls, so an unguarded
+    # NULL value would come out as lo_cap — honour the documented
+    # "NULL passes through unclamped" contract instead (ADVICE r5)
+    clamped = F.when(
+        y.isNotNull(),
+        F.least(F.greatest(y, F.col("lo_cap")), F.col("hi_cap")))
     return (joined.withColumn(out_col, clamped)
             .withColumn("was_capped",
                         F.when(y.isNotNull(), y != clamped)))

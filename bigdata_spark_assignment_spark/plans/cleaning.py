@@ -335,9 +335,15 @@ def day_part_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_totalprice AS y
         FROM orders),
       enc AS (
+        -- faithful mirror of the engine's when-chain (ADVICE r5):
+        -- non-null target in a >1 group -> leave-one-out mean;
+        -- NULL target with any non-null sibling -> plain group mean;
+        -- singleton / all-null group -> global prior
         SELECT prio,
-               CASE WHEN COUNT(y) OVER w > 1
+               CASE WHEN y IS NOT NULL AND COUNT(y) OVER w > 1
                     THEN (SUM(y) OVER w - y) / (COUNT(y) OVER w - 1)
+                    WHEN y IS NULL AND COUNT(y) OVER w >= 1
+                    THEN SUM(y) OVER w / COUNT(y) OVER w
                     ELSE AVG(y) OVER () END AS te
         FROM dte
         WINDOW w AS (PARTITION BY prio))

@@ -790,6 +790,24 @@ def test_winsorize_caps_and_mean(spark):
     assert sum(1 for r in out.values() if r.was_capped) == 2
 
 
+def test_winsorize_null_value_passes_through(spark):
+    """ADVICE r5: greatest/least skip NULLs, so an unguarded clamp
+    would fabricate lo_cap for a NULL value row — the documented
+    contract is NULL in, NULL out (was_capped NULL too)."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        winsorize,
+    )
+    rows = [("g", float(i)) for i in range(1, 21)] + [("g", None)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = winsorize(df, "v", 0.05, 0.95, ["k"]).collect()
+    null_rows = [r for r in out if r.v is None]
+    assert len(null_rows) == 1
+    assert null_rows[0].winsorized is None
+    assert null_rows[0].was_capped is None
+    # caps themselves ignore the NULL row (exact_percentiles filters)
+    assert null_rows[0].lo_cap == pytest.approx(1.95)
+
+
 def test_poisson_bootstrap_ci_properties(spark):
     """r5 session 5: Poisson bootstrap — deterministic across calls,
     CI brackets the observed diff on a clearly-separated sample, and

@@ -41,6 +41,15 @@ def test_expectation_semantics(spark):
     assert set(ok.values()) == {"pass"}
 
 
+def test_expect_unique_empty_table_passes(spark):
+    """ADVICE r5: SUM over zero groups is NULL — an empty table must
+    report 0 violations / 'pass', matching the oracle's COALESCE."""
+    empty = spark.createDataFrame([], "k long, s string")
+    r = expect_unique(empty, ["k"]).collect()[0]
+    assert r.n_violations == 0
+    assert r.status == "pass"
+
+
 def test_expect_subset_counts_child_rows(spark):
     child = spark.createDataFrame(
         [(1,), (1,), (2,), (9,), (9,), (None,)], "fk long")
