@@ -145,6 +145,22 @@ def main() -> None:
         if len(samples) > 1:
             samples_detail[name] = [round(s, 3) for s in samples]
 
+        # Per-part phase attribution for the multi-operator suite
+        # slots (VERDICT r5 item 4): filtering the union on a literal
+        # part tag lets Catalyst prune every other leg to an empty
+        # LocalRelation, so each filtered run executes ONLY that
+        # part's subplan. Attribution runs are EXTRA executions — they
+        # do not alter the suite entry above; shared-scan overhead
+        # means the parts can sum to more than the one-pass slot time.
+        if q.parts:
+            df = q.fn(spark, sf_dir)
+            for tag in q.parts:
+                t0 = time.perf_counter()
+                (df.filter(F.col("part") == tag)
+                 .write.format("noop").mode("overwrite").save())
+                phases[f"{name}.{tag}"] = round(
+                    time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
 
     def line_for(qs: dict[str, float]) -> str:

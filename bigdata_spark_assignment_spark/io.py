@@ -110,8 +110,31 @@ class SchemaMismatchError(ValueError):
     """Raised when a loaded table's schema deviates from the declared one."""
 
 
+def scan_fanout(df: DataFrame) -> DataFrame:
+    """Recover scan parallelism for small-file-count inputs feeding
+    per-byte-heavy map work (regex scoring, Arrow text passes, vector
+    math): a table written as one parquet file with one row group
+    executes its ENTIRE scan stage — including every expression fused
+    above it — in a single task, regardless of
+    ``spark.sql.files.maxPartitionBytes`` (byte-range splits beyond
+    row-group boundaries read nothing). SCALE_r5.json measured the
+    doc-scan family at parallelism 2 of 32 for exactly this reason.
+
+    The fix is a gated round-robin repartition: only when the planned
+    scan has FEWER partitions than the session's parallelism. At
+    cluster scale (thousands of row groups) the gate never fires, so
+    this is free where the scan already fans out; when it fires, the
+    shuffle moves only the small input that caused the problem.
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
-               validate: bool = True) -> DataFrame:
+               validate: bool = True, fan_out: bool = False) -> DataFrame:
     """Parquet scan of one driver table with schema-on-read validation.
 
     We intentionally do NOT pass ``.schema(...)`` to the parquet reader:
@@ -119,6 +142,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     up/down-cast. Instead we read, then check names + types, so a
     mismatch is an error rather than a coercion. Validation only looks
     at the footer schema — no data is read.
+
+    ``fan_out=True`` applies :func:`scan_fanout` — callers whose first
+    stage does heavy per-row work (the documents/embeddings families)
+    opt in; pure aggregate/join queries keep the plain scan.
     """
     if name == "events":
         # events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
@@ -154,6 +181,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
             if got != want:
                 raise SchemaMismatchError(
                     f"{name}: schema drift — expected {want}, got {got}")
+    if fan_out:
+        df = scan_fanout(df)
     return df
 
 

@@ -1082,6 +1082,8 @@ _ACF_SQL = _acf_sql(max_lag=5)
     """,
     tags=("join", "asof", "range", "resample", "anomaly", "ewma",
           "acf", "interp", "seasonal"),
+    parts=("asof", "range", "resample", "interp", "anomaly", "ewma",
+           "cusum", "acf", "seasonal"),
 )
 def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal joins in one tagged result (merged r2 q56+q57 to free
@@ -1461,6 +1463,7 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.pair_count * 1.0 / r.n_a >= 0.15
     """,
     tags=("sketch", "heavy-hitters", "count-min", "text", "mining"),
+    parts=("mg", "cms", "cms_join", "assoc"),
 )
 def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency sketches over the document corpus, tagged:

@@ -150,6 +150,7 @@ def _profile_oracle_legs() -> str:
                             WHERE c.c_custkey = o.o_custkey))
     """,
     tags=("cleaning", "profile", "histogram", "expectations"),
+    parts=("clean", "profile", "hist", "expect"),
 )
 def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality suite over the documents table, tagged:
@@ -661,6 +662,7 @@ _BOOT_W = _poisson_w_sql(
       FROM neff, obs, caps2) g
     """,
     tags=("split", "sampling", "abtest", "winsorize", "bootstrap"),
+    parts=("split", "ttest", "mwu", "chi2", "wins", "boot"),
 )
 def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment-infrastructure suite, tagged:

@@ -30,6 +30,13 @@ class Query:
     oracle: str | None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Part tags for multi-operator suite queries (the 'part' column's
+    # literal values). Declared so bench.py can time each leg
+    # separately — filtering on a literal tag lets Catalyst prune the
+    # other union legs to empty relations, so the filtered run
+    # executes ONLY that part's subplan. Pinned against the actual
+    # distinct tags in tests/test_registry_contract.py.
+    parts: tuple[str, ...] = field(default_factory=tuple)
 
 
 REGISTRY: dict[str, Query] = {}
@@ -40,14 +47,15 @@ FLOAT_DECIMALS = 4
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",
-             tags: tuple[str, ...] = ()):
+             tags: tuple[str, ...] = (), parts: tuple[str, ...] = ()):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle,
-                               doc=doc or (fn.__doc__ or ""), tags=tuple(tags))
+                               doc=doc or (fn.__doc__ or ""), tags=tuple(tags),
+                               parts=tuple(parts))
         return fn
 
     return deco

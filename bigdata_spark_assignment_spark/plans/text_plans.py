@@ -191,7 +191,11 @@ def text_quality_token_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_ratio_expr,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the quality/token/PII expressions are the per-byte
+    # heaviest scan stage in the suite; a single-row-group documents
+    # file would otherwise run them in ONE task (io.scan_fanout;
+    # measured 1.52s -> 0.91s at sf0.1, parallelism 2 -> 32 at sf1)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     q = quality_score_expr(F.col("text"))
     n_emails, n_urls = pii_counts_expr(F.col("text"))
     mask_delta = (F.length("text")
@@ -698,6 +702,7 @@ def _phrase_oracle_legs() -> str:
     FROM ({_phrase_oracle_legs()})
     """,
     tags=("text", "tfidf", "bm25", "retrieval", "rrf", "phrase"),
+    parts=("tfidf", "bm25", "rrf", "phrase"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-relevance scoring in one tagged result:

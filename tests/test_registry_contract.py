@@ -45,3 +45,17 @@ def test_oracle_backed_queries_fill_the_checked_prefix():
     assert all(REGISTRY[n].oracle for n in prefix)
     assert list(queries_dict())[:DRIVER_CHECKED_PREFIX] == prefix
     assert set(oracle_dict()) == set(prefix)
+
+
+def test_declared_parts_match_actual_tags(spark):
+    """Queries declaring ``parts`` (bench per-part phase attribution)
+    must declare exactly the distinct literal tags their 'part'
+    column produces — a stale list would silently time an empty
+    (fully pruned) subplan."""
+    declared = {n: q.parts for n, q in REGISTRY.items() if q.parts}
+    assert declared, "expected at least the five fat suite slots"
+    for name, parts in declared.items():
+        df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        assert "part" in df.columns, name
+        actual = {r[0] for r in df.select("part").distinct().collect()}
+        assert set(parts) == actual, (name, sorted(parts), sorted(actual))
