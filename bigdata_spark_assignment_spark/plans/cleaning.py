@@ -660,9 +660,103 @@ _BOOT_W = _poisson_w_sql(
              caps2.lo1 + caps2.lof * (caps2.lo2 - caps2.lo1) AS lo,
              caps2.hi1 + caps2.hif * (caps2.hi2 - caps2.hi1) AS hi
       FROM neff, obs, caps2) g
+    UNION ALL
+    -- r6 (VERDICT r5 #5): isotonic regression driver row. PAV itself
+    -- is iterative, but the FIT it converges to has a closed-form SQL
+    -- characterization — the minimax formula (Barlow et al. 1972):
+    --   fit[k] = min over j>=k of (max over i<=k of mean(y[i..j]))
+    -- O(m^2) via two windows over interval means from prefix sums;
+    -- exact (pinned against the operator's PAV in test_regression).
+    SELECT 'iso', g.grp, NULL, CAST(g.x AS BIGINT), g.n,
+           ROUND(g.ym, 4), ROUND(g.y_iso, 4), CAST(NULL AS DOUBLE)
+    FROM (
+      WITH iraw AS (
+        SELECT o_orderpriority AS grp,
+               (EXTRACT(year FROM o_orderdate) - 1995) * 12
+                 + EXTRACT(month FROM o_orderdate) - 1 AS x,
+               o_totalprice AS y
+        FROM orders WHERE o_totalprice IS NOT NULL),
+      ipooled AS (
+        SELECT grp, x, AVG(y) AS ym, CAST(COUNT(*) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS rn
+        FROM iraw GROUP BY grp, x),
+      ipref AS (
+        SELECT *, SUM(ym) OVER (PARTITION BY grp ORDER BY rn) AS sy
+        FROM ipooled),
+      ipairs AS (
+        SELECT a.grp, a.rn AS i, b.rn AS j,
+               (b.sy - a.sy + a.ym) / (b.rn - a.rn + 1) AS m
+        FROM ipref a JOIN ipref b ON a.grp = b.grp AND a.rn <= b.rn),
+      icmax AS (
+        SELECT grp, j, i,
+               MAX(m) OVER (PARTITION BY grp, j ORDER BY i) AS mx
+        FROM ipairs),
+      ifit AS (
+        SELECT grp, i AS rn, MIN(mx) AS y_iso
+        FROM icmax GROUP BY grp, i)
+      SELECT p.grp, p.x, p.n, p.ym, f.y_iso
+      FROM ipooled p JOIN ifit f ON p.grp = f.grp AND p.rn = f.rn) g
+    UNION ALL
+    -- r6: per-event-type OLS trend of the hourly mean metric — the
+    -- same five sufficient sums the engine aggregates, closed form
+    SELECT 'ols', g.grp, NULL, g.n, NULL,
+           ROUND(g.slope, 6), ROUND(g.icept, 6), ROUND(g.r2, 6)
+    FROM (
+      WITH hr AS (
+        SELECT event_type AS grp,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+                    - 473352 AS DOUBLE) AS x,
+               AVG(value) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      s AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM hr GROUP BY grp)
+      SELECT grp, n,
+             CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+             END AS slope,
+             (sy - CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                   END * sx) / n AS icept,
+             CASE WHEN n * syy - sy * sy <> 0
+                  THEN POWER(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                             END, 2) * (n * sxx - sx * sx)
+                       / (n * syy - sy * sy)
+                  WHEN n >= 2 AND n * sxx - sx * sx <> 0 THEN 1.0
+             END AS r2
+      FROM s) g
+    UNION ALL
+    -- r6: Theil–Sen robust slope — median of pairwise slopes, each
+    -- rounded to 9 dp BEFORE the order statistic (both engines pick
+    -- the identical middle pair)
+    SELECT 'theil', g.grp, NULL, g.n_points, g.n_pairs,
+           ROUND(g.slope, 6), NULL, NULL
+    FROM (
+      WITH hr AS (
+        SELECT event_type AS grp,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+                    - 473352 AS DOUBLE) AS x,
+               AVG(value) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      sl AS (
+        SELECT a.grp, ROUND((b.y - a.y) / (b.x - a.x), 9) AS s
+        FROM hr a JOIN hr b ON a.grp = b.grp AND a.x < b.x),
+      np AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_points
+             FROM hr GROUP BY grp),
+      md AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                    MEDIAN(s) AS slope
+             FROM sl GROUP BY grp)
+      SELECT np.grp, np.n_points, COALESCE(md.n_pairs, 0) AS n_pairs,
+             md.slope
+      FROM np LEFT JOIN md USING (grp)) g
     """,
-    tags=("split", "sampling", "abtest", "winsorize", "bootstrap"),
-    parts=("split", "ttest", "mwu", "chi2", "wins", "boot"),
+    tags=("split", "sampling", "abtest", "winsorize", "bootstrap",
+          "isotonic", "trend"),
+    parts=("split", "ttest", "mwu", "chi2", "wins", "boot", "iso",
+           "ols", "theil"),
 )
 def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment-infrastructure suite, tagged:
@@ -706,6 +800,27 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       diffs round BEFORE the percentile selection, caps via the same
       position construction as ``wins``. n1 = effective replicates,
       v1 = observed diff, v2/v3 = the 95% interval.
+    * ``iso`` — r6 (VERDICT r5 #5): grouped isotonic regression
+      (operators.regression.isotonic_fit — per-priority monotone
+      calibration of mean order value over the month index). The
+      operator runs PAV; the oracle re-derives the identical fit from
+      the closed-form minimax characterization
+      fit[k] = min_{j≥k} max_{i≤k} mean(y[i..j]) (Barlow et al. 1972)
+      — an EXACT SQL cross-check for an iterative algorithm, stronger
+      than the pinned-literal route. n1 = month index, n2 = rows
+      pooled, v1 = pooled mean, v2 = isotonic fit.
+    * ``ols`` — r6: per-event-type OLS trend of the hourly mean
+      metric (operators.regression.grouped_ols): slope/intercept/r²
+      from ONE grouped aggregate of the five sufficient sums — the
+      metric-drift/monitoring workhorse; at scale it is one shuffle
+      of 5 doubles per key. n1 = points, v1/v2/v3 =
+      slope/intercept/r² (6 dp — slopes live at 1e-3 scale).
+    * ``theil`` — r6: Theil–Sen robust slope over the same hourly
+      series (operators.regression.theil_sen_slope): exact median of
+      pairwise slopes via the distinct-value position construction,
+      slopes rounded 9 dp BEFORE the order statistic so both engines
+      pick the identical middle pair. n1 = points, n2 = pairs,
+      v1 = slope.
     """
     from ..operators.cleaning import deterministic_split
     from ..operators.relational import (chi2_independence,
@@ -784,8 +899,69 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fround(F.col("diff_obs")).alias("v1"),
                     fround(F.col("ci_lo")).alias("v2"),
                     fround(F.col("ci_hi")).alias("v3")))
+    from ..operators.regression import isotonic_fit
+
+    orders = load_table(spark, sf_dir, "orders")
+    xm = ((F.year("o_orderdate") - F.lit(1995)) * 12
+          + F.month("o_orderdate") - F.lit(1))
+    pooled = (orders.filter(F.col("o_totalprice").isNotNull())
+              .groupBy(F.col("o_orderpriority").alias("grp"),
+                       xm.alias("x"))
+              .agg(F.avg("o_totalprice").alias("y"),
+                   F.count(F.lit(1)).alias("n")))
+    # iso: per-priority monotone calibration of mean order value over
+    # the month index — grouped PAV (operators.regression.isotonic_fit,
+    # applyInPandas over ~80 pooled points/group). The oracle
+    # re-derives the SAME fit from the minimax characterization, so
+    # the iterative operator gets an EXACT SQL cross-check (no pinning).
+    from ..operators.regression import grouped_ols, theil_sen_slope
+
+    # ols / theil: per-event-type trend of the hourly mean metric —
+    # OLS from one grouped aggregate of the five sufficient sums, and
+    # the robust Theil–Sen line (median of pairwise slopes; the
+    # estimator ~29% outliers cannot move). x = hour index from the
+    # fixed corpus epoch (2024-01-01 = unix hour 473352) so both
+    # engines sum small doubles; slopes round at 6 dp (they live at
+    # 1e-3 scale where the 4 dp house rounding would null the check).
+    us_h = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                   / F.lit(3_600_000_000)) - F.lit(473352)
+    hourly = (events.filter(F.col("value").isNotNull())
+              .groupBy(F.col("event_type").alias("grp"),
+                       us_h.cast("double").alias("x"))
+              .agg(F.avg("value").alias("y")))
+    ols = (grouped_ols(hourly, "grp", "x", "y")
+           .select(F.lit("ols").alias("part"),
+                   F.col("group").alias("k1"),
+                   F.lit(None).cast("string").alias("k2"),
+                   F.col("n").alias("n1"),
+                   F.lit(None).cast("long").alias("n2"),
+                   F.round("slope", 6).alias("v1"),
+                   F.round("intercept", 6).alias("v2"),
+                   F.round("r2", 6).alias("v3")))
+    theil = (theil_sen_slope(hourly, "grp", "x", "y")
+             .select(F.lit("theil").alias("part"),
+                     F.col("group").alias("k1"),
+                     F.lit(None).cast("string").alias("k2"),
+                     F.col("n_points").alias("n1"),
+                     F.col("n_pairs").alias("n2"),
+                     F.round("slope", 6).alias("v1"),
+                     F.lit(None).cast("double").alias("v2"),
+                     F.lit(None).cast("double").alias("v3")))
+    iso = (isotonic_fit(pooled, "grp", "x", "y")
+           .join(pooled.select(F.col("grp").alias("group"),
+                               F.col("x").cast("double").alias("x"), "n"),
+                 ["group", "x"])
+           .select(F.lit("iso").alias("part"),
+                   F.col("group").alias("k1"),
+                   F.lit(None).cast("string").alias("k2"),
+                   F.col("x").cast("long").alias("n1"),
+                   F.col("n").alias("n2"),
+                   fround(F.col("y")).alias("v1"),
+                   fround(F.col("y_iso")).alias("v2"),
+                   F.lit(None).cast("double").alias("v3")))
     return (split.unionByName(tt).unionByName(mw).unionByName(c2)
-            .unionByName(wins).unionByName(boot))
+            .unionByName(wins).unionByName(boot).unionByName(iso)
+            .unionByName(ols).unionByName(theil))
 
 
 @register(

@@ -76,6 +76,8 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pipelines.prepare_corpus): fingerprint dedup → MinHash near-dup
     prune → quality ≥ 0.3. Every stage row-count must equal the
     oracle's straight-line SQL re-derivation."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the pipeline's first stage fingerprints + shingles
+    # every doc — per-byte scan work (io.scan_fanout)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     _, stats = prepare_corpus(docs, min_quality=0.3)
     return stats

@@ -163,11 +163,13 @@ def _pq_books_for(spark: SparkSession, sf_dir: str, m: int = 8,
                 WHEN 600000 THEN 42 END AS BIGINT), TRUE
     FROM nq, t, sz
     UNION ALL
-    -- r5: product quantization (m=8 subspaces x 32 codes, ADC cosine,
-    -- refine=100 exact rerank) - same pinned-numerator contract
+    -- r5: product quantization (ADC cosine + exact rerank); r6 tune
+    -- (VERDICT r5 #7): 8x64 codebooks, refine=200 -- recall at sf0.1
+    -- rose 35/50 -> 43/50 (0.86, above the 0.8 bar) with the same
+    -- fit cost; 50/50 at both smaller scales (sweep in PLANS.md r6)
     SELECT 'pq', n_queries, n_truth,
-           CAST(CASE n_li WHEN 6000 THEN 45 WHEN 60000 THEN 45
-                WHEN 600000 THEN 35 END AS BIGINT), TRUE
+           CAST(CASE n_li WHEN 6000 THEN 50 WHEN 60000 THEN 50
+                WHEN 600000 THEN 43 END AS BIGINT), TRUE
     FROM nq, t, sz
     """.format(cos=_DUCK_COS.format(a='cv', b='qv')),
     tags=("similarity", "topk", "lsh", "ivf", "pq"),
@@ -176,9 +178,9 @@ def ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN method suite (merged r1 q42+q51): random-hyperplane LSH
     (multi-probe, 8 tables), IVF (pre-fit KMeans quantizer +
     6-cell probes — ``_ivf_centers_for`` caches the index build so the
-    query body measures the probe path) and PQ (r5: pre-fit 8×32
+    query body measures the probe path) and PQ (r5, re-tuned r6: pre-fit 8×64
     product-quantization codebooks, ADC approximate cosine over the
-    m-byte codes, exact rerank of the top-100 —
+    m-byte codes, exact rerank of the top-200 —
     operators.similarity.ann_topk_pq_prefit) top-10, each scored
     against the exact brute-force top-10 IN the query.
 
@@ -207,8 +209,8 @@ def ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = _ivf_centers_for(spark, sf_dir, n_cells=16)
     ivf = (ann_topk_ivf_prefit(emb, queries, centers, k=10, n_probe=6)
            .select(F.lit("ivf").alias("method"), "query_id", "neighbor_id"))
-    books = _pq_books_for(spark, sf_dir, m=8, k_codes=32)
-    pq = (ann_topk_pq_prefit(emb, queries, books, k=10, refine=100)
+    books = _pq_books_for(spark, sf_dir, m=8, k_codes=64)
+    pq = (ann_topk_pq_prefit(emb, queries, books, k=10, refine=200)
           .select(F.lit("pq").alias("method"), "query_id", "neighbor_id"))
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_queries = queries.agg(F.count(F.lit(1)).alias("n_queries"))

@@ -97,7 +97,9 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.textual import distribution_drift
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: lang-id n-gram regex scoring is per-byte scan work
+    # (io.scan_fanout; SCALE_r5 flagged this family at 2/32 at sf1)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     conf = (
         docs.select("lang", lang_id_expr(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
@@ -402,8 +404,25 @@ def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT * FROM rsz
     UNION ALL SELECT * FROM audio
     UNION ALL SELECT * FROM wav
+    -- r6 (VERDICT r5 #5): pHash driver row. The BMP fixtures are pure
+    -- functions of doc_id (ramp pixels over 91 distinct geometries
+    -- among ids 0..199), so the 200 perceptual hashes are
+    -- SCALE-INVARIANT and one unkeyed pinned literal suffices:
+    -- 91 distinct hashes; popcount sum 6135 (min 27 / max 31 per
+    -- hash — 63-bit construction, sign clear); hash pmod-10007 sum
+    -- 1074823; 127 Hamming<=3 pairs = exactly the C(c,2) repeats of
+    -- each geometry (18 configs x 3 ids + 73 x 2 = 54+73), threshold
+    -- 3 chosen because the 4x16-bit chunk LSH is pigeonhole-COMPLETE
+    -- there, making the engine count exact, not approximate.
+    UNION ALL SELECT 'phash' AS part, 'all' AS grp,
+       CAST(200 AS BIGINT) AS n_assets, CAST(91 AS BIGINT) AS n_distinct,
+       CAST(6135 AS DOUBLE) AS m1, CAST(1074823 AS DOUBLE) AS m2,
+       CAST(127 AS DOUBLE) AS m3, CAST(27 AS DOUBLE) AS m4,
+       CAST(31 AS DOUBLE) AS m5
     """,
-    tags=("multimodal", "pandas-udf", "codec"),
+    tags=("multimodal", "pandas-udf", "codec", "phash"),
+    parts=("stub", "bmp_native", "png_native", "jpeg_native",
+           "resize_native", "audio_frames", "wav_native", "phash"),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal pipeline over binary assets
@@ -439,7 +458,15 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_multimodal.py). The query filters on the
     per-row ``codec`` column == 'native', so a stub fallback would
     zero these parts and hash-mismatch: codec != 'stub' is asserted
-    IN the checked result, not trusted from the seam."""
+    IN the checked result, not trusted from the seam.
+
+    ``part='phash'`` — r6 (VERDICT r5 #5): perceptual image hashes
+    (operators.codecs.phash64 via multimodal.phash_assets) over the
+    same BMP fixtures, plus the image near-dup pair count through
+    dedup.neardup_pairs_hamming64 (max_hamming=3 — the pigeonhole-
+    complete regime for the 4x16-bit chunk LSH, so the count is
+    exact). The hashes are pure functions of doc_id, so the oracle
+    row is ONE scale-invariant pinned literal."""
     from ..operators.multimodal import (
         audio_frame_features,
         extract_features,
@@ -570,9 +597,36 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              fround(F.sum("feat_std")).alias("m5"))
         .select(F.lit("wav_native").alias("part"), F.lit("all").alias("grp"),
                 "n_assets", "n_distinct", "m1", "m2", "m3", "m4", "m5"))
+    from ..operators.dedup import neardup_pairs_hamming64
+    from ..operators.multimodal import phash_assets
+
+    # phash: perceptual hashes over the BMP fixtures + the image
+    # near-dup pair count through the SAME chunk-LSH Hamming join the
+    # SimHash path uses (max_hamming=3: pigeonhole-complete for 4
+    # 16-bit chunks, so the count is exact). Hashes are a pure
+    # function of doc_id — the oracle row is one scale-invariant
+    # pinned literal (see the SQL comment).
+    ph_sigs = phash_assets(synthesize_bmp_assets(media_docs))
+    ph_pairs = (neardup_pairs_hamming64(ph_sigs, "doc_id", "phash",
+                                        max_hamming=3)
+                .groupBy()
+                .agg(F.count(F.lit(1)).cast("double").alias("m3")))
+    phash_part = (
+        ph_sigs.groupBy()
+        .agg(F.count(F.lit(1)).alias("n_assets"),
+             F.countDistinct("phash").alias("n_distinct"),
+             F.sum(F.bit_count("phash")).cast("double").alias("m1"),
+             F.sum(F.pmod(F.col("phash"), F.lit(10007)))
+              .cast("double").alias("m2"),
+             F.min(F.bit_count("phash")).cast("double").alias("m4"),
+             F.max(F.bit_count("phash")).cast("double").alias("m5"))
+        .crossJoin(ph_pairs)  # 1-row x 1-row aggregate attach
+        .select(F.lit("phash").alias("part"), F.lit("all").alias("grp"),
+                "n_assets", "n_distinct", "m1", "m2", "m3", "m4", "m5"))
     return (stub_part.unionByName(bmp_part).unionByName(png_part)
             .unionByName(jpeg_part).unionByName(resize_part)
-            .unionByName(audio_part).unionByName(wav_part))
+            .unionByName(audio_part).unionByName(wav_part)
+            .unionByName(phash_part))
 
 
 # BM25 retrieval queries (q61 `bm25` part) — fixed term sets over the
@@ -594,6 +648,35 @@ _PHRASE_QUERIES: list[tuple[str, list[str]]] = [
     ("p2", ["table", "hash"]),
     ("p3", ["slow", "hash", "batch"]),
 ]
+
+# q61 `bpe` part (r6, VERDICT r5 #5): pinned merge tables for
+# operators.textual.bpe_learn_merges over documents doc_id < 500
+# (n_merges=8). BPE's data-dependent iterative argmax is not
+# SQL-expressible, so the oracle pins the merge list an INDEPENDENT
+# pure-Python Sennrich BPE (tests/test_textual.py::_bpe_ref, same
+# tokenizer contract: lower → split on [ \\t\\n\\r\\f]+ → drop empties,
+# tie-break count desc then pair lexicographic) emits at each driver
+# scale — keyed on lineitem cardinality exactly like q42's
+# pinned-recall contract (documents count can't key: sf0.001 and
+# sf0.01 both ship 500 docs). tuple = (lineitem_count, step, merged,
+# pair_weight).
+_BPE_PINNED: list[tuple[int, int, str, int]] = [
+    (6000, 1, "er", 4650), (6000, 2, "or", 2880),
+    (6000, 3, "in", 2858), (6000, 4, "ow", 2763),
+    (6000, 5, "st", 2721), (6000, 6, "lu", 1928),
+    (6000, 7, "ar", 1873), (6000, 8, "par", 1873),
+    (60000, 1, "er", 4568), (60000, 2, "in", 2760),
+    (60000, 3, "ow", 2747), (60000, 4, "or", 2696),
+    (60000, 5, "st", 2676), (60000, 6, "mer", 1852),
+    (60000, 7, "at", 1845), (60000, 8, "lu", 1831),
+    (600000, 1, "er", 4642), (600000, 2, "in", 2820),
+    (600000, 3, "st", 2779), (600000, 4, "ow", 2752),
+    (600000, 5, "or", 2747), (600000, 6, "al", 1889),
+    (600000, 7, "ta", 1852), (600000, 8, "mer", 1805),
+]
+_BPE_PINNED_VALUES = ", ".join(
+    f"({card}, {step}, '{merged}', {pw})"
+    for card, step, merged, pw in _BPE_PINNED)
 
 
 def _phrase_oracle_legs() -> str:
@@ -700,9 +783,17 @@ def _phrase_oracle_legs() -> str:
     -- re-enumerated per phrase from the same token arrays
     SELECT 'phrase', doc_id, phrase_id, n_matches, NULL, NULL, NULL
     FROM ({_phrase_oracle_legs()})
+    UNION ALL
+    -- r6 (VERDICT r5 #5): learned BPE merges, pinned per scale (see
+    -- _BPE_PINNED) and keyed on lineitem cardinality like q42
+    SELECT 'bpe', CAST(step AS BIGINT), merged, CAST(pw AS BIGINT),
+           NULL, NULL, CAST(step AS INTEGER)
+    FROM (SELECT * FROM (VALUES {_BPE_PINNED_VALUES})
+          t(card, step, merged, pw)
+          WHERE card = (SELECT COUNT(*) FROM lineitem))
     """,
-    tags=("text", "tfidf", "bm25", "retrieval", "rrf", "phrase"),
-    parts=("tfidf", "bm25", "rrf", "phrase"),
+    tags=("text", "tfidf", "bm25", "retrieval", "rrf", "phrase", "bpe"),
+    parts=("tfidf", "bm25", "rrf", "phrase", "bpe"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-relevance scoring in one tagged result:
@@ -731,6 +822,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       single-term posting lists — O(Σ phrase-term postings), never a
       corpus scan per phrase. term = phrase_id, tf = match count;
       the oracle re-enumerates every window per phrase.
+    * ``bpe`` — r6 (VERDICT r5 #5): BPE tokenizer training
+      (operators.textual.bpe_learn_merges, 8 merges over a fixed
+      500-doc slice): weighted pair counts over the vocab table,
+      argmax as a 1-row TakeOrdered broadcast per round. doc_id =
+      step, term = merged pair, tf = pair weight. The oracle pins the
+      merge list an independent pure-Python Sennrich BPE emits at
+      each driver scale (_BPE_PINNED, keyed on lineitem cardinality
+      — the q42 pinned-contract pattern).
     """
     from pyspark.sql import Window as W
 
@@ -773,8 +872,24 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.lit(None).cast("long").alias("df"),
                       F.lit(None).cast("double").alias("v"),
                       F.lit(None).cast("int").alias("rnk")))
+
+    from ..operators.textual import bpe_learn_merges
+
+    # bpe: tokenizer training on a FIXED 500-doc slice so the
+    # iterative cost stays flat across scales (the merge list is
+    # pinned per scale in _BPE_PINNED — the oracle side of the
+    # contract). doc_id = step, term = merged pair, tf = pair weight.
+    bpe = (bpe_learn_merges(docs.filter(F.col("doc_id") < 500),
+                            "text", n_merges=8)
+           .select(F.lit("bpe").alias("part"),
+                   F.col("step").cast("long").alias("doc_id"),
+                   F.col("merged").alias("term"),
+                   F.col("pair_weight").alias("tf"),
+                   F.lit(None).cast("long").alias("df"),
+                   F.lit(None).cast("double").alias("v"),
+                   F.col("step").cast("int").alias("rnk")))
     return (tfidf.unionByName(bm25).unionByName(rrf)
-            .unionByName(phrase))
+            .unionByName(phrase).unionByName(bpe))
 
 
 @register(
@@ -925,7 +1040,8 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_doc_scores,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: n-gram coverage + LM scoring are per-byte scan work
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     stats = gram_coverage_stats_udf()
     fracs = docs.select(
         "lang",

@@ -34,7 +34,9 @@ def test_rows_only_queries_run(spark, sf_smoke):
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
                                     "/root/testdata/sf0.1"])
 @pytest.mark.parametrize("name", ["q42_ann_methods_recall",
-                                  "q55_approx_sketches"])
+                                  "q55_approx_sketches",
+                                  "q61_tfidf_top_terms",
+                                  "q49_multimodal_feature_extract"])
 def test_pinned_contracts_hold_at_other_scales(spark, name, sf_dir):
     q = REGISTRY[name]
     ok, msg = compare_query_to_oracle(spark, sf_dir, q.fn, q.oracle)

@@ -73,3 +73,64 @@ def test_isotonic_fit_known_case_and_groups(spark):
     assert got["c"][(2.0, 1.0)] == pytest.approx(5 / 3)
     # fit is a function of x: both tie rows share one fitted value
     assert got["c"][(1.0, 1.0)] == got["c"][(1.0, 3.0)]
+
+
+def test_grouped_ols_known_fits_and_guards(spark):
+    from bigdata_spark_assignment_spark.operators.regression import (
+        grouped_ols,
+    )
+    rows = [
+        # a: exact line y = 2x + 1 -> r2 = 1
+        ("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, 5.0),
+        # b: numpy-checked scatter
+        ("b", 0.0, 0.0), ("b", 1.0, 2.0), ("b", 2.0, 1.0),
+        ("b", 3.0, 3.0),
+        # c: single point -> NULL slope
+        ("c", 5.0, 5.0),
+        # d: zero x-variance -> NULL slope
+        ("d", 1.0, 1.0), ("d", 1.0, 2.0),
+        # e: flat series (zero y-variance) -> slope 0, r2 = 1
+        ("e", 0.0, 7.0), ("e", 1.0, 7.0),
+        # f: NULL y rows dropped
+        ("f", 0.0, None), ("f", 1.0, 1.0), ("f", 2.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r.group: r for r in grouped_ols(df, "k", "x", "y").collect()}
+    assert got["a"].slope == pytest.approx(2.0)
+    assert got["a"].intercept == pytest.approx(1.0)
+    assert got["a"].r2 == pytest.approx(1.0)
+    import numpy as np
+    bs, bi = np.polyfit([0, 1, 2, 3], [0, 2, 1, 3], 1)
+    assert got["b"].slope == pytest.approx(bs)
+    assert got["b"].intercept == pytest.approx(bi)
+    yb = np.array([0, 2, 1, 3.0])
+    pred = bs * np.array([0, 1, 2, 3.0]) + bi
+    r2 = 1 - ((yb - pred) ** 2).sum() / ((yb - yb.mean()) ** 2).sum()
+    assert got["b"].r2 == pytest.approx(r2)
+    assert got["c"].slope is None and got["c"].r2 is None
+    assert got["d"].slope is None
+    assert got["e"].slope == pytest.approx(0.0)
+    assert got["e"].r2 == pytest.approx(1.0)
+    assert got["f"].n == 2 and got["f"].slope == pytest.approx(2.0)
+
+
+def test_theil_sen_matches_scipy_formulation(spark):
+    from bigdata_spark_assignment_spark.operators.regression import (
+        theil_sen_slope,
+    )
+    import itertools
+    import statistics
+
+    rows = [("g", float(i), v) for i, v in
+            enumerate([1.0, 2.0, 100.0, 4.0, 5.0, 6.0])]  # one outlier
+    rows += [("h", 1.0, 1.0), ("h", 1.0, 2.0)]  # all x ties -> no pairs
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r.group: r for r in theil_sen_slope(df, "k", "x", "y").collect()}
+    ys = [1.0, 2.0, 100.0, 4.0, 5.0, 6.0]
+    slopes = [round((ys[j] - ys[i]) / (j - i), 9)
+              for i, j in itertools.combinations(range(6), 2)]
+    assert got["g"].n_pairs == 15
+    assert got["g"].slope == pytest.approx(statistics.median(slopes))
+    # the outlier cannot drag the robust slope off ~1
+    assert abs(got["g"].slope - 1.0) < 0.35
+    assert got["h"].n_pairs == 0 and got["h"].slope is None

@@ -474,6 +474,45 @@ def run_text500k(spark) -> None:
     docs.unpersist()
 
 
+def run_graphrounds(spark) -> dict:
+    """VERDICT r5 #9: rounds-to-converge + per-round wall time for the
+    iterative graph ops on the q53 MinHash pair graph at sf0.1 AND the
+    10x sf1 build, so the 100x extrapolation is arithmetic
+    (rounds x per-round shuffle cost), not faith. Star contraction's
+    round count should stay ~flat (O(log^2 n)); propagation's should
+    track component diameter (tiny for near-dup blobs)."""
+    import time
+
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        neardup_clusters, neardup_clusters_star, neardup_pairs_minhash)
+
+    out: dict = {}
+    for tag, sf_dir in (("sf0.1", "/root/testdata/sf0.1"),
+                        ("sf1", SF1_DIR)):
+        docs = load_table(spark, sf_dir, "documents", validate=False)
+        pairs = neardup_pairs_minhash(docs, "doc_id", "text",
+                                      threshold=0.6).persist()
+        n_pairs = pairs.count()
+        rec: dict = {"n_pairs": n_pairs}
+        for name, fn in (("prop", neardup_clusters),
+                         ("star", neardup_clusters_star)):
+            stats: list = []
+            t0 = time.perf_counter()
+            fn(pairs, round_stats=stats).count()
+            rec[name] = {"total_seconds": round(time.perf_counter() - t0, 2),
+                         "rounds": len(stats), "per_round": stats}
+        pairs.unpersist()
+        out[tag] = rec
+        print(f"GRAPHROUNDS {tag}: pairs={n_pairs} "
+              f"prop={rec['prop']['rounds']}r/{rec['prop']['total_seconds']}s "
+              f"star={rec['star']['rounds']}r/{rec['star']['total_seconds']}s")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "GRAPHROUNDS_r6.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    return out
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_session(app_name="scale-runs")
@@ -491,6 +530,10 @@ def main() -> None:
         run_hotband(spark)
     if what in ("text500k", "all"):
         run_text500k(spark)
+    if what == "graphrounds":
+        if not os.path.isdir(SF1_DIR):
+            build_sf1(spark)
+        run_graphrounds(spark)
 
 
 if __name__ == "__main__":
