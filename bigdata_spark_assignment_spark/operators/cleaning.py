@@ -320,6 +320,76 @@ def weighted_sample_topk(df: DataFrame, weight: Column, k: int,
             .drop("__wskey"))
 
 
+def dsir_select(docs: DataFrame, text_col: str, target_pred: Column,
+                k: int = 200, n_buckets: int = 1024,
+                key_col: str = "doc_id",
+                salt: str = "dsir") -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, *Data Selection
+    for Language Models via Importance Resampling* — public method):
+    score every document by how much more likely its hashed-unigram
+    bag is under a TARGET domain (rows where ``target_pred`` holds)
+    than under the RAW corpus, then draw k docs WITHOUT replacement
+    with probability ∝ the importance weight via Gumbel top-k.
+    Returns the selected rows + ``dsir_logw``.
+
+    Construction (every step oracle-reproducible):
+    * features: lowercased whitespace unigrams hashed to ``n_buckets``
+      via the first 8 md5 hex chars (the q74 hashing-trick contract);
+    * bucket LMs: add-1-smoothed unigram probabilities under target
+      and raw token streams; log w(x) = Σ_tokens ln p_t(b)/p_r(b)
+      (summed with multiplicity, as in the paper);
+    * Gumbel key: g = −ln(−ln u) with the shared salted-md5 60-bit
+      uniform (the A-ES/mixture convention), selection = top-k of
+      ROUND(log w + g, 6) with ``key_col`` tie-break — the rounding
+      makes the member set identical across engines (partial-sum ulp
+      drift is ~1e-11 here, five orders below the step).
+
+    Plan shape: one token explode + two bucket aggregates (n_buckets
+    rows each — broadcast back), one per-doc aggregate, then
+    TakeOrderedAndProject. At 100 TB: the bucket tables are O(B) no
+    matter the corpus, the heavy pass is the single token explode the
+    quality/LM scorers already pay, and no global sort exists.
+    """
+    from .textual import WS_SPLIT
+
+    toks = (docs.select(F.col(key_col).alias("__id"), target_pred.alias("__t"),
+                        F.explode(F.split(F.lower(F.col(text_col)),
+                                          WS_SPLIT)).alias("__tok"))
+            .filter(F.col("__tok") != ""))
+    bucket = F.pmod(F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10)
+                    .cast("long"), F.lit(n_buckets))
+    tb = toks.select(bucket.alias("b"), "__t")
+    raw_cnt = tb.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_cnt = (tb.filter(F.col("__t")).groupBy("b")
+               .agg(F.count(F.lit(1)).alias("tc")))
+    ratios = (raw_cnt.join(tgt_cnt, "b", "left")
+              .crossJoin(F.broadcast(
+                  tb.agg(F.count(F.lit(1)).alias("R"),
+                         F.sum(F.col("__t").cast("long")).alias("T"))))
+              .select("b", (F.log((F.coalesce("tc", F.lit(0))
+                                   + F.lit(1.0))
+                                  / (F.col("T") + F.lit(float(n_buckets))))
+                            - F.log((F.col("rc") + F.lit(1.0))
+                                    / (F.col("R")
+                                       + F.lit(float(n_buckets)))))
+                      .alias("lr")))
+    logw = (toks.select("__id", bucket.alias("b"))
+            .join(F.broadcast(ratios), "b")
+            .groupBy("__id").agg(F.sum("lr").alias("dsir_logw")))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"),
+                       F.col(key_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 2))
+    gumbel = -F.log(-F.log(u))
+    return (docs.join(logw, docs[key_col] == logw["__id"])
+            .drop("__id")
+            .withColumn("__gkey", F.round(F.col("dsir_logw") + gumbel, 6))
+            .orderBy(F.col("__gkey").desc(), F.col(key_col))
+            .limit(k)
+            .drop("__gkey"))
+
+
 def target_encode_loo(df: DataFrame, cat_col: str, target_col: str,
                       out_col: str = "te") -> DataFrame:
     """Leave-one-out target (mean) encoding of a categorical column —

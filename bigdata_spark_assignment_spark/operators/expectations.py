@@ -21,7 +21,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expect_unique", "expect_not_null", "expect_in_set",
+__all__ = ["benford_digits",
+           "expect_unique", "expect_not_null", "expect_in_set",
            "expect_range", "expect_subset", "run_expectations"]
 
 
@@ -83,6 +84,39 @@ def expect_subset(child: DataFrame, child_col: str, parent: DataFrame,
     orphans = (child.filter(F.col(child_col).isNotNull())
                .join(keys, child_col, "left_anti"))
     return orphans.agg(*_result(name, F.count(F.lit(1))))
+
+
+def benford_digits(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-significant-digit profile of a positive
+    numeric column → one row per digit 1..9: (digit, n_obs, expected,
+    contrib) with expected = n·log10(1+1/d) and contrib the digit's
+    (o−e)²/e χ² term — the forensic data-quality screen (fabricated or
+    truncated numeric columns drift from the Benford curve; Nigrini's
+    auditing standard). Σ contrib vs χ²(8) is the caller's test.
+
+    First digit without string ops: d = floor(x / 10^floor(log10 x))
+    — pure codegen arithmetic, exact for the doubles Spark and DuckDB
+    share. Non-positive/NULL rows are excluded (Benford is defined on
+    positive magnitudes). One grouped aggregate + one 1-row broadcast
+    for n; no sort, no shuffle beyond the 9-row digit table.
+    """
+    x = F.col(col).cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+    obs = (df.filter(x.isNotNull() & (x > 0))
+           .groupBy(digit.cast("long").alias("digit"))
+           .agg(F.count(F.lit(1)).alias("n_obs")))
+    total = obs.agg(F.sum("n_obs").alias("__n"))
+    digits = obs.sparkSession.range(1, 10).select(
+        F.col("id").alias("digit"))
+    exp = (F.col("__n").cast("double")
+           * F.log10(1.0 + 1.0 / F.col("digit")))
+    o = F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+    return (digits.join(obs, "digit", "left")
+            .crossJoin(F.broadcast(total))
+            .select("digit",
+                    F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+                    exp.alias("expected"),
+                    ((o - exp) * (o - exp) / exp).alias("contrib")))
 
 
 def run_expectations(checks: list[DataFrame]) -> DataFrame:

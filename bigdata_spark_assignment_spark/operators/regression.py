@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["isotonic_fit", "grouped_ols", "theil_sen_slope"]
+__all__ = ["isotonic_fit", "grouped_ols", "theil_sen_slope",
+           "mann_kendall"]
 
 _ISO_SCHEMA = T.StructType([
     T.StructField("group", T.StringType()),
@@ -175,6 +176,49 @@ def theil_sen_slope(df: DataFrame, key_col: str, x_col: str,
             .select("group", "n_points",
                     F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
                     "slope"))
+
+
+def mann_kendall(df: DataFrame, key_col: str, x_col: str,
+                 y_col: str) -> DataFrame:
+    """Per-key Mann–Kendall trend test → (group, n, s_stat, z_stat):
+    the nonparametric "is there a monotone trend?" companion to
+    Theil–Sen — S = Σ_{i<j} sign(y_j − y_i) over x-ordered points,
+    tie-corrected normal approximation
+    Var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18,
+    z = (S∓1)/√Var with the continuity correction (0 when S = 0).
+
+    Same O(m²)-pairs-per-key self-join as ``theil_sen_slope`` (share
+    the pooled series between them); the tie term folds from ONE
+    grouped count over y values — no second sort. Ties in x are
+    excluded from S (x_i < x_j strictly), the standard formulation
+    for distinct-timestamp series pooled upstream.
+    """
+    pts = (df.select(F.col(key_col).alias("group"),
+                     F.col(x_col).cast("double").alias("x"),
+                     F.col(y_col).cast("double").alias("y"))
+           .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
+    a, b = pts.alias("a"), pts.alias("b")
+    s_agg = (a.join(b, (F.col("a.group") == F.col("b.group"))
+                    & (F.col("a.x") < F.col("b.x")))
+             .groupBy(F.col("a.group").alias("group"))
+             .agg(F.sum(F.signum(F.col("b.y") - F.col("a.y"))
+                        .cast("long")).alias("s_stat")))
+    nt = pts.groupBy("group").agg(F.count(F.lit(1)).alias("n"))
+    t = F.col("t").cast("double")
+    ties = (pts.groupBy("group", "y").agg(F.count(F.lit(1)).alias("t"))
+            .groupBy("group")
+            .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("tie_term")))
+    nn = F.col("n").cast("double")
+    var_s = (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")) / 18.0
+    s = F.col("s_stat").cast("double")
+    z = (F.when(var_s <= 0, F.lit(None).cast("double"))
+         .when(s > 0, (s - 1) / F.sqrt(var_s))
+         .when(s < 0, (s + 1) / F.sqrt(var_s))
+         .otherwise(F.lit(0.0)))
+    return (nt.join(s_agg, "group", "left").join(ties, "group")
+            .select("group", "n",
+                    F.coalesce("s_stat", F.lit(0)).alias("s_stat"),
+                    z.alias("z_stat")))
 
 
 # ---------------------------------------------------------------------------

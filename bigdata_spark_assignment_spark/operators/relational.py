@@ -942,6 +942,64 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.sum("__o").cast("long").alias("n")))
 
 
+def categorical_mi_cells(df: DataFrame, col_a: str,
+                         col_b: str) -> DataFrame:
+    """Pointwise mutual information table of two categorical columns
+    → one row per OBSERVED cell: (a, b, n_ab, n, pmi) with
+    pmi = ln(p(a,b) / (p(a)·p(b))) — the association strength behind
+    collocation mining and feature-redundancy screens; the weighted
+    sum Σ p(a,b)·pmi is the columns' mutual information (the caller's
+    one-aggregate fold, see q36 ``mi``).
+
+    Same plan shape as ``chi2_independence``: one grouped count to
+    the cell table, marginals as window sums over it (category-
+    cardinality-squared rows — tiny), no join back, no dense
+    cross-join of unobserved cells (their p(a,b)·pmi term is 0 by
+    the 0·ln 0 = 0 convention, so MI needs only observed cells).
+    """
+    cells = (df.filter(F.col(col_a).isNotNull()
+                       & F.col(col_b).isNotNull())
+             .groupBy(col_a, col_b)
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+    o = F.col("n_ab").cast("double")
+    na = F.sum(o).over(W.partitionBy(col_a))
+    nb = F.sum(o).over(W.partitionBy(col_b))
+    n = F.sum(o).over(W.partitionBy())
+    return cells.select(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b"), "n_ab",
+        n.cast("long").alias("n"),
+        F.log(o * n / (na * nb)).alias("pmi"))
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V — the [0, 1]-normalized effect size of the χ²
+    association: V = √(χ² / (n·(min(R,C) − 1))). One row:
+    (n, chi2, v). Rides ``chi2_independence``'s single-aggregate plan
+    with the min-cardinality term folded into the same pass."""
+    cells = (df.filter(F.col(col_a).isNotNull()
+                       & F.col(col_b).isNotNull())
+             .groupBy(col_a, col_b)
+             .agg(F.count(F.lit(1)).cast("double").alias("__o")))
+    wa = W.partitionBy(col_a)
+    wb = W.partitionBy(col_b)
+    wn = W.partitionBy()
+    e = (F.sum("__o").over(wa) * F.sum("__o").over(wb)
+         / F.sum("__o").over(wn))
+    scored = cells.select(
+        F.col(col_a), F.col(col_b), F.col("__o"),
+        ((F.col("__o") - e) ** 2 / e - e).alias("__c"))
+    agg = scored.agg(
+        (F.sum("__c") + F.sum("__o")).alias("chi2"),
+        F.least(F.countDistinct(col_a),
+                F.countDistinct(col_b)).cast("double").alias("__k"),
+        F.sum("__o").alias("__n"))
+    v = F.when(F.col("__k") > 1,
+               F.sqrt(F.col("chi2") / (F.col("__n")
+                                       * (F.col("__k") - 1))))
+    return agg.select(F.col("__n").cast("long").alias("n"),
+                      "chi2", v.alias("v"))
+
+
 def acf(df: DataFrame, key_cols: list[str], order_cols: list[str],
         value_col: str, max_lag: int = 5) -> DataFrame:
     """Sample autocorrelation function per key: for each lag

@@ -752,11 +752,63 @@ _BOOT_W = _poisson_w_sql(
       SELECT np.grp, np.n_points, COALESCE(md.n_pairs, 0) AS n_pairs,
              md.slope
       FROM np LEFT JOIN md USING (grp)) g
+    UNION ALL
+    -- r6: Mann-Kendall trend test over the same hourly series — S
+    -- from the pair join, tie-corrected variance, continuity-
+    -- corrected z
+    SELECT 'mk', g.grp, NULL, g.n, g.s, ROUND(g.z, 6), NULL, NULL
+    FROM (
+      WITH hr AS (
+        SELECT event_type AS grp,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+                    - 473352 AS DOUBLE) AS x,
+               AVG(value) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      sp AS (SELECT a.grp, SUM(SIGN(b.y - a.y)) AS sraw
+             FROM hr a JOIN hr b ON a.grp = b.grp AND a.x < b.x
+             GROUP BY 1),
+      nn AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM hr
+             GROUP BY 1),
+      tt AS (SELECT grp, SUM(t * (t - 1) * (2 * t + 5)) AS tie
+             FROM (SELECT grp, y, CAST(COUNT(*) AS DOUBLE) AS t
+                   FROM hr GROUP BY 1, 2) GROUP BY 1),
+      vv AS (SELECT nn.grp, nn.n,
+                    CAST(COALESCE(sp.sraw, 0) AS BIGINT) AS s,
+                    (CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5)
+                     - tt.tie) / 18.0 AS var_s
+             FROM nn LEFT JOIN sp USING (grp) JOIN tt USING (grp))
+      SELECT grp, n, s,
+             CASE WHEN var_s <= 0 THEN NULL
+                  WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                  ELSE 0.0 END AS z
+      FROM vv) g
+    UNION ALL
+    -- r6: Benford first-significant-digit profile of the order
+    -- amounts — d = floor(x / 10^floor(log10 x)), expected
+    -- n*log10(1+1/d), per-digit chi-square contribution
+    SELECT 'benford', CAST(g.digit AS VARCHAR), NULL, g.n_obs, NULL,
+           ROUND(g.expected, 4), ROUND(g.contrib, 6), NULL
+    FROM (
+      WITH pos AS (SELECT o_totalprice AS x FROM orders
+                   WHERE o_totalprice > 0),
+      ob AS (SELECT CAST(floor(x / POWER(10.0, floor(log10(x))))
+                         AS BIGINT) AS digit,
+                    CAST(COUNT(*) AS BIGINT) AS n_obs
+             FROM pos GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_obs) AS DOUBLE) AS n FROM ob),
+      dg AS (SELECT unnest(generate_series(1, 9)) AS digit)
+      SELECT dg.digit, COALESCE(ob.n_obs, 0) AS n_obs,
+             tot.n * log10(1.0 + 1.0 / dg.digit) AS expected,
+             POWER(COALESCE(ob.n_obs, 0)
+                   - tot.n * log10(1.0 + 1.0 / dg.digit), 2)
+               / (tot.n * log10(1.0 + 1.0 / dg.digit)) AS contrib
+      FROM dg LEFT JOIN ob USING (digit) CROSS JOIN tot) g
     """,
     tags=("split", "sampling", "abtest", "winsorize", "bootstrap",
           "isotonic", "trend"),
     parts=("split", "ttest", "mwu", "chi2", "wins", "boot", "iso",
-           "ols", "theil"),
+           "ols", "theil", "mk", "benford"),
 )
 def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment-infrastructure suite, tagged:
@@ -914,7 +966,9 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applyInPandas over ~80 pooled points/group). The oracle
     # re-derives the SAME fit from the minimax characterization, so
     # the iterative operator gets an EXACT SQL cross-check (no pinning).
-    from ..operators.regression import grouped_ols, theil_sen_slope
+    from ..operators.expectations import benford_digits
+    from ..operators.regression import (grouped_ols, mann_kendall,
+                                        theil_sen_slope)
 
     # ols / theil: per-event-type trend of the hourly mean metric —
     # OLS from one grouped aggregate of the five sufficient sums, and
@@ -947,6 +1001,28 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("slope", 6).alias("v1"),
                      F.lit(None).cast("double").alias("v2"),
                      F.lit(None).cast("double").alias("v3")))
+    # mk: the nonparametric companion — shares the hourly series and
+    # the pair-join shape with theil
+    mk = (mann_kendall(hourly, "grp", "x", "y")
+          .select(F.lit("mk").alias("part"),
+                  F.col("group").alias("k1"),
+                  F.lit(None).cast("string").alias("k2"),
+                  F.col("n").alias("n1"),
+                  F.col("s_stat").alias("n2"),
+                  F.round("z_stat", 6).alias("v1"),
+                  F.lit(None).cast("double").alias("v2"),
+                  F.lit(None).cast("double").alias("v3")))
+    # benford: first-significant-digit forensic screen on the order
+    # amounts (one grouped aggregate + a 9-row digit table)
+    bf = (benford_digits(orders, "o_totalprice")
+          .select(F.lit("benford").alias("part"),
+                  F.col("digit").cast("string").alias("k1"),
+                  F.lit(None).cast("string").alias("k2"),
+                  F.col("n_obs").alias("n1"),
+                  F.lit(None).cast("long").alias("n2"),
+                  F.round("expected", 4).alias("v1"),
+                  F.round("contrib", 6).alias("v2"),
+                  F.lit(None).cast("double").alias("v3")))
     iso = (isotonic_fit(pooled, "grp", "x", "y")
            .join(pooled.select(F.col("grp").alias("group"),
                                F.col("x").cast("double").alias("x"), "n"),
@@ -961,7 +1037,8 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(None).cast("double").alias("v3")))
     return (split.unionByName(tt).unionByName(mw).unionByName(c2)
             .unionByName(wins).unionByName(boot).unionByName(iso)
-            .unionByName(ols).unionByName(theil))
+            .unionByName(ols).unionByName(theil).unionByName(mk)
+            .unionByName(bf))
 
 
 @register(
@@ -1020,7 +1097,47 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws_agg AS (
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_wsample,
              CAST(SUM(toks) AS BIGINT) AS wsample_tokens
-      FROM ws GROUP BY lang)
+      FROM ws GROUP BY lang),
+    -- r6: DSIR importance resampling (Xie et al. 2023) recomputed
+    -- EXACTLY: same md5 hashing-trick buckets, same add-1 bucket LMs,
+    -- same Gumbel top-200 on the 6dp-rounded key with doc_id tiebreak
+    dtok AS (
+      SELECT doc_id, lang, source = 'src0' AS is_t,
+             CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM (SELECT doc_id, lang, source,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS t
+            FROM documents)
+      WHERE t <> ''),
+    dtot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS R,
+                    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END)
+                         AS DOUBLE) AS T
+             FROM dtok),
+    dbuck AS (
+      SELECT b, COUNT(*) AS rc,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+      FROM dtok GROUP BY b),
+    dratio AS (
+      SELECT b, ln((tc + 1.0) / (T + 1024.0))
+                - ln((rc + 1.0) / (R + 1024.0)) AS lr
+      FROM dbuck CROSS JOIN dtot),
+    dlogw AS (
+      SELECT dtok.doc_id, ANY_VALUE(dtok.lang) AS lang,
+             SUM(dratio.lr) AS logw
+      FROM dtok JOIN dratio USING (b)
+      GROUP BY dtok.doc_id),
+    dsel AS (
+      SELECT lang, logw
+      FROM dlogw
+      ORDER BY ROUND(logw - ln(-ln((CAST(CAST(('0x' || substring(
+                 md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS DOUBLE) + 1.0)
+                 / 1152921504606846978.0)), 6) DESC,
+               doc_id
+      LIMIT 200),
+    dsir_agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_dsir,
+             ROUND(SUM(ROUND(logw, 6)), 4) AS dsir_sumw
+      FROM dsel GROUP BY lang)
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_total,
            TRUE AS split_exact,
@@ -1032,14 +1149,17 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            ANY_VALUE(p.n_straddle) AS n_straddle,
            ANY_VALUE(p.pack_waste) AS pack_waste,
            COALESCE(ANY_VALUE(w.n_wsample), 0) AS n_wsample,
-           COALESCE(ANY_VALUE(w.wsample_tokens), 0) AS wsample_tokens
+           COALESCE(ANY_VALUE(w.wsample_tokens), 0) AS wsample_tokens,
+           COALESCE(ANY_VALUE(ds.n_dsir), 0) AS n_dsir,
+           COALESCE(ANY_VALUE(ds.dsir_sumw), 0.0) AS dsir_sumw
     FROM documents d
     LEFT JOIN mix_agg m ON d.lang = m.lang
     LEFT JOIN pack_agg p ON d.lang = p.lang
     LEFT JOIN ws_agg w ON d.lang = w.lang
+    LEFT JOIN dsir_agg ds ON d.lang = ds.lang
     GROUP BY d.lang
     """,
-    tags=("sampling", "split", "ml", "mixture", "packing"),
+    tags=("sampling", "split", "ml", "mixture", "packing", "dsir"),
 )
 def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded-RNG sampling suite (merged r1 q11+q63): P14's 70/30
@@ -1078,6 +1198,7 @@ def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT oracle-recomputed (the packing rule is pure window algebra,
     reproducible across engines)."""
     from ..operators.cleaning import (
+        dsir_select,
         mixture_sample,
         stratified_sample,
         weighted_sample_topk,
@@ -1115,6 +1236,14 @@ def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ws_raw"),
             F.sum(token_count_expr(F.col("text")).cast("long"))
              .alias("ws_tokens_raw")),
+        # r6: DSIR importance resampling toward the src0 "curated"
+        # domain (operators.cleaning.dsir_select) — hashed-unigram
+        # importance weights, Gumbel top-200; member set EXACT
+        dsir_select(docs, "text", F.col("source") == "src0",
+                    k=200).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_dsir_raw"),
+            F.round(F.sum(F.round(F.col("dsir_logw"), 6)), 4)
+             .alias("dsir_sumw_raw")),
     ]
     out = count_by_lang[0]
     for frame in count_by_lang[1:]:
@@ -1139,4 +1268,6 @@ def split_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_ws_raw"), F.lit(0)).alias("n_wsample"),
         F.coalesce(F.col("ws_tokens_raw"), F.lit(0).cast("long"))
          .alias("wsample_tokens"),
+        F.coalesce(F.col("n_dsir_raw"), F.lit(0)).alias("n_dsir"),
+        F.coalesce(F.col("dsir_sumw_raw"), F.lit(0.0)).alias("dsir_sumw"),
     )

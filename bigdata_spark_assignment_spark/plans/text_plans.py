@@ -78,11 +78,58 @@ _LANG_ID_ORACLE = f"""
       SELECT st.source, st.token, st.s, ns.ng, ct.c, nt.n
       FROM st JOIN ns USING (source) JOIN ct USING (token) CROSS JOIN nt)
     GROUP BY source, ng
+    UNION ALL
+    -- r6: pointwise MI per observed (lang, source) cell
+    SELECT 'mi_cells', g.lang, g.source, g.n_ab,
+           ROUND(ln(g.n_ab * g.n * 1.0 / (g.na * g.nb)), 6), NULL
+    FROM (
+      WITH cl AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_ab
+                  FROM documents GROUP BY 1, 2)
+      SELECT lang, source, n_ab,
+             SUM(n_ab) OVER (PARTITION BY lang) AS na,
+             SUM(n_ab) OVER (PARTITION BY source) AS nb,
+             SUM(n_ab) OVER () AS n
+      FROM cl) g
+    UNION ALL
+    -- r6: mutual information + Cramér's V summary (same cell table;
+    -- chi2 via the zero-cell-free identity chi2 = n + sum((o-e)^2/e - e))
+    SELECT 'mi', 'lang|source', NULL, m.n, ROUND(m.mi, 6),
+           ROUND(v.v, 6)
+    FROM (
+      WITH cl AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_ab
+                  FROM documents GROUP BY 1, 2),
+      mg AS (SELECT lang, source, n_ab,
+                    SUM(n_ab) OVER (PARTITION BY lang) AS na,
+                    SUM(n_ab) OVER (PARTITION BY source) AS nb,
+                    SUM(n_ab) OVER () AS n
+             FROM cl)
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             SUM((n_ab * 1.0 / n) * ln(n_ab * n * 1.0 / (na * nb)))
+               AS mi
+      FROM mg) m
+    CROSS JOIN (
+      WITH cl AS (SELECT lang, source,
+                         CAST(COUNT(*) AS DOUBLE) AS o
+                  FROM documents GROUP BY 1, 2),
+      sc AS (SELECT o,
+                    SUM(o) OVER (PARTITION BY lang)
+                      * SUM(o) OVER (PARTITION BY source)
+                      / SUM(o) OVER () AS e
+             FROM cl),
+      ag AS (SELECT SUM((o - e) * (o - e) / e - e) + SUM(o) AS chi2,
+                    SUM(o) AS n,
+                    LEAST((SELECT COUNT(DISTINCT lang) FROM documents),
+                          (SELECT COUNT(DISTINCT source) FROM documents))
+                      AS k
+             FROM sc)
+      SELECT CASE WHEN k > 1 THEN sqrt(chi2 / (n * (k - 1))) END AS v
+      FROM ag) v
 """
 
 
 @register("q36_lang_id_confusion", oracle=_LANG_ID_ORACLE,
-          tags=("text", "langid", "drift"))
+          tags=("text", "langid", "drift", "mi"),
+          parts=("confusion", "drift", "mi_cells", "mi"))
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-language diagnostics, tagged:
 
@@ -94,6 +141,13 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       the data-mixture drift monitor: a source whose language diverges
       from the mixture moves its KL before a trained model would. Both
       sums re-derived exactly by the oracle.
+    * ``mi_cells`` / ``mi`` — r6: lang × source association
+      (operators.relational.categorical_mi_cells / cramers_v):
+      pointwise MI per observed cell from marginal window sums over
+      the tiny cell table, then the weighted-sum mutual information
+      and Cramér's V (χ² via the zero-cell-free identity) as one
+      summary row — "is the mixture's language profile independent
+      of its source?", the pre-training mixture diagnostic.
     """
     from ..operators.textual import distribution_drift
 
@@ -116,7 +170,31 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n_tokens").alias("n"),
                      fround(F.col("entropy")).alias("v1"),
                      fround(F.col("kl_vs_corpus")).alias("v2")))
-    return conf.unionByName(drift)
+
+    from ..operators.relational import categorical_mi_cells, cramers_v
+
+    # mi/mi_cells: lang x source association — per-cell pointwise MI
+    # plus the weighted-sum mutual information and Cramér's V summary
+    # (is the mixture's language profile independent of its source?)
+    cells = categorical_mi_cells(docs, "lang", "source")
+    mi_cells = cells.select(
+        F.lit("mi_cells").alias("part"), F.col("a").alias("k1"),
+        F.col("b").alias("k2"), F.col("n_ab").alias("n"),
+        F.round("pmi", 6).alias("v1"),
+        F.lit(None).cast("double").alias("v2"))
+    mi_row = (cells.agg(
+        F.max("n").alias("n"),
+        F.round(F.sum(F.col("n_ab").cast("double") / F.col("n")
+                      * F.col("pmi")), 6).alias("v1"))
+        .crossJoin(F.broadcast(
+            cramers_v(docs, "lang", "source")
+            .select(F.round("v", 6).alias("v2"))))
+        .select(F.lit("mi").alias("part"),
+                F.lit("lang|source").alias("k1"),
+                F.lit(None).cast("string").alias("k2"),
+                "n", "v1", "v2"))
+    return (conf.unionByName(drift).unionByName(mi_cells)
+            .unionByName(mi_row))
 
 
 _TEXT_METRICS_ORACLE = f"""

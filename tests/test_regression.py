@@ -134,3 +134,70 @@ def test_theil_sen_matches_scipy_formulation(spark):
     # the outlier cannot drag the robust slope off ~1
     assert abs(got["g"].slope - 1.0) < 0.35
     assert got["h"].n_pairs == 0 and got["h"].slope is None
+
+
+def test_mann_kendall_signs_and_ties(spark):
+    from bigdata_spark_assignment_spark.operators.regression import (
+        mann_kendall,
+    )
+    rows = (
+        # up: strictly increasing, n=5 -> S = 10, Var = 5*4*15/18
+        [("up", float(i), float(i)) for i in range(5)]
+        # down: strictly decreasing -> S = -10
+        + [("dn", float(i), float(-i)) for i in range(5)]
+        # tie: all equal y -> S = 0, Var <= 0 -> z NULL
+        + [("tie", float(i), 1.0) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r.group: r for r in mann_kendall(df, "k", "x", "y").collect()}
+    import math
+    var5 = 5 * 4 * 15 / 18.0
+    assert got["up"].s_stat == 10
+    assert got["up"].z_stat == pytest.approx((10 - 1) / math.sqrt(var5))
+    assert got["dn"].s_stat == -10
+    assert got["dn"].z_stat == pytest.approx((-10 + 1) / math.sqrt(var5))
+    # all-tied y: tie term equals the n term exactly -> Var = 0
+    assert got["tie"].s_stat == 0 and got["tie"].z_stat is None
+
+
+def test_benford_digits_known_distribution(spark):
+    from bigdata_spark_assignment_spark.operators.expectations import (
+        benford_digits,
+    )
+    import math
+    # powers scaled so first digits are 1,2,3,1 (0 and negatives drop)
+    vals = [1.5, 23.0, 0.31, 1000.0, 0.0, -7.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r.digit: r for r in benford_digits(df, "x").collect()}
+    assert len(rows) == 9                      # all digits present
+    assert rows[1].n_obs == 2 and rows[2].n_obs == 1 and rows[3].n_obs == 1
+    assert rows[9].n_obs == 0
+    n = 4
+    for d in range(1, 10):
+        e = n * math.log10(1 + 1 / d)
+        assert rows[d].expected == pytest.approx(e)
+        assert rows[d].contrib == pytest.approx(
+            (rows[d].n_obs - e) ** 2 / e)
+
+
+def test_categorical_mi_and_cramers_v(spark):
+    from bigdata_spark_assignment_spark.operators.relational import (
+        categorical_mi_cells,
+        cramers_v,
+    )
+    import math
+    # perfectly dependent: a determines b -> MI = H(a), V = 1
+    dep = spark.createDataFrame(
+        [("x", "p")] * 3 + [("y", "q")] * 1, "a string, b string")
+    cells = categorical_mi_cells(dep, "a", "b").collect()
+    mi = sum(r.n_ab / r.n * r.pmi for r in cells)
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert mi == pytest.approx(h)
+    v = cramers_v(dep, "a", "b").collect()[0]
+    assert v.v == pytest.approx(1.0)
+    # independent 2x2 with equal counts -> MI = 0, V = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq"], "a string, b string")
+    cells = categorical_mi_cells(ind, "a", "b").collect()
+    assert sum(r.n_ab / r.n * r.pmi for r in cells) == pytest.approx(0.0)
+    assert cramers_v(ind, "a", "b").collect()[0].v == pytest.approx(0.0)
