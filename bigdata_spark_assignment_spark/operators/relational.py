@@ -249,6 +249,52 @@ def range_join_binned(left: DataFrame, intervals: DataFrame,
             .drop("__bin"))
 
 
+def interval_overlap_join_binned(a: DataFrame, b: DataFrame,
+                                 a_start: str, a_end: str,
+                                 b_start: str, b_end: str,
+                                 bin_seconds: int = 900,
+                                 extra_keys: list[str] | None = None
+                                 ) -> DataFrame:
+    """INTERVAL-overlap join (not point-in-interval): pairs where
+    [a_start, a_end] ∩ [b_start, b_end] ≠ ∅, i.e.
+    a_start <= b_end AND b_start <= a_end — the ad-exposure×session /
+    downtime×job / shift×incident join.
+
+    Same bin-and-refine contract as ``range_join_binned``, but BOTH
+    sides explode to their covered bins, so a candidate pair can meet
+    in several bins: the join keeps ONE meeting per pair by accepting
+    a bin only if it is the FIRST bin both intervals cover
+    (bin == max(bin_start_a, bin_start_b) — the overlap's first bin,
+    a stateless dedup that needs no distinct and therefore no second
+    shuffle). Exact overlap is the cheap post filter.
+
+    A naive theta join is BroadcastNestedLoop O(|A|·|B|); this plans
+    as one hash join shuffling O(Σ interval_len/bin) rows. Pick
+    ``bin_seconds`` ≈ the median interval length; AQE absorbs hot
+    bins. Interval columns must be non-NULL with start <= end
+    (filtered here — NULL endpoints have no overlap semantics).
+    """
+    extra_keys = extra_keys or []
+
+    def _bins(df, start, end, tag):
+        lo = F.floor(F.unix_timestamp(F.col(start)) / bin_seconds)
+        hi = F.floor(F.unix_timestamp(F.col(end)) / bin_seconds)
+        return (df.filter(F.col(start).isNotNull()
+                          & F.col(end).isNotNull()
+                          & (F.col(start) <= F.col(end)))
+                .withColumn(f"__lo_{tag}", lo)
+                .withColumn("__bin", F.explode(F.sequence(lo, hi))))
+
+    ab = _bins(a, a_start, a_end, "a")
+    bb = _bins(b, b_start, b_end, "b")
+    joined = ab.join(bb, ["__bin", *extra_keys])
+    return (joined
+            .filter(F.col("__bin") == F.greatest("__lo_a", "__lo_b"))
+            .filter((F.col(a_start) <= F.col(b_end))
+                    & (F.col(b_start) <= F.col(a_end)))
+            .drop("__bin", "__lo_a", "__lo_b"))
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter semi-join (runtime-filter pattern) — r5
 # ---------------------------------------------------------------------------

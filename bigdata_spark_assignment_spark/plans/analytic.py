@@ -1079,11 +1079,27 @@ _ACF_SQL = _acf_sql(max_lag=5)
           WINDOW w AS (PARTITION BY user_id
                        ORDER BY CAST(ts AS TIMESTAMP), event_id)))
       WINDOW wp AS (PARTITION BY user_id, phase)) s
+    UNION ALL
+    -- r6: interval-overlap join — plain theta overlap here, the
+    -- engine's bin-and-refine plan must be row-identical
+    SELECT 'overlap', g.a_user, NULL, NULL, NULL, g.n_ov
+    FROM (
+      WITH aiv AS (SELECT user_id AS a_user, w_start, w_end
+                   FROM iv WHERE user_id % 100 = 0),
+      biv AS (SELECT CAST(ts AS TIMESTAMP) AS p_start,
+                     CAST(ts AS TIMESTAMP) + INTERVAL 15 MINUTE
+                       AS p_end
+              FROM events
+              WHERE event_type = 'purchase' AND user_id % 10 = 0)
+      SELECT a.a_user, CAST(COUNT(b.p_start) AS BIGINT) AS n_ov
+      FROM aiv a LEFT JOIN biv b
+        ON a.w_start <= b.p_end AND b.p_start <= a.w_end
+      GROUP BY 1) g
     """,
     tags=("join", "asof", "range", "resample", "anomaly", "ewma",
-          "acf", "interp", "seasonal"),
+          "acf", "interp", "seasonal", "overlap"),
     parts=("asof", "range", "resample", "interp", "anomaly", "ewma",
-           "cusum", "acf", "seasonal"),
+           "cusum", "acf", "seasonal", "overlap"),
 )
 def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal joins in one tagged result (merged r2 q56+q57 to free
@@ -1151,8 +1167,21 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       where the two engines' round implementations disagree on the
       binary value), n = phase. The MA-decomposition stage of STL,
       fully window-algebraic — no join, no UDF.
+    * ``overlap`` — r6: INTERVAL-overlap join across entities
+      (operators.relational.interval_overlap_join_binned): sampled
+      first-hour windows × sampled 15-minute purchase exposures,
+      a_start ≤ b_end AND b_start ≤ a_end. Both sides explode to
+      bins; one meeting per pair via the first-common-bin rule
+      (bin == max(lo_a, lo_b) — stateless dedup, no distinct, no
+      second shuffle), exact inequality refine. The oracle is the
+      plain theta overlap join — row-identical, while the engine
+      plans a hash join instead of BroadcastNestedLoop (the naive
+      theta plan is O(|A|·|B|)). id = window owner, n = overlapping
+      exposures (zeros kept).
     """
-    from ..operators.relational import asof_join, range_join_binned
+    from ..operators.relational import (asof_join,
+                                        interval_overlap_join_binned,
+                                        range_join_binned)
 
     events = load_table(spark, sf_dir, "events")
     views = events.filter(F.col("event_type") == "view") \
@@ -1175,6 +1204,32 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("w_start") + F.expr("INTERVAL 1 HOUR")))
     joined = range_join_binned(events, iv, "ts", "w_start", "w_end",
                                bin_seconds=900, extra_keys=["user_id"])
+
+    # overlap: INTERVAL x INTERVAL join across entities (no shared
+    # key): sampled users' first-hour windows vs sampled 15-minute
+    # purchase exposures — bin-and-refine on both sides, one meeting
+    # per pair via the first-common-bin rule, exact inequality refine;
+    # the oracle is the plain overlap theta join (row-identical)
+    a_iv = (iv.filter(F.col("user_id") % 100 == 0)
+            .select(F.col("user_id").alias("a_user"),
+                    "w_start", "w_end"))
+    b_iv = (events.filter((F.col("event_type") == "purchase")
+                          & (F.col("user_id") % 10 == 0))
+            .select(F.col("ts").alias("p_start"),
+                    (F.col("ts") + F.expr("INTERVAL 15 MINUTES"))
+                    .alias("p_end")))
+    ov_pairs = interval_overlap_join_binned(
+        a_iv, b_iv, "w_start", "w_end", "p_start", "p_end",
+        bin_seconds=900)
+    ov = (a_iv.join(ov_pairs.groupBy("a_user")
+                    .agg(F.count(F.lit(1)).alias("n_ov")),
+                    "a_user", "left")
+          .select(F.lit("overlap").alias("part"),
+                  F.col("a_user").alias("id"),
+                  F.lit(None).cast("long").alias("user_id"),
+                  F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
+                  F.lit(None).cast("double").alias("v"),
+                  F.coalesce("n_ov", F.lit(0)).alias("n")))
     rng = (joined.groupBy("user_id")
            .agg(F.count(F.lit(1)).alias("n"),
                 fround(F.sum("value")).alias("v"))
@@ -1262,7 +1317,7 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("phase").alias("n")))
     return (asof.unionByName(rng).unionByName(rs).unionByName(ip)
             .unionByName(anom).unionByName(ew).unionByName(cp)
-            .unionByName(ac).unionByName(sd))
+            .unionByName(ac).unionByName(sd).unionByName(ov))
 
 
 @register(

@@ -398,3 +398,45 @@ def test_funnel_counts_ordered_semantics(spark):
            funnel_counts(df, "user_id", "ts", "event_type",
                          ["view", "click", "purchase"]).collect()}
     assert got == {1: 5, 2: 2, 3: 2}  # stage2/3: u1 and u4 only
+
+
+def test_interval_overlap_join_binned_equals_theta_join(spark):
+    """Bin-and-refine interval-overlap join must be PAIR-identical to
+    the naive theta join — including pairs that share several bins
+    (the first-common-bin rule must emit each exactly once), pairs
+    overlapping at a single boundary instant, and non-overlaps inside
+    a shared bin."""
+    import datetime as dt
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        interval_overlap_join_binned,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(rows, ida):
+        return spark.createDataFrame(
+            [(i, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=e))
+             for i, s, e in rows], f"{ida} long, s timestamp_ntz, e timestamp_ntz")
+
+    # deterministic pseudo-random interval sets (seeded)
+    import random
+    rnd = random.Random(7)
+    a_rows = [(i, s := rnd.randrange(0, 600), s + rnd.randrange(0, 120))
+              for i in range(40)]
+    b_rows = [(i, s := rnd.randrange(0, 600), s + rnd.randrange(0, 45))
+              for i in range(60)]
+    # hand-planted edges: boundary-instant overlap + same-bin non-overlap
+    a_rows += [(100, 0, 10), (101, 20, 25)]
+    b_rows += [(100, 10, 12), (101, 26, 28)]
+    a = mk(a_rows, "ia").withColumnRenamed("s", "as_").withColumnRenamed("e", "ae")
+    b = mk(b_rows, "ib").withColumnRenamed("s", "bs").withColumnRenamed("e", "be")
+
+    got = sorted((r.ia, r.ib) for r in interval_overlap_join_binned(
+        a, b, "as_", "ae", "bs", "be", bin_seconds=900).collect())
+    want = sorted((r.ia, r.ib) for r in a.crossJoin(b).filter(
+        (F.col("as_") <= F.col("be")) & (F.col("bs") <= F.col("ae")))
+        .collect())
+    assert got == want and len(got) > 50
+    assert (100, 100) in got      # boundary instant counts as overlap
+    assert (101, 101) not in got  # same bin, no overlap
