@@ -164,3 +164,33 @@ def file_skip_stats(path: str, box: dict[str, tuple]) -> tuple[int, int]:
         if overlap:
             n_hit += 1
     return len(files), n_hit
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int, sort: bool = True) -> None:
+    """Hash-bucketed table layout (``bucketBy`` + ``sortBy``) — the
+    shuffle-free co-located join: two tables bucketed on the same key
+    with the same bucket count join WITHOUT an Exchange on either
+    side, because every bucket i of A can only match bucket i of B
+    (Spark's Hive-style bucketing; the pre-shuffled layout Delta/
+    Iceberg expose as bucket transforms).
+
+    The 100 TB case: a fact table joined repeatedly on the same key
+    (orders ⋈ lineitem on orderkey, events ⋈ users on user_id) pays
+    its shuffle ONCE at write time; every subsequent join reads
+    co-located buckets and skips the exchange entirely — the single
+    biggest repeated-shuffle eliminator in a warehouse workload.
+    ``sortBy`` additionally pre-sorts within buckets so the
+    SortMergeJoin's per-task sort disappears too.
+
+    Bucketed writes go through the session catalog (``saveAsTable`` —
+    bucket metadata lives in the metastore, not the parquet footers),
+    so this is a TABLE operator, not a path operator; plan-shape
+    evidence in tests/test_layout.py (no Exchange under the join for
+    the bucketed pair, Exchange present for the plain-parquet pair).
+    """
+    w = (df.write.format("parquet").mode("overwrite")
+         .bucketBy(n_buckets, bucket_col))
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)

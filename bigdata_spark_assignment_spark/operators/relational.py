@@ -1228,6 +1228,39 @@ def seasonal_decompose(df: DataFrame, key_cols: list[str],
             .drop("__dm"))
 
 
+def weighted_percentiles_step(df: DataFrame, key_cols: list[str],
+                              value_col: str, weight_col: str,
+                              ps: list[float]) -> DataFrame:
+    """Exact WEIGHTED percentiles per key, step convention: the p-th
+    weighted percentile is the smallest value v whose cumulative
+    weight reaches p·W (the inverse of the weighted empirical CDF —
+    no interpolation, so there is exactly one correct answer and any
+    engine that sums the same weights returns the identical value).
+    The weighted-data companion to ``exact_percentiles`` — "the price
+    below which 50% of the QUANTITY traded", survey-weighted medians,
+    token-weighted document-length quantiles.
+
+    Plan: distinct-(key, value) weight aggregate → one cumulative
+    window over the frontier-sized distinct table (same shape as the
+    exact-percentile position construction — never a data sort) →
+    one conditional-min aggregate per requested p. Weights must be
+    non-negative; NULL values/weights drop.
+    """
+    vc = (df.filter(F.col(value_col).isNotNull()
+                    & F.col(weight_col).isNotNull())
+          .groupBy(*key_cols, value_col)
+          .agg(F.sum(F.col(weight_col).cast("double")).alias("__w")))
+    wcum = W.partitionBy(*key_cols).orderBy(value_col)
+    cum = F.sum("__w").over(wcum)
+    tot = F.sum("__w").over(W.partitionBy(*key_cols))
+    scored = vc.select(*key_cols, F.col(value_col), "__w",
+                       cum.alias("__cum"), tot.alias("__tot"))
+    aggs = [F.min(F.when(F.col("__cum") >= p * F.col("__tot"),
+                         F.col(value_col))).alias(f"wp{int(p * 100)}")
+            for p in ps]
+    return scored.groupBy(*key_cols).agg(*aggs)
+
+
 def exact_percentiles(df: DataFrame, value_col: str,
                       ps: list[float],
                       key_cols: list[str] | None = None) -> DataFrame:

@@ -718,15 +718,43 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q54_exact_percentiles",
     oracle="""
-    SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
-           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH base AS (
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+             ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY l_returnflag),
+    -- r6: quantity-WEIGHTED percentiles, step convention — smallest
+    -- price whose cumulative quantity reaches p*W (inverse weighted
+    -- ECDF; no interpolation, so both engines agree exactly)
+    vc AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS DOUBLE)) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      GROUP BY 1, 2),
+    cw AS (
+      SELECT l_returnflag, v,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM vc),
+    wp AS (
+      SELECT l_returnflag,
+             ROUND(MIN(CASE WHEN cum >= 0.25 * tot THEN v END), 4)
+               AS wp25,
+             ROUND(MIN(CASE WHEN cum >= 0.50 * tot THEN v END), 4)
+               AS wp50,
+             ROUND(MIN(CASE WHEN cum >= 0.75 * tot THEN v END), 4)
+               AS wp75
+      FROM cw GROUP BY 1)
+    SELECT base.*, wp.wp25, wp.wp50, wp.wp75
+    FROM base JOIN wp USING (l_returnflag)
     """,
-    tags=("aggregation", "percentiles"),
+    tags=("aggregation", "percentiles", "weighted"),
 )
 def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark ``percentile`` aggregate ==
@@ -735,16 +763,27 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group value multiset. All three points come from ONE
     array-argument aggregate (one multiset buffer per group, not three
     — 3× less aggregation state than separate percentile calls)."""
+    from ..operators.relational import weighted_percentiles_step
+
     li = load_table(spark, sf_dir, "lineitem")
     pcts = F.percentile("l_extendedprice",
                         F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    return (li.groupBy("l_returnflag")
+    base = (li.groupBy("l_returnflag")
             .agg(pcts.alias("ps"), F.count(F.lit(1)).alias("n"))
             .select("l_returnflag",
                     fround(F.element_at("ps", 1)).alias("p25"),
                     fround(F.element_at("ps", 2)).alias("p50"),
                     fround(F.element_at("ps", 3)).alias("p75"),
                     "n"))
+    # r6: quantity-weighted percentiles (step convention — exact, see
+    # operators.relational.weighted_percentiles_step)
+    wp = (weighted_percentiles_step(li, ["l_returnflag"],
+                                    "l_extendedprice", "l_quantity",
+                                    [0.25, 0.50, 0.75])
+          .select("l_returnflag", fround("wp25").alias("wp25"),
+                  fround("wp50").alias("wp50"),
+                  fround("wp75").alias("wp75")))
+    return base.join(wp, "l_returnflag")
 
 
 @register(

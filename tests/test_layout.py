@@ -111,3 +111,44 @@ def test_zordered_layout_skips_files_on_both_dimensions(spark, sf_smoke):
         assert z_hit_both <= n_files // 2
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    must join with NO shuffle on either side (bucket i ⋈ bucket i);
+    the identical plain-parquet join keeps its exchanges — the
+    write-once/join-many layout contract."""
+    import re
+
+    from bigdata_spark_assignment_spark.operators.layout import (
+        write_bucketed,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+        b = spark.range(0, 10_000, 2).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+        write_bucketed(a, "bkt_a", "k", 8)
+        write_bucketed(b, "bkt_b", "k", 8)
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+
+        joined = ta.join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5_000
+
+        # control: same data from plain parquet shuffles both sides
+        a.write.mode("overwrite").parquet(str(tmp_path / "pa"))
+        b.write.mode("overwrite").parquet(str(tmp_path / "pb"))
+        plain = (spark.read.parquet(str(tmp_path / "pa"))
+                 .join(spark.read.parquet(str(tmp_path / "pb")), "k"))
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", pplan)) >= 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

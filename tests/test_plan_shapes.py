@@ -147,8 +147,13 @@ def _sf1_or_skip() -> str:
     # predicate + projection pushdown is statistics-independent
     ("q02_filter_project_cast",
      ["GreaterThan(o_totalprice,50000.0)"], []),
-    # global top-k must stay TakeOrdered (no full sort) at any scale
-    ("q10_topk_orders", ["TakeOrderedAndProject"], ["Sort "]),
+    # global top-k must stay TakeOrdered at any scale. Forbid GLOBAL
+    # sorts only ("], true, 0" is the formatted-explain global-Sort
+    # argument signature): the r5 gini/pareto legs legitimately added
+    # LOCAL window partition sorts ("], false, 0"), identical at
+    # sf0.1 and sf1 — the original blanket "Sort " pin predates them
+    # (it was skip-masked until the sf1 build existed on this host).
+    ("q10_topk_orders", ["TakeOrderedAndProject"], ["], true, 0"]),
     # the TPC-H suite keeps its pushed filter and at least one
     # broadcast dim at 10x
     ("q58_tpch_suite", ["EqualTo(l_returnflag,R)", "BroadcastHashJoin"],

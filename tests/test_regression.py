@@ -201,3 +201,32 @@ def test_categorical_mi_and_cramers_v(spark):
     cells = categorical_mi_cells(ind, "a", "b").collect()
     assert sum(r.n_ab / r.n * r.pmi for r in cells) == pytest.approx(0.0)
     assert cramers_v(ind, "a", "b").collect()[0].v == pytest.approx(0.0)
+
+
+def test_weighted_percentiles_step_numpy_parity(spark):
+    from bigdata_spark_assignment_spark.operators.relational import (
+        weighted_percentiles_step,
+    )
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vals = rng.uniform(0, 100, 200).round(3)
+    wts = rng.randint(1, 9, 200)
+    rows = [("g", float(v), int(w)) for v, w in zip(vals, wts)]
+    rows += [("tiny", 5.0, 1), ("tiny", 1.0, 3)]  # cum: 1.0->3, 5.0->4
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    out = {r.k: r for r in weighted_percentiles_step(
+        df, ["k"], "v", "w", [0.25, 0.5, 0.75]).collect()}
+
+    # numpy reference: smallest v with cumweight >= p * W
+    order = np.argsort(vals, kind="stable")
+    sv, sw = vals[order], wts[order]
+    # pool equal values like the operator's distinct-value table
+    uv = np.unique(sv)
+    cw = np.array([sw[sv == u].sum() for u in uv]).cumsum()
+    for p, col in [(0.25, "wp25"), (0.5, "wp50"), (0.75, "wp75")]:
+        want = uv[np.searchsorted(cw, p * cw[-1])]
+        assert out["g"][col] == pytest.approx(float(want)), (p, col)
+    # hand case: W=4; p50 target 2 -> first cum>=2 is v=1; p75 -> 3 -> v=1
+    assert out["tiny"].wp50 == 1.0
+    assert out["tiny"].wp75 == 1.0
+    assert out["tiny"].wp25 == 1.0
