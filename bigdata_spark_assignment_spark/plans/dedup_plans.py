@@ -456,6 +456,25 @@ def _pagerank_iter_ctes(iters: int, damping: float = 0.85) -> str:
           JOIN edges_lh w3 ON w3.u = w1.u AND w3.v = w2.v) tri)
       GROUP BY id) t ON t.id = v.id
     UNION ALL
+    -- r6: local clustering coefficient = 2*triangles / deg*(deg-1)
+    -- (degree and triangle tables both re-derived above; deg < 2 ->
+    -- NULL, the undefined case)
+    SELECT 'clustering', CAST(v.id AS BIGINT),
+           CAST(d.deg AS BIGINT),
+           CASE WHEN d.deg >= 2
+                THEN ROUND(2.0 * COALESCE(t2.nt, 0)
+                           / (d.deg * (d.deg - 1.0)), 6) END
+    FROM verts v
+    JOIN deg d ON d.id = v.id
+    LEFT JOIN (
+      SELECT id, COUNT(*) AS nt FROM (
+        SELECT unnest([tri.a, tri.b, tri.c]) AS id FROM (
+          SELECT w1.u AS a, w1.v AS b, w2.v AS c
+          FROM edges_lh w1
+          JOIN edges_lh w2 ON w1.v = w2.u
+          JOIN edges_lh w3 ON w3.u = w1.u AND w3.v = w2.v) tri)
+      GROUP BY id) t2 ON t2.id = v.id
+    UNION ALL
     -- r5 session 4: BFS hop distance from each component's canonical
     -- (min-id) vertex — level-bounded recursive enumeration, MIN(dist)
     -- = shortest path, same 20-hop bound as the engine operator
@@ -521,6 +540,12 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       (operators.dedup.triangle_counts, u<v<w wedge+closing joins,
       each triangle found once); the oracle re-enumerates them with
       the same orientation. cluster_id carries the count.
+    * ``clustering`` — r6: local clustering coefficient
+      2·triangles/(deg·(deg−1)) from the SAME triangle table plus a
+      distinct-neighbor degree count (cluster_id carries the degree,
+      v the coefficient; deg < 2 → NULL). 1.0 = the vertex's near-dup
+      blob is a clique — the blob-shape diagnostic that separates
+      true duplicate cliques from chain-shaped false-positive paths.
     * ``bfs`` — r5 session 4: hop distance of every vertex from its
       component's canonical min-id vertex
       (operators.dedup.bfs_hops_by_component, the grouped one-job
@@ -563,9 +588,26 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.lit("pagerank").alias("method"), "id",
                   F.lit(None).cast("long").alias("cluster_id"),
                   fround(F.col("rank"), 6).alias("v")))
-    tri = (triangle_counts(pairs)
+    tri_counts = triangle_counts(pairs)
+    tri = (tri_counts
            .select(F.lit("triangles").alias("method"), "id",
                    F.col("n_triangles").alias("cluster_id"), nullv))
+    # clustering: local clustering coefficient from the SAME triangle
+    # table + a distinct-neighbor degree count — how clique-ish each
+    # vertex's neighborhood is (1.0 = its near-dup blob is a clique)
+    sym = (pairs.select(F.col("id_a").alias("id"),
+                        F.col("id_b").alias("nb"))
+           .unionByName(pairs.select(F.col("id_b").alias("id"),
+                                     F.col("id_a").alias("nb")))
+           .distinct())
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    dd = F.col("deg").cast("double")
+    clus = (tri_counts.join(deg, "id")
+            .select(F.lit("clustering").alias("method"), "id",
+                    F.col("deg").cast("long").alias("cluster_id"),
+                    F.when(F.col("deg") >= 2,
+                           F.round(2.0 * F.col("n_triangles")
+                                   / (dd * (dd - 1.0)), 6)).alias("v")))
     bfs = (bfs_hops_by_component(pairs, prop, max_hops=20)
            .select(F.lit("bfs").alias("method"), "id",
                    F.col("hops").alias("cluster_id"), nullv))
@@ -576,8 +618,9 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = (sssp_by_component(weighted, prop, max_rounds=20)
           .select(F.lit("sssp").alias("method"), "id",
                   F.col("dist").alias("cluster_id"), nullv))
-    return (prop.select(F.lit("prop").alias("method"), "id",
-                        "cluster_id", nullv)
+    return (clus.unionByName(
+            prop.select(F.lit("prop").alias("method"), "id",
+                        "cluster_id", nullv))
             .unionByName(star.select(F.lit("star").alias("method"),
                                      "id", "cluster_id", nullv))
             .unionByName(pr).unionByName(tri).unionByName(bfs)
