@@ -103,7 +103,7 @@ def _warm_ivf_index(spark, sf_dir: str) -> None:
     )
 
     _ivf_centers_for(spark, sf_dir, n_cells=16)
-    _pq_books_for(spark, sf_dir, m=8, k_codes=32)
+    _pq_books_for(spark, sf_dir, m=8, k_codes=64)  # r6 retune (q42)
 
 
 def main() -> None:

@@ -704,8 +704,8 @@ _BOOT_W = _poisson_w_sql(
     FROM (
       WITH hr AS (
         SELECT event_type AS grp,
-               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
-                    - 473352 AS DOUBLE) AS x,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 10800)
+                    - 157784 AS DOUBLE) AS x,
                AVG(value) AS y
         FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       s AS (
@@ -737,8 +737,8 @@ _BOOT_W = _poisson_w_sql(
     FROM (
       WITH hr AS (
         SELECT event_type AS grp,
-               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
-                    - 473352 AS DOUBLE) AS x,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 10800)
+                    - 157784 AS DOUBLE) AS x,
                AVG(value) AS y
         FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       sl AS (
@@ -760,8 +760,8 @@ _BOOT_W = _poisson_w_sql(
     FROM (
       WITH hr AS (
         SELECT event_type AS grp,
-               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
-                    - 473352 AS DOUBLE) AS x,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 10800)
+                    - 157784 AS DOUBLE) AS x,
                AVG(value) AS y
         FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       sp AS (SELECT a.grp, SUM(SIGN(b.y - a.y)) AS sraw
@@ -861,13 +861,13 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       — an EXACT SQL cross-check for an iterative algorithm, stronger
       than the pinned-literal route. n1 = month index, n2 = rows
       pooled, v1 = pooled mean, v2 = isotonic fit.
-    * ``ols`` — r6: per-event-type OLS trend of the hourly mean
+    * ``ols`` — r6: per-event-type OLS trend of the 3-hourly mean
       metric (operators.regression.grouped_ols): slope/intercept/r²
       from ONE grouped aggregate of the five sufficient sums — the
       metric-drift/monitoring workhorse; at scale it is one shuffle
       of 5 doubles per key. n1 = points, v1/v2/v3 =
       slope/intercept/r² (6 dp — slopes live at 1e-3 scale).
-    * ``theil`` — r6: Theil–Sen robust slope over the same hourly
+    * ``theil`` — r6: Theil–Sen robust slope over the same 3-hourly
       series (operators.regression.theil_sen_slope): exact median of
       pairwise slopes via the distinct-value position construction,
       slopes rounded 9 dp BEFORE the order statistic so both engines
@@ -970,15 +970,18 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.regression import (grouped_ols, mann_kendall,
                                         theil_sen_slope)
 
-    # ols / theil: per-event-type trend of the hourly mean metric —
-    # OLS from one grouped aggregate of the five sufficient sums, and
-    # the robust Theil–Sen line (median of pairwise slopes; the
-    # estimator ~29% outliers cannot move). x = hour index from the
-    # fixed corpus epoch (2024-01-01 = unix hour 473352) so both
-    # engines sum small doubles; slopes round at 6 dp (they live at
-    # 1e-3 scale where the 4 dp house rounding would null the check).
+    # ols / theil / mk: per-event-type trend of the 3-hourly mean
+    # metric — OLS from one grouped aggregate of the five sufficient
+    # sums, the robust Theil–Sen line (median of pairwise slopes; the
+    # estimator ~29% outliers cannot move), and the Mann-Kendall
+    # test. x = 3-hour index from the fixed corpus epoch (2024-01-01
+    # = unix 3h-unit 157784) so both engines sum small doubles —
+    # 240 points/group keeps the O(m²) pair stages at ~29k pairs per
+    # group (the hourly form measured 3.9s in the theil median alone;
+    # the trend read is identical). Slopes round at 6 dp (they live
+    # at 1e-3 scale where 4 dp house rounding would null the check).
     us_h = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
-                   / F.lit(3_600_000_000)) - F.lit(473352)
+                   / F.lit(10_800_000_000)) - F.lit(157784)
     hourly = (events.filter(F.col("value").isNotNull())
               .groupBy(F.col("event_type").alias("grp"),
                        us_h.cast("double").alias("x"))
