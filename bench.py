@@ -156,7 +156,7 @@ def main() -> None:
             df = q.fn(spark, sf_dir)
             for tag in q.parts:
                 t0 = time.perf_counter()
-                (df.filter(F.col("part") == tag)
+                (df.filter(F.col(q.part_col) == tag)
                  .write.format("noop").mode("overwrite").save())
                 phases[f"{name}.{tag}"] = round(
                     time.perf_counter() - t0, 3)

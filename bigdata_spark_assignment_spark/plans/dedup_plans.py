@@ -514,6 +514,9 @@ def _pagerank_iter_ctes(iters: int, damping: float = 0.85) -> str:
       SELECT id, MIN(dist) AS dist FROM sp GROUP BY id)
     """,
     tags=("dedup", "neardup", "clustering", "pagerank", "sssp"),
+    parts=("prop", "star", "pagerank", "triangles", "clustering",
+           "bfs", "sssp"),
+    part_col="method",
 )
 def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the MinHash near-dup pair graph, tagged:

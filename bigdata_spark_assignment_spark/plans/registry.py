@@ -37,6 +37,12 @@ class Query:
     # executes ONLY that part's subplan. Pinned against the actual
     # distinct tags in tests/test_registry_contract.py.
     parts: tuple[str, ...] = field(default_factory=tuple)
+    # Name of the tag column the parts live in (q53 uses 'method').
+    # NOTE: legs an eagerly-executed operator produces inside fn()
+    # (iterative CC, BPE training) pay their cost at fn() call time —
+    # the part timer sees only the lazy tail; the slot timing carries
+    # the eager work.
+    part_col: str = "part"
 
 
 REGISTRY: dict[str, Query] = {}
@@ -47,7 +53,8 @@ FLOAT_DECIMALS = 4
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",
-             tags: tuple[str, ...] = (), parts: tuple[str, ...] = ()):
+             tags: tuple[str, ...] = (), parts: tuple[str, ...] = (),
+             part_col: str = "part"):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
@@ -55,7 +62,7 @@ def register(name: str, oracle: str | None = None, doc: str = "",
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle,
                                doc=doc or (fn.__doc__ or ""), tags=tuple(tags),
-                               parts=tuple(parts))
+                               parts=tuple(parts), part_col=part_col)
         return fn
 
     return deco

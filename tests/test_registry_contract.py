@@ -55,7 +55,9 @@ def test_declared_parts_match_actual_tags(spark):
     declared = {n: q.parts for n, q in REGISTRY.items() if q.parts}
     assert declared, "expected at least the five fat suite slots"
     for name, parts in declared.items():
-        df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
-        assert "part" in df.columns, name
-        actual = {r[0] for r in df.select("part").distinct().collect()}
+        q = REGISTRY[name]
+        df = q.fn(spark, "/root/testdata/sf0.001")
+        assert q.part_col in df.columns, name
+        actual = {r[0]
+                  for r in df.select(q.part_col).distinct().collect()}
         assert set(parts) == actual, (name, sorted(parts), sorted(actual))

@@ -208,7 +208,7 @@ def run_sf1_full(spark) -> dict:
         _pq_books_for,
     )
     _ivf_centers_for(spark, SF1_DIR, n_cells=16)
-    _pq_books_for(spark, SF1_DIR, m=8, k_codes=32)
+    _pq_books_for(spark, SF1_DIR, m=8, k_codes=64)  # r6 retune
 
     base = {}
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
