@@ -953,6 +953,72 @@ def mann_whitney_u(df: DataFrame, variant_col: str, metric_col: str,
                     z.alias("z_stat"))
 
 
+def ks_test(df: DataFrame, variant_col: str, metric_col: str,
+            key_cols: list[str] | None = None,
+            variant_a: str = "a",
+            variant_b: str = "b") -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between two variants — the
+    DISTRIBUTION-level A/B readout that completes the ``welch_ttest``
+    (means) / ``mann_whitney_u`` (ranks) family: it detects shape
+    changes (variance, tails, bimodality) that leave means and mean
+    ranks untouched.
+
+    Returns (keys…, n_a, n_b, d_stat, ks_stat, p_approx) per stratum:
+
+        D  = sup_x |F_a(x) − F_b(x)|   (ECDFs evaluated at the pooled
+                                        sample points)
+        λ  = D · sqrt(n_a·n_b / (n_a + n_b))
+        p ≈ min(1, 2·exp(−2λ²))        (first term of the Kolmogorov
+                                        series — upper bound, exact
+                                        enough for screening)
+
+    Strata with an empty arm yield NULL D/λ/p.
+
+    Plan: ONE grouped count collapses the data to per-(stratum, value)
+    arm counts — the only full-data shuffle, with map-side partial
+    aggregation — then the running ECDFs are a single partition-sort
+    window over the DISTINCT-value table (bounded by value
+    cardinality, not row count) with the arm totals as frame-less
+    window sums over the same table, and D is a grouped max. The
+    running sums are sequential by window semantics, so both engines
+    produce bit-identical doubles from the same integer counts — the
+    q62 oracle re-derives ECDFs, D, λ and p end-to-end.
+    """
+    key_cols = key_cols or []
+    d = df.filter(F.col(metric_col).isNotNull()
+                  & F.col(variant_col).isin([variant_a, variant_b]))
+    is_a = F.col(variant_col) == variant_a
+    vc = (d.groupBy(*key_cols, metric_col)
+          .agg(F.count(F.when(is_a, 1)).cast("double").alias("__ca"),
+               F.count(F.when(~is_a, 1)).cast("double").alias("__cb")))
+    wrun = (W.partitionBy(*key_cols).orderBy(metric_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy(*key_cols)
+    cum = vc.select(
+        *key_cols,
+        F.sum("__ca").over(wrun).alias("__fa"),
+        F.sum("__cb").over(wrun).alias("__fb"),
+        F.sum("__ca").over(wall).alias("__na"),
+        F.sum("__cb").over(wall).alias("__nb"))
+    # try_divide: an empty arm (total 0) yields NULL gaps under ANSI
+    # mode instead of erroring; the grouped max then ignores them and
+    # the ok-guard below nulls the outputs.
+    gap = F.abs(F.try_divide(F.col("__fa"), F.col("__na"))
+                - F.try_divide(F.col("__fb"), F.col("__nb")))
+    g = cum.groupBy(*key_cols).agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.max(gap).alias("__d"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    dstat = F.when(ok, F.col("__d"))
+    lam = F.when(ok, F.col("__d") * F.sqrt(na * nb / (na + nb)))
+    p = F.when(ok, F.least(F.lit(1.0), F.lit(2.0) * F.exp(-2.0 * (
+        F.col("__d") * F.sqrt(na * nb / (na + nb))) ** 2)))
+    return g.select(*key_cols, "n_a", "n_b", dstat.alias("d_stat"),
+                    lam.alias("ks_stat"), p.alias("p_approx"))
+
+
 def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Pearson chi-squared test of independence between two
     categorical columns — the experiment-health check (sample-ratio

@@ -518,6 +518,46 @@ _BOOT_W = _poisson_w_sql(
              SUM(tr) AS ties
       FROM r GROUP BY 1) g
     UNION ALL
+    -- r6: two-sample Kolmogorov-Smirnov over the same assignment
+    -- (operators.relational.ks_test) — running ECDFs over the
+    -- distinct-value table, D = max gap, first-term Kolmogorov p
+    SELECT 'ks', g.event_type, NULL, g.n_a, g.n_b,
+           ROUND(g.d, 6),
+           ROUND(g.d * sqrt(g.n_a * g.n_b
+                            / CAST(g.n_a + g.n_b AS DOUBLE)), 6),
+           ROUND(LEAST(1.0, 2.0 * EXP(
+               -2.0 * POWER(g.d * sqrt(g.n_a * g.n_b
+                            / CAST(g.n_a + g.n_b AS DOUBLE)), 2))), 6)
+    FROM (
+      WITH v4 AS (
+        SELECT event_type, value,
+               CASE WHEN CAST(('0x' || substring(
+                        md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS variant
+        FROM events WHERE value IS NOT NULL),
+      vc4 AS (
+        SELECT event_type, value,
+               CAST(COUNT(*) FILTER (variant = 'a') AS DOUBLE) AS ca,
+               CAST(COUNT(*) FILTER (variant = 'b') AS DOUBLE) AS cb
+        FROM v4 GROUP BY 1, 2),
+      cum4 AS (
+        SELECT event_type,
+               SUM(ca) OVER (PARTITION BY event_type ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS fa,
+               SUM(cb) OVER (PARTITION BY event_type ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS fb,
+               SUM(ca) OVER (PARTITION BY event_type) AS na,
+               SUM(cb) OVER (PARTITION BY event_type) AS nb
+        FROM vc4)
+      SELECT event_type,
+             CAST(MAX(na) AS BIGINT) AS n_a,
+             CAST(MAX(nb) AS BIGINT) AS n_b,
+             MAX(ABS(fa / na - fb / nb)) AS d
+      FROM cum4 GROUP BY 1) g
+    UNION ALL
     -- r5 session 5: chi-squared independence of event_type x variant
     -- (operators.relational.chi2_independence) — zero cells folded in
     -- via the chi2 = n + SUM((o-e)^2/e - e) identity on BOTH engines
@@ -807,8 +847,8 @@ _BOOT_W = _poisson_w_sql(
     """,
     tags=("split", "sampling", "abtest", "winsorize", "bootstrap",
           "isotonic", "trend"),
-    parts=("split", "ttest", "mwu", "chi2", "wins", "boot", "iso",
-           "ols", "theil", "mk", "benford"),
+    parts=("split", "ttest", "mwu", "ks", "chi2", "wins", "boot",
+           "iso", "ols", "theil", "mk", "benford"),
 )
 def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment-infrastructure suite, tagged:
@@ -831,6 +871,13 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       Σ_rows(t²−1) = Σ_ties(t³−t), tie-corrected normal z. v1 = U_a,
       v2 = z — the nonparametric readout for skewed metrics, ranks
       and tie term oracle-reproduced end-to-end.
+    * ``ks`` — r6: two-sample Kolmogorov-Smirnov over the same
+      variants (operators.relational.ks_test): running ECDFs from one
+      partition-sort window over the distinct-value table, D = max
+      ECDF gap, λ = D·sqrt(n_a·n_b/n), p ≈ min(1, 2e^(−2λ²)) — the
+      distribution-shape readout that catches variance/tail changes
+      the mean (ttest) and rank (mwu) readouts miss. n1/n2 = arm
+      sizes, v1 = D, v2 = λ, v3 = p (6 dp).
     * ``chi2`` — r5 session 5: Pearson chi-squared independence of
       event_type × variant (operators.relational.chi2_independence),
       zero cells folded in via χ² = n + Σ_obs((o−e)²/e − e) so no
@@ -915,6 +962,18 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                   fround(F.col("u_stat")).alias("v1"),
                   fround(F.col("z_stat")).alias("v2"),
                   F.lit(None).cast("double").alias("v3")))
+
+    from ..operators.relational import ks_test
+
+    ks = (ks_test(assigned, "variant", "value",
+                  key_cols=["event_type"])
+          .select(F.lit("ks").alias("part"),
+                  F.col("event_type").alias("k1"),
+                  F.lit(None).cast("string").alias("k2"),
+                  F.col("n_a").alias("n1"), F.col("n_b").alias("n2"),
+                  F.round("d_stat", 6).alias("v1"),
+                  F.round("ks_stat", 6).alias("v2"),
+                  F.round("p_approx", 6).alias("v3")))
 
     c2 = (chi2_independence(assigned, "event_type", "variant")
           .select(F.lit("chi2").alias("part"),
@@ -1038,7 +1097,8 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    fround(F.col("y")).alias("v1"),
                    fround(F.col("y_iso")).alias("v2"),
                    F.lit(None).cast("double").alias("v3")))
-    return (split.unionByName(tt).unionByName(mw).unionByName(c2)
+    return (split.unionByName(tt).unionByName(mw).unionByName(ks)
+            .unionByName(c2)
             .unionByName(wins).unionByName(boot).unionByName(iso)
             .unionByName(ols).unionByName(theil).unionByName(mk)
             .unionByName(bf))

@@ -11,6 +11,8 @@ tests/test_dedup.py instead.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -24,6 +26,39 @@ from ..operators.dedup import (
 )
 from ..operators.textual import WS_SPLIT, fingerprint_expr
 from .registry import fround, register
+
+# Fellegi-Sunter m/u probabilities for the q33 `fs` part — module-
+# level so the ENGINE (via FieldComparison.w_agree) and the ORACLE
+# (via repr() literals below) derive every weight from the SAME
+# Python floats; neither engine recomputes a log in its own numerics.
+_FS_MU = {"name": (0.95, 0.001), "seg": (0.9, 0.2),
+          "band": (0.85, 0.01)}
+_FS_W = {k: (math.log2(m / u), math.log2((1.0 - m) / (1.0 - u)))
+         for k, (m, u) in _FS_MU.items()}
+_FS_REVIEW, _FS_MATCH = 4.0, 12.0
+
+
+def _fs_weight_sql(a: str, b: str) -> str:
+    """The oracle's weight expression — the same three CASE terms in
+    the same order the engine sums them, each literal repr()'d from
+    the shared Python floats."""
+    (wn_a, wn_d), (ws_a, ws_d), (wb_a, wb_d) = (
+        _FS_W["name"], _FS_W["seg"], _FS_W["band"])
+    return f"""0.0
+        + CASE WHEN lower({a}.c_name) = lower({b}.name)
+               THEN CAST('{wn_a!r}' AS DOUBLE)
+               ELSE CAST('{wn_d!r}' AS DOUBLE) END
+        + CASE WHEN {a}.c_mktsegment = {b}.seg
+               THEN CAST('{ws_a!r}' AS DOUBLE)
+               ELSE CAST('{ws_d!r}' AS DOUBLE) END
+        + CASE WHEN floor({a}.c_acctbal / 100.0)
+                    = floor({b}.acctbal / 100.0)
+               THEN CAST('{wb_a!r}' AS DOUBLE)
+               ELSE CAST('{wb_d!r}' AS DOUBLE) END"""
+
+
+_FS_WEIGHT_SQL = _fs_weight_sql("a", "b")
+
 
 # Shared DuckDB CTE: word-3-shingle exact-Jaccard pairs at τ=0.6 —
 # the ground truth for BOTH the brute-force and the MinHash query.
@@ -168,8 +203,54 @@ def dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(levenshtein(a.s_name, b.s_name) AS DOUBLE)
     FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
     WHERE levenshtein(a.s_name, b.s_name) <= 1
+    UNION ALL
+    -- r6: Fellegi-Sunter record linkage (operators.linkage.fs_link)
+    -- — nation-blocked candidate join of customers against a
+    -- deterministically dirtied copy, three-field log2(m/u) weights
+    -- from the engine's exact double literals, review-band filter
+    SELECT 'fs', fsw.id_a, fsw.id_b, ROUND(fsw.w, 4)
+    FROM (
+      WITH bsrc AS (
+        SELECT c_custkey + 1000000 AS ck,
+               CASE WHEN c_custkey % 11 = 0
+                    THEN upper(c_name) || ' JR'
+                    ELSE upper(c_name) END AS name,
+               CASE WHEN c_custkey % 5 = 0
+                    THEN 'UNKNOWN' ELSE c_mktsegment END AS seg,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN c_acctbal + 5000 ELSE c_acctbal END AS acctbal,
+               c_nationkey AS nk
+        FROM customer)
+      SELECT a.c_custkey AS id_a, b.ck AS id_b,
+             {_FS_WEIGHT_SQL} AS w
+      FROM customer a JOIN bsrc b ON a.c_nationkey = b.nk) fsw
+    WHERE fsw.w >= {_FS_REVIEW!r}
+    UNION ALL
+    SELECT 'fs_sum', g.n_match, g.n_possible, NULL
+    FROM (
+      WITH bsrc AS (
+        SELECT c_custkey + 1000000 AS ck,
+               CASE WHEN c_custkey % 11 = 0
+                    THEN upper(c_name) || ' JR'
+                    ELSE upper(c_name) END AS name,
+               CASE WHEN c_custkey % 5 = 0
+                    THEN 'UNKNOWN' ELSE c_mktsegment END AS seg,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN c_acctbal + 5000 ELSE c_acctbal END AS acctbal,
+               c_nationkey AS nk
+        FROM customer),
+      fsw AS (
+        SELECT {_FS_WEIGHT_SQL} AS w
+        FROM customer a JOIN bsrc b ON a.c_nationkey = b.nk)
+      SELECT CAST(SUM(CASE WHEN w >= {_FS_MATCH!r}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+             CAST(SUM(CASE WHEN w >= {_FS_REVIEW!r}
+                            AND w < {_FS_MATCH!r}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_possible
+      FROM fsw) g
     """,
-    tags=("dedup", "neardup", "fuzzy-join"),
+    tags=("dedup", "neardup", "fuzzy-join", "linkage"),
+    parts=("jaccard", "jaccard_prefix", "editdist", "fs", "fs_sum"),
 )
 def neardup_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-similarity pair mining, tagged:
@@ -188,6 +269,22 @@ def neardup_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       a hash match proves the d-deletion blocking loses no pair
       (completeness lemma in the operator docstring) and the verify
       keeps no false candidate.
+    * ``fs`` / ``fs_sum`` — r6: probabilistic record linkage
+      (operators.linkage.fs_link, Fellegi-Sunter 1969): customers
+      linked against a deterministically dirtied copy (names
+      upper-cased, ' JR' suffixed every 11th key; segment wiped every
+      5th; account balance shifted a whole band every 7th), candidate
+      pairs from NATION blocking (never the cross product), each
+      field contributing log2(m/u) / log2((1−m)/(1−u)) evidence
+      weights summed in field order from shared Python-float
+      literals. ``fs`` rows are every candidate at or above the
+      review threshold (v = weight, 4 dp) — true pairs surviving ≥2
+      field agreements plus the genuine clerical-review band of
+      random in-block pairs that agree on segment AND balance band;
+      ``fs_sum`` pins the match/possible decision counts (id_a/id_b
+      carry them), so the thresholds themselves are oracle-checked.
+      At scale: one shuffle per side on the block key, codegen CASE
+      weights, output bounded by true matches + review band.
     """
     from ..operators.dedup import fuzzy_join_edit_distance
 
@@ -208,7 +305,54 @@ def neardup_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("id_a").cast("long").alias("id_a"),
                   F.col("id_b").cast("long").alias("id_b"),
                   F.col("dist").cast("double").alias("v")))
-    return jac.unionByName(pfx).unionByName(fz)
+
+    from ..operators.linkage import FieldComparison, fs_link
+
+    cust = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    dirty = cust.select(
+        (ck + 1000000).alias("ck"),
+        F.when(ck % 11 == 0, F.concat(F.upper("c_name"), F.lit(" JR")))
+         .otherwise(F.upper("c_name")).alias("name"),
+        F.when(ck % 5 == 0, F.lit("UNKNOWN"))
+         .otherwise(F.col("c_mktsegment")).alias("seg"),
+        F.when(ck % 7 == 0, F.col("c_acctbal") + 5000)
+         .otherwise(F.col("c_acctbal")).alias("acctbal"),
+        F.col("c_nationkey").alias("nk"))
+    fields = [
+        FieldComparison(
+            "name",
+            F.lower(F.col("l.c_name")) == F.lower(F.col("r.name")),
+            *_FS_MU["name"]),
+        FieldComparison(
+            "seg", F.col("l.c_mktsegment") == F.col("r.seg"),
+            *_FS_MU["seg"]),
+        FieldComparison(
+            "band",
+            F.floor(F.col("l.c_acctbal") / F.lit(100.0))
+            == F.floor(F.col("r.acctbal") / F.lit(100.0)),
+            *_FS_MU["band"]),
+    ]
+    from ..operators.dedup import _track_persist
+
+    linked = _track_persist(
+        fs_link(cust, dirty, "c_custkey", "ck",
+                [("c_nationkey", "nk")], fields,
+                match_threshold=_FS_MATCH,
+                review_threshold=_FS_REVIEW))
+    fs = linked.select(F.lit("fs").alias("part"),
+                       F.col("id_a").cast("long").alias("id_a"),
+                       F.col("id_b").cast("long").alias("id_b"),
+                       fround(F.col("weight")).alias("v"))
+    fs_sum = (linked.agg(
+        F.count(F.when(F.col("decision") == "match", 1)).alias("nm"),
+        F.count(F.when(F.col("decision") == "possible", 1)).alias("np"))
+        .select(F.lit("fs_sum").alias("part"),
+                F.col("nm").cast("long").alias("id_a"),
+                F.col("np").cast("long").alias("id_b"),
+                F.lit(None).cast("double").alias("v")))
+    return (jac.unionByName(pfx).unionByName(fz)
+            .unionByName(fs).unionByName(fs_sum))
 
 
 @register(

@@ -634,6 +634,53 @@ def test_mann_whitney_u_hand_computed_and_ties(spark):
     assert "Join" not in plan
 
 
+def test_ks_test_hand_computed_and_numpy_parity(spark):
+    """r6: two-sample KS — hand-checked D/λ/p on a small sample, a
+    numpy-ECDF cross-check on a larger stratum, NULL outputs when an
+    arm is empty, and a no-join one-window plan."""
+    import math
+
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        ks_test,
+    )
+    rows = [("s", "a", 1.0), ("s", "a", 2.0), ("s", "a", 3.0),
+            ("s", "b", 2.0), ("s", "b", 4.0),
+            ("t", "a", 7.0), ("t", "a", 8.0)]
+    rng = np.random.default_rng(7)
+    xa = np.round(rng.normal(0.0, 1.0, 200), 3)
+    xb = np.round(rng.normal(0.3, 1.4, 150), 3)
+    rows += [("u", "a", float(v)) for v in xa]
+    rows += [("u", "b", float(v)) for v in xb]
+    df = spark.createDataFrame(rows, ["stratum", "variant", "value"])
+    out = {r.stratum: r for r in
+           ks_test(df, "variant", "value",
+                   key_cols=["stratum"]).collect()}
+    # s: ECDF gaps at pooled points 1,2,3,4 → 1/3, 1/6, 1/2, 0
+    s = out["s"]
+    assert (s.n_a, s.n_b) == (3, 2)
+    assert s.d_stat == pytest.approx(0.5)
+    lam = 0.5 * math.sqrt(6.0 / 5.0)
+    assert s.ks_stat == pytest.approx(lam)
+    assert s.p_approx == pytest.approx(
+        min(1.0, 2.0 * math.exp(-2.0 * lam * lam)))
+    # t: b arm empty → guarded NULLs, counts still reported
+    t = out["t"]
+    assert (t.n_a, t.n_b) == (2, 0)
+    assert t.d_stat is None and t.ks_stat is None and t.p_approx is None
+    # u: numpy reference — max ECDF gap over the pooled grid
+    grid = np.union1d(xa, xb)
+    d_ref = np.max(np.abs(
+        np.searchsorted(np.sort(xa), grid, side="right") / len(xa)
+        - np.searchsorted(np.sort(xb), grid, side="right") / len(xb)))
+    assert out["u"].d_stat == pytest.approx(float(d_ref))
+
+    plan = (ks_test(df, "variant", "value", key_cols=["stratum"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan
+
+
 def test_chi2_independence_hand_computed_and_zero_cells(spark):
     """r5 session 5: chi-squared — hand-checked 2×2 statistic, and the
     zero-cell identity (χ² = n + Σ_obs((o−e)²/e − e)) verified against
