@@ -1308,3 +1308,112 @@ def sssp(pairs: DataFrame, seeds: DataFrame,
             break
         dist = folded
     return dist
+
+
+def kcore_by_component(pairs: DataFrame, labels: DataFrame,
+                       k_max: int = 3) -> DataFrame:
+    """Bounded k-core decomposition of the near-dup pair graph —
+    coreness(v) = the largest k ≤ ``k_max`` such that v survives
+    iterated deletion of vertices with within-subgraph degree < k.
+    The density diagnostic alongside the clustering coefficient:
+    coreness 1 vertices are tree/chain appendages (the shape of
+    chained false-positive near-dup paths), coreness ≥ 2 vertices sit
+    on cycles, coreness 3 in dense quasi-clique blobs (true duplicate
+    groups). Capping at ``k_max`` keeps the peel depth — and the
+    oracle's unrolled-round SQL mirror — fixed and scale-independent.
+
+    Grouped one-job form (the ``pagerank_by_component`` rationale):
+    symmetric-closure edges join the broadcastable label frame, each
+    component's edges land in one task, and the peel loop runs
+    locally over a dict adjacency — two shuffles total versus two
+    anti-joins PER ROUND for the distributed ``kcore_membership``
+    (pinned equal in tests/test_dedup.py; that operator is the
+    giant-component path).
+
+    Returns (id, coreness) for every vertex of the pair graph
+    (isolated vertices never appear — the pair graph has no
+    degree-0 vertices).
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .distinct())
+    lab = labels.select(F.col("id").alias("src"), "cluster_id")
+    e = edges.join(lab, "src")
+
+    def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        adj: dict[int, set[int]] = {}
+        for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+            adj.setdefault(int(s), set()).add(int(d))
+        coreness = {v: 1 for v in adj}
+        alive = set(adj)
+        for k in range(2, k_max + 1):
+            while True:
+                drop = [v for v in alive
+                        if len(adj[v] & alive) < k]
+                if not drop:
+                    break
+                alive -= set(drop)
+            if not alive:
+                break
+            for v in alive:
+                coreness[v] = k
+        ids = sorted(coreness)
+        return pd.DataFrame({"id": ids,
+                             "coreness": [coreness[i] for i in ids]})
+
+    return (e.groupBy("cluster_id")
+            .applyInPandas(_run, "id long, coreness long")
+            .select("id", "coreness"))
+
+
+def kcore_membership(pairs: DataFrame, k: int, max_rounds: int = 8,
+                     cut_every: int = 3,
+                     round_stats: list | None = None) -> DataFrame:
+    """Distributed k-core: iteratively delete vertices whose degree
+    within the surviving subgraph is < ``k`` until a fixpoint —
+    per round one grouped degree count and one semi-join edge
+    restriction. The scale-out path for graphs whose components
+    exceed one task; ``kcore_by_component`` is the one-job fast path.
+
+    Peeling is monotone (the survivor set only shrinks), so a
+    converged round is idempotent — which is what lets the q53 oracle
+    mirror this with a FIXED unroll of ``max_rounds`` rounds.
+    Raises if the peel has not converged within ``max_rounds``
+    (loudly, rather than silently disagreeing with the bounded-round
+    oracle); the near-dup graph's chain components peel in
+    O(chain length / 2) rounds and its blob components in one.
+
+    Returns the 1-column (id) frame of k-core vertices.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .distinct())
+    edges = _track_persist(edges)
+    for rnd in range(1, max_rounds + 1):
+        keep = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+                .filter(F.col("__d") >= k).select("src"))
+        nxt = (edges.join(keep, "src", "left_semi")
+               .join(keep.withColumnRenamed("src", "dst"), "dst",
+                     "left_semi"))
+        if rnd % cut_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        dropped = edges.join(nxt, ["src", "dst"], "left_anti")
+        converged = dropped.isEmpty()
+        if round_stats is not None:
+            round_stats.append({"round": rnd, "converged": converged})
+        if converged:
+            return edges.select(F.col("src").alias("id")).distinct()
+        edges = nxt
+    # loop exhausted with the last peel unconfirmed: the state is a
+    # fixpoint iff every surviving vertex already has degree >= k
+    under = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+             .filter(F.col("__d") < k))
+    if not under.isEmpty():
+        raise RuntimeError(
+            f"k-core peel (k={k}) did not converge in "
+            f"{max_rounds} rounds")
+    return edges.select(F.col("src").alias("id")).distinct()

@@ -695,6 +695,58 @@ def transition_matrix(df: DataFrame, key_cols: list[str],
                         (F.col("n") / n_from).alias("p"))
 
 
+def covariance_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Full covariance / correlation matrix of ``cols`` from ONE
+    aggregation pass — the PCA / whitening / feature-redundancy prep
+    that naive code runs as p·(p+1)/2 separate ``df.stat.corr`` jobs
+    (the reference's 28-job idiom at ``Main.scala:229-247``, taken to
+    its matrix conclusion).
+
+    Plan: a single aggregate of the sufficient statistics — n, p
+    column sums, p·(p+1)/2 cross-product sums — then the matrix
+    entries are closed-form arithmetic on that 1-row result, exploded
+    to long format (col_a, col_b, n, cov_pop, corr) for the upper
+    triangle including the diagonal (cov = variance, corr = 1).
+    Map-side partial aggregation bounds the exchange at O(p²) doubles
+    per task regardless of row count — the 100 TB shape; the matrix
+    never exists driver-side.
+
+    Rows with a NULL in ANY of ``cols`` are dropped first (listwise
+    complete-case), so every entry is computed over the same row set
+    — the property pairwise-deletion matrices lack (and what makes
+    the result positive semi-definite). Degenerate guards: constant
+    columns yield NULL corr (0/0 → try_divide NULL), n = 0 yields an
+    empty result (no groups).
+    """
+    d = df.na.drop(subset=cols)
+    n = F.count(F.lit(1)).cast("double")
+    aggs = [n.alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("double")).alias(f"__s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum(F.col(a).cast("double") * F.col(b).cast("double"))
+                .alias(f"__p_{a}_{b}"))
+    row = d.agg(*aggs)
+
+    def _cov(a: str, b: str) -> Column:
+        nn = F.col("__n")
+        return (F.col(f"__p_{a}_{b}")
+                - F.col(f"__s_{a}") * F.col(f"__s_{b}") / nn) / nn
+
+    structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            corr = F.try_divide(
+                _cov(a, b), F.sqrt(_cov(a, a) * _cov(b, b)))
+            structs.append(F.struct(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                F.col("__n").cast("long").alias("n"),
+                _cov(a, b).alias("cov_pop"), corr.alias("corr")))
+    return row.select(F.inline(F.array(*structs)))
+
+
 def profile_table(df: DataFrame, columns: list[str] | None = None,
                   value_len: int = 24) -> DataFrame:
     """Long-format table profile — the ANALYZE-TABLE / corpus-QA

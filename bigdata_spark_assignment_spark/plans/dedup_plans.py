@@ -554,15 +554,42 @@ def _pagerank_iter_ctes(iters: int, damping: float = 0.85) -> str:
     return ",\n    ".join(out)
 
 
+def _kcore_peel_ctes(rounds: int) -> str:
+    """Unrolled k-core peel CTEs for the q53 oracle: ``rounds``
+    restrictions to vertices with within-subgraph degree ≥ 2, then
+    ``rounds`` more at ≥ 3 starting from the 2-core (valid since the
+    3-core is a subset of the 2-core). Peeling is monotone, so extra
+    rounds past the fixpoint are no-ops — the engine operator runs to
+    the TRUE fixpoint and raises if it needs more than ``rounds``
+    (tests/test_dedup.py pins convergence headroom)."""
+    # every round MATERIALIZED: round i+1 references round i twice,
+    # so inlining would blow the plan up 2^rounds-fold
+    out = ["p2_0 AS MATERIALIZED (SELECT id FROM verts)"]
+    for k, prev in ((2, "verts"), (3, None)):
+        if prev is None:
+            out.append(
+                f"p3_0 AS MATERIALIZED (SELECT id FROM p2_{rounds})")
+        for i in range(rounds):
+            out.append(f"""p{k}_{i + 1} AS MATERIALIZED (
+      SELECT e.src AS id FROM edges e
+      JOIN p{k}_{i} a ON e.src = a.id
+      JOIN p{k}_{i} b ON e.dst = b.id
+      GROUP BY e.src HAVING COUNT(*) >= {k})""")
+    return ",\n    ".join(out)
+
+
 @register(
     "q53_neardup_clusters",
     oracle=f"""
-    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
-    edges AS (
+    -- MATERIALIZED: the kcore unroll references edges 32 times;
+    -- inlining would re-derive the shingle join (and re-open the
+    -- documents parquet) per reference
+    WITH pairs AS MATERIALIZED ({_JACCARD_PAIRS_SQL}),
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs),
-    verts AS (SELECT DISTINCT src AS id FROM edges),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
     edges_lh AS (
       SELECT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
       FROM pairs WHERE id_a <> id_b GROUP BY 1, 2)
@@ -577,7 +604,8 @@ def _pagerank_iter_ctes(iters: int, damping: float = 0.85) -> str:
     deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
             FROM edges GROUP BY src),
     nstats AS (SELECT COUNT(*) AS n FROM verts),
-    {_pagerank_iter_ctes(10)}
+    {_pagerank_iter_ctes(10)},
+    {_kcore_peel_ctes(8)}
     SELECT m.method, CAST(id AS BIGINT) AS id,
            CAST(cluster_id AS BIGINT) AS cluster_id,
            CAST(NULL AS DOUBLE) AS v
@@ -619,6 +647,18 @@ def _pagerank_iter_ctes(iters: int, damping: float = 0.85) -> str:
           JOIN edges_lh w3 ON w3.u = w1.u AND w3.v = w2.v) tri)
       GROUP BY id) t2 ON t2.id = v.id
     UNION ALL
+    -- r6: bounded k-core coreness (1 + 2-core + 3-core membership
+    -- from the unrolled peels above) — chain appendages vs cyclic
+    -- vs quasi-clique density classes
+    SELECT 'kcore', CAST(v.id AS BIGINT),
+           CAST(1 + CASE WHEN p2.id IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN p3.id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM verts v
+    LEFT JOIN p2_8 p2 ON p2.id = v.id
+    LEFT JOIN p3_8 p3 ON p3.id = v.id
+    UNION ALL
     -- r5 session 4: BFS hop distance from each component's canonical
     -- (min-id) vertex — level-bounded recursive enumeration, MIN(dist)
     -- = shortest path, same 20-hop bound as the engine operator
@@ -659,7 +699,7 @@ def _pagerank_iter_ctes(iters: int, damping: float = 0.85) -> str:
     """,
     tags=("dedup", "neardup", "clustering", "pagerank", "sssp"),
     parts=("prop", "star", "pagerank", "triangles", "clustering",
-           "bfs", "sssp"),
+           "kcore", "bfs", "sssp"),
     part_col="method",
 )
 def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,6 +733,17 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       v the coefficient; deg < 2 → NULL). 1.0 = the vertex's near-dup
       blob is a clique — the blob-shape diagnostic that separates
       true duplicate cliques from chain-shaped false-positive paths.
+    * ``kcore`` — r6: bounded k-core coreness
+      (operators.dedup.kcore_by_component, cap 3): the largest
+      k ≤ 3 surviving iterated deletion of degree-< k vertices —
+      coreness 1 = tree/chain appendage (chained false-positive
+      paths), 2 = on a cycle, 3 = quasi-clique blob; the density
+      class that complements ``clustering``'s local ratio.
+      cluster_id carries the coreness. The oracle UNROLLS eight
+      peel rounds per k (monotone, so post-fixpoint rounds are
+      no-ops); the distributed ``kcore_membership`` peel is the
+      giant-component path, pinned equal in tests/test_dedup.py and
+      raising loudly past the shared round bound.
     * ``bfs`` — r5 session 4: hop distance of every vertex from its
       component's canonical min-id vertex
       (operators.dedup.bfs_hops_by_component, the grouped one-job
@@ -716,6 +767,7 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
         _track_persist,
         bfs_hops_by_component,
+        kcore_by_component,
         neardup_clusters,
         neardup_clusters_star,
         pagerank_by_component,
@@ -755,6 +807,9 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("deg") >= 2,
                            F.round(2.0 * F.col("n_triangles")
                                    / (dd * (dd - 1.0)), 6)).alias("v")))
+    kc = (kcore_by_component(pairs, prop, k_max=3)
+          .select(F.lit("kcore").alias("method"), "id",
+                  F.col("coreness").alias("cluster_id"), nullv))
     bfs = (bfs_hops_by_component(pairs, prop, max_hops=20)
            .select(F.lit("bfs").alias("method"), "id",
                    F.col("hops").alias("cluster_id"), nullv))
@@ -770,5 +825,5 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "cluster_id", nullv))
             .unionByName(star.select(F.lit("star").alias("method"),
                                      "id", "cluster_id", nullv))
-            .unionByName(pr).unionByName(tri).unionByName(bfs)
-            .unionByName(sp))
+            .unionByName(pr).unionByName(tri).unionByName(kc)
+            .unionByName(bfs).unionByName(sp))

@@ -271,9 +271,31 @@ def agg_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(global_agg))
 
 
+# q07 `cmat`: upper-triangle covariance/correlation matrix legs, one
+# per pair, generated so engine and oracle agree on pair naming.
+# l_extendedprice enters as price-in-THOUSANDS: it keeps every sum's
+# magnitude small enough that the two engines' different partial-sum
+# orders (and DuckDB's Welford-style covar_pop vs our closed form)
+# stay far inside the 4 dp rounding grid — raw prices put the
+# variance at ~1e9 where accumulated ulps cross 1e-4.
+_CMAT_COLS = ("l_quantity", "l_price_k", "l_discount", "l_tax")
+_CMAT_SQL = "\n    UNION ALL\n    ".join(
+    f"""SELECT 'cmat', '{a}~{b}',
+           ROUND(covar_pop({a}, {b}), 4), ROUND(corr({a}, {b}), 4),
+           CAST(NULL AS DOUBLE)
+    FROM cmat_src"""
+    for i, a in enumerate(_CMAT_COLS) for b in _CMAT_COLS[i:])
+
+
 @register(
     "q07_correlation",
-    oracle="""
+    oracle=f"""
+    WITH cmat_src AS (
+      SELECT l_quantity, l_extendedprice / 1000.0 AS l_price_k,
+             l_discount, l_tax
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL AND l_tax IS NOT NULL)
     SELECT 'corr' AS part, CAST(NULL AS VARCHAR) AS grp,
            ROUND(corr(l_quantity, l_extendedprice), 4) AS m1,
            ROUND(corr(l_discount, l_tax), 4)           AS m2,
@@ -294,8 +316,11 @@ def agg_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(EXP(AVG(LN(l_quantity))), 4),
            CAST(NULL AS DOUBLE)
     FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    {_CMAT_SQL}
     """,
-    tags=("agg", "statistics", "ml", "grouped", "udaf"),
+    tags=("agg", "statistics", "ml", "grouped", "udaf", "matrix"),
+    parts=("corr", "ols", "udaf", "cmat"),
 )
 def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistics suite (A4 + grouped model fitting), tagged parts:
@@ -314,6 +339,15 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
       R² = corr²) — so the distributed grouped fit is checked against
       an independent engine's algebra, not against Spark.
       (m1, m2, m3) = slope, intercept, R².
+    * ``cmat`` — r6: the full covariance/correlation MATRIX of four
+      measures (operators.relational.covariance_matrix): one
+      sufficient-statistics aggregate (n, p sums, p(p+1)/2
+      cross-products), entries as closed forms exploded to long
+      format — upper triangle incl. diagonals (cov = variance,
+      corr = 1). The oracle recomputes every entry with DuckDB's own
+      covar_pop/corr (an independent stable one-pass algorithm), so
+      our algebra is checked against a different implementation, not
+      mirrored. (grp, m1, m2) = pair, cov_pop, corr.
     * ``udaf`` — a CUSTOM Arrow-batched aggregate (SURVEY §2.8 "UDAF"
       surface, absent in the reference): grouped-agg ``pandas_udf``
       computing the per-group geometric mean of price and quantity;
@@ -397,7 +431,24 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("udaf").alias("part"),
                     F.col("l_returnflag").alias("grp"), "m1", "m2",
                     F.lit(None).cast("double").alias("m3")))
-    return corr.unionByName(ols).unionByName(udaf)
+    from ..operators.relational import covariance_matrix
+
+    # cmat — the matrix generalization of the `corr` part: every
+    # pairwise covariance AND correlation of four measures from ONE
+    # sufficient-statistics aggregate (closed forms on the 1-row
+    # result, exploded long). Price enters in thousands — see
+    # _CMAT_COLS for the float-parity rationale.
+    src = li.select(
+        "l_quantity",
+        (F.col("l_extendedprice") / F.lit(1000.0)).alias("l_price_k"),
+        "l_discount", "l_tax")
+    cmat = (covariance_matrix(src, list(_CMAT_COLS))
+            .select(F.lit("cmat").alias("part"),
+                    F.concat_ws("~", "col_a", "col_b").alias("grp"),
+                    fround(F.col("cov_pop")).alias("m1"),
+                    fround(F.col("corr")).alias("m2"),
+                    F.lit(None).cast("double").alias("m3")))
+    return corr.unionByName(ols).unionByName(udaf).unionByName(cmat)
 
 
 @register(

@@ -914,3 +914,44 @@ def test_gini_coefficient_known_values_and_guards(spark):
     assert out["neg"].gini is None
     assert out["single"].gini is None
     assert out["zero"].gini is None
+
+
+def test_covariance_matrix_numpy_parity_and_guards(spark):
+    """r6: one-pass covariance/correlation matrix — numpy parity on
+    every upper-triangle entry, listwise complete-case deletion,
+    NULL corr for a constant column, and a no-join one-aggregate
+    plan."""
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        covariance_matrix,
+    )
+    rng = np.random.default_rng(11)
+    x = rng.normal(5.0, 2.0, 300)
+    y = 0.5 * x + rng.normal(0.0, 1.0, 300)
+    z = rng.uniform(0.0, 1.0, 300)
+    rows = [(float(a), float(b), float(c), 1.0)
+            for a, b, c in zip(x, y, z)]
+    rows.append((None, 1.0, 1.0, 1.0))   # listwise-dropped
+    df = spark.createDataFrame(rows, ["x", "y", "z", "k"])
+    out = {(r.col_a, r.col_b): r for r in
+           covariance_matrix(df, ["x", "y", "z", "k"]).collect()}
+    assert len(out) == 10
+    mat = np.stack([x, y, z, np.ones(300)])
+    cov_ref = np.cov(mat, bias=True)
+    names = ["x", "y", "z", "k"]
+    for i, a in enumerate(names):
+        for j in range(i, len(names)):
+            r = out[(a, names[j])]
+            assert r.n == 300  # the NULL row is dropped everywhere
+            assert r.cov_pop == pytest.approx(cov_ref[i, j], abs=1e-9)
+    assert out[("x", "y")].corr == pytest.approx(
+        float(np.corrcoef(x, y)[0, 1]))
+    assert out[("x", "x")].corr == pytest.approx(1.0)
+    # constant column: zero variance -> guarded NULL corr, zero cov
+    r = out[("x", "k")]
+    assert r.cov_pop == pytest.approx(0.0, abs=1e-9)
+    assert r.corr is None
+    plan = (covariance_matrix(df, ["x", "y"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan

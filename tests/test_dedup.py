@@ -657,3 +657,54 @@ def test_sssp_hop_bound_contract_both_forms(spark):
                  sssp(pairs, seeds, max_rounds=2).collect()}
     assert grouped == iterative
     assert grouped[4] == 100 and grouped[3] == 2
+
+
+def test_kcore_hand_graph_and_forms_agree(spark):
+    """r6: bounded coreness on a hand-checkable graph — chain
+    appendages peel to 1, cycle vertices to 2, K4 vertices to 3; the
+    grouped per-component peel and the distributed peel agree."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        kcore_by_component,
+        kcore_membership,
+        neardup_clusters,
+    )
+    pairs = spark.createDataFrame(
+        # K4 (coreness 3) with a tail 5-6 (coreness 1)
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+         (5, 6),
+         # 4-cycle (coreness 2) with a pendant 24
+         (10, 11), (11, 12), (12, 13), (13, 10), (13, 24),
+         # bare chain (all coreness 1)
+         (30, 31), (31, 32)],
+        ["id_a", "id_b"])
+    labels = neardup_clusters(pairs)
+    grouped = {r.id: r.coreness for r in
+               kcore_by_component(pairs, labels, k_max=3).collect()}
+    expect = {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1,
+              10: 2, 11: 2, 12: 2, 13: 2, 24: 1,
+              30: 1, 31: 1, 32: 1}
+    assert grouped == expect
+    in2 = {r.id for r in kcore_membership(pairs, 2).collect()}
+    in3 = {r.id for r in kcore_membership(pairs, 3).collect()}
+    distributed = {v: 1 + (v in in2) + (v in in3) for v in grouped}
+    assert distributed == expect
+
+
+def test_kcore_membership_round_bound_raises(spark):
+    """The distributed peel must refuse (not silently disagree with
+    the bounded-round oracle) when the fixpoint needs more rounds
+    than the bound: a 9-chain peels from both ends in 4 rounds, so
+    max_rounds=2 raises and max_rounds=4 converges to empty."""
+    import pytest as _pytest
+
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        kcore_membership,
+    )
+    chain = [(i, i + 1) for i in range(1, 10)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore_membership(pairs, 2, max_rounds=2).collect()
+    stats = []
+    assert kcore_membership(pairs, 2, max_rounds=8,
+                            round_stats=stats).count() == 0
+    assert stats[-1]["converged"] and len(stats) <= 6
