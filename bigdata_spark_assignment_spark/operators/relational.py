@@ -576,6 +576,107 @@ def funnel_counts(df: DataFrame, user_col: str, ts_col: str,
     return functools.reduce(lambda a, b: a.unionByName(b), outs)
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_cols: list[str],
+                  compare_cols: list[str]) -> DataFrame:
+    """Audit diff of two table snapshots — the change-data-feed /
+    reconciliation readout behind every "what changed between
+    yesterday's load and today's" question (and the validation step
+    after a backfill or an SCD2 merge, q73's family).
+
+    Returns a tall summary: (metric, column, n) with metric ∈
+    rows_added / rows_removed / rows_changed / rows_unchanged
+    (column NULL) plus one col_changed row per compared column
+    (among rows present on BOTH sides, counted with null-safe
+    inequality — NULL→value and value→NULL both count as changes).
+
+    Plan: ONE full-outer equi-join on the key (both sides shuffle on
+    the key once — or co-located buckets skip the exchange entirely,
+    layout.write_bucketed) and ONE aggregate of conditional sums; the
+    per-column counters ride the same pass, so p compared columns
+    cost p codegen expressions, not p joins. Row-level drill-down is
+    the same join minus the aggregate — this operator deliberately
+    emits only the bounded summary.
+    """
+    o = old.select(*key_cols,
+                   *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+                   F.lit(1).alias("__in_o"))
+    n = new.select(*key_cols,
+                   *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+                   F.lit(1).alias("__in_n"))
+    j = o.join(n, key_cols, "full_outer")
+    both = F.col("__in_o").isNotNull() & F.col("__in_n").isNotNull()
+    col_changed = {c: both & ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+                   for c in compare_cols}
+    row_changed = None
+    for c in compare_cols:
+        row_changed = (col_changed[c] if row_changed is None
+                       else (row_changed | col_changed[c]))
+    aggs = [
+        F.sum(F.when(F.col("__in_o").isNull(), 1).otherwise(0))
+        .alias("__added"),
+        F.sum(F.when(F.col("__in_n").isNull(), 1).otherwise(0))
+        .alias("__removed"),
+        F.sum(F.when(row_changed, 1).otherwise(0)).alias("__changed"),
+        F.sum(F.when(both & ~row_changed, 1).otherwise(0))
+        .alias("__unchanged"),
+    ] + [F.sum(F.when(col_changed[c], 1).otherwise(0))
+         .alias(f"__c_{c}") for c in compare_cols]
+    row = j.agg(*aggs)
+    nullc = F.lit(None).cast("string")
+    structs = [
+        F.struct(F.lit("rows_added").alias("metric"),
+                 nullc.alias("column"), F.col("__added").alias("n")),
+        F.struct(F.lit("rows_removed").alias("metric"),
+                 nullc.alias("column"), F.col("__removed").alias("n")),
+        F.struct(F.lit("rows_changed").alias("metric"),
+                 nullc.alias("column"), F.col("__changed").alias("n")),
+        F.struct(F.lit("rows_unchanged").alias("metric"),
+                 nullc.alias("column"), F.col("__unchanged").alias("n")),
+    ] + [F.struct(F.lit("col_changed").alias("metric"),
+                  F.lit(c).alias("column"), F.col(f"__c_{c}").alias("n"))
+         for c in compare_cols]
+    return row.select(F.inline(F.array(*structs)))
+
+
+def sequence_pair_support(df: DataFrame, user_col: str, ts_col: str,
+                          type_col: str) -> DataFrame:
+    """Frequent ordered 2-sequences (sequential-pattern mining, the
+    length-2 core of GSP/PrefixSpan): for each ordered type pair
+    (a, b), the number — and fraction — of users with SOME a-event
+    strictly before SOME b-event. The order-aware companion to
+    ``mining.association_rules`` (which counts co-occurrence
+    regardless of order) and the data behind "users who view then
+    purchase" style path questions.
+
+    Existence of an a-before-b occurrence reduces to
+    min_ts(a) < max_ts(b) per user, so the plan is: ONE grouped
+    aggregate to the per-(user, type) min/max frame (user-type
+    cardinality, map-side combined), a per-user self-join of that
+    tiny frame (fan-out bounded by the type-domain size squared, not
+    by event count), and a grouped count — no window over full event
+    history. The denominator is a 1-row broadcast crossJoin. The q30
+    oracle re-derives the reduction end-to-end.
+
+    Returns (type_a, type_b, n_users, support) for a ≠ b.
+    """
+    ut = (df.groupBy(user_col, type_col)
+          .agg(F.min(ts_col).alias("__t0"), F.max(ts_col).alias("__t1")))
+    a = ut.select(user_col, F.col(type_col).alias("type_a"),
+                  F.col("__t0").alias("__a0"))
+    b = ut.select(user_col, F.col(type_col).alias("type_b"),
+                  F.col("__t1").alias("__b1"))
+    pairs = (a.join(b, user_col)
+             .filter((F.col("type_a") != F.col("type_b"))
+                     & (F.col("__a0") < F.col("__b1")))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).alias("n_users")))
+    nu = df.agg(F.countDistinct(user_col).alias("__nu"))
+    return (pairs.crossJoin(F.broadcast(nu))
+            .select("type_a", "type_b", "n_users",
+                    (F.col("n_users") / F.col("__nu")).alias("support")))
+
+
 def ewma_smooth(df: DataFrame, key_cols: list[str],
                 order_cols: list[str], value_col: str,
                 alpha: float = 0.5, horizon: int = 8,

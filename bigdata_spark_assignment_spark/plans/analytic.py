@@ -634,8 +634,29 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       t AS (SELECT from_state, SUM(n) AS nf FROM c GROUP BY 1)
       SELECT c.from_state, c.to_state, c.n, t.nf
       FROM c JOIN t USING (from_state)) m
+    UNION ALL
+    -- r6: ordered 2-sequence support — a-before-b existence reduces
+    -- to per-user min_ts(a) < max_ts(b); support over all users
+    SELECT 'seq:' || s.ta || '->' || s.tb, NULL, s.n, NULL,
+           ROUND(s.n * 1.0 / s.nu, 4)
+    FROM (
+      WITH ut AS (
+        SELECT user_id, event_type,
+               MIN(CAST(ts AS TIMESTAMP)) AS t0,
+               MAX(CAST(ts AS TIMESTAMP)) AS t1
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+         AND a.event_type <> b.event_type AND a.t0 < b.t1
+        GROUP BY 1, 2),
+      u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+            FROM events)
+      SELECT p.ta, p.tb, p.n, u.nu FROM p CROSS JOIN u) s
     """,
-    tags=("window", "sessionization", "funnel", "cohort", "markov"),
+    tags=("window", "sessionization", "funnel", "cohort", "markov",
+          "sequence"),
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-journey analytics over the event log, tagged:
@@ -658,6 +679,13 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
       (operators.relational.transition_matrix); n1 the transition
       count, v the row-stochastic probability.
 
+    * ``seq:<a>-><b>`` — r6: ordered 2-sequence support
+      (operators.relational.sequence_pair_support, the length-2 core
+      of GSP/PrefixSpan): users with some a-event strictly before
+      some b-event, via the per-user min_ts(a) < max_ts(b) reduction
+      — the order-aware complement to ``markov`` (consecutive
+      transitions only) and to q72's unordered association rules.
+      n1 = supporting users, v = support fraction.
     100 TB notes: sessionization, the Markov lag pass and the funnel
     share one user_id shuffle domain; the cohort join is
     co-partitioned on user (first-activity table is user-cardinality,
@@ -711,8 +739,22 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("n").alias("n1"),
                    F.lit(None).cast("long").alias("n2"),
                    fround(F.col("p")).alias("v")))
+    from ..operators.relational import sequence_pair_support
+
+    # seq: ordered 2-sequence support (a before b per user) — the
+    # order-aware companion to the markov adjacency (which only sees
+    # CONSECUTIVE transitions) and to q72's unordered co-occurrence
+    seq = (sequence_pair_support(
+               ev.withColumn("ts", F.col("ts").cast("timestamp")),
+               "user_id", "ts", "event_type")
+           .select(F.concat(F.lit("seq:"), F.col("type_a"),
+                            F.lit("->"), F.col("type_b")).alias("part"),
+                   F.lit(None).cast("long").alias("user_id"),
+                   F.col("n_users").alias("n1"),
+                   F.lit(None).cast("long").alias("n2"),
+                   fround(F.col("support")).alias("v")))
     return (sess.unionByName(fun).unionByName(coh)
-            .unionByName(mkv))
+            .unionByName(mkv).unionByName(seq))
 
 
 @register(

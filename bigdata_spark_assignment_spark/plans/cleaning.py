@@ -148,9 +148,66 @@ def _profile_oracle_legs() -> str:
           WHERE o.o_custkey IS NOT NULL
             AND NOT EXISTS (SELECT 1 FROM customer c
                             WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    -- r6: snapshot diff (operators.relational.snapshot_diff) — the
+    -- new snapshot deletes every 13th key, bumps totalprice on every
+    -- 17th, flips status on every 23rd, inserts shifted keys for
+    -- every 19th; one full-outer join + conditional sums
+    SELECT 'diff', d.metric, d.col, NULL, d.n
+    FROM (
+      WITH oldsnap AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      newsnap AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 17 = 0
+                    THEN o_totalprice + 100 ELSE o_totalprice END
+                 AS o_totalprice,
+               CASE WHEN o_orderkey % 23 = 0
+                    THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 19 = 0),
+      dj AS (
+        SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+               (o.o_orderkey IS NOT NULL
+                AND n.o_orderkey IS NOT NULL
+                AND o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                 AS c_tp,
+               (o.o_orderkey IS NOT NULL
+                AND n.o_orderkey IS NOT NULL
+                AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                 AS c_st
+        FROM oldsnap o FULL OUTER JOIN newsnap n
+          ON o.o_orderkey = n.o_orderkey)
+      SELECT 'rows_added' AS metric, CAST(NULL AS VARCHAR) AS col,
+             CAST(SUM(CASE WHEN ko IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n
+      FROM dj
+      UNION ALL
+      SELECT 'rows_removed', NULL,
+             CAST(SUM(CASE WHEN kn IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) FROM dj
+      UNION ALL
+      SELECT 'rows_changed', NULL,
+             CAST(SUM(CASE WHEN c_tp OR c_st THEN 1 ELSE 0 END)
+                  AS BIGINT) FROM dj
+      UNION ALL
+      SELECT 'rows_unchanged', NULL,
+             CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                            AND NOT (c_tp OR c_st)
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM dj
+      UNION ALL
+      SELECT 'col_changed', 'o_totalprice',
+             CAST(SUM(CASE WHEN c_tp THEN 1 ELSE 0 END) AS BIGINT)
+      FROM dj
+      UNION ALL
+      SELECT 'col_changed', 'o_orderstatus',
+             CAST(SUM(CASE WHEN c_st THEN 1 ELSE 0 END) AS BIGINT)
+      FROM dj) d
     """,
-    tags=("cleaning", "profile", "histogram", "expectations"),
-    parts=("clean", "profile", "hist", "expect"),
+    tags=("cleaning", "profile", "histogram", "expectations", "diff"),
+    parts=("clean", "profile", "hist", "expect", "diff"),
 )
 def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality suite over the documents table, tagged:
@@ -183,6 +240,14 @@ def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       k2 = pass/fail, n = violation count. The dirty-lang check is
       PLANTED to fail (en→'NA'), proving detection; every count is
       oracle-re-derived.
+    * ``diff`` — r6: snapshot reconciliation
+      (operators.relational.snapshot_diff): the new orders snapshot
+      deletes every 13th key, bumps totalprice on every 17th, flips
+      status on every 23rd and inserts shifted keys for every 19th;
+      the diff reports rows added/removed/changed/unchanged plus
+      per-column change counts from ONE full-outer key join + ONE
+      conditional-sum aggregate (null-safe inequality). k1 = metric,
+      k2 = column for the per-column rows, n = count.
     """
     docs = load_table(spark, sf_dir, "documents")
     lang_dirty = F.when(F.col("lang") == "en", "NA").otherwise(F.col("lang"))
@@ -250,8 +315,35 @@ def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status").alias("k2"),
         F.lit(None).cast("string").alias("s"),
         F.col("n_violations").alias("n"))
+    from ..operators.relational import snapshot_diff
+
+    # diff: snapshot reconciliation — the post-backfill audit. The
+    # 'new' snapshot applies four deterministic mutation classes so
+    # every diff bucket is provably non-empty at every scale.
+    ok = F.col("o_orderkey")
+    oldsnap = orders.select("o_orderkey", "o_totalprice",
+                            "o_orderstatus")
+    newsnap = (orders.filter(ok % 13 != 0)
+               .select("o_orderkey",
+                       F.when(ok % 17 == 0, F.col("o_totalprice") + 100)
+                        .otherwise(F.col("o_totalprice"))
+                        .alias("o_totalprice"),
+                       F.when(ok % 23 == 0, F.lit("X"))
+                        .otherwise(F.col("o_orderstatus"))
+                        .alias("o_orderstatus"))
+               .unionByName(
+                   orders.filter(ok % 19 == 0)
+                   .select((ok + 100000000).alias("o_orderkey"),
+                           "o_totalprice", "o_orderstatus")))
+    diff = (snapshot_diff(oldsnap, newsnap, ["o_orderkey"],
+                          ["o_totalprice", "o_orderstatus"])
+            .select(F.lit("diff").alias("part"),
+                    F.col("metric").alias("k1"),
+                    F.col("column").alias("k2"),
+                    F.lit(None).cast("string").alias("s"),
+                    F.col("n").cast("long").alias("n")))
     return (clean.unionByName(prof).unionByName(hist)
-            .unionByName(expect_part))
+            .unionByName(expect_part).unionByName(diff))
 
 
 @register(

@@ -955,3 +955,60 @@ def test_covariance_matrix_numpy_parity_and_guards(spark):
     plan = (covariance_matrix(df, ["x", "y"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan
+
+
+def test_snapshot_diff_hand_computed_and_null_changes(spark):
+    """r6: snapshot diff — hand-counted add/remove/change/unchanged
+    buckets, null-safe per-column change counts (value→NULL counts as
+    a change), and the identity diff is all-unchanged."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        snapshot_diff,
+    )
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"),
+         (4, None, "d")],
+        ["k", "price", "status"])
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"),        # unchanged
+         (2, 25.0, "b"),        # price changed
+         (4, 40.0, None),       # NULL→40 price, 'd'→NULL status
+         (5, 50.0, "e")],       # added; key 3 removed
+        ["k", "price", "status"])
+    out = {(r.metric, r.column): r.n for r in
+           snapshot_diff(old, new, ["k"],
+                         ["price", "status"]).collect()}
+    assert out[("rows_added", None)] == 1
+    assert out[("rows_removed", None)] == 1
+    assert out[("rows_changed", None)] == 2
+    assert out[("rows_unchanged", None)] == 1
+    assert out[("col_changed", "price")] == 2   # k=2 and k=4
+    assert out[("col_changed", "status")] == 1  # k=4
+    ident = {(r.metric, r.column): r.n for r in
+             snapshot_diff(old, old, ["k"],
+                           ["price", "status"]).collect()}
+    assert ident[("rows_unchanged", None)] == 4
+    assert all(v == 0 for (m, _), v in ident.items()
+               if m != "rows_unchanged")
+
+
+def test_sequence_pair_support_hand_computed(spark):
+    """r6: ordered 2-sequence support — the min(a) < max(b) reduction
+    counts exactly the users with some a-event before some b-event."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        sequence_pair_support,
+    )
+    rows = [
+        # u1: view@1, click@2 -> supports view->click only
+        (1, 1.0, "view"), (1, 2.0, "click"),
+        # u2: click@1, view@2, click@3 -> supports BOTH directions
+        (2, 1.0, "click"), (2, 2.0, "view"), (2, 3.0, "click"),
+        # u3: only views -> supports nothing
+        (3, 1.0, "view"), (3, 2.0, "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {(r.type_a, r.type_b): r for r in
+           sequence_pair_support(df, "user_id", "ts",
+                                 "event_type").collect()}
+    assert out[("view", "click")].n_users == 2      # u1, u2
+    assert out[("click", "view")].n_users == 1      # u2
+    assert out[("view", "click")].support == pytest.approx(2 / 3)
