@@ -513,3 +513,70 @@ def ann_topk_pq_prefit(corpus: DataFrame, queries: DataFrame,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def dot_literal_expr(vec: Column, plane: list[float]) -> Column:
+    """JVM-side dot product of an array column against a literal
+    vector — zip_with + aggregate, double-accumulated, whole-stage
+    codegen (the projection hot path must not drop into Python)."""
+    lit_vec = F.array(*[F.lit(float(v)) for v in plane])
+    return F.aggregate(
+        F.zip_with(vec, lit_vec, lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pca_fit(corpus: DataFrame, vec_col: str = "embedding",
+            k: int = 2, dim: int = 64) -> dict:
+    """Distributed PCA fit over an embedding column — the
+    dimensionality-reduction / whitening / visualization prep of every
+    embedding pipeline (and the dense-matrix complement of
+    relational.covariance_matrix's long-format pairwise form).
+
+    The heavy pass is ``pyspark.ml.feature.PCA``: Spark computes the
+    d×d covariance distributed (one pass, mean-centered, O(d²)
+    partials per task) and eigendecomposes the small matrix — so the
+    fit cost is one corpus scan regardless of row count, the 100 TB
+    shape. Like ``fit_ivf_centers``/``fit_pq_codebooks``, this is the
+    INDEX-BUILD step: it returns a small plain-Python model (the d×k
+    component matrix, explained-variance ratios, and the column mean)
+    to be shipped by value into projection expressions — the corpus
+    never collects.
+
+    Components are sign-normalized (largest-|coordinate| positive) so
+    the fit is reproducible across runs and engines — eigenvectors
+    are otherwise defined only up to sign.
+
+    Returns {"components": k×d lists, "evr": k ratios, "mean": d}.
+    """
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector
+
+    v = corpus.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("features"))
+    model = MLPCA(k=k, inputCol="features", outputCol="pc").fit(v)
+    comps = model.pc.toArray().T            # k rows of length d
+    out = []
+    for row in comps:
+        j = int(abs(row).argmax())
+        out.append([float(x) for x in (-row if row[j] < 0 else row)])
+    mean_row = corpus.select(F.array(*[
+        F.avg(F.element_at(F.col(vec_col), i + 1).cast("double"))
+        for i in range(dim)]).alias("m")).first()
+    return {"components": out,
+            "evr": [float(x) for x in model.explainedVariance],
+            "mean": [float(x) for x in mean_row.m]}
+
+
+def pca_project(df: DataFrame, fit: dict, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Project vectors onto a pre-fit PCA basis — centered scores
+    score_j = (x − mean)·c_j, computed as dot(x, c_j) minus a
+    PRECOMPUTED constant offset (dot(mean, c_j) folds at plan-build
+    time), so the whole projection is codegen arithmetic: no UDF, no
+    shuffle, no driver round-trip. Returns (id, pc1..pck)."""
+    cols = [F.col(id_col).alias("id")]
+    for j, comp in enumerate(fit["components"], 1):
+        offset = sum(m * c for m, c in zip(fit["mean"], comp))
+        cols.append((dot_literal_expr(F.col(vec_col), comp)
+                     - F.lit(float(offset))).alias(f"pc{j}"))
+    return df.select(*cols)

@@ -226,6 +226,43 @@ def dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer a JOIN bsrc b ON a.c_nationkey = b.nk) fsw
     WHERE fsw.w >= {_FS_REVIEW!r}
     UNION ALL
+    -- r6: entity consolidation — connected components over the
+    -- ACCEPTED (weight >= match threshold) pair set; each linked
+    -- record reports its entity's canonical min id
+    SELECT 'fs_entity', r.id, r.entity, NULL
+    FROM (
+      WITH bsrc AS (
+        SELECT c_custkey + 1000000 AS ck,
+               CASE WHEN c_custkey % 11 = 0
+                    THEN upper(c_name) || ' JR'
+                    ELSE upper(c_name) END AS name,
+               CASE WHEN c_custkey % 5 = 0
+                    THEN 'UNKNOWN' ELSE c_mktsegment END AS seg,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN c_acctbal + 5000 ELSE c_acctbal END AS acctbal,
+               c_nationkey AS nk
+        FROM customer),
+      mp AS (
+        SELECT a.c_custkey AS id_a, b.ck AS id_b
+        FROM customer a JOIN bsrc b ON a.c_nationkey = b.nk
+        WHERE {_FS_WEIGHT_SQL} >= {_FS_MATCH!r}),
+      medges AS (
+        SELECT id_a AS src, id_b AS dst FROM mp
+        UNION
+        SELECT id_b, id_a FROM mp),
+      mverts AS (SELECT DISTINCT src AS id FROM medges),
+      mreach AS (
+        WITH RECURSIVE r(id, label) AS (
+          SELECT id, id FROM mverts
+          UNION
+          SELECT e.src, r.label
+          FROM medges e JOIN r ON e.dst = r.id
+          WHERE r.label < e.src)
+        SELECT id, MIN(label) AS entity FROM r GROUP BY id)
+      SELECT CAST(id AS BIGINT) AS id,
+             CAST(entity AS BIGINT) AS entity
+      FROM mreach) r
+    UNION ALL
     SELECT 'fs_sum', g.n_match, g.n_possible, NULL
     FROM (
       WITH bsrc AS (
@@ -250,7 +287,8 @@ def dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM fsw) g
     """,
     tags=("dedup", "neardup", "fuzzy-join", "linkage"),
-    parts=("jaccard", "jaccard_prefix", "editdist", "fs", "fs_sum"),
+    parts=("jaccard", "jaccard_prefix", "editdist", "fs",
+           "fs_entity", "fs_sum"),
 )
 def neardup_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-similarity pair mining, tagged:
@@ -285,6 +323,13 @@ def neardup_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       carry them), so the thresholds themselves are oracle-checked.
       At scale: one shuffle per side on the block key, codegen CASE
       weights, output bounded by true matches + review band.
+    * ``fs_entity`` — r6: the consolidation step that makes linkage
+      an ENTITY RESOLUTION pipeline (block → score → threshold →
+      merge): connected components (operators.dedup.neardup_clusters)
+      over the accepted-match pair set; each linked record reports
+      its entity's canonical min id, re-derived by the oracle's
+      recursive-CTE reachability — the same cross-paradigm
+      differential as q53's ``prop``.
     """
     from ..operators.dedup import fuzzy_join_edit_distance
 
@@ -344,6 +389,15 @@ def neardup_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("id_a").cast("long").alias("id_a"),
                        F.col("id_b").cast("long").alias("id_b"),
                        fround(F.col("weight")).alias("v"))
+    from ..operators.dedup import neardup_clusters
+
+    ent = (neardup_clusters(
+               linked.filter(F.col("decision") == "match")
+               .select("id_a", "id_b"))
+           .select(F.lit("fs_entity").alias("part"),
+                   F.col("id").cast("long").alias("id_a"),
+                   F.col("cluster_id").cast("long").alias("id_b"),
+                   F.lit(None).cast("double").alias("v")))
     fs_sum = (linked.agg(
         F.count(F.when(F.col("decision") == "match", 1)).alias("nm"),
         F.count(F.when(F.col("decision") == "possible", 1)).alias("np"))
@@ -352,7 +406,7 @@ def neardup_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("np").cast("long").alias("id_b"),
                 F.lit(None).cast("double").alias("v")))
     return (jac.unionByName(pfx).unionByName(fz)
-            .unionByName(fs).unionByName(fs_sum))
+            .unionByName(fs).unionByName(ent).unionByName(fs_sum))
 
 
 @register(

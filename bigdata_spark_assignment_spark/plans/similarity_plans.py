@@ -171,8 +171,23 @@ def _pq_books_for(spark: SparkSession, sf_dir: str, m: int = 8,
            CAST(CASE n_li WHEN 6000 THEN 50 WHEN 60000 THEN 50
                 WHEN 600000 THEN 43 END AS BIGINT), TRUE
     FROM nq, t, sz
+    UNION ALL
+    -- r6: distributed PCA over the same embeddings — the engine
+    -- derives the top-2 explained-variance ratios END-TO-END through
+    -- the pipeline (ml.PCA fit -> sign-normalized components ->
+    -- codegen projection -> distributed variance / trace) in ppm;
+    -- the oracle pins the measured values per scale (eigh is not SQL
+    -- — the q42 pinned-literal contract, bit-stable under
+    -- repartitioning: measured at local[8] and local[32]x13)
+    SELECT 'pca', CAST(64 AS BIGINT),
+           CAST(CASE n_li WHEN 6000 THEN 28935 WHEN 60000 THEN 27579
+                WHEN 600000 THEN 20941 END AS BIGINT),
+           CAST(CASE n_li WHEN 6000 THEN 26972 WHEN 60000 THEN 27232
+                WHEN 600000 THEN 20582 END AS BIGINT),
+           TRUE
+    FROM sz
     """.format(cos=_DUCK_COS.format(a='cv', b='qv')),
-    tags=("similarity", "topk", "lsh", "ivf", "pq"),
+    tags=("similarity", "topk", "lsh", "ivf", "pq", "pca"),
 )
 def ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN method suite (merged r1 q42+q51): random-hyperplane LSH
@@ -193,7 +208,17 @@ def ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries as per-scale literals (keyed on lineitem cardinality;
     measured twice in fresh processes, bit-identical — both methods
     are seeded and partition-stable). A recall regression of even ONE
-    neighbor now flips the value hash, not just the floor."""
+    neighbor now flips the value hash, not just the floor.
+
+    The r6 ``pca`` row extends the suite with distributed PCA
+    (operators.similarity.pca_fit / pca_project): n_queries carries
+    the dimension, n_truth/n_hits_pinned the top-2 explained-variance
+    ratios in ppm — the ENGINE recomputes them through the whole
+    pipeline (fit → sign-normalized components → codegen projection →
+    var_samp(pc_j) / Σ_i var_samp(x_i)), the oracle pins the measured
+    per-scale literals (eigendecomposition is not SQL; bit-stable
+    under local[8] vs local[32]×repartition(13) — the q42 contract),
+    and recall_ok asserts the ordering evr1 ≥ evr2 engine-side."""
     from ..operators.similarity import (
         ann_topk_ivf_prefit,
         ann_topk_pq_prefit,
@@ -218,6 +243,29 @@ def ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-testdata scale (metadata-only parquet count, 1-row bcast)
     li_n = load_table(spark, sf_dir, "lineitem") \
         .agg(F.count(F.lit(1)).alias("__li_n"))
+    from ..operators.similarity import pca_fit, pca_project
+
+    fit = pca_fit(emb, k=2, dim=64)
+    proj = pca_project(emb, fit)
+    trace = emb.agg(sum(
+        [F.var_samp(F.element_at(F.col("embedding"), i + 1)
+                    .cast("double")) for i in range(64)],
+        F.lit(0.0)).alias("__tr"))
+    known = F.col("__li_n").isin(6000, 60000, 600000)
+    pca_row = (proj.agg(F.var_samp("pc1").alias("__v1"),
+                        F.var_samp("pc2").alias("__v2"))
+               .crossJoin(F.broadcast(trace))
+               .crossJoin(F.broadcast(li_n))
+               .select(
+                   F.lit("pca").alias("method"),
+                   F.lit(64).cast("long").alias("n_queries"),
+                   F.when(known, F.round(F.col("__v1") / F.col("__tr")
+                                         * 1e6)).cast("long")
+                   .alias("n_truth"),
+                   F.when(known, F.round(F.col("__v2") / F.col("__tr")
+                                         * 1e6)).cast("long")
+                   .alias("n_hits_pinned"),
+                   (F.col("__v1") >= F.col("__v2")).alias("recall_ok")))
     floors = F.when(F.col("method") == "lsh", F.lit(0.6)) \
         .when(F.col("method") == "pq", F.lit(0.6)).otherwise(F.lit(0.5))
     return (lsh.unionByName(ivf).unionByName(pq)
@@ -232,7 +280,8 @@ def ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("n_hits")).cast("long")
                     .alias("n_hits_pinned"),
                     ((F.col("n_hits") / F.col("n_truth")) >= floors)
-                    .alias("recall_ok")))
+                    .alias("recall_ok"))
+            .unionByName(pca_row))
 
 
 def _duck_dot(vec_sql: str, plane: list[float]) -> str:

@@ -185,3 +185,54 @@ def test_ann_pq_full_refine_is_exact(spark, sf_smoke):
             for r in ann_topk_pq_prefit(emb, queries, books, k=5,
                                         refine=n).collect()}
     assert exact == full
+
+
+def test_pca_fit_project_numpy_parity_and_plan(spark):
+    """r6: distributed PCA — components/evr/scores match a numpy
+    reference (up to the shared sign convention), projected variance
+    matches the eigenvalues, and projection is pure codegen (no UDF,
+    no exchange)."""
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+    rng = np.random.default_rng(3)
+    # anisotropic cloud in 8 dims: two dominant directions
+    base = rng.normal(0.0, 1.0, (400, 8))
+    base[:, 0] *= 6.0
+    base[:, 1] *= 3.0
+    mix = rng.normal(0.0, 1.0, (8, 8)) * 0.2 + np.eye(8)
+    x = base @ mix + rng.normal(2.0, 0.1, 8)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>")
+    fit = pca_fit(df, k=2, dim=8)
+
+    xc = x - x.mean(axis=0)
+    cov = (xc.T @ xc) / (len(x) - 1)     # ml.PCA uses sample covariance
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    ref = vecs[:, order].T
+    for i in range(2):
+        j = int(np.abs(ref[i]).argmax())
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+        assert np.allclose(fit["components"][i], ref[i], atol=1e-6)
+    assert np.allclose(fit["evr"],
+                       vals[order] / vals.sum(), atol=1e-6)
+    assert np.allclose(fit["mean"], x.mean(axis=0), atol=1e-9)
+
+    proj = pca_project(df, fit).orderBy("id")
+    got = np.array([[r.pc1, r.pc2] for r in proj.collect()])
+    want = xc @ np.array(fit["components"]).T
+    assert np.allclose(got, want, atol=1e-6)
+    # projected variance recovers the eigenvalues
+    assert np.allclose(got.var(axis=0, ddof=1), vals[order], rtol=1e-6)
+
+    plan = (pca_project(df, fit)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
