@@ -79,8 +79,52 @@ def _lineitem_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (SELECT COUNT(DISTINCT c_mktsegment) + 1 FROM customer), TRUE
     UNION ALL SELECT 'feat', 'n_selected_fwe',
         (SELECT COUNT(DISTINCT c_mktsegment) + 1 FROM customer), TRUE
+    UNION ALL
+    -- r6: binary-eval suite (operators.ml_eval) — AUC via the exact
+    -- rank-sum identity, log-loss/Brier micro-rounded (ln() ulps sit
+    -- ~1e-11 below the 1e-6 grid), calibration counts exact (bin =
+    -- pure IEEE floor arithmetic, no libm)
+    SELECT 'eval', e.name, e.ival, TRUE
+    FROM (
+      WITH sc AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               LEAST(GREATEST(o_totalprice / 600000.0, 0.001), 0.999)
+                 AS p
+        FROM orders),
+      r AS (
+        SELECT y, RANK() OVER (ORDER BY p)
+                 + (COUNT(*) OVER (PARTITION BY p) - 1) / 2.0 AS rk
+        FROM sc),
+      a AS (
+        SELECT SUM(rk) FILTER (y = 1) AS rp,
+               CAST(COUNT(*) FILTER (y = 1) AS DOUBLE) AS np,
+               CAST(COUNT(*) FILTER (y = 0) AS DOUBLE) AS nn
+        FROM r),
+      cal AS (
+        SELECT LEAST(CAST(floor(p * 10) AS BIGINT), 9) AS b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM sc GROUP BY 1)
+      SELECT 'auc_ppm' AS name,
+             CAST(ROUND((rp - np * (np + 1) / 2.0) / (np * nn) * 1e6)
+                  AS BIGINT) AS ival
+      FROM a
+      UNION ALL
+      SELECT 'logloss_micro',
+             CAST(ROUND(AVG(-(y * ln(p) + (1 - y) * ln(1 - p))) * 1e6)
+                  AS BIGINT)
+      FROM sc
+      UNION ALL
+      SELECT 'brier_micro',
+             CAST(ROUND(AVG((p - y) * (p - y)) * 1e6) AS BIGINT)
+      FROM sc
+      UNION ALL
+      SELECT 'calib:' || CAST(b AS VARCHAR) || ':n', n FROM cal
+      UNION ALL
+      SELECT 'calib:' || CAST(b AS VARCHAR) || ':pos', n_pos
+      FROM cal) e
     """,
-    tags=("ml", "regression", "cv", "features", "selector"),
+    tags=("ml", "regression", "cv", "features", "selector", "eval"),
 )
 def ml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full ML surface as ONE oracle-backed driver row
@@ -106,7 +150,17 @@ def ml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments + the numeric input; keep-invalid bucket minus OHE
     dropLast cancel); the reference's headline finding — FDR ≈ FWE —
     is pinned by both selector counts hashing to the same SQL-derived
-    feature count (the L1-coupled features all pass at α=0.05)."""
+    feature count (the L1-coupled features all pass at α=0.05).
+
+    ``eval`` rows — r6 (operators.ml_eval): the binary-classifier
+    readouts the reference's regression-only evaluator lacks, over a
+    deterministic (label = status F, p = clamped scaled totalprice)
+    scoring: ROC-AUC in ppm via the exact rank-sum identity (average
+    ranks = trapezoidal tie handling — exact across engines),
+    micro-rounded log-loss and Brier score, and the 10-bin
+    reliability table's per-bin n / n_pos counts (bin ids are pure
+    IEEE floor arithmetic). Every value is fully re-derived by the
+    oracle — no pinning."""
     # estimator fits run dozens of tiny aggregate jobs; under a
     # default-200-partition driver session that is pure task overhead —
     # scope the conf down for the fits, restore after
@@ -116,8 +170,55 @@ def ml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = _ml_rows(spark, sf_dir) + _feat_rows(spark, sf_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.createDataFrame(
+    fixed = spark.createDataFrame(
         rows, "part string, name string, ival long, ok boolean")
+    return fixed.unionByName(_eval_df(spark, sf_dir))
+
+
+def _eval_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q43 ``eval`` legs as a LAZY DataFrame (no driver-side
+    materialization): AUC / log-loss / Brier / calibration over the
+    deterministic orders scoring."""
+    from ..operators.ml_eval import (
+        binary_auc,
+        binary_metrics,
+        calibration_bins,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    sc = orders.select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        F.least(F.greatest(F.col("o_totalprice") / F.lit(600000.0),
+                           F.lit(0.001)), F.lit(0.999)).alias("p"))
+    part = F.lit("eval").alias("part")
+    auc = (binary_auc(sc, "y", "p")
+           .select(part, F.lit("auc_ppm").alias("name"),
+                   F.round(F.col("auc") * 1e6).cast("long")
+                   .alias("ival"),
+                   ((F.col("auc") > 0.0) & (F.col("auc") < 1.0))
+                   .alias("ok")))
+    met = binary_metrics(sc, "y", "p")
+    ll = met.select(part, F.lit("logloss_micro").alias("name"),
+                    F.round(F.col("log_loss") * 1e6).cast("long")
+                    .alias("ival"),
+                    (F.col("log_loss") > 0.0).alias("ok"))
+    br = met.select(part, F.lit("brier_micro").alias("name"),
+                    F.round(F.col("brier") * 1e6).cast("long")
+                    .alias("ival"),
+                    ((F.col("brier") >= 0.0) & (F.col("brier") <= 1.0))
+                    .alias("ok"))
+    cal = calibration_bins(sc, "y", "p", n_bins=10)
+    cal_name = lambda suffix: F.concat(  # noqa: E731
+        F.lit("calib:"), F.col("bin").cast("string"), F.lit(suffix))
+    caln = cal.select(part, cal_name(":n").alias("name"),
+                      F.col("n").alias("ival"),
+                      (F.col("n") > 0).alias("ok"))
+    calp = cal.select(part, cal_name(":pos").alias("name"),
+                      F.col("n_pos").alias("ival"),
+                      ((F.col("frac_pos") >= 0.0)
+                       & (F.col("frac_pos") <= 1.0)).alias("ok"))
+    return (auc.unionByName(ll).unionByName(br)
+            .unionByName(caln).unionByName(calp))
 
 
 def _ml_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
