@@ -422,3 +422,33 @@ def target_encode_loo(df: DataFrame, cat_col: str, target_col: str,
           .when(y.isNull() & (n >= 1), s / n)
           .otherwise(gmean))
     return df.withColumn(out_col, te)
+
+
+def target_encode_m(df: DataFrame, cat_col: str, target_col: str,
+                    m: float = 10.0, out_col: str = "te") -> DataFrame:
+    """m-estimate (additive-smoothing) target encoding — the
+    shrinkage companion to ``target_encode_loo``: every category is
+    pulled toward the global prior in proportion to how little
+    evidence it carries,
+
+        te_g = (Σ_g y + m·prior) / (n_g + m),   prior = global mean,
+
+    so rare categories encode near the prior and frequent ones near
+    their own mean — the standard high-cardinality-categorical
+    treatment (Micci-Barreca 2001) where LOO's per-row exclusion is
+    unnecessary (e.g. encoding fit on a train split, applied to
+    eval). An all-null-target group degrades exactly to the prior
+    ((0 + m·prior)/(0 + m)); NULL categories form their own group.
+
+    Same plan shape as LOO: group sum/count on a frame-less category
+    window (one exchange), the prior on a frame-less global window —
+    all codegen, no joins, no fit state. The q16 oracle re-derives
+    the formula end-to-end.
+    """
+    wg = W.partitionBy(cat_col)
+    wall = W.partitionBy()
+    s = F.coalesce(F.sum(target_col).over(wg), F.lit(0.0))
+    n = F.count(target_col).over(wg)
+    prior = F.avg(target_col).over(wall)
+    te = (s + F.lit(float(m)) * prior) / (n + F.lit(float(m)))
+    return df.withColumn(out_col, te)

@@ -443,6 +443,28 @@ def day_part_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
              SUM(te) AS s, AVG(te) AS a
       FROM enc GROUP BY 1) g
+    UNION ALL
+    -- r6: m-estimate (shrinkage) encoding of the same dirty priority
+    -- (operators.cleaning.target_encode_m, m=10) — every category
+    -- pulled toward the global prior by its evidence mass
+    SELECT 'mest', g.prio, g.n, CAST(NULL AS DOUBLE),
+           ROUND(g.a, 4),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM (
+      WITH dte2 AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderpriority END AS prio,
+               o_totalprice AS y
+        FROM orders),
+      enc2 AS (
+        SELECT prio,
+               (COALESCE(SUM(y) OVER w, 0.0) + 10.0 * AVG(y) OVER ())
+                 / (COUNT(y) OVER w + 10.0) AS te
+        FROM dte2
+        WINDOW w AS (PARTITION BY prio))
+      SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(te) AS a
+      FROM enc2 GROUP BY 1) g
     """,
     tags=("cleaning", "impute", "encoding"),
 )
@@ -463,6 +485,12 @@ def impute_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       leakage-free mean encoding. Readout per category: n, rounded
       sum and mean of the encoded column; the oracle re-derives the
       per-row encoding end-to-end.
+    * ``mest`` — r6: m-estimate shrinkage encoding of the same dirty
+      priority (operators.cleaning.target_encode_m, m=10,
+      Micci-Barreca 2001): (Σ_g y + m·prior)/(n_g + m) — rare
+      categories encode near the global prior, frequent ones near
+      their own mean; the train-fit/eval-apply companion to LOO's
+      per-row exclusion. Same readout shape, fully oracle-re-derived.
     """
     li = load_table(spark, sf_dir, "lineitem")
     dirty = li.select(
@@ -508,7 +536,24 @@ def impute_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "sum_imputed", "avg_imputed",
                         F.lit(None).cast("long").alias("n_was_null"),
                         F.lit(None).cast("long").alias("n_rows")))
-    return mean_row.unionByName(mode_rows).unionByName(loo_rows)
+
+    from ..operators.cleaning import target_encode_m
+
+    # sum_imputed stays NULL for mest: te is constant per group, so
+    # the sum is n·te at ~1e8 magnitude where window-partial ulp
+    # drift crosses the 4 dp grid (the q07 cmat scaling lesson); the
+    # mean IS the encoding and carries the whole check
+    mest_rows = (target_encode_m(dte, "prio", "y", m=10.0)
+                 .groupBy("prio")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.lit(None).cast("double").alias("sum_imputed"),
+                      fround(F.avg("te")).alias("avg_imputed"))
+                 .select(F.lit("mest").alias("part"), "prio", "n",
+                         "sum_imputed", "avg_imputed",
+                         F.lit(None).cast("long").alias("n_was_null"),
+                         F.lit(None).cast("long").alias("n_rows")))
+    return (mean_row.unionByName(mode_rows).unionByName(loo_rows)
+            .unionByName(mest_rows))
 
 
 def _poisson_w_sql(u_expr: str) -> str:

@@ -1012,3 +1012,24 @@ def test_sequence_pair_support_hand_computed(spark):
     assert out[("view", "click")].n_users == 2      # u1, u2
     assert out[("click", "view")].n_users == 1      # u2
     assert out[("view", "click")].support == pytest.approx(2 / 3)
+
+
+def test_target_encode_m_hand_computed_and_shrinkage(spark):
+    """r6: m-estimate encoding — hand-checked shrinkage toward the
+    prior, all-null group degrades to the prior exactly, and rare
+    categories sit closer to the prior than frequent ones."""
+    from bigdata_spark_assignment_spark.operators.cleaning import (
+        target_encode_m,
+    )
+    rows = ([("big", 10.0)] * 8 + [("rare", 100.0)]
+            + [("dead", None), ("dead", None)])
+    df = spark.createDataFrame(rows, ["c", "y"])
+    prior = (8 * 10.0 + 100.0) / 9
+    out = {r.c: r.te for r in
+           target_encode_m(df, "c", "y", m=2.0).collect()}
+    assert out["big"] == pytest.approx((80.0 + 2 * prior) / 10)
+    assert out["rare"] == pytest.approx((100.0 + 2 * prior) / 3)
+    assert out["dead"] == pytest.approx(prior)
+    # shrinkage: the rare estimate moved farther toward the prior
+    assert abs(out["rare"] - prior) < abs(100.0 - prior)
+    assert abs(out["big"] - 10.0) < abs(out["rare"] - 100.0)
