@@ -99,11 +99,13 @@ def _warm_ivf_index(spark, sf_dir: str) -> None:
     .fit_ivf_centers / .fit_pq_codebooks)."""
     from bigdata_spark_assignment_spark.plans.similarity_plans import (
         _ivf_centers_for,
+        _pca_fit_for,
         _pq_books_for,
     )
 
     _ivf_centers_for(spark, sf_dir, n_cells=16)
     _pq_books_for(spark, sf_dir, m=8, k_codes=64)  # r6 retune (q42)
+    _pca_fit_for(spark, sf_dir, k=2)  # r6 session 2 (q42 pca row)
 
 
 def main() -> None:

@@ -205,10 +205,12 @@ def run_sf1_full(spark) -> dict:
     _bench._warmup(spark)
     from bigdata_spark_assignment_spark.plans.similarity_plans import (
         _ivf_centers_for,
+        _pca_fit_for,
         _pq_books_for,
     )
     _ivf_centers_for(spark, SF1_DIR, n_cells=16)
     _pq_books_for(spark, SF1_DIR, m=8, k_codes=64)  # r6 retune
+    _pca_fit_for(spark, SF1_DIR, k=2)
 
     base = {}
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
