@@ -818,17 +818,44 @@ def covariance_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     the result positive semi-definite). Degenerate guards: constant
     columns yield NULL corr (0/0 → try_divide NULL), n = 0 yields an
     empty result (no groups).
+
+    Determinism: when EVERY input column is an integral type, the
+    sufficient statistics are summed in DECIMAL(38,0) — exact integer
+    arithmetic, so the aggregate is independent of partition count and
+    combine order, and the closed-form doubles derived from it are
+    bit-identical run to run (and across engines that sum exactly,
+    e.g. DuckDB's HUGEINT). Float inputs keep double sums: summing
+    arbitrary doubles exactly isn't expressible, and the ~ulp
+    order-dependence is inherent; quantize to a fixed-point integer
+    grid upstream when cross-engine bit-parity matters (the q07 cmat
+    plan does exactly that after the round-6 host-dependent 4-dp
+    rounding flake).
     """
     d = df.na.drop(subset=cols)
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    exact = all(
+        dict(d.dtypes)[c] in integral for c in cols)
+
+    def _sum(expr: Column) -> Column:
+        if exact:
+            # decimal(19,0) per operand keeps the product within
+            # decimal(38,0); sum of decimal is exact (no overflow at
+            # any realistic scale: 1e38 headroom)
+            return F.sum(expr).cast("double")
+        return F.sum(expr)
+
+    def _operand(c: str) -> Column:
+        return (F.col(c).cast("decimal(19,0)") if exact
+                else F.col(c).cast("double"))
+
     n = F.count(F.lit(1)).cast("double")
     aggs = [n.alias("__n")]
     for c in cols:
-        aggs.append(F.sum(F.col(c).cast("double")).alias(f"__s_{c}"))
+        aggs.append(_sum(_operand(c)).alias(f"__s_{c}"))
     for i, a in enumerate(cols):
         for b in cols[i:]:
             aggs.append(
-                F.sum(F.col(a).cast("double") * F.col(b).cast("double"))
-                .alias(f"__p_{a}_{b}"))
+                _sum(_operand(a) * _operand(b)).alias(f"__p_{a}_{b}"))
     row = d.agg(*aggs)
 
     def _cov(a: str, b: str) -> Column:

@@ -275,29 +275,88 @@ def agg_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # q07 `cmat`: upper-triangle covariance/correlation matrix legs, one
 # per pair, generated so engine and oracle agree on pair naming.
-# l_extendedprice enters as price-in-THOUSANDS: it keeps every sum's
-# magnitude small enough that the two engines' different partial-sum
-# orders (and DuckDB's Welford-style covar_pop vs our closed form)
-# stay far inside the 4 dp rounding grid — raw prices put the
-# variance at ~1e9 where accumulated ulps cross 1e-4.
+#
+# r6 postmortem: the first cmat oracle compared our closed-form
+# double-sum covariance against DuckDB's Welford-style covar_pop,
+# both rounded to 4 dp — two DIFFERENT summation algorithms whose ulp
+# gap is partition-order- and host-dependent, so a value sitting near
+# a .00005 boundary flipped the driver hash on the driver host while
+# staying green locally (CORRECTNESS_r06 q07). r7 fix: quantize each
+# measure to its native fixed-point grid per row (prices are cents,
+# discount/tax/quantity are 1/100ths — ROUND(x*100) is deterministic
+# and identical in both engines), sum the sufficient statistics
+# EXACTLY (Spark DECIMAL(38,0), DuckDB HUGEINT), and derive cov/corr
+# with the SAME double expression tree on both sides. Identical
+# exact integer stats → bit-identical doubles → ROUND can never
+# disagree, at any parallelism, on any host. Reported units are the
+# original ones (quantity, price-in-thousands, discount, tax): the
+# integer-grid covariance is divided by the pair's scale product.
 _CMAT_COLS = ("l_quantity", "l_price_k", "l_discount", "l_tax")
-_CMAT_SQL = "\n    UNION ALL\n    ".join(
-    f"""SELECT 'cmat', '{a}~{b}',
-           ROUND(covar_pop({a}, {b}), 4), ROUND(corr({a}, {b}), 4),
+_CMAT_SRC = {"l_quantity": "l_quantity", "l_price_k": "l_extendedprice",
+             "l_discount": "l_discount", "l_tax": "l_tax"}
+# per-row quantizer: int = ROUND(src * quant). Price is quantized to
+# whole DOLLARS (quant 1, not cents): the largest cross-product sum,
+# SUM(price_i²) ≈ 1.1e10·rows, must stay below 2^53 at the checked
+# scales so the exact integer→double cast is itself exact in both
+# engines — cents put it past 2^63 at sf0.1, where DuckDB's
+# HUGEINT→double two-word conversion double-rounds 1 ulp off Java's
+# correctly-rounded BigDecimal path (measured, r7). The ±$0.5
+# rounding noise perturbs the reported covariances ~1e-7 — far
+# inside the 4-dp grid.
+_CMAT_QUANT = {"l_quantity": 100, "l_price_k": 1,
+               "l_discount": 100, "l_tax": 100}
+# integer-grid units per ORIGINAL unit: price_k is priced in
+# thousands, so one price_k unit = 1000 dollar-grid units
+_CMAT_SCALE = {"l_quantity": 100.0, "l_price_k": 1000.0,
+               "l_discount": 100.0, "l_tax": 100.0}
+
+
+def _cmat_oracle_sql() -> str:
+    """The cmat CTEs + legs, generated from the same column/scale
+    tables the engine uses so pair naming, quantization, and the
+    closed-form expression tree cannot drift between the two sides.
+    Returns (ctes, union_of_legs)."""
+    q_cols = ",\n             ".join(
+        f"CAST(ROUND({_CMAT_SRC[c]} * {_CMAT_QUANT[c]}) AS BIGINT) AS {c}"
+        for c in _CMAT_COLS)
+    stats = [f"CAST(COUNT(*) AS DOUBLE) AS n"]
+    stats += [f"CAST(SUM({c}) AS DOUBLE) AS s_{c}" for c in _CMAT_COLS]
+    stats += [f"CAST(SUM({a} * {b}) AS DOUBLE) AS p_{a}_{b}"
+              for i, a in enumerate(_CMAT_COLS) for b in _CMAT_COLS[i:]]
+    not_null = " AND ".join(
+        f"{_CMAT_SRC[c]} IS NOT NULL" for c in _CMAT_COLS)
+
+    def cov(a: str, b: str) -> str:
+        # mirrors operators.relational.covariance_matrix._cov exactly:
+        # (p_ab - s_a*s_b/n)/n, evaluated in DOUBLE
+        return f"((p_{a}_{b} - s_{a} * s_{b} / n) / n)"
+
+    legs = []
+    for i, a in enumerate(_CMAT_COLS):
+        for b in _CMAT_COLS[i:]:
+            scale = _CMAT_SCALE[a] * _CMAT_SCALE[b]
+            legs.append(f"""SELECT 'cmat', '{a}~{b}',
+           ROUND({cov(a, b)} / {scale!r}, 4),
+           ROUND({cov(a, b)} / SQRT({cov(a, a)} * {cov(b, b)}), 4),
            CAST(NULL AS DOUBLE)
-    FROM cmat_src"""
-    for i, a in enumerate(_CMAT_COLS) for b in _CMAT_COLS[i:])
+    FROM cmat_s""")
+    ctes = f"""cmat_q AS (
+      SELECT {q_cols}
+      FROM lineitem
+      WHERE {not_null}),
+    cmat_s AS (
+      SELECT {', '.join(stats)}
+      FROM cmat_q)"""
+    return ctes, "\n    UNION ALL\n    ".join(legs)
+
+
+_CMAT_CTES, _CMAT_SQL = _cmat_oracle_sql()
 
 
 @register(
     "q07_correlation",
     oracle=f"""
-    WITH cmat_src AS (
-      SELECT l_quantity, l_extendedprice / 1000.0 AS l_price_k,
-             l_discount, l_tax
-      FROM lineitem
-      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-        AND l_discount IS NOT NULL AND l_tax IS NOT NULL)
+    WITH {_CMAT_CTES}
     SELECT 'corr' AS part, CAST(NULL AS VARCHAR) AS grp,
            ROUND(corr(l_quantity, l_extendedprice), 4) AS m1,
            ROUND(corr(l_discount, l_tax), 4)           AS m2,
@@ -438,16 +497,26 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cmat — the matrix generalization of the `corr` part: every
     # pairwise covariance AND correlation of four measures from ONE
     # sufficient-statistics aggregate (closed forms on the 1-row
-    # result, exploded long). Price enters in thousands — see
-    # _CMAT_COLS for the float-parity rationale.
-    src = li.select(
-        "l_quantity",
-        (F.col("l_extendedprice") / F.lit(1000.0)).alias("l_price_k"),
-        "l_discount", "l_tax")
+    # result, exploded long). Inputs are quantized to their native
+    # fixed-point grids (×100 — cents / hundredths), which makes
+    # covariance_matrix take its EXACT decimal-sum path: the stats,
+    # and so the rounded doubles, are identical at any parallelism
+    # and mirror the oracle's HUGEINT sums bit-for-bit (see the
+    # _CMAT_COLS comment for the r6 flake this closes). Covariance is
+    # reported in original units by dividing out the pair's scale
+    # product; correlation is scale-invariant.
+    src = li.select(*[
+        F.round(F.col(_CMAT_SRC[c]) * _CMAT_QUANT[c])
+         .cast("bigint").alias(c)
+        for c in _CMAT_COLS])
+    scale_map = F.create_map(*[
+        x for c in _CMAT_COLS for x in (F.lit(c), F.lit(_CMAT_SCALE[c]))])
     cmat = (covariance_matrix(src, list(_CMAT_COLS))
             .select(F.lit("cmat").alias("part"),
                     F.concat_ws("~", "col_a", "col_b").alias("grp"),
-                    fround(F.col("cov_pop")).alias("m1"),
+                    fround(F.col("cov_pop")
+                           / (scale_map[F.col("col_a")]
+                              * scale_map[F.col("col_b")])).alias("m1"),
                     fround(F.col("corr")).alias("m2"),
                     F.lit(None).cast("double").alias("m3")))
     return corr.unionByName(ols).unionByName(udaf).unionByName(cmat)

@@ -957,6 +957,36 @@ def test_covariance_matrix_numpy_parity_and_guards(spark):
     assert "Join" not in plan
 
 
+def test_covariance_matrix_exact_int_path_partition_invariant(spark):
+    """r7 (q07 cmat flake): integral inputs take the DECIMAL(38,0)
+    exact-sum path, so the derived doubles are BIT-identical at any
+    partition count — the property the double-sum path cannot give.
+    Also pins numpy parity for the integer stats."""
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        covariance_matrix,
+    )
+    rng = np.random.default_rng(7)
+    # magnitudes chosen so sums cross 2^53: the double-sum path would
+    # be order-dependent here, the decimal path cannot be
+    x = rng.integers(1, 10_000_000, 5000)
+    y = x // 3 + rng.integers(0, 1_000_000, 5000)
+    rows = [(int(a), int(b)) for a, b in zip(x, y)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    runs = []
+    for parts in (1, 7, 32):
+        out = {(r.col_a, r.col_b): (r.cov_pop, r.corr)
+               for r in covariance_matrix(
+                   df.repartition(parts), ["x", "y"]).collect()}
+        runs.append(out)
+    assert runs[0] == runs[1] == runs[2]  # bit-exact, no approx
+    cov_ref = np.cov(np.stack([x, y]).astype(float), bias=True)
+    assert runs[0][("x", "y")][0] == pytest.approx(cov_ref[0, 1])
+    assert runs[0][("x", "y")][1] == pytest.approx(
+        float(np.corrcoef(x, y)[0, 1]))
+
+
 def test_snapshot_diff_hand_computed_and_null_changes(spark):
     """r6: snapshot diff — hand-counted add/remove/change/unchanged
     buckets, null-safe per-column change counts (value→NULL counts as
