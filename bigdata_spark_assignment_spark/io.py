@@ -110,7 +110,18 @@ class SchemaMismatchError(ValueError):
     """Raised when a loaded table's schema deviates from the declared one."""
 
 
-def scan_fanout(df: DataFrame) -> DataFrame:
+# Below this input size the single-task scan finishes faster than the
+# repartition round-trip it would take to spread it: the shuffle
+# write/read + losing whole-stage fusion with the scan costs ~1s of
+# fixed latency at local[32], while JVM-side tokenization chews small
+# inputs in less than that. Measured r7 at sf0.1 (documents = 581 KiB
+# on disk): fanning out SLOWED q36 1.6s→2.4s and q49 2.5s→9.2s, while
+# at sf1 (5.8 MiB) the same fan-out was the r6 win that fixed the
+# parallelism-2-of-32 scale flags. 4 MiB splits those two regimes.
+FANOUT_MIN_BYTES = 4 << 20
+
+
+def scan_fanout(df: DataFrame, min_bytes: int = FANOUT_MIN_BYTES) -> DataFrame:
     """Recover scan parallelism for small-file-count inputs feeding
     per-byte-heavy map work (regex scoring, Arrow text passes, vector
     math): a table written as one parquet file with one row group
@@ -121,20 +132,30 @@ def scan_fanout(df: DataFrame) -> DataFrame:
     doc-scan family at parallelism 2 of 32 for exactly this reason.
 
     The fix is a gated round-robin repartition: only when the planned
-    scan has FEWER partitions than the session's parallelism. At
-    cluster scale (thousands of row groups) the gate never fires, so
-    this is free where the scan already fans out; when it fires, the
+    scan has FEWER partitions than the session's parallelism AND the
+    input is at least ``min_bytes`` (r7: below that, the shuffle
+    round-trip costs more than the single-task scan it replaces —
+    see FANOUT_MIN_BYTES). Callers whose map work is python-side
+    (Arrow UDF passes — slow per row regardless of input size) pass
+    ``min_bytes=0`` to fan out unconditionally. At cluster scale
+    (thousands of row groups) the partition gate never fires, so this
+    is free where the scan already fans out; when it fires, the
     shuffle moves only the small input that caused the problem.
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
-        return df.repartition(cores)
-    return df
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    size = int(df._jdf.queryExecution().optimizedPlan()
+               .stats().sizeInBytes())
+    if size < min_bytes:
+        return df
+    return df.repartition(cores)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str,
-               validate: bool = True, fan_out: bool = False) -> DataFrame:
+               validate: bool = True, fan_out: bool = False,
+               fan_out_min_bytes: int = FANOUT_MIN_BYTES) -> DataFrame:
     """Parquet scan of one driver table with schema-on-read validation.
 
     We intentionally do NOT pass ``.schema(...)`` to the parquet reader:
@@ -182,7 +203,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
                 raise SchemaMismatchError(
                     f"{name}: schema drift — expected {want}, got {got}")
     if fan_out:
-        df = scan_fanout(df)
+        df = scan_fanout(df, min_bytes=fan_out_min_bytes)
     return df
 
 

@@ -1600,6 +1600,14 @@ def winsorize(df: DataFrame, value_col: str,
 POISSON1_THRESHOLDS = [1580030168, 3160060337, 3950075421,
                        4213413783, 4279248373, 4292415291]
 
+# The same thresholds as zero-padded lowercase hex: an 8-char
+# lower-hex string compares LEXICOGRAPHICALLY exactly as its numeric
+# value ('0'-'9' < 'a'-'f' in every collation both engines use), so a
+# weight can be read straight off an md5 hex lane with string
+# comparisons — no radix conversion per lane (r7: conv() was ~half
+# the q62 boot phase).
+POISSON1_THRESHOLDS_HEX = [f"{t:08x}" for t in POISSON1_THRESHOLDS]
+
 
 def poisson_weight_expr(u: Column) -> Column:
     """Poisson(1) bootstrap weight from a uniform 32-bit integer hash
@@ -1607,6 +1615,16 @@ def poisson_weight_expr(u: Column) -> Column:
     w: Column = F.lit(0)
     for t in POISSON1_THRESHOLDS:
         w = w + F.when(u >= F.lit(t), 1).otherwise(0)
+    return w
+
+
+def poisson_weight_hex_expr(lane: Column) -> Column:
+    """Poisson(1) bootstrap weight from an 8-char lowercase-hex lane
+    (numerically identical to ``poisson_weight_expr`` on the lane's
+    integer value — see POISSON1_THRESHOLDS_HEX)."""
+    w: Column = F.lit(0)
+    for t in POISSON1_THRESHOLDS_HEX:
+        w = w + F.when(lane >= F.lit(t), 1).otherwise(0)
     return w
 
 
@@ -1620,9 +1638,21 @@ def poisson_bootstrap_ci(df: DataFrame, id_col: str, variant_col: str,
     distributes: instead of drawing n rows with replacement (which
     needs global coordination), every row independently contributes
     a Poisson(1) weight per replicate, derived here from a salted md5
-    of (replicate, row id) so the "randomness" is engine-independent
-    and the q62 oracle re-derives every weight from integer threshold
-    comparisons.
+    so the "randomness" is engine-independent and the q62 oracle
+    re-derives every weight from integer threshold comparisons.
+
+    r7: one md5 carries FOUR replicates — an md5 digest is 128 bits
+    and a weight needs a uniform 32-bit lane, so replicate
+    b = 4·g + lane reads hex chars [8·lane+1, 8·lane+8] of
+    md5(salt:g:id). Hashing was the dominant cost of the all-in-one
+    per-replicate form (one md5 per exploded row = n_boot per input
+    row); the lane form hashes ⌈n_boot/4⌉ per input row and never
+    materializes the n_boot-fold row fan-out at all — per-lane
+    weights are aggregated as SEPARATE conditional sums per hash
+    group and unpacked to (replicate, sums) AFTER the aggregate
+    (4·⌈n_boot/4⌉ tiny rows). With the hex-lane weight reads
+    (``poisson_weight_hex_expr``) this measured 2.2× on the q62 boot
+    phase at sf0.1 (5.7s → 2.7s).
 
     Returns ONE row: (n_boot_effective, diff_obs, ci_lo, ci_hi) —
     the observed unweighted mean difference and the percentile-
@@ -1633,33 +1663,56 @@ def poisson_bootstrap_ci(df: DataFrame, id_col: str, variant_col: str,
     discipline that keeps the order statistics identical across
     engines (weighted sums are unordered double aggregates).
 
-    Plan: rows explode ×n_boot (bounded fan-out), one grouped
-    conditional aggregate to the n_boot-row replicate table, then the
-    ``exact_percentiles`` position construction over that tiny table.
-    At 100 TB the explode dominates — n_boot·rows map-side work, one
-    shuffle of n_boot partial-aggregated rows per task.
+    Plan: rows explode ×⌈n_boot/4⌉ (bounded fan-out, one md5 each),
+    one grouped conditional aggregate (4 lanes × 4 sums wide) to the
+    ⌈n_boot/4⌉-row group table, inline-unpacked to the n_boot-row
+    replicate table, then the ``exact_percentiles`` position
+    construction over that tiny table. At 100 TB the explode
+    dominates — ⌈n_boot/4⌉·rows map-side work, one shuffle of
+    partial-aggregated group rows per task.
     """
+    n_grp = (int(n_boot) + 3) // 4
     d = df.filter(F.col(metric_col).isNotNull()
                   & F.col(variant_col).isin([variant_a, variant_b]))
     rows = d.select(
         F.col(variant_col).alias("__v"),
         F.col(metric_col).alias("__y"),
         F.col(id_col).cast("string").alias("__id"),
-        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1)))
-         .alias("__b"))
-    u = F.conv(F.substring(
-        F.md5(F.concat(F.lit(salt + ":"),
-                       F.col("__b").cast("string"),
-                       F.lit(":"), F.col("__id"))), 1, 8),
-        16, 10).cast("long")
-    w = poisson_weight_expr(u).cast("double")
+        F.explode(F.sequence(F.lit(0), F.lit(n_grp - 1))).alias("__g"))
+    h = F.md5(F.concat(F.lit(salt + ":"),
+                       F.col("__g").cast("string"),
+                       F.lit(":"), F.col("__id")))
+    lanes = range(4)
     is_a = F.col("__v") == variant_a
-    reps = (rows.withColumn("__w", w)
-            .groupBy("__b")
-            .agg(F.sum(F.when(is_a, F.col("__w") * F.col("__y"))).alias("sa"),
-                 F.sum(F.when(is_a, F.col("__w"))).alias("na"),
-                 F.sum(F.when(~is_a, F.col("__w") * F.col("__y"))).alias("sb"),
-                 F.sum(F.when(~is_a, F.col("__w"))).alias("nb"))
+    # project the digest ONCE and pre-split the metric by arm, then
+    # read each lane's weight straight off the hex digest (string
+    # threshold compares — no per-lane radix conversion) so the
+    # per-lane aggregates below are plain products, not branches
+    wide = rows.select(
+        "__g",
+        F.when(is_a, F.col("__y")).alias("__ya"),
+        F.when(is_a, F.lit(1.0)).alias("__ia"),
+        F.when(~is_a, F.col("__y")).alias("__yb"),
+        F.when(~is_a, F.lit(1.0)).alias("__ib"),
+        *[poisson_weight_hex_expr(F.substring(h, 1 + 8 * lane, 8))
+          .cast("double").alias(f"__w{lane}")
+          for lane in lanes])
+    aggs = []
+    for lane in lanes:
+        w = F.col(f"__w{lane}")
+        aggs += [
+            F.sum(w * F.col("__ya")).alias(f"sa{lane}"),
+            F.sum(w * F.col("__ia")).alias(f"na{lane}"),
+            F.sum(w * F.col("__yb")).alias(f"sb{lane}"),
+            F.sum(w * F.col("__ib")).alias(f"nb{lane}")]
+    grp = wide.groupBy("__g").agg(*aggs)
+    unpacked = [F.struct(
+        (F.col("__g") * 4 + lane).alias("b"),
+        F.col(f"sa{lane}").alias("sa"), F.col(f"na{lane}").alias("na"),
+        F.col(f"sb{lane}").alias("sb"), F.col(f"nb{lane}").alias("nb"))
+        for lane in lanes]
+    reps = (grp.select(F.inline(F.array(*unpacked)))
+            .filter(F.col("b") < int(n_boot))
             .filter((F.col("na") > 0) & (F.col("nb") > 0))
             .select(F.round(F.col("sa") / F.col("na")
                             - F.col("sb") / F.col("nb"),

@@ -210,12 +210,24 @@ def kmv_intersection_estimate(a: DataFrame, b: DataFrame, key_col: str,
 
 
 def cms_bucket_expr(col, seed: int, width: int) -> "F.Column":
-    """Row ``seed``'s bucket for an item — the KMV md5-60-bit trick
-    with a seed prefix, so the DuckDB oracle recomputes every counter
-    AND every estimate bit-exactly:
-    ``('0x' || substr(md5(seed || ':' || item), 1, 15))::BIGINT % w``."""
-    return md5_hash60_expr(
-        F.concat(F.lit(f"{seed}:"), col.cast("string"))) % width
+    """Row ``seed``'s bucket for an item, read as a 40-bit LANE of one
+    shared md5 digest (hex chars [10·seed+1, 10·seed+10]) so the
+    whole depth-row family costs ONE hash per item instead of one per
+    row — r7: hashing was the dominant cost of the sketch builds, and
+    md5's 128 bits carry 3 independent 40-bit lanes with room to
+    spare. The DuckDB oracle recomputes every counter AND estimate
+    bit-exactly:
+    ``('0x' || substr(md5(item), 1 + 10·seed, 10))::BIGINT % w``.
+
+    NOTE: expressions for the same item share the digest subtree, so
+    Spark's subexpression elimination computes md5 once per row when
+    the lanes are projected together (cms_build's posexplode array).
+    """
+    if not 0 <= seed <= 2:
+        raise ValueError("md5 carries 3 disjoint 40-bit lanes "
+                         f"(seed 0-2); got seed={seed}")
+    lane = F.substring(F.md5(col.cast("string")), 1 + 10 * seed, 10)
+    return F.conv(lane, 16, 10).cast("long") % width
 
 
 def cms_build(df: DataFrame, item_col: str,

@@ -1517,7 +1517,7 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- every min-over-rows estimate is recomputed here bit-exactly
     counters AS (
       SELECT t.d,
-             CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || token), 1, 15))
+             CAST(('0x' || substr(md5(token), 1 + 10 * t.d, 10))
                   AS BIGINT) % 512 AS bucket,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM toks CROSS JOIN range(3) t(d)
@@ -1527,7 +1527,7 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM heavy h CROSS JOIN range(3) t(d)
       JOIN counters c
         ON c.d = t.d
-       AND c.bucket = CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || h.token), 1, 15))
+       AND c.bucket = CAST(('0x' || substr(md5(h.token), 1 + 10 * t.d, 10))
                            AS BIGINT) % 512
       GROUP BY h.token)
     SELECT 'mg' AS part, token AS k, cnt AS n1, CAST(NULL AS BIGINT) AS n2,
@@ -1545,13 +1545,13 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       (SELECT CAST(MIN(ip) AS BIGINT) FROM (
          SELECT a.d, SUM(a.c * b.c) AS ip
          FROM (SELECT t.d,
-                      CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))
+                      CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1 + 10 * t.d, 10))
                            AS BIGINT) % 512 AS bucket,
                       CAST(COUNT(*) AS BIGINT) AS c
                FROM orders CROSS JOIN range(3) t(d)
                WHERE year(o_orderdate) = 1995 GROUP BY 1, 2) a
          JOIN (SELECT t.d,
-                      CAST(('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))
+                      CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1 + 10 * t.d, 10))
                            AS BIGINT) % 512 AS bucket,
                       CAST(COUNT(*) AS BIGINT) AS c
                FROM orders CROSS JOIN range(3) t(d)

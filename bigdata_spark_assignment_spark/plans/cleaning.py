@@ -567,9 +567,13 @@ def _poisson_w_sql(u_expr: str) -> str:
     return f"({terms})"
 
 
+# r7 lane form: replicate b reads 32-bit lane (b % 4) of
+# md5(salt : b//4 : id) — four replicates per digest, mirroring
+# operators.relational.poisson_bootstrap_ci
 _BOOT_W = _poisson_w_sql(
-    "CAST(('0x' || substring(md5('boot:' || CAST(b AS VARCHAR) || ':' "
-    "|| CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)")
+    "CAST(('0x' || substring(md5('boot:' || CAST((b // 4) AS VARCHAR) "
+    "|| ':' || CAST(event_id AS VARCHAR)), 1 + 8 * (b % 4), 8)) "
+    "AS BIGINT)")
 
 
 @register(

@@ -275,7 +275,10 @@ def text_quality_token_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heaviest scan stage in the suite; a single-row-group documents
     # file would otherwise run them in ONE task (io.scan_fanout;
     # measured 1.52s -> 0.91s at sf0.1, parallelism 2 -> 32 at sf1)
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # Arrow-vectorized python passes win from fan-out even on tiny
+    # inputs (r7 A/B: 1.1s -> 0.8s at sf0.1) - bypass the size gate
+    docs = load_table(spark, sf_dir, "documents", fan_out=True,
+                      fan_out_min_bytes=0)
     q = quality_score_expr(F.col("text"))
     n_emails, n_urls = pii_counts_expr(F.col("text"))
     mask_delta = (F.length("text")
