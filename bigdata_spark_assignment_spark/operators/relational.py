@@ -796,7 +796,8 @@ def transition_matrix(df: DataFrame, key_cols: list[str],
                         (F.col("n") / n_from).alias("p"))
 
 
-def covariance_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+def covariance_matrix(df: DataFrame, cols: list[str],
+                      int_sums: str = "long") -> DataFrame:
     """Full covariance / correlation matrix of ``cols`` from ONE
     aggregation pass — the PCA / whitening / feature-redundancy prep
     that naive code runs as p·(p+1)/2 separate ``df.stat.corr`` jobs
@@ -820,16 +821,30 @@ def covariance_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     empty result (no groups).
 
     Determinism: when EVERY input column is an integral type, the
-    sufficient statistics are summed in DECIMAL(38,0) — exact integer
-    arithmetic, so the aggregate is independent of partition count and
-    combine order, and the closed-form doubles derived from it are
-    bit-identical run to run (and across engines that sum exactly,
-    e.g. DuckDB's HUGEINT). Float inputs keep double sums: summing
-    arbitrary doubles exactly isn't expressible, and the ~ulp
-    order-dependence is inherent; quantize to a fixed-point integer
-    grid upstream when cross-engine bit-parity matters (the q07 cmat
-    plan does exactly that after the round-6 host-dependent 4-dp
-    rounding flake).
+    sufficient statistics are summed exactly, so the aggregate is
+    independent of partition count and combine order, and the
+    closed-form doubles derived from it are bit-identical run to run
+    (and across engines that sum exactly, e.g. DuckDB's HUGEINT).
+    Two exact flavors, chosen by ``int_sums``:
+
+    * ``"long"`` (default) — int64 sums, full whole-stage-codegen
+      speed. Every 64-bit integer casts to double correctly rounded
+      in both the JVM and DuckDB (single-word conversion), so
+      bit-parity holds as long as sums FIT in int64 — Spark 4's ANSI
+      mode turns an overflow into an error, never a silent wrap, so
+      the bound is loud. (r7: the first cut summed DECIMAL(38,0),
+      which is exact at any magnitude but runs outside codegen's fast
+      path — it cost q07 +1.5s at sf0.1 for headroom the quantizer
+      already guarantees isn't needed.)
+    * ``"decimal"`` — DECIMAL(38,0) sums for callers whose products
+      can genuinely exceed int64 (≳1e18 per-column sum of squares);
+      exact at any realistic scale, slower.
+
+    Float inputs keep double sums regardless: summing arbitrary
+    doubles exactly isn't expressible, and the ~ulp order-dependence
+    is inherent; quantize to a fixed-point integer grid upstream when
+    cross-engine bit-parity matters (the q07 cmat plan does exactly
+    that after the round-6 host-dependent 4-dp rounding flake).
     """
     d = df.na.drop(subset=cols)
     integral = {"tinyint", "smallint", "int", "bigint"}
@@ -838,15 +853,18 @@ def covariance_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
 
     def _sum(expr: Column) -> Column:
         if exact:
-            # decimal(19,0) per operand keeps the product within
-            # decimal(38,0); sum of decimal is exact (no overflow at
-            # any realistic scale: 1e38 headroom)
             return F.sum(expr).cast("double")
         return F.sum(expr)
 
     def _operand(c: str) -> Column:
-        return (F.col(c).cast("decimal(19,0)") if exact
-                else F.col(c).cast("double"))
+        if not exact:
+            return F.col(c).cast("double")
+        if int_sums == "decimal":
+            # decimal(19,0) per operand keeps the product within
+            # decimal(38,0); sum of decimal is exact with 1e38
+            # headroom
+            return F.col(c).cast("decimal(19,0)")
+        return F.col(c).cast("bigint")
 
     n = F.count(F.lit(1)).cast("double")
     aggs = [n.alias("__n")]

@@ -186,8 +186,28 @@ def quality_score_expr(text: Column) -> Column:
     return (length_ok + punct_term + stop_term + alpha_term) * 0.25
 
 
+def doc_term_freqs(docs, id_col: str = "doc_id", text_col: str = "text",
+                   min_term_len: int = 2):
+    """The (doc_id, term, tf) table — THE inverted-index core every
+    term-level retrieval operator in this module derives from (TF-IDF,
+    BM25, coordination match). Exposed so a caller composing several
+    of them can build it ONCE and persist it: r7 measured the q61
+    one-pass union tokenizing the corpus 16 separate times (17
+    documents scans, zero exchange reuse) because each part rebuilt
+    this subtree privately. One tokenization contract: lower-cased
+    whitespace split, terms shorter than ``min_term_len`` dropped."""
+    from pyspark.sql import functions as F
+
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_expr(F.col(text_col))).alias("term"))
+    tokens = tokens.filter(F.length("term") >= min_term_len)
+    return tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+
+
 def tf_idf_terms(docs, id_col: str = "doc_id", text_col: str = "text",
-                 min_term_len: int = 2):
+                 min_term_len: int = 2, tf=None):
     """Per-(doc, term) TF-IDF as pure relational algebra — explode
     tokens, count term frequency per doc, document frequency per term,
     ``idf = ln((N+1)/(df+1)) + 1`` (smooth, sklearn-style). Returns
@@ -204,15 +224,14 @@ def tf_idf_terms(docs, id_col: str = "doc_id", text_col: str = "text",
     scalar-subquery pattern, like ``impute_mean``), NOT an eager
     ``count()`` — the operator stays fully lazy and composes into a
     single-pass pipeline with no hidden pre-scan.
+
+    ``tf``: a precomputed ``doc_term_freqs`` table to derive from
+    (pass the SAME min_term_len's output); None builds it here.
     """
     from pyspark.sql import functions as F
 
-    tokens = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(words_expr(F.col(text_col))).alias("term"))
-    tokens = tokens.filter(F.length("term") >= min_term_len)
-    tf = tokens.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"))
+    if tf is None:
+        tf = doc_term_freqs(docs, id_col, text_col, min_term_len)
     n_docs = docs.agg(
         F.count_distinct(F.col(id_col)).alias("__n_docs"))
     df_tab = tf.groupBy("term").agg(
@@ -755,7 +774,7 @@ def distribution_drift(docs: "DataFrame", group_col: str,
 def bm25_topk(docs: "DataFrame", queries: list[tuple[str, list[str]]],
               id_col: str = "doc_id", text_col: str = "text",
               k: int = 5, k1: float = 1.2, b: float = 0.75,
-              min_term_len: int = 2) -> "DataFrame":
+              min_term_len: int = 2, tf: "DataFrame" = None) -> "DataFrame":
     """BM25 ranked retrieval: top-``k`` documents per query.
 
     The inverted-index operator family the reference's aggregation
@@ -785,16 +804,17 @@ def bm25_topk(docs: "DataFrame", queries: list[tuple[str, list[str]]],
     the per-(query, doc) aggregate then shuffles at most
     |queries|·|matched docs| rows, and top-k is a window per query —
     replaceable by TakeOrderedAndProject per query at extreme scale.
+
+    ``tf``: a precomputed ``doc_term_freqs`` table (same
+    min_term_len); None builds it here. Doc length is derived FROM
+    the tf table (Σ tf per doc ≡ the filtered token count), so the
+    shared table carries the whole operator.
     """
     from pyspark.sql import Window as W
 
-    tokens = (docs.select(F.col(id_col).alias("doc_id"),
-                          F.explode(words_expr(F.col(text_col)))
-                          .alias("term"))
-              .filter(F.length("term") >= min_term_len))
-    tf = tokens.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"))
-    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    if tf is None:
+        tf = doc_term_freqs(docs, id_col, text_col, min_term_len)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
     df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -823,7 +843,8 @@ def bm25_topk(docs: "DataFrame", queries: list[tuple[str, list[str]]],
 
 def term_match_topk(docs: "DataFrame", queries: list[tuple[str, list[str]]],
                     id_col: str = "doc_id", text_col: str = "text",
-                    k: int = 5, min_term_len: int = 2) -> "DataFrame":
+                    k: int = 5, min_term_len: int = 2,
+                    tf: "DataFrame" = None) -> "DataFrame":
     """Coordination-level ranking: top-``k`` documents per query by
     total term frequency of matched query terms — the cheap boolean-
     retrieval baseline BM25 is usually fused against. Same
@@ -833,15 +854,14 @@ def term_match_topk(docs: "DataFrame", queries: list[tuple[str, list[str]]],
     (score DESC, doc_id) rank needs no float discipline at all.
 
     Returns (query_id, doc_id, match_tf, rnk).
+
+    ``tf``: a precomputed ``doc_term_freqs`` table (same
+    min_term_len); None builds it here.
     """
     from pyspark.sql import Window as W
 
-    tokens = (docs.select(F.col(id_col).alias("doc_id"),
-                          F.explode(words_expr(F.col(text_col)))
-                          .alias("term"))
-              .filter(F.length("term") >= min_term_len))
-    tf = tokens.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"))
+    if tf is None:
+        tf = doc_term_freqs(docs, id_col, text_col, min_term_len)
     spark = docs.sparkSession
     qrows = [(qid, t) for qid, terms in queries for t in terms]
     qdf = spark.createDataFrame(qrows, ["query_id", "term"])

@@ -914,25 +914,32 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    from ..operators.dedup import _track_persist
     from ..operators.relational import rrf_fuse
-    from ..operators.textual import (bm25_topk, term_match_topk,
-                                     tf_idf_terms)
+    from ..operators.textual import (bm25_topk, doc_term_freqs,
+                                     term_match_topk, tf_idf_terms)
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = tf_idf_terms(docs).filter(F.col("doc_id") < 20)
+    # ONE inverted-index build for the three term-level parts (and the
+    # bm25 ranking consumed twice: its own part + the rrf fusion) —
+    # r7: without the shared persisted tf table the one-pass union
+    # tokenized the corpus 16 times (plan audit: 17 documents scans,
+    # 0 reused exchanges)
+    tf_all = _track_persist(doc_term_freqs(docs))
+    scored = tf_idf_terms(docs, tf=tf_all).filter(F.col("doc_id") < 20)
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     tfidf = (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
              .filter(F.col("rnk") <= 3)
              .select(F.lit("tfidf").alias("part"), "doc_id", "term",
                      "tf", "df", F.col("tfidf").alias("v"), "rnk"))
-    bm = bm25_topk(docs, _BM25_QUERIES, k=_BM25_K,
-                   k1=_BM25_K1, b=_BM25_B)
+    bm = _track_persist(bm25_topk(docs, _BM25_QUERIES, k=_BM25_K,
+                                  k1=_BM25_K1, b=_BM25_B, tf=tf_all))
     bm25 = (bm.select(F.lit("bm25").alias("part"), "doc_id",
                       F.col("query_id").alias("term"),
                       F.col("doc_len").alias("tf"),
                       F.col("n_matched_terms").alias("df"),
                       F.col("score").alias("v"), "rnk"))
-    co = term_match_topk(docs, _BM25_QUERIES, k=_BM25_K)
+    co = term_match_topk(docs, _BM25_QUERIES, k=_BM25_K, tf=tf_all)
     fused = rrf_fuse(
         bm.select("query_id", "doc_id", "rnk")
           .unionByName(co.select("query_id", "doc_id", "rnk")),
