@@ -349,6 +349,13 @@ def dsir_select(docs: DataFrame, text_col: str, target_pred: Column,
     TakeOrderedAndProject. At 100 TB: the bucket tables are O(B) no
     matter the corpus, the heavy pass is the single token explode the
     quality/LM scorers already pay, and no global sort exists.
+
+    The bucket of a token depends on the TOKEN alone, so the md5 is
+    paid once per DISTINCT token (a vocab-sized aggregate, broadcast
+    back onto the occurrence stream) — r7: hashing every occurrence
+    (twice: count pass + scoring pass) was most of this operator's
+    wall time, and a web corpus has orders of magnitude more
+    occurrences than vocabulary.
     """
     from .textual import WS_SPLIT
 
@@ -358,23 +365,32 @@ def dsir_select(docs: DataFrame, text_col: str, target_pred: Column,
             .filter(F.col("__tok") != ""))
     bucket = F.pmod(F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10)
                     .cast("long"), F.lit(n_buckets))
-    tb = toks.select(bucket.alias("b"), "__t")
-    raw_cnt = tb.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tgt_cnt = (tb.filter(F.col("__t")).groupBy("b")
-               .agg(F.count(F.lit(1)).alias("tc")))
-    ratios = (raw_cnt.join(tgt_cnt, "b", "left")
+    vocab = (toks.select("__tok").distinct()
+             .select("__tok", bucket.alias("b")))
+    tb = (toks.join(F.broadcast(vocab), "__tok")
+          .select("__id", "__t", "b"))
+    # ONE counting pass: per-bucket raw/target counts together (the
+    # bucket table is O(n_buckets)); grand totals are a second tiny
+    # aggregate over it, so the occurrence stream is scanned exactly
+    # twice end-to-end — counts here, scoring below (r7: the previous
+    # shape re-tokenized the corpus four times)
+    from .dedup import _track_persist
+
+    grouped = _track_persist(
+        tb.groupBy("b").agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.sum(F.col("__t").cast("long")).alias("tc")))
+    ratios = (grouped
               .crossJoin(F.broadcast(
-                  tb.agg(F.count(F.lit(1)).alias("R"),
-                         F.sum(F.col("__t").cast("long")).alias("T"))))
-              .select("b", (F.log((F.coalesce("tc", F.lit(0))
-                                   + F.lit(1.0))
+                  grouped.agg(F.sum("rc").alias("R"),
+                              F.sum("tc").alias("T"))))
+              .select("b", (F.log((F.col("tc") + F.lit(1.0))
                                   / (F.col("T") + F.lit(float(n_buckets))))
                             - F.log((F.col("rc") + F.lit(1.0))
                                     / (F.col("R")
                                        + F.lit(float(n_buckets)))))
                       .alias("lr")))
-    logw = (toks.select("__id", bucket.alias("b"))
-            .join(F.broadcast(ratios), "b")
+    logw = (tb.join(F.broadcast(ratios), "b")
             .groupBy("__id").agg(F.sum("lr").alias("dsir_logw")))
     h = F.conv(F.substring(
         F.md5(F.concat(F.lit(f"{salt}:"),

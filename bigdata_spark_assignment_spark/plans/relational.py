@@ -784,8 +784,14 @@ def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side stays EXACTLY 1000 at every driver-checked scale (points ≤
     # 150k, where the oracle's `% 1000` literal applies) and grows as
     # sqrt(points) beyond — metadata-only count, the q43 precedent.
-    # reference density: sf0.1's 25k points on the 1000x1000 plane
-    n_pts = ev.filter(F.col("event_id") % 4 == 0).count()
+    # reference density: sf0.1's 25k points on the 1000x1000 plane.
+    # n_pts is the every-4th-event slice ≈ rows/4 — derived from the
+    # UNFILTERED row count (parquet-footer metadata, no scan; the r7
+    # bench audit caught the filtered count paying a full eager scan
+    # per invocation). side is a density knob, not semantics: the
+    # oracle's `% 1000` literal applies wherever n_pts ≤ 150k, and a
+    # ±1 wobble in the quarter-count can't move max(1000, √·) there.
+    n_pts = ev.count() / 4.0
     side = max(1000, int(1000 * math.sqrt(n_pts / 25_000.0)))
 
     def coord(salt: str):
