@@ -1,0 +1,78 @@
+"""Oracle float-stability lint (r7, the q07-cmat lesson).
+
+The r6 q07 red was an ORACLE-side nondeterminism class: a DuckDB
+aggregate over doubles whose partial-sum order depends on thread
+count / morsel scheduling can round differently at the oracle's own
+ROUND() grid than the driver host saw, flipping the value hash while
+the engine is blameless.  The type lint (test_oracle_types) cannot
+see it — the schema is identical.
+
+This lint executes every registered oracle TWICE in DuckDB — once
+single-threaded, once with 8 threads — at sf0.001 and requires the
+full sorted result sets to be identical.  A float leg whose rounding
+sits too close to an order-dependent ulp will flip between the two
+configurations long before it flips between driver hosts; the fix is
+always the same: round coarser, quantize to an integer grid (the q07
+cmat construction), or restructure the aggregate so the compared
+value is exact.
+
+This checks the oracle side only; the Spark side of the same class is
+pinned by test_covariance_matrix_exact_int_path_partition_invariant
+and the plan-level rounding discipline (fround on every compared
+float).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+
+from bigdata_spark_assignment_spark.io import TABLE_NAMES
+from bigdata_spark_assignment_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _connect(threads: int) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(f"SET threads = {threads}")
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    return v
+
+
+@pytest.fixture(scope="module")
+def ducks():
+    cons = (_connect(1), _connect(8))
+    yield cons
+    for c in cons:
+        c.close()
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in REGISTRY if REGISTRY[n].oracle])
+def test_oracle_result_is_thread_count_invariant(name, ducks):
+    one, eight = ducks
+    rows_1 = sorted((tuple(_norm(v) for v in r)
+                     for r in one.execute(REGISTRY[name].oracle)
+                     .fetchall()), key=repr)
+    rows_8 = sorted((tuple(_norm(v) for v in r)
+                     for r in eight.execute(REGISTRY[name].oracle)
+                     .fetchall()), key=repr)
+    assert rows_1 == rows_8, (
+        f"{name}: oracle result depends on DuckDB thread count — an "
+        f"order-dependent float aggregate is rounding on a knife "
+        f"edge; quantize or round coarser (see q07 cmat)")
