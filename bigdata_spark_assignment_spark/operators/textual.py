@@ -678,14 +678,23 @@ def bpe_learn_merges(docs: "DataFrame", text_col: str,
     WORD table (not the corpus — frequencies ride as weights, the
     standard trick that makes cost O(vocab), not O(tokens)), argmax
     with deterministic (count desc, l asc, r asc) tie-break as a
-    1-row TakeOrdered broadcast — never a driver action — then the
-    merge applied corpus-wide by the codegen fold above.
-    localCheckpoint per round cuts the lineage like every iterative
-    operator here.
+    1-row TakeOrdered, then the merge applied corpus-wide by the
+    codegen fold above. localCheckpoint per round cuts the lineage
+    like every iterative operator here.
+
+    The argmax row IS collected to the driver (``take(1)``): the
+    merge list is the fitted MODEL — a bounded driver-side artifact
+    by definition, exactly like ``bpe_apply_expr`` consumes it — so
+    one row per round is the estimator contract, not a data
+    collect. (r7: the previous shape also materialized the argmax,
+    via localCheckpoint + an exhaustion-check take, THEN re-attached
+    it with a crossJoin — two extra jobs per round for the same
+    driver round-trip; the q61 slot spent more wall time scheduling
+    BPE's 24 tiny jobs than executing every retrieval part.)
 
     100 TB notes: the word table after the first groupBy is vocab-
     sized (millions, not billions); each round is one explode +
-    aggregate + broadcast map job over it. Tokenizer training is
+    aggregate + TakeOrdered job over it. Tokenizer training is
     inherently sequential in the merge list — the parallelism is
     within rounds, as in every published distributed BPE.
     Rows-only operator (no SQL oracle): the loop is iterative with a
@@ -699,27 +708,25 @@ def bpe_learn_merges(docs: "DataFrame", text_col: str,
              .groupBy("word").agg(F.count(F.lit(1)).alias("weight"))
              .select(F.split("word", "").alias("syms"), "weight")
              .localCheckpoint())
-    merges = None
+    spark = docs.sparkSession
+    merges: list[tuple] = []
     for step in range(1, n_merges + 1):
-        best = (_adjacent_pairs(words)
-                .orderBy(F.col("pair_weight").desc(),
-                         F.col("l").asc(), F.col("r").asc())
-                .limit(1)
-                .select("l", "r", F.concat("l", "r").alias("merged"),
-                        "pair_weight")
-                .localCheckpoint())
-        if not best.take(1):   # vocabulary exhausted (no pairs left)
+        got = (_adjacent_pairs(words)
+               .orderBy(F.col("pair_weight").desc(),
+                        F.col("l").asc(), F.col("r").asc())
+               .take(1))                      # TakeOrderedAndProject
+        if not got:            # vocabulary exhausted (no pairs left)
             break
-        row = (best.select(F.lit(step).alias("step"), "l", "r",
-                           "merged", "pair_weight"))
-        merges = row if merges is None else merges.unionByName(row)
-        words = (words.crossJoin(F.broadcast(best.select(
-                     F.col("l").alias("__l"), F.col("r").alias("__r"))))
-                 .select(_merge_pair_fold(F.col("syms"), F.col("__l"),
-                                          F.col("__r")).alias("syms"),
-                         "weight")
+        l, r, w = got[0]["l"], got[0]["r"], got[0]["pair_weight"]
+        merges.append((step, l, r, l + r, w))
+        words = (words.select(
+                     _merge_pair_fold(F.col("syms"), F.lit(l),
+                                      F.lit(r)).alias("syms"),
+                     "weight")
                  .localCheckpoint())
-    return merges
+    return spark.createDataFrame(
+        merges, "step int, l string, r string, merged string, "
+                "pair_weight bigint")
 
 
 def bpe_apply_expr(tokens: Column, merges: list[tuple[str, str]]) -> Column:
