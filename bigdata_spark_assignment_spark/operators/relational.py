@@ -1406,6 +1406,104 @@ def welch_ttest(df: DataFrame, variant_col: str, metric_col: str,
         t.alias("t_stat"), dof.alias("dof"))
 
 
+def anova_oneway(df: DataFrame, value_col: str,
+                 group_col: str) -> DataFrame:
+    """One-way ANOVA F statistic across the levels of ``group_col`` —
+    the k-group generalization of the two-arm t-test (does ANY group
+    mean differ?), the standard gate before pairwise comparisons.
+
+    Returns ONE row (k, n, ss_between, ss_within, f_stat):
+
+        ss_between = Σ_g n_g·(m_g − m)²
+        ss_within  = Σ_g (n_g − 1)·s²_g
+        F = (ss_between/(k−1)) / (ss_within/(n−k))
+
+    ONE aggregation pass to the k-row group table — per group, the
+    SUFFICIENT STATISTICS (n, Σv, Σv²), not mean/var: like the q07
+    covariance matrix, closed forms over per-group sums give an
+    expression tree the oracle can mirror verbatim, and with
+    integer-quantized inputs the group sums are exact (int64) so the
+    derived doubles are bit-identical cross-engine up to the tiny
+    k-term across-group sum (k ~ group count, ulp-level). Then:
+
+        ss_within  = Σ_g (q_g − s_g²/n_g)
+        ss_between = Σ_g s_g²/n_g − S²/n      (S = Σ s_g)
+        F = (ss_between/(k−1)) / (ss_within/(n−k))
+
+    Degenerate guards: k < 2 or n ≤ k or zero within-variance yields
+    NULL F. The q62 oracle mirrors the exact formula arrangement.
+    """
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    exact = dict(df.dtypes).get(value_col) in integral
+    v = (F.col(value_col).cast("bigint") if exact
+         else F.col(value_col).cast("double"))
+    g = (df.filter(F.col(value_col).isNotNull())
+         .groupBy(group_col)
+         .agg(F.count(F.lit(1)).cast("double").alias("__n"),
+              F.sum(v).cast("double").alias("__s"),
+              F.sum(v * v).cast("double").alias("__q")))
+    sg2n = F.col("__s") * F.col("__s") / F.col("__n")
+    agg = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__s").alias("__S"),
+        F.sum(sg2n).alias("__bsum"),
+        F.sum(F.col("__q") - sg2n).alias("ss_within"))
+    ssb = (F.col("__bsum")
+           - F.col("__S") * F.col("__S") / F.col("n"))
+    guard = ((F.col("k") > 1) & (F.col("n") > F.col("k"))
+             & (F.col("ss_within") > 0))
+    f = F.when(guard, (ssb / (F.col("k") - 1))
+               / (F.col("ss_within") / (F.col("n") - F.col("k"))))
+    return agg.select("k", "n", ssb.alias("ss_between"),
+                      "ss_within", f.alias("f_stat"))
+
+
+def bh_adjust(df: DataFrame, p_col: str, alpha: float = 0.05,
+              tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a frame of per-test
+    p-values — the multiple-testing correction every per-stratum
+    test family (Welch/MWU/KS per segment) needs before anyone acts
+    on "significant" strata.
+
+    Adds (bh_rank, p_adj, rejected):
+        p_adj(i)  = min_{j ≥ i} ( m·p_(j) / j )   (capped at 1)
+        rejected  = p_adj ≤ alpha                  (equivalent to the
+                    classic max-k step-up rule)
+
+    Pure window algebra over the TEST table (one row per test — tiny
+    by construction, m = COUNT(*) rides as a window aggregate, no
+    collect): rank by (p, ``tiebreak_cols``), then a running min over
+    the suffix in descending-rank order. Equal p's get equal p_adj by
+    the running-min regardless of tie order, but pass
+    ``tiebreak_cols`` whenever bh_rank itself is compared
+    cross-engine. NULL p-values pass through unadjusted
+    (rejected NULL).
+    """
+    tb = [F.col(c).asc() for c in (tiebreak_cols or [])]
+    wm = W.partitionBy()
+    rnk = W.partitionBy().orderBy(F.col(p_col).asc(), *tb)
+    suffix_min = (W.partitionBy()
+                  .orderBy(F.col("bh_rank").desc())
+                  .rowsBetween(W.unboundedPreceding, W.currentRow))
+    with_rank = (df.filter(F.col(p_col).isNotNull())
+                 .withColumn("__m", F.count(F.lit(1)).over(wm))
+                 .withColumn("bh_rank", F.row_number().over(rnk)))
+    adj = (with_rank
+           .withColumn("p_adj",
+                       F.least(F.lit(1.0),
+                               F.min(F.col("__m") * F.col(p_col)
+                                     / F.col("bh_rank"))
+                               .over(suffix_min)))
+           .withColumn("rejected", F.col("p_adj") <= F.lit(float(alpha)))
+           .drop("__m"))
+    nulls = (df.filter(F.col(p_col).isNull())
+             .withColumn("bh_rank", F.lit(None).cast("int"))
+             .withColumn("p_adj", F.lit(None).cast("double"))
+             .withColumn("rejected", F.lit(None).cast("boolean")))
+    return adj.unionByName(nulls)
+
+
 def rrf_fuse(rankings: DataFrame, query_col: str = "query_id",
              id_col: str = "doc_id", rank_col: str = "rnk",
              k0: int = 60, top_k: int = 5,

@@ -985,11 +985,86 @@ _BOOT_W = _poisson_w_sql(
                    - tot.n * log10(1.0 + 1.0 / dg.digit), 2)
                / (tot.n * log10(1.0 + 1.0 / dg.digit)) AS contrib
       FROM dg LEFT JOIN ob USING (digit) CROSS JOIN tot) g
+    UNION ALL
+    -- r7: one-way ANOVA across event types on the cent-quantized
+    -- metric (operators.relational.anova_oneway) — exact int64
+    -- sufficient statistics, closed forms mirrored verbatim; ss in
+    -- original units (grid 100² divided out), F scale-invariant
+    SELECT 'anova', NULL, NULL, g.k, g.n,
+           ROUND(g.ssb / 10000.0, 3), ROUND(g.ssw / 10000.0, 3),
+           CASE WHEN g.k > 1 AND g.n > g.k AND g.ssw > 0
+                THEN ROUND((g.ssb / (g.k - 1))
+                           / (g.ssw / (g.n - g.k)), 6) END
+    FROM (
+      WITH aq AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+      ag AS (
+        SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s,
+               CAST(SUM(v * v) AS DOUBLE) AS q
+        FROM aq GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n,
+             SUM(s * s / n) - SUM(s) * SUM(s) / SUM(n) AS ssb,
+             SUM(q - s * s / n) AS ssw
+      FROM ag) g
+    UNION ALL
+    -- r7: Benjamini-Hochberg step-up over the per-event-type KS
+    -- p-values (operators.relational.bh_adjust, alpha 0.05) — ranks
+    -- on the 6 dp-rounded p with event_type tiebreak;
+    -- p_adj = capped suffix-min of m·p/rank
+    SELECT 'bh', g.event_type, NULL, g.bh_rank, NULL,
+           g.p, ROUND(g.p_adj, 6),
+           CASE WHEN g.p_adj <= 0.05 THEN 1.0 ELSE 0.0 END
+    FROM (
+      WITH v5 AS (
+        SELECT event_type, value,
+               CASE WHEN CAST(('0x' || substring(
+                        md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS variant
+        FROM events WHERE value IS NOT NULL),
+      vc5 AS (
+        SELECT event_type, value,
+               CAST(COUNT(*) FILTER (variant = 'a') AS DOUBLE) AS ca,
+               CAST(COUNT(*) FILTER (variant = 'b') AS DOUBLE) AS cb
+        FROM v5 GROUP BY 1, 2),
+      cum5 AS (
+        SELECT event_type,
+               SUM(ca) OVER (PARTITION BY event_type ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS fa,
+               SUM(cb) OVER (PARTITION BY event_type ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS fb,
+               SUM(ca) OVER (PARTITION BY event_type) AS na,
+               SUM(cb) OVER (PARTITION BY event_type) AS nb
+        FROM vc5),
+      kp AS (
+        SELECT event_type,
+               ROUND(LEAST(1.0, 2.0 * EXP(
+                 -2.0 * POWER(MAX(ABS(fa / na - fb / nb))
+                              * sqrt(MAX(na) * MAX(nb)
+                                     / (MAX(na) + MAX(nb))), 2))), 6)
+                 AS p
+        FROM cum5 GROUP BY 1),
+      rk AS (
+        SELECT event_type, p,
+               ROW_NUMBER() OVER (ORDER BY p, event_type) AS bh_rank,
+               COUNT(*) OVER () AS m
+        FROM kp)
+      SELECT event_type, p, bh_rank,
+             LEAST(1.0, MIN(m * p / bh_rank) OVER (
+                 ORDER BY bh_rank DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS p_adj
+      FROM rk) g
     """,
     tags=("split", "sampling", "abtest", "winsorize", "bootstrap",
-          "isotonic", "trend"),
+          "isotonic", "trend", "anova", "fdr"),
     parts=("split", "ttest", "mwu", "ks", "chi2", "wins", "boot",
-           "iso", "ols", "theil", "mk", "benford"),
+           "iso", "ols", "theil", "mk", "benford", "anova", "bh"),
 )
 def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment-infrastructure suite, tagged:
@@ -1238,11 +1313,50 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    fround(F.col("y")).alias("v1"),
                    fround(F.col("y_iso")).alias("v2"),
                    F.lit(None).cast("double").alias("v3")))
+
+    from ..operators.relational import anova_oneway, bh_adjust
+
+    # anova — r7: one-way F across event types on the cent-quantized
+    # metric (the q07 cmat discipline: ROUND(value*100) int grid →
+    # exact int64 sufficient statistics, closed forms mirrored
+    # verbatim in the oracle; ss reported in original units by
+    # dividing the 100² grid back out, F is scale-invariant)
+    vq = (events.filter(F.col("value").isNotNull())
+          .select("event_type",
+                  F.round(F.col("value") * 100).cast("bigint")
+                   .alias("vq")))
+    anova = (anova_oneway(vq, "vq", "event_type")
+             .select(F.lit("anova").alias("part"),
+                     F.lit(None).cast("string").alias("k1"),
+                     F.lit(None).cast("string").alias("k2"),
+                     F.col("k").alias("n1"), F.col("n").alias("n2"),
+                     F.round(F.col("ss_between") / 1.0e4, 3).alias("v1"),
+                     F.round(F.col("ss_within") / 1.0e4, 3).alias("v2"),
+                     F.round("f_stat", 6).alias("v3")))
+
+    # bh — r7: Benjamini-Hochberg step-up over the per-event-type KS
+    # p-values (input = the 6 dp-rounded p both engines already agree
+    # on bit-for-bit; event_type tiebreak makes bh_rank itself
+    # comparable)
+    bh_in = (ks_test(assigned, "variant", "value",
+                     key_cols=["event_type"])
+             .select("event_type", F.round("p_approx", 6).alias("p")))
+    bh = (bh_adjust(bh_in, "p", alpha=0.05,
+                    tiebreak_cols=["event_type"])
+          .select(F.lit("bh").alias("part"),
+                  F.col("event_type").alias("k1"),
+                  F.lit(None).cast("string").alias("k2"),
+                  F.col("bh_rank").cast("long").alias("n1"),
+                  F.lit(None).cast("long").alias("n2"),
+                  F.col("p").alias("v1"),
+                  F.round("p_adj", 6).alias("v2"),
+                  F.when(F.col("rejected"), 1.0).otherwise(0.0)
+                   .alias("v3")))
     return (split.unionByName(tt).unionByName(mw).unionByName(ks)
             .unionByName(c2)
             .unionByName(wins).unionByName(boot).unionByName(iso)
             .unionByName(ols).unionByName(theil).unionByName(mk)
-            .unionByName(bf))
+            .unionByName(bf).unionByName(anova).unionByName(bh))
 
 
 @register(

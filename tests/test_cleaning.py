@@ -634,6 +634,81 @@ def test_mann_whitney_u_hand_computed_and_ties(spark):
     assert "Join" not in plan
 
 
+def test_anova_oneway_numpy_parity_and_guards(spark):
+    """r7: one-way ANOVA — numpy closed-form parity on integer data
+    (the exact-sufficient-statistics path), plus the degenerate
+    guards (single group, zero within-variance)."""
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        anova_oneway,
+    )
+    rng = np.random.default_rng(3)
+    groups = {g: rng.integers(10, 1000, size=50 + 13 * i)
+              for i, g in enumerate("abc")}
+    rows = [(g, int(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = anova_oneway(df, "v", "g").collect()[0]
+    allv = np.concatenate(list(groups.values())).astype(float)
+    gm = allv.mean()
+    ssb = sum(len(v) * (v.mean() - gm) ** 2 for v in groups.values())
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in groups.values())
+    k, n = len(groups), len(allv)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out.k == k and out.n == n
+    assert out.ss_between == pytest.approx(ssb, rel=1e-9)
+    assert out.ss_within == pytest.approx(ssw, rel=1e-9)
+    assert out.f_stat == pytest.approx(f_ref, rel=1e-9)
+    # guards: one group -> NULL F; constant values -> zero ssw -> NULL
+    one = spark.createDataFrame([("a", 1), ("a", 5)], "g string, v long")
+    assert anova_oneway(one, "v", "g").collect()[0].f_stat is None
+    const = spark.createDataFrame(
+        [("a", 3), ("a", 3), ("b", 7), ("b", 7)], "g string, v long")
+    assert anova_oneway(const, "v", "g").collect()[0].f_stat is None
+
+
+def test_bh_adjust_reference_implementation_and_nulls(spark):
+    """r7: Benjamini-Hochberg — parity with an independent numpy
+    step-up implementation, monotonicity of p_adj in rank, and NULL
+    p pass-through."""
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        bh_adjust,
+    )
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+          0.212, 0.216, 0.222, 0.251, 0.269, 0.275, 0.34]
+    rows = [(f"t{i:02d}", p) for i, p in enumerate(ps)] + [("tnull", None)]
+    df = spark.createDataFrame(rows, "test string, p double")
+    out = {r.test: r for r in
+           bh_adjust(df, "p", alpha=0.05,
+                     tiebreak_cols=["test"]).collect()}
+    # independent reference: sorted ascending, p_adj = cummin from
+    # the largest rank of m*p/rank, capped at 1
+    m = len(ps)
+    order = np.argsort(ps, kind="stable")
+    adj_sorted = np.minimum.accumulate(
+        (m * np.asarray(ps)[order]
+         / np.arange(1, m + 1))[::-1])[::-1]
+    adj_sorted = np.minimum(adj_sorted, 1.0)
+    for rank0, idx in enumerate(order):
+        r = out[f"t{idx:02d}"]
+        assert r.bh_rank == rank0 + 1
+        assert r.p_adj == pytest.approx(float(adj_sorted[rank0]))
+        assert r.rejected == (adj_sorted[rank0] <= 0.05)
+    # the classic property: raw-significant tests fail after
+    # adjustment (p=0.008..0.042 are < alpha raw, but with m=15 only
+    # p=0.001 survives the step-up: max k with p_(k) <= k*alpha/m
+    # is k=1)
+    assert out["t00"].rejected and not out["t01"].rejected
+    assert not out["t04"].rejected
+    # NULL pass-through
+    assert out["tnull"].p_adj is None and out["tnull"].rejected is None
+    adj = sorted((r.bh_rank, r.p_adj) for r in out.values()
+                 if r.bh_rank is not None)
+    assert all(a[1] <= b[1] for a, b in zip(adj, adj[1:]))  # monotone
+
+
 def test_ks_test_hand_computed_and_numpy_parity(spark):
     """r6: two-sample KS — hand-checked D/λ/p on a small sample, a
     numpy-ECDF cross-check on a larger stratum, NULL outputs when an
