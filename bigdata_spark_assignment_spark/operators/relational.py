@@ -1406,6 +1406,55 @@ def welch_ttest(df: DataFrame, variant_col: str, metric_col: str,
         t.alias("t_stat"), dof.alias("dof"))
 
 
+def mad_outlier_stats(df: DataFrame, value_col: str,
+                      key_cols: list[str] | None = None,
+                      z_cut: float = 3.5) -> DataFrame:
+    """Median-absolute-deviation robust outlier screen per group —
+    the outlier detector that (unlike mean/std z-scores) is not
+    itself dragged by the outliers it hunts:
+
+        MAD = median(|x − median(x)|)
+        modified z (Iglewicz–Hoaglin) = 0.6745·(x − median)/MAD
+        outlier ⇔ |modified z| > ``z_cut``  (3.5 is the standard cut)
+
+    Returns (keys…, n, med, mad, n_outliers). Zero MAD (more than
+    half the group identical) yields NULL mad-derived outputs rather
+    than dividing by zero.
+
+    Plan: three passes — group medians (exact percentile aggregate),
+    deviation medians with the 1-row-per-group median broadcast back,
+    then the outlier count with both broadcast. Exact medians
+    materialize per-group multisets; at 100 TB swap the percentile
+    aggregates for the q55 KLL sketch (same output shape, bounded
+    state) — the screen's robustness does not depend on median
+    exactness.
+    """
+    key_cols = key_cols or []
+    d = df.filter(F.col(value_col).isNotNull())
+    med = (d.groupBy(*key_cols)
+           .agg(F.percentile(value_col, F.lit(0.5)).alias("med"),
+                F.count(F.lit(1)).alias("n")))
+    dev = (d.join(F.broadcast(med), key_cols) if key_cols
+           else d.crossJoin(F.broadcast(med)))
+    adev = F.abs(F.col(value_col) - F.col("med"))
+    mad = (dev.groupBy(*key_cols)
+           .agg(F.percentile(adev, F.lit(0.5)).alias("mad")))
+    both = (dev.join(F.broadcast(mad), key_cols) if key_cols
+            else dev.crossJoin(F.broadcast(mad)))
+    is_out = ((F.col("mad") > 0)
+              & (F.lit(0.6745) * adev / F.col("mad") > F.lit(z_cut)))
+    return (both.groupBy(*key_cols)
+            .agg(F.any_value("n").alias("n"),
+                 F.any_value("med").alias("med"),
+                 F.any_value("mad").alias("__mad"),
+                 F.sum(F.when(is_out, 1).otherwise(0)).alias("__nout"))
+            .select(*key_cols, "n", "med",
+                    F.when(F.col("__mad") > 0, F.col("__mad"))
+                     .alias("mad"),
+                    F.when(F.col("__mad") > 0, F.col("__nout"))
+                     .alias("n_outliers")))
+
+
 def anova_oneway(df: DataFrame, value_col: str,
                  group_col: str) -> DataFrame:
     """One-way ANOVA F statistic across the levels of ``group_col`` —

@@ -792,11 +792,38 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS wp50,
              ROUND(MIN(CASE WHEN cum >= 0.75 * tot THEN v END), 4)
                AS wp75
-      FROM cw GROUP BY 1)
-    SELECT base.*, wp.wp25, wp.wp50, wp.wp75
+      FROM cw GROUP BY 1),
+    -- r7: MAD robust outlier screen (operators.relational.
+    -- mad_outlier_stats) — group MAD plus the Iglewicz–Hoaglin
+    -- modified-z (>3.5) outlier count, guard mirrored (mad<=0 ->
+    -- NULL outputs). Prices sit ~1.35 max modified-z, so n_out=0
+    -- is itself the verified value here; the nonzero-tail and MAD=0
+    -- guard cases are pinned in tests/test_io_and_skew.py.
+    medt AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+    madt AS (
+      SELECT l.l_returnflag,
+             quantile_cont(ABS(l.l_extendedprice - m.med), 0.5) AS mad
+      FROM lineitem l JOIN medt m USING (l_returnflag)
+      WHERE l.l_extendedprice IS NOT NULL GROUP BY 1),
+    mo AS (
+      SELECT l.l_returnflag,
+             ROUND(CASE WHEN d.mad > 0 THEN d.mad END, 4) AS mad,
+             CAST(CASE WHEN d.mad > 0 THEN
+               SUM(CASE WHEN 0.6745 * ABS(l.l_extendedprice - m.med)
+                             / d.mad > 3.5 THEN 1 ELSE 0 END)
+             END AS BIGINT) AS n_out
+      FROM lineitem l
+      JOIN medt m USING (l_returnflag)
+      JOIN madt d ON l.l_returnflag = d.l_returnflag
+      WHERE l.l_extendedprice IS NOT NULL
+      GROUP BY l.l_returnflag, m.med, d.mad)
+    SELECT base.*, wp.wp25, wp.wp50, wp.wp75, mo.mad, mo.n_out
     FROM base JOIN wp USING (l_returnflag)
+              JOIN mo USING (l_returnflag)
     """,
-    tags=("aggregation", "percentiles", "weighted"),
+    tags=("aggregation", "percentiles", "weighted", "robust"),
 )
 def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark ``percentile`` aggregate ==
@@ -825,7 +852,16 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("l_returnflag", fround("wp25").alias("wp25"),
                   fround("wp50").alias("wp50"),
                   fround("wp75").alias("wp75")))
-    return base.join(wp, "l_returnflag")
+    # r7: MAD robust outlier screen — same exact-percentile machinery,
+    # so it lives in this slot; prices have no >3.5 modified-z tail,
+    # making the verified n_out=0 plus the nontrivial mad value the
+    # cross-engine contract (nonzero-tail case pinned in pytest).
+    from ..operators.relational import mad_outlier_stats
+
+    mo = (mad_outlier_stats(li, "l_extendedprice", ["l_returnflag"])
+          .select("l_returnflag", fround("mad").alias("mad"),
+                  F.col("n_outliers").alias("n_out")))
+    return base.join(wp, "l_returnflag").join(mo, "l_returnflag")
 
 
 @register(

@@ -368,6 +368,36 @@ def test_robust_anomalies_planted_and_degenerate(spark):
     assert a99.med == 100.0 and a99.mad > 0 and a99.mz > 1000
 
 
+def test_mad_outlier_stats_counts_and_guard(spark):
+    """r7: the aggregate companion to robust_anomalies — per-group
+    (n, med, mad, n_outliers) must (a) count exactly the rows the
+    per-row screen flags at the same cut, (b) NULL out mad-derived
+    outputs for a MAD=0 group instead of dividing by zero, and
+    (c) work ungrouped (global screen, crossJoin-attached stats)."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        mad_outlier_stats,
+        robust_anomalies,
+    )
+    normal = [("a", i, 100.0 + (i % 7) - 3.0) for i in range(50)]
+    rows = (normal
+            + [("a", 98, -5000.0), ("a", 99, 10000.0)]
+            + [("b", i, 5.0) for i in range(20)]
+            + [("b", 99, 123.0)])               # deviant in MAD=0 group
+    df = spark.createDataFrame(rows, ["g", "i", "x"])
+    got = {r.g: r for r in
+           mad_outlier_stats(df, "x", ["g"], z_cut=3.5).collect()}
+    flagged = (robust_anomalies(df, ["g"], "x", threshold=3.5)
+               .groupBy("g").count().collect())
+    assert got["a"].n == 52 and got["a"].med == 100.0
+    assert got["a"].mad > 0 and got["a"].n_outliers == 2
+    assert {r.g: r["count"] for r in flagged} == {"a": 2}
+    assert got["b"].n == 21 and got["b"].med == 5.0
+    assert got["b"].mad is None and got["b"].n_outliers is None
+    glob = mad_outlier_stats(
+        df.filter("g = 'a'"), "x", z_cut=3.5).collect()
+    assert len(glob) == 1 and glob[0].n_outliers == 2
+
+
 def test_funnel_counts_ordered_semantics(spark):
     """r5 session 3: funnel completion requires STRICT order — a click
     before the first view must not count, an equal-timestamp event
