@@ -1408,7 +1408,8 @@ def welch_ttest(df: DataFrame, variant_col: str, metric_col: str,
 
 def mad_outlier_stats(df: DataFrame, value_col: str,
                       key_cols: list[str] | None = None,
-                      z_cut: float = 3.5) -> DataFrame:
+                      z_cut: float = 3.5,
+                      med_df: DataFrame | None = None) -> DataFrame:
     """Median-absolute-deviation robust outlier screen per group —
     the outlier detector that (unlike mean/std z-scores) is not
     itself dragged by the outliers it hunts:
@@ -1421,9 +1422,12 @@ def mad_outlier_stats(df: DataFrame, value_col: str,
     half the group identical) yields NULL mad-derived outputs rather
     than dividing by zero.
 
-    Plan: three passes — group medians (exact percentile aggregate),
-    deviation medians with the 1-row-per-group median broadcast back,
-    then the outlier count with both broadcast. Exact medians
+    Plan: group medians (exact percentile aggregate — or reuse a
+    caller-supplied ``med_df`` of (keys…, med) when the slot already
+    computed group medians, as q54's base leg does), then deviation
+    medians + group counts in ONE aggregate with the 1-row-per-group
+    median broadcast back, then the outlier count with both
+    broadcast: two data passes after the medians exist. Exact medians
     materialize per-group multisets; at 100 TB swap the percentile
     aggregates for the q55 KLL sketch (same output shape, bounded
     state) — the screen's robustness does not depend on median
@@ -1431,14 +1435,16 @@ def mad_outlier_stats(df: DataFrame, value_col: str,
     """
     key_cols = key_cols or []
     d = df.filter(F.col(value_col).isNotNull())
-    med = (d.groupBy(*key_cols)
-           .agg(F.percentile(value_col, F.lit(0.5)).alias("med"),
-                F.count(F.lit(1)).alias("n")))
-    dev = (d.join(F.broadcast(med), key_cols) if key_cols
-           else d.crossJoin(F.broadcast(med)))
+    if med_df is None:
+        med_df = (d.groupBy(*key_cols)
+                  .agg(F.percentile(value_col, F.lit(0.5))
+                       .alias("med")))
+    dev = (d.join(F.broadcast(med_df), key_cols) if key_cols
+           else d.crossJoin(F.broadcast(med_df)))
     adev = F.abs(F.col(value_col) - F.col("med"))
     mad = (dev.groupBy(*key_cols)
-           .agg(F.percentile(adev, F.lit(0.5)).alias("mad")))
+           .agg(F.percentile(adev, F.lit(0.5)).alias("mad"),
+                F.count(F.lit(1)).alias("n")))
     both = (dev.join(F.broadcast(mad), key_cols) if key_cols
             else dev.crossJoin(F.broadcast(mad)))
     is_out = ((F.col("mad") > 0)

@@ -837,13 +837,19 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pcts = F.percentile("l_extendedprice",
                         F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    base = (li.groupBy("l_returnflag")
-            .agg(pcts.alias("ps"), F.count(F.lit(1)).alias("n"))
-            .select("l_returnflag",
-                    fround(F.element_at("ps", 1)).alias("p25"),
-                    fround(F.element_at("ps", 2)).alias("p50"),
-                    fround(F.element_at("ps", 3)).alias("p75"),
-                    "n"))
+    # persisted (r7): the 3-row percentile aggregate feeds the rounded
+    # base columns AND the MAD leg's unrounded group medians — one
+    # lineitem aggregation pass instead of two
+    from ..operators.dedup import _track_persist
+
+    stats = _track_persist(
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("ps"), F.count(F.lit(1)).alias("n")))
+    base = stats.select("l_returnflag",
+                        fround(F.element_at("ps", 1)).alias("p25"),
+                        fround(F.element_at("ps", 2)).alias("p50"),
+                        fround(F.element_at("ps", 3)).alias("p75"),
+                        "n")
     # r6: quantity-weighted percentiles (step convention — exact, see
     # operators.relational.weighted_percentiles_step)
     wp = (weighted_percentiles_step(li, ["l_returnflag"],
@@ -856,9 +862,15 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so it lives in this slot; prices have no >3.5 modified-z tail,
     # making the verified n_out=0 plus the nontrivial mad value the
     # cross-engine contract (nonzero-tail case pinned in pytest).
+    # Group medians come from the persisted base aggregate (unrounded
+    # element_at(ps, 2)), so the screen adds two lineitem passes
+    # (deviation medians, outlier count), not three.
     from ..operators.relational import mad_outlier_stats
 
-    mo = (mad_outlier_stats(li, "l_extendedprice", ["l_returnflag"])
+    med_df = stats.select("l_returnflag",
+                          F.element_at("ps", 2).alias("med"))
+    mo = (mad_outlier_stats(li, "l_extendedprice", ["l_returnflag"],
+                            med_df=med_df)
           .select("l_returnflag", fround("mad").alias("mad"),
                   F.col("n_outliers").alias("n_out")))
     return base.join(wp, "l_returnflag").join(mo, "l_returnflag")
