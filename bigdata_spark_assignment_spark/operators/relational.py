@@ -765,6 +765,69 @@ def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
                     .alias("retention")))
 
 
+def kaplan_meier(df: DataFrame, duration_col: str, event_col: str,
+                 key_cols: list[str] | None = None) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimator per group — the
+    right-censoring-aware answer to "how long until conversion/churn"
+    that a naive mean-duration over observed events gets wrong
+    (censored subjects carry information: they survived AT LEAST
+    their observation window).
+
+    Input: one row per subject with ``duration_col`` (time to event
+    or to censoring) and ``event_col`` (1 = event observed,
+    0 = right-censored). Ties follow the standard convention:
+    subjects censored at t are still at risk for deaths at t.
+
+    Output, one row per distinct event time t with ≥1 death:
+    (keys…, t, n_risk, d, s) where n_risk = subjects at risk just
+    before t, d = deaths at t, and
+
+        S(t) = ∏_{t_i ≤ t} (1 − d_i / n_i)
+
+    computed as exp of the running sum of log terms (a cumulative
+    ROWS window ordered by t — both engines sum sequentially in time
+    order, so the only cross-engine drift is libm's last-ulp on
+    log/exp, ~1e-15 against the 4 dp oracle grid). A time where every
+    remaining subject dies makes S exactly 0.0 from then on (the log
+    term is undefined there — guarded by a cumulative-max flag, never
+    evaluated).
+
+    Plan: one (keys, t) count aggregate — the per-subject stream
+    collapses to distinct event times before any window — then two
+    window passes over the same partitioning (one shuffle). State is
+    O(distinct times) per group; at 100 TB bucket durations first
+    (e.g. to hours) — the estimator is bucketing-exact for the
+    bucketed process.
+    """
+    key_cols = key_cols or []
+    per_t = (df.groupBy(*key_cols, duration_col)
+             .agg(F.sum(F.when(F.col(event_col) == 1, 1).otherwise(0))
+                  .alias("d"),
+                  F.count(F.lit(1)).alias("m")))
+    w_all = W.partitionBy(*key_cols)
+    w_prev = (W.partitionBy(*key_cols).orderBy(duration_col)
+              .rowsBetween(W.unboundedPreceding, -1))
+    w_cum = (W.partitionBy(*key_cols).orderBy(duration_col)
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cur = per_t.withColumn(
+        "n_risk",
+        F.sum("m").over(w_all)
+        - F.coalesce(F.sum("m").over(w_prev), F.lit(0)))
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(F.lit(1.0) - F.col("d") / F.col("n_risk"))
+    ).otherwise(F.lit(0.0))
+    zeroed = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)).over(w_cum)
+    return (cur.withColumn("zeroed", zeroed)
+            .withColumn("logs", F.sum(term).over(w_cum))
+            .filter(F.col("d") > 0)
+            .select(*key_cols, F.col(duration_col).alias("t"),
+                    "n_risk", "d",
+                    F.when(F.col("zeroed") == 1, F.lit(0.0))
+                     .otherwise(F.exp("logs")).alias("s")))
+
+
 def transition_matrix(df: DataFrame, key_cols: list[str],
                       order_cols: list[str],
                       state_col: str) -> DataFrame:

@@ -654,9 +654,55 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
             FROM events)
       SELECT p.ta, p.tb, p.n, u.nu FROM p CROSS JOIN u) s
+    UNION ALL
+    -- r7: Kaplan–Meier time-to-first-purchase survival curve
+    -- (operators.relational.kaplan_meier): duration = seconds from a
+    -- user's first event to first purchase (event) or to last event
+    -- (censored). S(t) via exp of the cumulative log-term sum in
+    -- time order — the same sequential summation the engine's ROWS
+    -- window performs, so drift is libm last-ulp vs a 4 dp grid.
+    SELECT 'km', k.t, k.n_risk, k.d, ROUND(k.s, 4)
+    FROM (
+      WITH du AS (
+        SELECT user_id,
+               MIN(CAST(ts AS TIMESTAMP)) AS t0,
+               MAX(CAST(ts AS TIMESTAMP)) AS tmax,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END) AS tp
+        FROM events GROUP BY 1),
+      d2 AS (
+        SELECT CASE WHEN tp IS NOT NULL
+                    THEN date_diff('second', t0, tp)
+                    ELSE date_diff('second', t0, tmax) END AS dur,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM du),
+      pt AS (
+        SELECT dur AS t, SUM(ev) AS d, COUNT(*) AS m
+        FROM d2 GROUP BY 1),
+      cur AS (
+        SELECT t, d, m,
+               SUM(m) OVER ()
+               - COALESCE(SUM(m) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS n_risk
+        FROM pt),
+      km AS (
+        SELECT t, d, n_risk,
+               MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER w
+                 AS zeroed,
+               SUM(CASE WHEN d > 0 AND d < n_risk
+                        THEN LN(1 - d * 1.0 / n_risk) ELSE 0 END)
+                 OVER w AS logs
+        FROM cur
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW))
+      SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+             CAST(d AS BIGINT) AS d,
+             CASE WHEN zeroed = 1 THEN 0.0 ELSE EXP(logs) END AS s
+      FROM km WHERE d > 0) k
     """,
     tags=("window", "sessionization", "funnel", "cohort", "markov",
-          "sequence"),
+          "sequence", "survival"),
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-journey analytics over the event log, tagged:
@@ -686,6 +732,10 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
       — the order-aware complement to ``markov`` (consecutive
       transitions only) and to q72's unordered association rules.
       n1 = supporting users, v = support fraction.
+    * ``km`` — r7: Kaplan–Meier time-to-first-purchase survival
+      (operators.relational.kaplan_meier), right-censored at each
+      user's last observed event; user_id carries the event time in
+      seconds, n1 the at-risk count, n2 the deaths, v = S(t).
     100 TB notes: sessionization, the Markov lag pass and the funnel
     share one user_id shuffle domain; the cohort join is
     co-partitioned on user (first-activity table is user-cardinality,
@@ -753,8 +803,31 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("n_users").alias("n1"),
                    F.lit(None).cast("long").alias("n2"),
                    fround(F.col("support")).alias("v")))
+
+    from ..operators.relational import kaplan_meier
+
+    # km (r7): time-to-first-purchase survival with right-censoring at
+    # each user's last observed event — rides the same per-user
+    # min/max aggregate shuffle domain as the other legs
+    tsx = F.col("ts").cast("timestamp")
+    durs = (ev.groupBy("user_id")
+            .agg(F.min(tsx).alias("t0"), F.max(tsx).alias("tmax"),
+                 F.min(F.when(F.col("event_type") == "purchase", tsx))
+                 .alias("tp"))
+            .select(
+                F.when(F.col("tp").isNotNull(),
+                       F.unix_timestamp("tp") - F.unix_timestamp("t0"))
+                 .otherwise(F.unix_timestamp("tmax")
+                            - F.unix_timestamp("t0")).alias("dur"),
+                F.when(F.col("tp").isNotNull(), 1).otherwise(0)
+                 .alias("evt")))
+    km = (kaplan_meier(durs, "dur", "evt")
+          .select(F.lit("km").alias("part"),
+                  F.col("t").cast("long").alias("user_id"),
+                  F.col("n_risk").alias("n1"), F.col("d").alias("n2"),
+                  fround(F.col("s")).alias("v")))
     return (sess.unionByName(fun).unionByName(coh)
-            .unionByName(mkv).unionByName(seq))
+            .unionByName(mkv).unionByName(seq).unionByName(km))
 
 
 @register(

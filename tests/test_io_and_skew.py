@@ -398,6 +398,34 @@ def test_mad_outlier_stats_counts_and_guard(spark):
     assert len(glob) == 1 and glob[0].n_outliers == 2
 
 
+def test_kaplan_meier_hand_computed(spark):
+    """r7: KM estimator vs hand math — (a) S multiplies only at death
+    times; (b) a subject censored at a death time is still at risk
+    for that death (standard tie convention); (c) a time where every
+    remaining subject dies pins S to exactly 0.0 (guarded log);
+    (d) grouping isolates curves per key."""
+    from bigdata_spark_assignment_spark.operators.relational import (
+        kaplan_meier,
+    )
+    rows = ([("g1", 1, 1), ("g1", 2, 0), ("g1", 3, 1),
+             ("g1", 4, 1), ("g1", 4, 0), ("g1", 5, 0)]
+            + [("g2", 1, 1), ("g2", 1, 1)])
+    df = spark.createDataFrame(rows, ["g", "dur", "evt"])
+    out = {(r.g, r.t): r for r in
+           kaplan_meier(df, "dur", "evt", ["g"]).collect()}
+    assert set(out) == {("g1", 1), ("g1", 3), ("g1", 4), ("g2", 1)}
+    # g1: S(1)=5/6, S(3)=5/6*3/4, S(4)=...*2/3 (censored-at-4 at risk)
+    assert abs(out[("g1", 1)].s - 5 / 6) < 1e-12
+    assert out[("g1", 1)].n_risk == 6 and out[("g1", 1)].d == 1
+    assert abs(out[("g1", 3)].s - 5 / 6 * 3 / 4) < 1e-12
+    assert out[("g1", 3)].n_risk == 4
+    assert abs(out[("g1", 4)].s - 5 / 6 * 3 / 4 * 2 / 3) < 1e-12
+    assert out[("g1", 4)].n_risk == 3
+    # g2: both die at t=1 -> S exactly 0.0, not exp(-inf) NaN
+    assert out[("g2", 1)].s == 0.0
+    assert out[("g2", 1)].n_risk == 2 and out[("g2", 1)].d == 2
+
+
 def test_funnel_counts_ordered_semantics(spark):
     """r5 session 3: funnel completion requires STRICT order — a click
     before the first view must not count, an equal-timestamp event
