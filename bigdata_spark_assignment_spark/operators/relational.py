@@ -1524,6 +1524,75 @@ def mad_outlier_stats(df: DataFrame, value_col: str,
                      .alias("n_outliers")))
 
 
+def spearman_correlations(df: DataFrame,
+                          pairs: list[tuple[str, str]]) -> DataFrame:
+    """Spearman rank correlation for each (x, y) column pair — the
+    monotonic-association complement to Pearson (q07 ``corr``):
+    ρ = Pearson over average ranks, exact tie handling (tied values
+    share the mean of the ranks they occupy).
+
+    Rows with a NULL in ANY involved column are dropped first (one
+    shared rank frame for all pairs, listwise like a rank matrix).
+
+    Returns one row per pair: (x_col, y_col, rho); rho is NULL when
+    either side is constant (zero rank variance).
+
+    Determinism contract: doubled average ranks (2·cnt_less + n + 1)
+    are exact INTEGERS carried as doubles, so every partial sum is
+    exact (integer-valued doubles) while N³/12 < 2⁵³ — i.e. bit-equal
+    across engines, partitionings, and thread counts at any
+    oracle-compared scale (N ≤ ~470k); beyond that the sums degrade
+    gracefully to ordinary double precision instead of overflowing.
+    The closed form then combines the sums in a FIXED expression tree
+    (each op one IEEE rounding, identical cross-engine).
+
+    Plan: per-column distinct-value count tables, cumulative-count
+    window over each (O(distinct values) state, a single-partition
+    sort of the DISTINCT domain — not the rows), ranks joined back
+    (AQE broadcasts the small domains), ONE sufficient-statistics
+    aggregate, pairs exploded from the 1-row result. At 100 TB
+    quantize heavy-tailed value domains to a grid first — Spearman on
+    the bucketed process equals Spearman of the bucketed ranks, and
+    the domain table stays bounded.
+    """
+    cols = sorted({c for p in pairs for c in p})
+    d = df.select(*cols).na.drop()
+    ranked = d
+    for c in cols:
+        w_prev = (W.orderBy(c)
+                  .rowsBetween(W.unboundedPreceding, -1))
+        rt = (d.groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
+              .select(c,
+                      (2 * F.coalesce(F.sum("__n").over(w_prev),
+                                      F.lit(0))
+                       + F.col("__n") + 1).cast("double")
+                      .alias(f"__r_{c}")))
+        ranked = ranked.join(rt, c)
+    aggs = [F.count(F.lit(1)).cast("double").alias("__N")]
+    for c in cols:
+        r = F.col(f"__r_{c}")
+        aggs.append(F.sum(r).alias(f"__s_{c}"))
+        aggs.append(F.sum(r * r).alias(f"__ss_{c}"))
+    for x, y in pairs:
+        aggs.append(F.sum(F.col(f"__r_{x}") * F.col(f"__r_{y}"))
+                    .alias(f"__sp_{x}_{y}"))
+    row = ranked.agg(*aggs)
+
+    def _rho(x: str, y: str) -> Column:
+        n = F.col("__N")
+        num = n * F.col(f"__sp_{x}_{y}") - F.col(f"__s_{x}") * F.col(f"__s_{y}")
+        vx = n * F.col(f"__ss_{x}") - F.col(f"__s_{x}") * F.col(f"__s_{x}")
+        vy = n * F.col(f"__ss_{y}") - F.col(f"__s_{y}") * F.col(f"__s_{y}")
+        return F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy))
+
+    out = F.array(*[
+        F.struct(F.lit(x).alias("x_col"), F.lit(y).alias("y_col"),
+                 _rho(x, y).alias("rho"))
+        for x, y in pairs])
+    return (row.select(F.explode(out).alias("__p"))
+            .select("__p.*"))
+
+
 def anova_oneway(df: DataFrame, value_col: str,
                  group_col: str) -> DataFrame:
     """One-way ANOVA F statistic across the levels of ``group_col`` —

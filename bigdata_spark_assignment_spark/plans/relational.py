@@ -379,9 +379,62 @@ _CMAT_CTES, _CMAT_SQL = _cmat_oracle_sql()
     FROM lineitem GROUP BY l_returnflag
     UNION ALL
     {_CMAT_SQL}
+    UNION ALL
+    -- r7: Spearman rank correlation, same three pairs — doubled
+    -- average ranks are exact integers carried in doubles (every
+    -- partial sum exact below 2^53, so the unordered SUMs are
+    -- thread/partition invariant at compared scales), combined in
+    -- the same fixed closed-form expression tree as the engine
+    SELECT 'spearman', NULL,
+           ROUND((s.N * s.sqp - s.sq * s.sp)
+                 / SQRT((s.N * s.sqq - s.sq * s.sq)
+                        * (s.N * s.spp - s.sp * s.sp)), 4),
+           ROUND((s.N * s.sdt - s.sd * s.st)
+                 / SQRT((s.N * s.sdd - s.sd * s.sd)
+                        * (s.N * s.stt - s.st * s.st)), 4),
+           ROUND((s.N * s.spt - s.sp * s.st)
+                 / SQRT((s.N * s.spp - s.sp * s.sp)
+                        * (s.N * s.stt - s.st * s.st)), 4)
+    FROM (
+      WITH sbase AS (
+        SELECT l_quantity AS q, l_extendedprice AS p,
+               l_discount AS d, l_tax AS t
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+      cq AS (SELECT q AS v, COUNT(*) AS n FROM sbase GROUP BY 1),
+      rq AS (SELECT v, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + n + 1 AS DOUBLE) AS r FROM cq),
+      cp AS (SELECT p AS v, COUNT(*) AS n FROM sbase GROUP BY 1),
+      rp AS (SELECT v, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + n + 1 AS DOUBLE) AS r FROM cp),
+      cd AS (SELECT d AS v, COUNT(*) AS n FROM sbase GROUP BY 1),
+      rd AS (SELECT v, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + n + 1 AS DOUBLE) AS r FROM cd),
+      ct AS (SELECT t AS v, COUNT(*) AS n FROM sbase GROUP BY 1),
+      rt AS (SELECT v, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + n + 1 AS DOUBLE) AS r FROM ct),
+      j AS (
+        SELECT rq.r AS xq, rp.r AS xp, rd.r AS xd, rt.r AS xt
+        FROM sbase b
+        JOIN rq ON b.q = rq.v JOIN rp ON b.p = rp.v
+        JOIN rd ON b.d = rd.v JOIN rt ON b.t = rt.v)
+      SELECT CAST(COUNT(*) AS DOUBLE) AS N,
+             SUM(xq) AS sq, SUM(xp) AS sp,
+             SUM(xd) AS sd, SUM(xt) AS st,
+             SUM(xq * xq) AS sqq, SUM(xp * xp) AS spp,
+             SUM(xd * xd) AS sdd, SUM(xt * xt) AS stt,
+             SUM(xq * xp) AS sqp, SUM(xd * xt) AS sdt,
+             SUM(xp * xt) AS spt
+      FROM j) s
     """,
-    tags=("agg", "statistics", "ml", "grouped", "udaf", "matrix"),
-    parts=("corr", "ols", "udaf", "cmat"),
+    tags=("agg", "statistics", "ml", "grouped", "udaf", "matrix",
+          "rank"),
+    parts=("corr", "ols", "udaf", "cmat", "spearman"),
 )
 def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistics suite (A4 + grouped model fitting), tagged parts:
@@ -409,6 +462,11 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
       covar_pop/corr (an independent stable one-pass algorithm), so
       our algebra is checked against a different implementation, not
       mirrored. (grp, m1, m2) = pair, cov_pop, corr.
+    * ``spearman`` — r7: Spearman rank correlation
+      (operators.relational.spearman_correlations) over the same
+      three pairs — average-rank tie handling, exact-integer doubled
+      ranks so the sufficient-statistic sums are bit-equal across
+      engines at compared scales (operator docstring).
     * ``udaf`` — a CUSTOM Arrow-batched aggregate (SURVEY §2.8 "UDAF"
       surface, absent in the reference): grouped-agg ``pandas_udf``
       computing the per-group geometric mean of price and quantity;
@@ -519,7 +577,29 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                               * scale_map[F.col("col_b")])).alias("m1"),
                     fround(F.col("corr")).alias("m2"),
                     F.lit(None).cast("double").alias("m3")))
-    return corr.unionByName(ols).unionByName(udaf).unionByName(cmat)
+    # spearman (r7): rank correlation over the same three pairs —
+    # monotonic association robust to the price tail; exact-integer
+    # doubled average ranks keep both engines bit-equal (operator
+    # docstring has the 2^53 determinism-window arithmetic)
+    from ..operators.relational import spearman_correlations
+
+    sp_pairs = [("l_quantity", "l_extendedprice"),
+                ("l_discount", "l_tax"),
+                ("l_extendedprice", "l_tax")]
+    sp = spearman_correlations(li, sp_pairs)
+    pk = F.concat_ws("~", "x_col", "y_col")
+    spearman = sp.agg(
+        F.lit("spearman").alias("part"),
+        F.lit(None).cast("string").alias("grp"),
+        fround(F.max(F.when(
+            pk == "l_quantity~l_extendedprice", F.col("rho"))))
+        .alias("m1"),
+        fround(F.max(F.when(
+            pk == "l_discount~l_tax", F.col("rho")))).alias("m2"),
+        fround(F.max(F.when(
+            pk == "l_extendedprice~l_tax", F.col("rho")))).alias("m3"))
+    return (corr.unionByName(ols).unionByName(udaf)
+            .unionByName(cmat).unionByName(spearman))
 
 
 @register(

@@ -398,6 +398,29 @@ def test_mad_outlier_stats_counts_and_guard(spark):
     assert len(glob) == 1 and glob[0].n_outliers == 2
 
 
+def test_spearman_correlations_ties_and_guards(spark):
+    """r7: Spearman vs hand math — average-rank tie handling
+    (x=[1,2,2,3] vs y=[10,20,30,40] gives sqrt(0.9), monotone-with-
+    aligned-ties gives exactly 1), sign flip on reversal, and the
+    constant-column NULL guard."""
+    import math
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        spearman_correlations,
+    )
+    rows = [(1.0, 10.0, 40.0, 7.0), (2.0, 20.0, 30.0, 7.0),
+            (2.0, 30.0, 20.0, 7.0), (3.0, 40.0, 10.0, 7.0)]
+    df = spark.createDataFrame(rows, ["x", "y", "z", "c"])
+    got = {(r.x_col, r.y_col): r.rho for r in
+           spearman_correlations(
+               df, [("x", "y"), ("x", "z"), ("y", "z"),
+                    ("x", "c")]).collect()}
+    assert abs(got[("x", "y")] - math.sqrt(0.9)) < 1e-12
+    assert abs(got[("x", "z")] + math.sqrt(0.9)) < 1e-12
+    assert got[("y", "z")] == -1.0
+    assert got[("x", "c")] is None
+
+
 def test_kaplan_meier_hand_computed(spark):
     """r7: KM estimator vs hand math — (a) S multiplies only at death
     times; (b) a subject censored at a death time is still at risk
