@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..io import load_table
 from ..operators.textual import (
@@ -1068,13 +1069,50 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(AVG(blogprob), 4) AS avg_bigram_logprob,
              ROUND(AVG(exp(-blogprob)), 4) AS avg_bigram_ppl
       FROM bdoc JOIN (SELECT doc_id, lang FROM words) w2 USING (doc_id)
-      GROUP BY 1)
+      GROUP BY 1),
+    -- r7: Zipf log-log slope over each lang's top-100 terms —
+    -- same deterministic rank (cnt DESC, term) and the same
+    -- grouped_ols closed form / guard structure as the engine
+    ltok AS (
+      SELECT lang, unnest(w) AS t FROM words),
+    zrank AS (
+      SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY COUNT(*) DESC, t) AS rk
+      FROM ltok WHERE t <> '' GROUP BY lang, t),
+    zsum AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM (SELECT lang, ln(CAST(rk AS DOUBLE)) AS x,
+                   ln(CAST(cnt AS DOUBLE)) AS y
+            FROM zrank WHERE rk <= 100)
+      GROUP BY lang),
+    zipf AS (
+      SELECT lang,
+             CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                  THEN ROUND((n * sxy - sx * sy)
+                             / (n * sxx - sx * sx), 4) END
+               AS zipf_slope,
+             CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0 THEN
+               CASE WHEN n * syy - sy * sy <> 0
+                    THEN ROUND(((n * sxy - sx * sy)
+                                / (n * sxx - sx * sx))
+                               * ((n * sxy - sx * sy)
+                                  / (n * sxx - sx * sx))
+                               * (n * sxx - sx * sx)
+                               / (n * syy - sy * sy), 4)
+                    ELSE 1.0 END END AS zipf_r2
+      FROM zsum)
     SELECT rep.*, lm.avg_unigram_logprob, lm.min_unigram_logprob,
            lm.n_flag_lowprob, lm.avg_clf_score, lm.n_flag_clf,
-           blm.avg_bigram_logprob, blm.avg_bigram_ppl
+           blm.avg_bigram_logprob, blm.avg_bigram_ppl,
+           zipf.zipf_slope, zipf.zipf_r2
     FROM rep JOIN lm USING (lang) JOIN blm USING (lang)
+         JOIN zipf USING (lang)
     """,
-    tags=("text", "quality", "dedup", "gopher", "lm", "bigram"),
+    tags=("text", "quality", "dedup", "gopher", "lm", "bigram",
+          "zipf"),
 )
 def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText-style repetition filters (Rae et al. 2021,
@@ -1106,6 +1144,12 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
       tail, counts as token-keyed aggregates the occurrence stream
       joins — the step up from the unigram proxy on the same
       tokenization contract.
+
+    * ``zipf_slope`` / ``zipf_r2`` — r7: log-log OLS over each lang's
+      top-100 term frequencies (rank deterministic: count DESC, term)
+      via ``regression.grouped_ols``'s closed form — the
+      vocabulary-shape health metric (natural text slopes ≈ −1;
+      boilerplate flattens it, template-exploded vocab steepens it).
 
     No reference precedent (the reference processes no free text);
     this is the §2.9 training-data-quality surface.
@@ -1155,7 +1199,31 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(fround(F.avg("bigram_logprob"))
                 .alias("avg_bigram_logprob"),
                 fround(F.avg("bigram_ppl")).alias("avg_bigram_ppl")))
-    return _repetition_lang_agg(fracs).join(lm, "lang").join(blm, "lang")
+    # zipf (r7): log-log OLS slope over each lang's top-100 terms —
+    # the vocabulary-shape health metric (natural text ≈ −1; machine
+    # boilerplate flattens, exploded vocab steepens). Rank window
+    # state is O(vocab per lang); the fit reuses grouped_ols's
+    # closed form so the oracle mirrors one expression tree.
+    from ..operators.regression import grouped_ols
+
+    ltok = (docs.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), WS_SPLIT)).alias("t"))
+        .filter(F.col("t") != ""))
+    wz = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "t")
+    ztop = (ltok.groupBy("lang", "t")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rk", F.row_number().over(wz))
+            .filter(F.col("rk") <= 100)
+            .select("lang",
+                    F.log(F.col("rk").cast("double")).alias("x"),
+                    F.log(F.col("cnt").cast("double")).alias("y")))
+    zipf = (grouped_ols(ztop, "lang", "x", "y")
+            .select(F.col("group").alias("lang"),
+                    fround("slope").alias("zipf_slope"),
+                    fround("r2").alias("zipf_r2")))
+    return (_repetition_lang_agg(fracs).join(lm, "lang")
+            .join(blm, "lang").join(zipf, "lang"))
 
 
 def _repetition_lang_agg(fracs: DataFrame) -> DataFrame:
