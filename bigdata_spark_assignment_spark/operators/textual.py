@@ -848,6 +848,76 @@ def bm25_topk(docs: "DataFrame", queries: list[tuple[str, list[str]]],
             .filter(F.col("rnk") <= int(k)))
 
 
+def retrieval_eval(ranked: "DataFrame", cand: "DataFrame",
+                   k: int = 5,
+                   ranked_rel_col: str = "n_matched_terms",
+                   rel_col: str = "rel") -> "DataFrame":
+    """Graded retrieval-quality metrics per query — the evaluation
+    half of the retrieval surface (a ranking you cannot score is a
+    ranking you cannot tune):
+
+    * nDCG@k of ``ranked`` (the system's top-k with a graded
+      relevance column) against the IDEAL ordering of ``cand`` (the
+      full candidate set with the same grades): exponential gains
+      (2^rel − 1), log2 position discount, deterministic ideal
+      tie-break (rel DESC, doc_id).
+    * max-grade recall@k: of all candidates achieving the query's
+      maximum grade, how many made the top-k — the "did the best
+      answers surface" number that precision-style metrics miss when
+      many documents tie at the top grade.
+
+    Gains use integer shiftleft (exact on both engines — no libm
+    pow); DCG sums run over ≤ k terms, so the 4 dp rounding grid
+    sits far above any summation-order drift.
+
+    Returns (query_id, dcg, idcg, ndcg, mx, n_rel_max, n_hit_max,
+    recall_max). Plan: one window over candidates per query (ideal
+    ranks) + three small grouped aggregates; with query counts in
+    the hundreds everything after the candidate join is
+    broadcast-sized.
+    """
+    from pyspark.sql import Window as W
+
+    # SQL shiftleft (the Python helper wants a literal bit count)
+    gain_r = F.expr(
+        f"cast(shiftleft(1, cast({rel_col} as int)) - 1 as double)")
+    gain_s = F.expr(
+        f"cast(shiftleft(1, cast({ranked_rel_col} as int)) - 1"
+        " as double)")
+    wi = W.partitionBy("query_id").orderBy(F.col(rel_col).desc(),
+                                           "doc_id")
+    idcg = (cand.withColumn("irnk", F.row_number().over(wi))
+            .filter(F.col("irnk") <= int(k))
+            .groupBy("query_id")
+            .agg(F.sum(gain_r / F.log2(F.col("irnk") + 1))
+                 .alias("idcg")))
+    dcg = (ranked.filter(F.col("rnk") <= int(k))
+           .groupBy("query_id")
+           .agg(F.sum(gain_s / F.log2(F.col("rnk") + 1)).alias("dcg")))
+    mx = cand.groupBy("query_id").agg(F.max(rel_col).alias("mx"))
+    n_rel = (cand.join(F.broadcast(mx), "query_id")
+             .filter(F.col(rel_col) == F.col("mx"))
+             .groupBy("query_id")
+             .agg(F.any_value("mx").alias("mx"),
+                  F.count(F.lit(1)).alias("n_rel_max")))
+    n_hit = (ranked.join(F.broadcast(mx), "query_id")
+             .filter((F.col("rnk") <= int(k))
+                     & (F.col(ranked_rel_col) == F.col("mx")))
+             .groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("n_hit_max")))
+    return (dcg.join(idcg, "query_id")
+            .join(n_rel, "query_id")
+            .join(n_hit, "query_id", "left")
+            .select("query_id", "dcg", "idcg",
+                    F.when(F.col("idcg") > 0,
+                           F.col("dcg") / F.col("idcg")).alias("ndcg"),
+                    "mx", "n_rel_max",
+                    F.coalesce("n_hit_max", F.lit(0))
+                    .alias("n_hit_max"),
+                    (F.coalesce("n_hit_max", F.lit(0))
+                     / F.col("n_rel_max")).alias("recall_max")))
+
+
 def term_match_topk(docs: "DataFrame", queries: list[tuple[str, list[str]]],
                     id_col: str = "doc_id", text_col: str = "text",
                     k: int = 5, min_term_len: int = 2,

@@ -873,9 +873,57 @@ def _phrase_oracle_legs() -> str:
     FROM (SELECT * FROM (VALUES {_BPE_PINNED_VALUES})
           t(card, step, merged, pw)
           WHERE card = (SELECT COUNT(*) FROM lineitem))
+    UNION ALL
+    -- r7: nDCG@5 + max-grade recall@5 of the BM25 ranking itself
+    -- (operators.textual.retrieval_eval): graded rel = matched query
+    -- terms, exponential (1<<rel)-1 gains (integer shift, no libm
+    -- pow), ideal re-ranked (rel DESC, doc_id) over ALL candidates
+    SELECT 'ndcg', NULL, e.query_id, NULL, NULL,
+           ROUND(e.dcg / e.idcg, 4), NULL
+    FROM (
+      WITH cand AS (
+        SELECT q.query_id, tf.doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+        FROM tf JOIN q USING (term) GROUP BY 1, 2),
+      idcg AS (
+        SELECT query_id,
+               SUM(((1 << rel) - 1) * 1.0 / log2(irnk + 1.0)) AS idcg
+        FROM (SELECT query_id, rel,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY rel DESC, doc_id)
+                       AS irnk
+              FROM cand)
+        WHERE irnk <= 5 GROUP BY 1),
+      dcg AS (
+        SELECT query_id,
+               SUM(((1 << n_matched) - 1) * 1.0 / log2(rnk + 1.0))
+                 AS dcg
+        FROM branked WHERE rnk <= 5 GROUP BY 1)
+      SELECT d.query_id, d.dcg, i.idcg
+      FROM dcg d JOIN idcg i USING (query_id)) e
+    UNION ALL
+    SELECT 'recall5', NULL, r.query_id, r.n_rel, COALESCE(h.n_hit, 0),
+           ROUND(COALESCE(h.n_hit, 0) * 1.0 / r.n_rel, 4), NULL
+    FROM (
+      WITH cand AS (
+        SELECT q.query_id, tf.doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+        FROM tf JOIN q USING (term) GROUP BY 1, 2),
+      mx AS (SELECT query_id, MAX(rel) AS mx FROM cand GROUP BY 1)
+      SELECT c.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM cand c JOIN mx USING (query_id)
+      WHERE c.rel = mx.mx GROUP BY 1) r
+    LEFT JOIN (
+      WITH cand AS (
+        SELECT q.query_id, tf.doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+        FROM tf JOIN q USING (term) GROUP BY 1, 2),
+      mx AS (SELECT query_id, MAX(rel) AS mx FROM cand GROUP BY 1)
+      SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM branked b JOIN mx USING (query_id)
+      WHERE b.rnk <= 5 AND b.n_matched = mx.mx GROUP BY 1) h
+      ON r.query_id = h.query_id
     """,
-    tags=("text", "tfidf", "bm25", "retrieval", "rrf", "phrase", "bpe"),
-    parts=("tfidf", "bm25", "rrf", "phrase", "bpe"),
+    tags=("text", "tfidf", "bm25", "retrieval", "rrf", "phrase", "bpe",
+          "eval"),
+    parts=("tfidf", "bm25", "rrf", "phrase", "bpe", "ndcg", "recall5"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-relevance scoring in one tagged result:
@@ -977,8 +1025,34 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(None).cast("long").alias("df"),
                    F.lit(None).cast("double").alias("v"),
                    F.col("step").cast("int").alias("rnk")))
+    from ..operators.textual import retrieval_eval
+
+    # ndcg / recall5 (r7): score the BM25 top-5 itself — graded
+    # relevance = matched query terms, ideal ranking re-derived from
+    # the full candidate set (same persisted index, no new scan)
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        ["query_id", "term"])
+    cand = (tf_all.join(F.broadcast(qterms), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("rel")))
+    ev = retrieval_eval(bm, cand, k=_BM25_K)
+    nulls = [F.lit(None).cast("long").alias("doc_id")]
+    ndcg = ev.select(F.lit("ndcg").alias("part"), *nulls,
+                     F.col("query_id").alias("term"),
+                     F.lit(None).cast("long").alias("tf"),
+                     F.lit(None).cast("long").alias("df"),
+                     fround("ndcg").alias("v"),
+                     F.lit(None).cast("int").alias("rnk"))
+    rec = ev.select(F.lit("recall5").alias("part"), *nulls,
+                    F.col("query_id").alias("term"),
+                    F.col("n_rel_max").alias("tf"),
+                    F.col("n_hit_max").alias("df"),
+                    fround("recall_max").alias("v"),
+                    F.lit(None).cast("int").alias("rnk"))
     return (tfidf.unionByName(bm25).unionByName(rrf)
-            .unionByName(phrase).unionByName(bpe))
+            .unionByName(phrase).unionByName(bpe)
+            .unionByName(ndcg).unionByName(rec))
 
 
 @register(

@@ -580,3 +580,33 @@ def test_phrase_search_hand_computed(spark):
                    ("abc", 4): 1}
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_retrieval_eval_hand_computed(spark):
+    """r7: nDCG@2 + max-grade recall@2 vs hand math — exponential
+    gains, log2 discounts, ideal tie-break, and the coalesce-to-0
+    path when no max-grade candidate reaches the top-k."""
+    import math
+
+    from bigdata_spark_assignment_spark.operators.textual import (
+        retrieval_eval,
+    )
+    cand = spark.createDataFrame(
+        [("A", 1, 2), ("A", 2, 2), ("A", 3, 1), ("A", 4, 1),
+         ("B", 1, 3), ("B", 2, 1)],
+        ["query_id", "doc_id", "rel"])
+    ranked = spark.createDataFrame(
+        [("A", 3, 1, 1), ("A", 1, 2, 2),   # system: d3 then d1
+         ("B", 2, 1, 1)],                  # system misses B's best
+        ["query_id", "doc_id", "rnk", "n_matched_terms"])
+    got = {r.query_id: r for r in
+           retrieval_eval(ranked, cand, k=2).collect()}
+    l3 = math.log2(3.0)
+    exp_a = (1 / 1 + 3 / l3) / (3 / 1 + 3 / l3)
+    exp_b = (1 / 1) / (7 / 1 + 1 / l3)
+    assert abs(got["A"].ndcg - exp_a) < 1e-12
+    assert abs(got["B"].ndcg - exp_b) < 1e-12
+    assert got["A"].n_rel_max == 2 and got["A"].n_hit_max == 1
+    assert abs(got["A"].recall_max - 0.5) < 1e-12
+    assert got["B"].mx == 3 and got["B"].n_hit_max == 0
+    assert got["B"].recall_max == 0.0
