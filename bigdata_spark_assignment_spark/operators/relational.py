@@ -719,6 +719,70 @@ def ewma_smooth(df: DataFrame, key_cols: list[str],
     return df.withColumn(out_col, num / den)
 
 
+def holt_weights(alpha: float, beta: float,
+                 horizon: int) -> tuple[list[float], list[float]]:
+    """Per-input weights of the finite-horizon Holt fold (the linear
+    recursion collapsed onto its inputs): entry k weights the k-th
+    OLDEST of the ``horizon`` window values in the level/trend
+    outputs. Shared by ``holt_smooth`` and the q56 oracle generator
+    so both engines embed bit-identical Python-float literals."""
+    h = int(horizon)
+    lvl_w = [0.0] * h
+    trd_w = [0.0] * h
+    lvl_w[0] = 1.0
+    for i in range(1, h):
+        new_l = [(1.0 - alpha) * (lvl_w[k] + trd_w[k])
+                 for k in range(h)]
+        new_l[i] += alpha
+        trd_w = [beta * (new_l[k] - lvl_w[k]) + (1.0 - beta) * trd_w[k]
+                 for k in range(h)]
+        lvl_w = new_l
+    return lvl_w, trd_w
+
+
+def holt_smooth(df: DataFrame, key_cols: list[str],
+                order_cols: list[str], value_col: str,
+                alpha: float = 0.5, beta: float = 0.3,
+                horizon: int = 8,
+                out_col: str = "holt_forecast") -> DataFrame:
+    """Finite-horizon Holt double-exponential smoothing per key — the
+    trend-aware step up from ``ewma_smooth`` (which flattens any
+    drifting series): one-step-ahead forecast ŷ = level + trend,
+
+        l_i = α·y_i + (1−α)(l_{i−1} + b_{i−1})
+        b_i = β(l_i − l_{i−1}) + (1−β)·b_{i−1}
+
+    run over the last ``horizon`` observations with the standard cold
+    start (l = first value in the window, b = 0). Because the
+    recursion is LINEAR in the inputs, the whole fold collapses to
+    fixed per-lag weight literals (computed once in Python, embedded
+    via F.lit): each output row is two dot products over its lag
+    chain — a single partition-sort window, whole-stage codegen, no
+    state, no self-join, and the same-literal/same-order contract the
+    q56 oracle can mirror (the ``ewma``/``_pagerank_iter_ctes``
+    float discipline). Rows whose window is not fully populated (any
+    of the H lags NULL — series head or a NULL observation) emit
+    NULL: a partial-window Holt would need per-row weight RESETS that
+    are no longer literal.
+
+    At 100 TB: identical plan — the window sorts within keys and
+    every term stays in codegen; the infinite-history recursive form
+    belongs in the stateful streaming fold (streaming/stateful.py).
+    """
+    h = int(horizon)
+    lvl_w, trd_w = holt_weights(alpha, beta, h)
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    lvl: Column = F.lit(0.0)
+    trd: Column = F.lit(0.0)
+    full = F.lit(True)
+    for j in range(h):
+        lj = F.lag(F.col(value_col), j).over(w)
+        lvl = lvl + F.lit(lvl_w[h - 1 - j]) * lj
+        trd = trd + F.lit(trd_w[h - 1 - j]) * lj
+        full = full & lj.isNotNull()
+    return df.withColumn(out_col, F.when(full, lvl + trd))
+
+
 def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
                      period_days: int = 1) -> DataFrame:
     """Cohort retention triangle: users grouped by first-activity

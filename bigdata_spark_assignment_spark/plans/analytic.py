@@ -1056,6 +1056,31 @@ def _ewma_sql(alpha: float = 0.5, horizon: int = 8) -> tuple[str, str]:
 _EWMA_NUM, _EWMA_DEN = _ewma_sql(alpha=0.5, horizon=8)
 
 
+def _holt_sql(alpha: float = 0.5, beta: float = 0.3,
+              horizon: int = 8) -> tuple[str, str, str]:
+    """Unrolled finite-horizon Holt level/trend dot products + the
+    full-window guard for the q56 oracle — weight literals come from
+    the SAME ``holt_weights`` floats the engine embeds via F.lit,
+    summed in the same left-to-right lag order (newest first)."""
+    from ..operators.relational import holt_weights
+
+    lvl_w, trd_w = holt_weights(alpha, beta, horizon)
+    lag = ("LAG(value, {j}) OVER (PARTITION BY user_id "
+           "ORDER BY CAST(ts AS TIMESTAMP), event_id)")
+    lvls, trds, conds = ["0.0"], ["0.0"], []
+    h = int(horizon)
+    for j in range(h):
+        lj = lag.format(j=j)
+        lvls.append(f"CAST('{repr(lvl_w[h - 1 - j])}' AS DOUBLE) * {lj}")
+        trds.append(f"CAST('{repr(trd_w[h - 1 - j])}' AS DOUBLE) * {lj}")
+        conds.append(f"{lj} IS NOT NULL")
+    return " + ".join(lvls), " + ".join(trds), " AND ".join(conds)
+
+
+_HOLT_LVL, _HOLT_TRD, _HOLT_COND = _holt_sql(alpha=0.5, beta=0.3,
+                                             horizon=8)
+
+
 def _acf_sql(max_lag: int) -> str:
     """q56 ``acf`` oracle leg — one per-user aggregate per lag over
     the SAME lag-chain windows the engine's single partition-sort
@@ -1217,6 +1242,16 @@ _ACF_SQL = _acf_sql(max_lag=5)
            ROUND(({_EWMA_NUM}) / ({_EWMA_DEN}), 4), NULL
     FROM events
     UNION ALL
+    -- r7: finite-horizon Holt double-exponential forecast
+    -- (alpha=0.5, beta=0.3, H=8) per user — the linear fold
+    -- collapsed onto shared per-lag weight literals (operators.
+    -- relational.holt_weights), full-window rows only
+    SELECT 'holt', event_id, user_id, NULL,
+           CASE WHEN {_HOLT_COND}
+                THEN ROUND(({_HOLT_LVL}) + ({_HOLT_TRD}), 4) END,
+           NULL
+    FROM events
+    UNION ALL
     -- r5 session 4: CUSUM change-point per user — peak |S_t| of the
     -- mean-deviation cumsum, argmax on the ROUNDED statistic (float
     -- discipline: the series mean is an unordered double aggregate)
@@ -1299,9 +1334,9 @@ _ACF_SQL = _acf_sql(max_lag=5)
       GROUP BY 1) g
     """,
     tags=("join", "asof", "range", "resample", "anomaly", "ewma",
-          "acf", "interp", "seasonal", "overlap"),
+          "holt", "acf", "interp", "seasonal", "overlap"),
     parts=("asof", "range", "resample", "interp", "anomaly", "ewma",
-           "cusum", "acf", "seasonal", "overlap"),
+           "holt", "cusum", "acf", "seasonal", "overlap"),
 )
 def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal joins in one tagged result (merged r2 q56+q57 to free
@@ -1337,6 +1372,11 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       head-of-series renormalization (pandas adjust=True semantics).
       The oracle unrolls the same weight literals in the same
       summation order.
+    * ``holt`` — r7: finite-horizon Holt double-exponential forecast
+      (operators.relational.holt_smooth, α=0.5, β=0.3, H=8) — the
+      trend-aware companion to ``ewma``: the linear level/trend fold
+      collapsed onto shared per-lag weight literals
+      (``holt_weights``), full-window rows only, ŷ = level + trend.
     * ``cusum`` — r5 session 4: CUSUM change-point location per user
       (operators.relational.cusum_changepoint): the event where the
       cumulative mean-deviation sum peaks in absolute value, argmax
@@ -1485,6 +1525,17 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   fround(F.col("ewma")).alias("v"),
                   F.lit(None).cast("long").alias("n")))
 
+    from ..operators.relational import holt_smooth
+
+    ho = (holt_smooth(events, ["user_id"], ["ts", "event_id"], "value",
+                      alpha=0.5, beta=0.3, horizon=8)
+          .select(F.lit("holt").alias("part"),
+                  F.col("event_id").alias("id"),
+                  "user_id",
+                  F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
+                  fround(F.col("holt_forecast")).alias("v"),
+                  F.lit(None).cast("long").alias("n")))
+
     from ..operators.relational import cusum_changepoint
 
     cp = (cusum_changepoint(events, ["user_id"], ["ts", "event_id"],
@@ -1518,7 +1569,8 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("resid_micro").alias("v"),
                   F.col("phase").alias("n")))
     return (asof.unionByName(rng).unionByName(rs).unionByName(ip)
-            .unionByName(anom).unionByName(ew).unionByName(cp)
+            .unionByName(anom).unionByName(ew).unionByName(ho)
+            .unionByName(cp)
             .unionByName(ac).unionByName(sd).unionByName(ov))
 
 

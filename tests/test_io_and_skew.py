@@ -521,3 +521,34 @@ def test_interval_overlap_join_binned_equals_theta_join(spark):
     assert got == want and len(got) > 50
     assert (100, 100) in got      # boundary instant counts as overlap
     assert (101, 101) not in got  # same bin, no overlap
+
+
+def test_holt_smooth_matches_direct_recursion(spark):
+    """r7: the collapsed-weights Holt fold must equal the direct
+    level/trend recursion run over each row's 8-value window (cold
+    start l = oldest value, b = 0), and rows with any missing window
+    value must be NULL."""
+    a, b, h = 0.5, 0.3, 8
+    ys = [3.0, 5.0, 8.0, 9.0, 14.0, 13.0, 17.0, 20.0, 22.0, 21.0]
+    rows = [("u", i, ys[i]) for i in range(len(ys))]
+    df = spark.createDataFrame(rows, ["g", "i", "v"])
+    from bigdata_spark_assignment_spark.operators.relational import (
+        holt_smooth,
+    )
+    got = {r.i: r.holt_forecast for r in
+           holt_smooth(df, ["g"], ["i"], "v",
+                       alpha=a, beta=b, horizon=h).collect()}
+
+    def direct(window):
+        lvl, trd = window[0], 0.0
+        for y in window[1:]:
+            prev = lvl
+            lvl = a * y + (1 - a) * (lvl + trd)
+            trd = b * (lvl - prev) + (1 - b) * trd
+        return lvl + trd
+
+    for i in range(len(ys)):
+        if i < h - 1:
+            assert got[i] is None
+        else:
+            assert abs(got[i] - direct(ys[i - h + 1:i + 1])) < 1e-9
