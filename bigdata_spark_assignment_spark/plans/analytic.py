@@ -703,6 +703,9 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("window", "sessionization", "funnel", "cohort", "markov",
           "sequence", "survival"),
+    # no ``parts`` attribution: the markov:*/seq:* rows carry dynamic
+    # suffixes, and the parts contract (test_registry_contract)
+    # demands the exact distinct tag set
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-journey analytics over the event log, tagged:
