@@ -1159,7 +1159,13 @@ def cusum_changepoint(df: DataFrame, key_cols: list[str],
     wk = W.partitionBy(*key_cols)
     ws = wk.orderBy(*order_cols)
     wcum = ws.rowsBetween(W.unboundedPreceding, W.currentRow)
-    mean = F.avg(value_col).over(wk)
+    # explicit Σ/n rather than avg(): with integer-quantized inputs
+    # every sum is exact, so the whole statistic is ONE fixed double
+    # expression tree — bit-identical across engines/partitionings
+    # (the q07 cmat discipline; an avg() hides engine-specific
+    # accumulation). rank_decimals then becomes unnecessary.
+    mean = (F.sum(F.col(value_col)).over(wk)
+            / F.count(F.lit(1)).over(wk))
     s = F.sum(F.col(value_col)).over(wcum) \
         - F.count(F.lit(1)).over(wcum) * mean
     scored = (df.withColumn("__s", F.abs(s))

@@ -1222,21 +1222,28 @@ _ACF_SQL = _acf_sql(max_lag=5)
     -- r5 session 3: median/MAD modified z-score outliers per
     -- event_type (operators.relational.robust_anomalies) — both
     -- engines' EXACT interpolated medians must agree
+    -- r7: micro-quantized inputs (the q07 cmat discipline) — integer
+    -- medians interpolate identically on both engines, killing the
+    -- 4 dp-boundary drift the raw-double form showed at sf0.1
     SELECT 'anomaly', e.event_id, e.user_id, NULL,
-           ROUND(0.6745 * (e.value - s.med) / s.mad, 4),
+           ROUND(0.6745 * (e.vq - s.med) / s.mad, 4),
            CAST(NULL AS BIGINT)
-    FROM events e
+    FROM (SELECT *, CAST(ROUND(value * 1000000) AS BIGINT) AS vq
+          FROM events) e
     JOIN (
-      WITH med AS (SELECT event_type, median(value) AS med
-                   FROM events GROUP BY 1)
+      WITH eq AS (SELECT event_type,
+                         CAST(ROUND(value * 1000000) AS BIGINT) AS vq
+                  FROM events),
+      med AS (SELECT event_type, median(vq) AS med
+              FROM eq GROUP BY 1)
       SELECT m.event_type, m.med, d.mad
       FROM med m JOIN (
-        SELECT e2.event_type, median(abs(e2.value - m2.med)) AS mad
-        FROM events e2 JOIN med m2 USING (event_type)
+        SELECT e2.event_type, median(abs(e2.vq - m2.med)) AS mad
+        FROM eq e2 JOIN med m2 USING (event_type)
         GROUP BY 1) d USING (event_type)) s
       USING (event_type)
     WHERE s.mad > 0
-      AND abs(0.6745 * (e.value - s.med) / s.mad) > 3.5
+      AND abs(0.6745 * (e.vq - s.med) / s.mad) > 3.5
     UNION ALL
     -- r5 session 4: finite-horizon EWMA (alpha=0.5, H=8) per user —
     -- same unrolled weight literals, same summation order as the
@@ -1258,19 +1265,28 @@ _ACF_SQL = _acf_sql(max_lag=5)
     -- r5 session 4: CUSUM change-point per user — peak |S_t| of the
     -- mean-deviation cumsum, argmax on the ROUNDED statistic (float
     -- discipline: the series mean is an unordered double aggregate)
-    SELECT 'cusum', m.event_id, m.user_id, NULL, ROUND(m.s, 4), m.np
+    -- r7: micro-int window sums are exact, so the statistic is one
+    -- fixed double tree (explicit Σ/n, no engine-accumulated AVG)
+    -- and the argmax ranks on the EXACT statistic — no rounded key.
+    -- v is the peak statistic in MICRO units rounded to an integer
+    -- (the seasonal-part convention): integer rounding is exact on
+    -- both engines, while ROUND(x, 4) already diverged once on a
+    -- boundary value (Spark BigDecimal vs DuckDB scaled-multiply)
+    SELECT 'cusum', m.event_id, m.user_id, NULL,
+           ROUND(m.s, 0), m.np
     FROM (
       SELECT event_id, user_id, s, np,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ROUND(s, 4) DESC,
-                                         tsx, event_id) AS rk
+                                ORDER BY s DESC, tsx, event_id) AS rk
       FROM (
         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsx,
-               ABS(SUM(value) OVER w_cum
-                   - (COUNT(*) OVER w_cum) * (AVG(value) OVER w_all))
-                 AS s,
+               ABS(CAST(SUM(vq) OVER w_cum AS DOUBLE)
+                   - CAST(COUNT(*) OVER w_cum AS DOUBLE)
+                     * (CAST(SUM(vq) OVER w_all AS DOUBLE)
+                        / CAST(COUNT(*) OVER w_all AS DOUBLE))) AS s,
                CAST(COUNT(*) OVER w_all AS BIGINT) AS np
-        FROM events
+        FROM (SELECT *, CAST(ROUND(value * 1000000) AS BIGINT) AS vq
+              FROM events)
         WINDOW w_cum AS (PARTITION BY user_id
                          ORDER BY CAST(ts AS TIMESTAMP), event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
@@ -1508,7 +1524,14 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.relational import robust_anomalies
 
-    anom = (robust_anomalies(events, ["event_type"], "value",
+    # micro-quantized (r7): exact-integer inputs make the quantile
+    # interpolations — and so the modified-z and the CUSUM statistic
+    # below — bit-identical across engines (the q07 cmat pattern);
+    # the raw-double forms drifted at the 4 dp boundary on a few
+    # sf0.1 rows (cross-engine median/avg last-ulp)
+    evq = events.withColumn(
+        "value_q", F.round(F.col("value") * 1e6).cast("long"))
+    anom = (robust_anomalies(evq, ["event_type"], "value_q",
                              threshold=3.5)
             .select(F.lit("anomaly").alias("part"),
                     F.col("event_id").alias("id"),
@@ -1541,13 +1564,18 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.relational import cusum_changepoint
 
-    cp = (cusum_changepoint(events, ["user_id"], ["ts", "event_id"],
-                            "value", rank_decimals=4)
+    # micro-int inputs → every window sum exact → the statistic is a
+    # fixed double tree and the argmax needs NO rounded rank key;
+    # v = peak statistic in MICRO units, integer-rounded (exact on
+    # both engines — the 4 dp fractional ROUND diverged once on a
+    # boundary value)
+    cp = (cusum_changepoint(evq, ["user_id"], ["ts", "event_id"],
+                            "value_q")
           .select(F.lit("cusum").alias("part"),
                   F.col("event_id").alias("id"),
                   "user_id",
                   F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
-                  fround(F.col("cusum_stat")).alias("v"),
+                  F.round(F.col("cusum_stat"), 0).alias("v"),
                   F.col("n_points").alias("n")))
 
     from ..operators.relational import acf as acf_fn
