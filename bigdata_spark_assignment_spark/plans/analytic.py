@@ -488,7 +488,11 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(embedding) AS INTEGER) AS dim,
            ROUND(sqrt(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
-           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_component,
+           -- unrounded (r7): float32 -> double is EXACT on both
+           -- engines, while ROUND(x, 4) on an arbitrary float32 can
+           -- straddle Spark's BigDecimal vs DuckDB's scaled-multiply
+           -- rounding (observed at sf0.1: -0.0001 vs -0.0)
+           CAST(embedding[1] AS DOUBLE) AS first_component,
            CAST(q8[1] AS INTEGER) AS q8_first,
            CAST(list_max(list_transform(q8, v -> abs(v))) AS INTEGER)
              AS q8_maxabs,
@@ -537,7 +541,8 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label",
         F.size("embedding").cast("int").alias("dim"),
         fround(l2).alias("l2_norm"),
-        fround(F.element_at("embedding", 1).cast("double"))
+        # unrounded — float32 -> double is exact (see oracle note)
+        F.element_at("embedding", 1).cast("double")
          .alias("first_component"),
         F.element_at("q8", 1).alias("q8_first"),
         F.array_max(F.transform(F.col("q8"), F.abs)).alias("q8_maxabs"),

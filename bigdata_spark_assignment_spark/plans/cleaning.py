@@ -419,7 +419,11 @@ def day_part_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- priority against o_totalprice
     -- (operators.cleaning.target_encode_loo) — per-category sum and
     -- mean of the encoded values, NULL category as its own group
-    SELECT 'loo', g.prio, g.n, ROUND(g.s, 4), ROUND(g.a, 4),
+    -- sum column NULL (r7, the mest lesson): Σte sits at ~1e10 where
+    -- cross-engine summation-order ulp crosses the 4 dp grid at
+    -- sf0.1; the per-category mean at ~2.5e5 carries the check with
+    -- 100× grid margin
+    SELECT 'loo', g.prio, g.n, CAST(NULL AS DOUBLE), ROUND(g.a, 4),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM (
       WITH dte AS (
@@ -527,10 +531,13 @@ def impute_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("string"))
         .otherwise(F.col("o_orderpriority")).alias("prio"),
         F.col("o_totalprice").alias("y"))
+    # sum_imputed NULL for loo too (r7, the mest lesson): Σte at
+    # ~1e10 magnitude drifted past the 4 dp grid at sf0.1; the mean
+    # carries the check
     loo_rows = (target_encode_loo(dte, "prio", "y")
                 .groupBy("prio")
                 .agg(F.count(F.lit(1)).alias("n"),
-                     fround(F.sum("te")).alias("sum_imputed"),
+                     F.lit(None).cast("double").alias("sum_imputed"),
                      fround(F.avg("te")).alias("avg_imputed"))
                 .select(F.lit("loo").alias("part"), "prio", "n",
                         "sum_imputed", "avg_imputed",
