@@ -469,8 +469,62 @@ def day_part_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
              AVG(te) AS a
       FROM enc2 GROUP BY 1) g
+    UNION ALL
+    -- r7: quantile normalization of o_totalprice per dirty priority
+    -- onto the global distribution (operators.cleaning.
+    -- quantile_normalize) — step convention, all-integer rank
+    -- mapping k = ceil(cum_g*N/n_g), global value at position k via
+    -- the sorted boundary/query merge; readout per (prio, ntile)
+    SELECT 'qnorm', t.prio, CAST(COUNT(*) AS BIGINT),
+           ROUND(MAX(t.qv), 4), ROUND(AVG(t.qv), 4),
+           CAST(t.tile AS BIGINT), CAST(NULL AS BIGINT)
+    FROM (
+      WITH src AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderpriority END AS prio,
+               o_totalprice AS v
+        FROM orders WHERE o_totalprice IS NOT NULL),
+      gc AS (
+        SELECT prio, v,
+               SUM(c) OVER (PARTITION BY prio ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_g,
+               SUM(c) OVER (PARTITION BY prio) AS n_g
+        FROM (SELECT prio, v, COUNT(*) AS c FROM src GROUP BY 1, 2)),
+      nt AS (SELECT COUNT(*) AS nn FROM src),
+      ks AS (
+        SELECT prio, v, ((cum_g * nn - 1) // n_g) + 1 AS k
+        FROM gc CROSS JOIN nt),
+      bound AS (
+        SELECT v AS u,
+               SUM(c2) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS pos
+        FROM (SELECT v, COUNT(*) AS c2 FROM src GROUP BY 1)),
+      merged AS (
+        SELECT prio, v, tag,
+               FIRST_VALUE(u IGNORE NULLS) OVER (
+                 ORDER BY pos, tag
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS mapped
+        FROM (
+          SELECT prio, v, k AS pos, 0 AS tag,
+                 CAST(NULL AS DOUBLE) AS u
+          FROM ks
+          UNION ALL
+          SELECT NULL, NULL, pos, 1, u FROM bound)),
+      rowmap AS (
+        SELECT s.prio, s.v, m.mapped AS qv
+        FROM src s
+        JOIN (SELECT prio, v, mapped FROM merged WHERE tag = 0) m
+          ON s.prio IS NOT DISTINCT FROM m.prio AND s.v = m.v)
+      SELECT prio, qv,
+             NTILE(10) OVER (PARTITION BY prio ORDER BY qv, v)
+               AS tile
+      FROM rowmap) t
+    GROUP BY t.prio, t.tile
     """,
-    tags=("cleaning", "impute", "encoding"),
+    tags=("cleaning", "impute", "encoding", "qnorm"),
 )
 def impute_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5+A6/M1+M2 in one tagged result (merged r2 q16+q17 to free
@@ -559,8 +613,34 @@ def impute_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "sum_imputed", "avg_imputed",
                          F.lit(None).cast("long").alias("n_was_null"),
                          F.lit(None).cast("long").alias("n_rows")))
+    from pyspark.sql import Window as W
+
+    from ..operators.cleaning import quantile_normalize
+
+    # qnorm (r7): quantile-normalize o_totalprice per dirty priority
+    # onto the GLOBAL price distribution (cross-source calibration).
+    # All-integer rank mapping (operator docstring), so the readout
+    # — per-(prio, ntile-of-mapped) counts, max, mean — is the whole
+    # mapping re-derived by the oracle end-to-end.
+    qn_src = orders.select(
+        F.when(F.col("o_orderkey") % 7 == 0,
+               F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority")).alias("prio"),
+        F.col("o_totalprice").alias("v"))
+    wq = W.partitionBy("prio").orderBy("qv", "v")
+    qn_rows = (quantile_normalize(qn_src, ["prio"], "v", out_col="qv")
+               .withColumn("tile", F.ntile(10).over(wq))
+               .groupBy("prio", "tile")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    fround(F.max("qv")).alias("mx"),
+                    fround(F.avg("qv")).alias("a"))
+               .select(F.lit("qnorm").alias("part"), "prio", "n",
+                       F.col("mx").alias("sum_imputed"),
+                       F.col("a").alias("avg_imputed"),
+                       F.col("tile").cast("long").alias("n_was_null"),
+                       F.lit(None).cast("long").alias("n_rows")))
     return (mean_row.unionByName(mode_rows).unionByName(loo_rows)
-            .unionByName(mest_rows))
+            .unionByName(mest_rows).unionByName(qn_rows))
 
 
 def _poisson_w_sql(u_expr: str) -> str:

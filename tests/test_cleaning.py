@@ -1138,3 +1138,28 @@ def test_target_encode_m_hand_computed_and_shrinkage(spark):
     # shrinkage: the rare estimate moved farther toward the prior
     assert abs(out["rare"] - prior) < abs(100.0 - prior)
     assert abs(out["big"] - 10.0) < abs(out["rare"] - 100.0)
+
+
+def test_quantile_normalize_hand_computed_and_null_group(spark):
+    """r7: step-convention quantile normalization — (a) hand-computed
+    mapping onto the global distribution (k = ceil(cum_g*N/n_g),
+    global value at position k, duplicates kept); (b) a NULL category
+    is its own group and keeps its rows through the map-back join;
+    (c) the max of every group maps to the global max."""
+    from bigdata_spark_assignment_spark.operators.cleaning import (
+        quantile_normalize,
+    )
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0),
+            ("B", 10.0), ("B", 20.0), (None, 5.0), (None, 5.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = quantile_normalize(df, ["g"], "v").collect()
+    got = sorted(((r.g or "~"), r.v, r.qn_value) for r in out)
+    # global sorted: [1,2,3,4,5,5,10,20], N=8
+    # A (n=4): cums 1..4 -> k = 2,4,6,8 -> 2,4,5,20
+    # B (n=2): cums 1,2 -> k = 4,8 -> 4,20
+    # NULL (n=2): both v=5 share cum=2 -> k=8 -> 20,20
+    assert got == [("A", 1.0, 2.0), ("A", 2.0, 4.0), ("A", 3.0, 5.0),
+                   ("A", 4.0, 20.0), ("B", 10.0, 4.0),
+                   ("B", 20.0, 20.0), ("~", 5.0, 20.0),
+                   ("~", 5.0, 20.0)]
+    assert len(out) == len(rows)  # no rows lost to the join
