@@ -1032,3 +1032,159 @@ def phrase_search(docs: "DataFrame", phrases: list[tuple[str, list[str]]],
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def nb_language_classifier(docs, text_col: str = "text",
+                           label_col: str = "lang",
+                           id_col: str = "doc_id", n_folds: int = 5,
+                           test_fold: int = 0,
+                           micro: int = 1_000_000,
+                           top_tokens: int = 3,
+                           salt: str = "nb") -> dict:
+    """Multinomial Naive Bayes text classifier — the LEARNED companion
+    to the marker-list lang-id heuristic (``lang_id_expr``), and the
+    shape of the fastText-style quality/language classifiers used to
+    filter LLM pre-training corpora (C4 / CCNet / DCLM). Train, score
+    and evaluate run entirely as relational algebra: no MLlib, no UDF,
+    no collect — the "model" IS a pair of domain-sized DataFrames.
+
+    Pipeline (one corpus tokenization total):
+
+    1. Deterministic fold split: md5(salt:doc_id) mod ``n_folds``;
+       fold ``test_fold`` is held out (the q62 hash-split discipline).
+    2. ``tf``: the (doc, label, is_test, token, tf) table — lower-cased
+       whitespace tokens (``WS_SPLIT``), empty tokens dropped. Persisted;
+       every later table derives from it (train counts AND test scoring),
+       so the corpus is scanned once.
+    3. Model: per-(label, token) counts ``n_tc``, per-label totals
+       ``n_c``, vocab size ``V`` (distinct TRAIN tokens), doc-count
+       priors. Add-one smoothing:  p(t|c) = (n_tc + 1) / (n_c + V).
+    4. Scoring: dense (vocab × labels) log-likelihood table joined onto
+       the test fold's tf stream; per-(doc, label) BIGINT sums; argmax.
+       Out-of-vocabulary test tokens drop out of the join (the standard
+       multinomial-NB convention — they carry no class evidence).
+       Zero-token docs never enter ``tf``: the model neither trains on
+       nor scores them (documented convention, mirrored by the oracle).
+
+    Determinism contract (micro-int quantization — the q56/q07-cmat
+    discipline): log-priors and per-(token, label) log-likelihoods are
+    quantized to integer micro-nats (``ROUND(ln(p) * micro)``) BEFORE
+    any summation, so document scores are exact BIGINT sums — invariant
+    to partition order — and the argmax is an integer comparison with a
+    label-ascending tie-break. The only libm op is ln on ratios of
+    exact integers, identical on both engines to ~1 ulp, 9 orders of
+    magnitude inside the micro grid.
+
+    Returns dict of DataFrames:
+
+    * ``pred``  — (doc_id, true_lbl, pred_lbl, scoreq) for the test fold
+      (persisted: confusion/accuracy/per-class metrics all reread it).
+    * ``classes`` — (lbl, n_train_docs) — the label domain.
+    * ``model`` — 1 row (v, n_train_docs, n_train_tokens).
+    * ``top``   — (lbl, token, rank, lo_micro): per-label top-``top_tokens``
+      tokens by smoothed one-vs-rest log-odds
+      ln((n_tc+1)/(n_c+V)) − ln((n_t_rest+1)/(n_rest+V)),
+      micro-quantized; ties break token-ascending.
+
+    100 TB notes: the corpus is touched by exactly one tokenize +
+    group (tf, corpus-sized, persisted — at cluster scale use
+    MEMORY_AND_DISK or materialize to parquet); everything else is
+    domain-sized (vocab × |classes|) or fold-sized. The ll table
+    broadcasts while vocab × classes fits (~10⁷ rows); beyond that the
+    score join becomes an ordinary shuffle join keyed on token —
+    both plans are one pass over the test fold's tokens.
+    """
+    from .dedup import _track_persist
+
+    fold = (F.conv(F.substring(
+                F.md5(F.concat(F.lit(salt + ":"),
+                               F.col(id_col).cast("string"))), 1, 8),
+                16, 10).cast("bigint") % n_folds)
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(label_col).alias("lbl"),
+                       (fold == test_fold).alias("is_test"),
+                       F.col(text_col).alias("text"))
+    tf = (base.select("doc_id", "lbl", "is_test",
+                      F.explode(words_expr(F.col("text"))).alias("token"))
+          .filter(F.col("token") != "")
+          .groupBy("doc_id", "lbl", "is_test", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    tf = _track_persist(tf)
+
+    # --- train: count tables (all derived from tf, no new scan) ---
+    ct = (tf.filter(~F.col("is_test"))
+          .groupBy("lbl", "token").agg(F.sum("tf").alias("n_tc")))
+    ct = _track_persist(ct)          # vocab × classes upper bound
+    tot = ct.groupBy("lbl").agg(F.sum("n_tc").alias("n_c"))
+    vn = ct.select("token").distinct().agg(F.count(F.lit(1)).alias("v"))
+    docs_t = tf.select("doc_id", "lbl", "is_test").distinct()
+    classes = (docs_t.filter(~F.col("is_test"))
+               .groupBy("lbl").agg(F.count(F.lit(1)).alias("n_train_docs")))
+    n_train = classes.agg(F.sum("n_train_docs").alias("nd"))
+    pri = (classes.crossJoin(F.broadcast(n_train))
+           .select("lbl",
+                   F.round(F.log(F.col("n_train_docs")
+                                 / F.col("nd")) * micro)
+                   .cast("long").alias("priq")))
+
+    # --- dense (vocab × labels) micro-nat log-likelihoods ---
+    ll = (ct.select("token").distinct()
+          .crossJoin(F.broadcast(tot))
+          .join(ct, ["lbl", "token"], "left")
+          .crossJoin(F.broadcast(vn))
+          .select("lbl", "token",
+                  F.round(F.log((F.coalesce(F.col("n_tc"), F.lit(0)) + 1.0)
+                                / (F.col("n_c") + F.col("v"))) * micro)
+                  .cast("long").alias("llq")))
+
+    # --- score the held-out fold ---
+    ll_c = ll.select("token", F.col("lbl").alias("cls"), "llq")
+    evq = (tf.filter(F.col("is_test"))
+           .join(F.broadcast(ll_c), "token")
+           .groupBy("doc_id", F.col("lbl").alias("true_lbl"), "cls")
+           .agg(F.sum(F.col("tf") * F.col("llq")).alias("evq")))
+    # ensure every (test doc × class) pair exists, evidence or not
+    grid = (docs_t.filter(F.col("is_test"))
+            .select("doc_id", F.col("lbl").alias("true_lbl"))
+            .crossJoin(F.broadcast(pri.select(F.col("lbl").alias("cls"),
+                                              "priq"))))
+    scored = (grid.join(evq, ["doc_id", "true_lbl", "cls"], "left")
+              .select("doc_id", "true_lbl", "cls",
+                      (F.coalesce(F.col("evq"), F.lit(0))
+                       + F.col("priq")).alias("scoreq")))
+    from pyspark.sql import Window as W
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("scoreq").desc(),
+                                        F.col("cls").asc()))
+    pred = (scored.withColumn("rn", rn).filter(F.col("rn") == 1)
+            .select("doc_id", "true_lbl",
+                    F.col("cls").alias("pred_lbl"), "scoreq"))
+    pred = _track_persist(pred)
+
+    model = (vn.crossJoin(n_train)
+             .crossJoin(ct.agg(F.sum("n_tc").alias("n_train_tokens")))
+             .select("v", F.col("nd").alias("n_train_docs"),
+                     "n_train_tokens"))
+
+    # --- one-vs-rest log-odds over OBSERVED (label, token) pairs ---
+    tok_tot = ct.groupBy("token").agg(F.sum("n_tc").alias("n_t_all"))
+    all_tot = tot.agg(F.sum("n_c").alias("n_all"))
+    lo = (ct.join(tok_tot, "token")
+          .join(F.broadcast(tot), "lbl")
+          .crossJoin(F.broadcast(all_tot))
+          .crossJoin(F.broadcast(vn))
+          .select("lbl", "token",
+                  F.round((F.log((F.col("n_tc") + 1.0)
+                                 / (F.col("n_c") + F.col("v")))
+                           - F.log((F.col("n_t_all") - F.col("n_tc") + 1.0)
+                                   / (F.col("n_all") - F.col("n_c")
+                                      + F.col("v")))) * micro)
+                  .cast("long").alias("lo_micro")))
+    top = (lo.withColumn(
+               "rank", F.row_number().over(
+                   W.partitionBy("lbl").orderBy(F.col("lo_micro").desc(),
+                                                F.col("token").asc())))
+           .filter(F.col("rank") <= top_tokens)
+           .select("lbl", "token", "rank", "lo_micro"))
+
+    return {"pred": pred, "classes": classes, "model": model, "top": top}

@@ -125,12 +125,116 @@ _LANG_ID_ORACLE = f"""
              FROM sc)
       SELECT CASE WHEN k > 1 THEN sqrt(chi2 / (n * (k - 1))) END AS v
       FROM ag) v
+    UNION ALL
+    -- r7 session 3: multinomial Naive Bayes language classifier
+    -- (operators.textual.nb_language_classifier) — the LEARNED
+    -- companion to the marker heuristic. Micro-nat quantized
+    -- log-likelihoods (the q56/q07-cmat exact-integer discipline):
+    -- document scores are exact BIGINT sums, argmax ties break
+    -- label-ascending. OOV test tokens drop (standard NB); zero-token
+    -- docs never enter the tf table on either side.
+    SELECT part, k1, k2, n, v1, v2
+    FROM (
+      WITH nb_doc AS (
+        SELECT doc_id, lang AS lbl, text,
+               (CAST(('0x' || substring(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 5) = 0 AS is_test
+        FROM documents),
+      nb_tf AS (
+        SELECT doc_id, lbl, is_test, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, lbl, is_test,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS token
+              FROM nb_doc)
+        WHERE token <> '' GROUP BY 1, 2, 3, 4),
+      nb_ct AS (SELECT lbl, token, SUM(tf) AS n_tc
+                FROM nb_tf WHERE NOT is_test GROUP BY 1, 2),
+      nb_tot AS (SELECT lbl, SUM(n_tc) AS n_c FROM nb_ct GROUP BY 1),
+      nb_vn AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM nb_ct),
+      nb_dt AS (SELECT DISTINCT doc_id, lbl, is_test FROM nb_tf),
+      nb_classes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_train_docs
+                     FROM nb_dt WHERE NOT is_test GROUP BY 1),
+      nb_nd AS (SELECT CAST(SUM(n_train_docs) AS BIGINT) AS nd FROM nb_classes),
+      nb_pri AS (SELECT lbl,
+                        CAST(ROUND(LN(n_train_docs / nd) * 1000000) AS BIGINT)
+                          AS priq
+                 FROM nb_classes CROSS JOIN nb_nd),
+      nb_ll AS (
+        SELECT t.lbl AS cls, vt.token,
+               CAST(ROUND(LN((COALESCE(c.n_tc, 0) + 1.0) / (t.n_c + vn.v))
+                          * 1000000) AS BIGINT) AS llq
+        FROM (SELECT DISTINCT token FROM nb_ct) vt
+        CROSS JOIN nb_tot t CROSS JOIN nb_vn vn
+        LEFT JOIN nb_ct c ON c.token = vt.token AND c.lbl = t.lbl),
+      nb_evq AS (
+        SELECT f.doc_id, f.lbl AS true_lbl, l.cls, SUM(f.tf * l.llq) AS evq
+        FROM nb_tf f JOIN nb_ll l ON f.token = l.token
+        WHERE f.is_test GROUP BY 1, 2, 3),
+      nb_sc AS (
+        SELECT g.doc_id, g.true_lbl, g.cls, g.priq + COALESCE(e.evq, 0) AS scoreq
+        FROM (SELECT d.doc_id, d.lbl AS true_lbl, p.lbl AS cls, p.priq
+              FROM nb_dt d CROSS JOIN nb_pri p WHERE d.is_test) g
+        LEFT JOIN nb_evq e ON e.doc_id = g.doc_id AND e.cls = g.cls),
+      nb_pred AS (
+        SELECT doc_id, true_lbl, cls AS pred_lbl
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY scoreq DESC, cls ASC) AS rn
+              FROM nb_sc)
+        WHERE rn = 1)
+      SELECT 'nb_conf' AS part, true_lbl AS k1, pred_lbl AS k2,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+      FROM nb_pred GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT 'nb_acc', NULL, NULL, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(CASE WHEN pred_lbl = true_lbl THEN 1 ELSE 0 END)
+                   * 1.0 / COUNT(*), 4),
+             CAST(SUM(CASE WHEN pred_lbl = true_lbl THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+      FROM nb_pred
+      UNION ALL
+      SELECT 'nb_cls', c.lbl, NULL, CAST(COALESCE(a.n_act, 0) AS BIGINT),
+             ROUND(CASE WHEN p.n_pred > 0
+                        THEN COALESCE(a.n_corr, 0) * 1.0 / p.n_pred END, 4),
+             ROUND(CASE WHEN a.n_act > 0
+                        THEN a.n_corr * 1.0 / a.n_act END, 4)
+      FROM nb_classes c
+      LEFT JOIN (SELECT true_lbl AS lbl, CAST(COUNT(*) AS BIGINT) AS n_act,
+                        CAST(SUM(CASE WHEN pred_lbl = true_lbl
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_corr
+                 FROM nb_pred GROUP BY 1) a USING (lbl)
+      LEFT JOIN (SELECT pred_lbl AS lbl, CAST(COUNT(*) AS BIGINT) AS n_pred
+                 FROM nb_pred GROUP BY 1) p USING (lbl)
+      UNION ALL
+      SELECT 'nb_model', NULL, NULL, vn.v, CAST(nd.nd AS DOUBLE),
+             CAST((SELECT SUM(n_tc) FROM nb_ct) AS DOUBLE)
+      FROM nb_vn vn CROSS JOIN nb_nd nd
+      UNION ALL
+      SELECT 'nb_top', lbl, token, CAST(rank AS BIGINT),
+             ROUND(lo_micro / 1000000.0, 6), NULL
+      FROM (
+        SELECT lbl, token, lo_micro,
+               row_number() OVER (PARTITION BY lbl
+                   ORDER BY lo_micro DESC, token ASC) AS rank
+        FROM (
+          SELECT c.lbl, c.token,
+                 CAST(ROUND((LN((c.n_tc + 1.0) / (t.n_c + vn.v))
+                             - LN((tt.n_t_all - c.n_tc + 1.0)
+                                  / (na.n_all - t.n_c + vn.v)))
+                            * 1000000) AS BIGINT) AS lo_micro
+          FROM nb_ct c
+          JOIN (SELECT token, SUM(n_tc) AS n_t_all
+                FROM nb_ct GROUP BY 1) tt USING (token)
+          JOIN nb_tot t USING (lbl)
+          CROSS JOIN (SELECT SUM(n_c) AS n_all FROM nb_tot) na
+          CROSS JOIN nb_vn vn))
+      WHERE rank <= 3) nb
 """
 
 
 @register("q36_lang_id_confusion", oracle=_LANG_ID_ORACLE,
-          tags=("text", "langid", "drift", "mi"),
-          parts=("confusion", "drift", "mi_cells", "mi"))
+          tags=("text", "langid", "drift", "mi", "nb", "classifier"),
+          parts=("confusion", "drift", "mi_cells", "mi", "nb_conf",
+                 "nb_acc", "nb_cls", "nb_model", "nb_top"))
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-language diagnostics, tagged:
 
@@ -149,6 +253,17 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       and Cramér's V (χ² via the zero-cell-free identity) as one
       summary row — "is the mixture's language profile independent
       of its source?", the pre-training mixture diagnostic.
+    * ``nb_conf``/``nb_acc``/``nb_cls``/``nb_model``/``nb_top`` —
+      r7 session 3: multinomial Naive Bayes language classifier
+      (operators.textual.nb_language_classifier) — the LEARNED
+      classifier next to the heuristic's confusion table, the shape
+      of the fastText-style filters used on LLM pre-training corpora.
+      Trained on a deterministic 4/5 hash split, scored on the held
+      fold with micro-nat-quantized log-likelihoods (exact BIGINT
+      score sums — partition-order invariant, argmax ties break
+      label-ascending). Parts: NB confusion cells, overall accuracy,
+      per-class precision/recall, model card (V, train docs/tokens),
+      and top-3 one-vs-rest log-odds tokens per class.
     """
     from ..operators.textual import distribution_drift
 
@@ -194,8 +309,59 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("lang|source").alias("k1"),
                 F.lit(None).cast("string").alias("k2"),
                 "n", "v1", "v2"))
+    from ..operators.textual import nb_language_classifier
+
+    # nb_*: the learned NB classifier (one extra corpus tokenization;
+    # the tf table and the test-fold predictions are persisted inside
+    # the operator, so the five parts below share them)
+    nb = nb_language_classifier(docs)
+    pred, classes = nb["pred"], nb["classes"]
+    _null_d = F.lit(None).cast("double")
+    _null_s = F.lit(None).cast("string")
+    hit = (F.col("pred_lbl") == F.col("true_lbl")).cast("long")
+    nb_conf = (pred.groupBy("true_lbl", "pred_lbl")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .select(F.lit("nb_conf").alias("part"),
+                       F.col("true_lbl").alias("k1"),
+                       F.col("pred_lbl").alias("k2"), "n",
+                       _null_d.alias("v1"), _null_d.alias("v2")))
+    nb_acc = (pred.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(hit).alias("c"))
+              .select(F.lit("nb_acc").alias("part"),
+                      _null_s.alias("k1"), _null_s.alias("k2"), "n",
+                      F.round(F.col("c") / F.col("n"), 4).alias("v1"),
+                      F.col("c").cast("double").alias("v2")))
+    by_true = (pred.groupBy(F.col("true_lbl").alias("lbl"))
+               .agg(F.count(F.lit(1)).alias("n_act"),
+                    F.sum(hit).alias("n_corr")))
+    by_pred = (pred.groupBy(F.col("pred_lbl").alias("lbl"))
+               .agg(F.count(F.lit(1)).alias("n_pred")))
+    nb_cls = (classes.select("lbl")
+              .join(by_true, "lbl", "left")
+              .join(by_pred, "lbl", "left")
+              .select(F.lit("nb_cls").alias("part"),
+                      F.col("lbl").alias("k1"), _null_s.alias("k2"),
+                      F.coalesce(F.col("n_act"), F.lit(0)).alias("n"),
+                      F.round(F.when(F.col("n_pred") > 0,
+                                     F.coalesce(F.col("n_corr"), F.lit(0))
+                                     / F.col("n_pred")), 4).alias("v1"),
+                      F.round(F.when(F.col("n_act") > 0,
+                                     F.col("n_corr") / F.col("n_act")),
+                              4).alias("v2")))
+    nb_model = nb["model"].select(
+        F.lit("nb_model").alias("part"), _null_s.alias("k1"),
+        _null_s.alias("k2"), F.col("v").alias("n"),
+        F.col("n_train_docs").cast("double").alias("v1"),
+        F.col("n_train_tokens").cast("double").alias("v2"))
+    nb_top = nb["top"].select(
+        F.lit("nb_top").alias("part"), F.col("lbl").alias("k1"),
+        F.col("token").alias("k2"), F.col("rank").cast("long").alias("n"),
+        F.round(F.col("lo_micro") / F.lit(1e6), 6).alias("v1"),
+        _null_d.alias("v2"))
     return (conf.unionByName(drift).unionByName(mi_cells)
-            .unionByName(mi_row))
+            .unionByName(mi_row).unionByName(nb_conf)
+            .unionByName(nb_acc).unionByName(nb_cls)
+            .unionByName(nb_model).unionByName(nb_top))
 
 
 _TEXT_METRICS_ORACLE = f"""

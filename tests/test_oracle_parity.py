@@ -46,7 +46,11 @@ def test_rows_only_queries_run(spark, sf_smoke):
                                   # NULLed (mest lesson), raw-exact
                                   # first_component
                                   "q16_impute_suite",
-                                  "q29_array_functions"])
+                                  "q29_array_functions",
+                                  # r7 session 3: NB classifier parts
+                                  # (micro-nat integer scores) join
+                                  # the scale-stable set
+                                  "q36_lang_id_confusion"])
 def test_pinned_contracts_hold_at_other_scales(spark, name, sf_dir):
     q = REGISTRY[name]
     ok, msg = compare_query_to_oracle(spark, sf_dir, q.fn, q.oracle)

@@ -610,3 +610,66 @@ def test_retrieval_eval_hand_computed(spark):
     assert abs(got["A"].recall_max - 0.5) < 1e-12
     assert got["B"].mx == 3 and got["B"].n_hit_max == 0
     assert got["B"].recall_max == 0.0
+
+
+def test_nb_classifier_planted_separable_corpus(spark):
+    """A corpus whose classes use disjoint vocabularies must classify
+    perfectly; model-card counts and argmax edge cases hand-checked."""
+    from bigdata_spark_assignment_spark.operators.textual import (
+        nb_language_classifier,
+    )
+
+    # fold = md5('nb:'||id) % 5 — pick ids so both folds are populated
+    # regardless of which ids land in fold 0; text is class-disjoint.
+    rows = [(i, ("alpha beta gamma" if i % 2 == 0 else "uno dos tres"),
+             ("aa" if i % 2 == 0 else "bb"))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    nb = nb_language_classifier(docs)
+
+    pred = {r["doc_id"]: r for r in nb["pred"].collect()}
+    assert pred, "test fold must be non-empty for ids 0..39"
+    for r in pred.values():
+        assert r["pred_lbl"] == r["true_lbl"], r
+
+    model = nb["model"].collect()[0]
+    n_test = len(pred)
+    assert model["n_train_docs"] == 40 - n_test
+    # vocab is the 6 distinct train tokens (both classes always have
+    # >= 1 train doc: 20 docs per class, at most ~12 fall in one fold)
+    assert model["v"] == 6
+    # every train doc contributes exactly 3 tokens
+    assert model["n_train_tokens"] == 3 * (40 - n_test)
+
+    # top log-odds tokens per class come from the class's own vocab
+    for r in nb["top"].collect():
+        own = {"aa": {"alpha", "beta", "gamma"},
+               "bb": {"uno", "dos", "tres"}}[r["lbl"]]
+        assert r["token"] in own, r
+        assert r["lo_micro"] > 0
+
+
+def test_nb_classifier_oov_doc_falls_back_to_prior(spark):
+    """A test-fold doc made of only out-of-vocabulary tokens carries no
+    evidence: it must be predicted as the max-prior class (ties broken
+    label-ascending)."""
+    from bigdata_spark_assignment_spark.operators.textual import (
+        nb_language_classifier,
+    )
+
+    # doc_id 1 lands in fold 0 for salt 'nb' (md5('nb:1') — asserted
+    # below), its text shares no token with any training doc; class
+    # 'aa' has more training docs than 'bb' => higher prior.
+    rows = [(1, "zzz qqq", "bb")]
+    rows += [(i, "alpha beta", "aa") for i in range(2, 20)]
+    rows += [(i, "uno dos", "bb") for i in range(20, 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    nb = nb_language_classifier(docs)
+    pred = {r["doc_id"]: r for r in nb["pred"].collect()}
+    assert 1 in pred, "doc_id 1 must hash into the test fold"
+    got = pred[1]
+    # all its tokens are OOV -> score = prior only; 'aa' trains on more
+    # docs than 'bb' in every fold assignment of ids 2..29 (18 vs 10,
+    # minus at most ~8 per class held out), so prior('aa') > prior('bb')
+    assert got["pred_lbl"] == "aa"
+    assert got["true_lbl"] == "bb"
