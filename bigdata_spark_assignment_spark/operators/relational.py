@@ -2153,3 +2153,145 @@ def gini_coefficient(df: DataFrame, value_col: str,
                   F.lit(2.0) * F.col("__rwsum") / (n * t)
                   - (n + 1) / n)
     return g.select(*key_cols, "n_rows", "total", gini.alias("gini"))
+
+
+def cuped_estimate(per_unit: DataFrame, x_col: str = "xq",
+                   y_col: str = "yq", variant_col: str = "variant",
+                   a_label: str = "a") -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the industry-
+    standard A/B-test adjustment: regress the experiment metric Y on a
+    pre-experiment covariate X and analyze Y_adj = Y − θ·(X − X̄),
+    θ = cov(X, Y)/var(X) pooled over both variants.
+
+    Runs as ONE sufficient-statistics aggregate over per-unit rows.
+    ``x_col``/``y_col`` MUST be exact integers (micro-quantized
+    pre/post unit metrics — the q07-cmat discipline): every sum below
+    is then exact and partition-order invariant, and θ, the adjusted
+    effect, and the variance-reduction readout are a FIXED double
+    expression tree over identical operands on any engine.
+
+    The adjusted per-unit values are never materialized — the variant
+    means of Y_adj collapse algebraically to
+    mean(Y|v) − θ·(mean(X|v) − mean(X)), and
+    var(Y_adj) = var(Y) − cov²(X,Y)/var(X), so the whole estimator
+    reads off the one aggregate row. Degenerate guards: var(X) = 0 →
+    θ, adjusted effect and reduction are NULL; a missing variant
+    leaves its mean (and both effects) NULL.
+
+    Returns 1 row: (n, n_a, n_b, theta, raw_effect, adj_effect,
+    var_y, var_adj, var_reduction_pct) in the UNITS of x/y (callers
+    rescale). 100 TB: per-unit rows are one upstream aggregate over
+    the event stream; this is a second tiny aggregate — no sorts, no
+    windows, map-side partial everywhere.
+    """
+    is_a = (F.col(variant_col) == a_label).cast("long")
+    is_b = (F.col(variant_col) != a_label).cast("long")
+    x, y = F.col(x_col), F.col(y_col)
+    g = per_unit.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(is_a).alias("n_a"), F.sum(is_b).alias("n_b"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(is_a * x).alias("sx_a"), F.sum(is_a * y).alias("sy_a"),
+        F.sum(is_b * x).alias("sx_b"), F.sum(is_b * y).alias("sy_b"))
+    # exact BIGINT sums → one cast each to double (exact while the
+    # caller keeps Σx² < 2^53 — the quantization-grid contract), then
+    # every derived quantity is a fixed all-double expression tree;
+    # long×long products like sx·sy would overflow int64, doubles
+    # cannot. Oracle mirrors with CAST(SUM(..) AS DOUBLE).
+    g = g.select("n", "n_a", "n_b",
+                 *[F.col(c).cast("double").alias(c)
+                   for c in ("sx", "sy", "sxx", "sxy", "syy",
+                             "sx_a", "sy_a", "sx_b", "sy_b")])
+    n = F.col("n").cast("double")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / n
+    theta = F.when(var_x > 0, cov / var_x)
+    mean = lambda s, c: F.when(F.col(c) > 0, F.col(s) / F.col(c))  # noqa: E731
+    raw = mean("sy_a", "n_a") - mean("sy_b", "n_b")
+    adj = raw - theta * (mean("sx_a", "n_a") - mean("sx_b", "n_b"))
+    var_adj = F.when(var_x > 0, var_y - cov * cov / var_x)
+    vr = F.when((var_x > 0) & (var_y > 0),
+                F.lit(100.0) * (cov * cov / (var_x * var_y)))
+    return g.select("n", "n_a", "n_b", theta.alias("theta"),
+                    raw.alias("raw_effect"), adj.alias("adj_effect"),
+                    var_y.alias("var_y"), var_adj.alias("var_adj"),
+                    vr.alias("var_reduction_pct"))
+
+
+def diff_in_diff(df: DataFrame, variant_col: str = "variant",
+                 post_col: str = "is_post", value_col: str = "vq",
+                 a_label: str = "a") -> DataFrame:
+    """Difference-in-differences over a 2×2 (variant × period) design:
+    DiD = (mean_a_post − mean_a_pre) − (mean_b_post − mean_b_pre).
+
+    ONE aggregate over the event stream; ``value_col`` must be an
+    exact integer (quantized metric), so each cell's (sum, n) is
+    exact and every mean is the same integer-ratio double on any
+    engine. Returns 1 row: the four cell means plus pre_diff,
+    post_diff and the DiD estimate (NULL if any cell is empty) in
+    value units. 100 TB: a 4-cell map-side-combined aggregate."""
+    a = (F.col(variant_col) == a_label).cast("long")
+    b = (F.col(variant_col) != a_label).cast("long")
+    post = F.col(post_col).cast("long")
+    pre = (1 - post)
+    v = F.col(value_col)
+
+    def cell(tag: Column) -> tuple[Column, Column]:
+        return F.sum(tag * v), F.sum(tag)
+
+    cells = {}
+    for name, tag in (("a_pre", a * pre), ("a_post", a * post),
+                      ("b_pre", b * pre), ("b_post", b * post)):
+        s, c = cell(tag)
+        cells[name] = (s.alias(f"s_{name}"), c.alias(f"c_{name}"))
+    g = df.agg(*[x for pair in cells.values() for x in pair])
+    m = {name: F.when(F.col(f"c_{name}") > 0,
+                      F.col(f"s_{name}") / F.col(f"c_{name}"))
+         for name in cells}
+    pre_diff = m["a_pre"] - m["b_pre"]
+    post_diff = m["a_post"] - m["b_post"]
+    did = (m["a_post"] - m["a_pre"]) - (m["b_post"] - m["b_pre"])
+    return g.select(
+        (F.col("c_a_pre") + F.col("c_b_pre")).alias("n_pre"),
+        (F.col("c_a_post") + F.col("c_b_post")).alias("n_post"),
+        m["a_pre"].alias("mean_a_pre"), m["a_post"].alias("mean_a_post"),
+        m["b_pre"].alias("mean_b_pre"), m["b_post"].alias("mean_b_post"),
+        pre_diff.alias("pre_diff"), post_diff.alias("post_diff"),
+        did.alias("did"))
+
+
+def post_stratified_effect(df: DataFrame, stratum_col: str,
+                           variant_col: str = "variant",
+                           value_col: str = "vq", a_label: str = "a",
+                           micro: int = 10_000) -> DataFrame:
+    """Post-stratification estimator: the A/B effect re-weighted by
+    stratum size, Σ_s w_s·(mean_a,s − mean_b,s), w_s = n_s / N over
+    strata observed in BOTH variants (a one-sided stratum has no
+    within-stratum contrast and is excluded from both the sum and N —
+    documented convention).
+
+    Two tiny aggregates (per-stratum cells → weighted sum). Exactness:
+    ``value_col`` is an exact integer, so each stratum's mean diff is
+    a fixed integer-ratio double; the diff is then micro-quantized
+    (ROUND(diff·micro) — the q56 discipline) so the cross-stratum
+    weighted sum Σ diff_q·n_s runs in exact BIGINTs and the final
+    estimate is one exact-integer division. Returns 1 row:
+    (n_strata, n_events, effect_q) with effect_q = Σ diff_q·n_s —
+    callers divide by N·micro to read the effect in value units."""
+    a = (F.col(variant_col) == a_label).cast("long")
+    b = (F.col(variant_col) != a_label).cast("long")
+    v = F.col(value_col)
+    per_s = (df.groupBy(stratum_col)
+             .agg(F.sum(a * v).alias("s_a"), F.sum(a).alias("n_a"),
+                  F.sum(b * v).alias("s_b"), F.sum(b).alias("n_b")))
+    both = per_s.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    diff_q = F.round((F.col("s_a") / F.col("n_a")
+                      - F.col("s_b") / F.col("n_b")) * micro).cast("long")
+    return (both.select(diff_q.alias("dq"),
+                        (F.col("n_a") + F.col("n_b")).alias("n_s"))
+            .agg(F.count(F.lit(1)).alias("n_strata"),
+                 F.sum("n_s").alias("n_events"),
+                 F.sum(F.col("dq") * F.col("n_s")).alias("effect_q")))

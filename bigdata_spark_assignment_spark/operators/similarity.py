@@ -580,3 +580,51 @@ def pca_project(df: DataFrame, fit: dict, id_col: str = "vec_id",
         cols.append((dot_literal_expr(F.col(vec_col), comp)
                      - F.lit(float(offset))).alias(f"pc{j}"))
     return df.select(*cols)
+
+
+def hard_negative_topk(corpus: DataFrame, queries: DataFrame,
+                       k: int = 10, dup_threshold: float = 0.9,
+                       floor: float | None = None,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    anchor (query) vector, the top-``k`` HIGHEST-cosine candidates that
+    are NOT positives — self and near-duplicates (cosine ≥
+    ``dup_threshold``) are excluded before ranking, optionally with a
+    ``floor`` cutting away easy negatives. These are the pairs a
+    contrastive loss (InfoNCE/triplet) learns most from; mining them
+    against the full corpus is the standard large-scale pipeline step
+    (e.g. DPR/SimCSE-style training sets).
+
+    Same plan shape as ``brute_force_topk`` (broadcast anchors, corpus
+    never shuffles, one rank window per anchor): the exclusion is a
+    pre-rank filter, so ranks are dense over the kept candidates.
+    Cross-engine determinism needs no quantization: the cosine doubles
+    are computed by the identical expression tree on both engines, so
+    threshold comparisons agree bitwise; ties break by neighbor id.
+
+    100 TB path: swap the crossJoin for the LSH/IVF candidate
+    generator (``ann_topk_lsh``/``ann_topk_ivf_prefit``) and keep this
+    exclusion+rank tail — semantics per anchor are unchanged whenever
+    the candidate set covers the true top-k band below the duplicate
+    threshold."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("c_vec"), F.col("q_vec")))
+        .filter(F.col("cosine") < dup_threshold)
+    )
+    if floor is not None:
+        scored = scored.filter(F.col("cosine") >= floor)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )

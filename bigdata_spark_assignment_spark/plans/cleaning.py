@@ -1147,11 +1147,212 @@ _BOOT_W = _poisson_w_sql(
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
                AS p_adj
       FROM rk) g
+    UNION ALL
+    -- r7 session 3: CUPED variance reduction
+    -- (operators.relational.cuped_estimate) — per-user pre/post means
+    -- quantized to milli-dollars, one exact-BIGINT sufficient-stats
+    -- aggregate, fixed all-double readout tree (operator docstring)
+    SELECT 'cuped', NULL, NULL, g.n_a, g.n_b,
+           ROUND(g.theta, 4),
+           ROUND(g.raw_eff / 1000.0, 4),
+           ROUND(g.adj_eff / 1000.0, 4)
+    FROM (
+      WITH ex6 AS (
+        SELECT user_id,
+               CASE WHEN CAST(('0x' || substring(
+                        md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS variant,
+               CAST(ROUND(value * 100) AS BIGINT) AS vq,
+               ts >= TIMESTAMP '2024-01-16 00:00:00' AS is_post
+        FROM events WHERE value IS NOT NULL),
+      pu6 AS (
+        SELECT variant,
+               CAST(ROUND(SUM(CASE WHEN NOT is_post THEN vq END)
+                          / SUM(CASE WHEN NOT is_post THEN 1 ELSE 0 END)
+                          * 10) AS BIGINT) AS xq,
+               CAST(ROUND(SUM(CASE WHEN is_post THEN vq END)
+                          / SUM(CASE WHEN is_post THEN 1 ELSE 0 END)
+                          * 10) AS BIGINT) AS yq
+        FROM ex6 GROUP BY user_id, variant
+        HAVING SUM(CASE WHEN NOT is_post THEN 1 ELSE 0 END) > 0
+           AND SUM(CASE WHEN is_post THEN 1 ELSE 0 END) > 0),
+      st6 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(SUM(xq) AS DOUBLE) AS sx,
+               CAST(SUM(yq) AS DOUBLE) AS sy,
+               CAST(SUM(xq * xq) AS DOUBLE) AS sxx,
+               CAST(SUM(xq * yq) AS DOUBLE) AS sxy,
+               CAST(SUM(yq * yq) AS DOUBLE) AS syy,
+               CAST(SUM(CASE WHEN variant = 'a' THEN xq ELSE 0 END)
+                    AS DOUBLE) AS sx_a,
+               CAST(SUM(CASE WHEN variant = 'a' THEN yq ELSE 0 END)
+                    AS DOUBLE) AS sy_a,
+               CAST(SUM(CASE WHEN variant = 'b' THEN xq ELSE 0 END)
+                    AS DOUBLE) AS sx_b,
+               CAST(SUM(CASE WHEN variant = 'b' THEN yq ELSE 0 END)
+                    AS DOUBLE) AS sy_b
+        FROM pu6),
+      rd6 AS (
+        SELECT n, n_a, n_b,
+               (sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                 AS cov,
+               (sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                 AS var_x,
+               (syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                 AS var_y,
+               CASE WHEN n_a > 0 THEN sy_a / n_a END
+                 - CASE WHEN n_b > 0 THEN sy_b / n_b END AS raw_eff,
+               CASE WHEN n_a > 0 THEN sx_a / n_a END
+                 - CASE WHEN n_b > 0 THEN sx_b / n_b END AS x_diff
+        FROM st6)
+      SELECT n_a, n_b,
+             CASE WHEN var_x > 0 THEN cov / var_x END AS theta,
+             raw_eff,
+             raw_eff - CASE WHEN var_x > 0 THEN cov / var_x END * x_diff
+               AS adj_eff
+      FROM rd6) g
+    UNION ALL
+    -- r7 session 3: CUPED variance readout (same chain) —
+    -- var(Y_adj) = var(Y) − cov²/var(X), reduction = 100·corr²(X,Y)
+    SELECT 'cuped_var', NULL, NULL, g.n, NULL,
+           ROUND(g.var_y / 1000000.0, 4),
+           ROUND(CASE WHEN g.var_x > 0
+                      THEN g.var_y - g.cov * g.cov / g.var_x END
+                 / 1000000.0, 4),
+           ROUND(CASE WHEN g.var_x > 0 AND g.var_y > 0
+                      THEN 100.0 * (g.cov * g.cov
+                                    / (g.var_x * g.var_y)) END, 4)
+    FROM (
+      WITH ex7 AS (
+        SELECT user_id,
+               CASE WHEN CAST(('0x' || substring(
+                        md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS variant,
+               CAST(ROUND(value * 100) AS BIGINT) AS vq,
+               ts >= TIMESTAMP '2024-01-16 00:00:00' AS is_post
+        FROM events WHERE value IS NOT NULL),
+      pu7 AS (
+        SELECT variant,
+               CAST(ROUND(SUM(CASE WHEN NOT is_post THEN vq END)
+                          / SUM(CASE WHEN NOT is_post THEN 1 ELSE 0 END)
+                          * 10) AS BIGINT) AS xq,
+               CAST(ROUND(SUM(CASE WHEN is_post THEN vq END)
+                          / SUM(CASE WHEN is_post THEN 1 ELSE 0 END)
+                          * 10) AS BIGINT) AS yq
+        FROM ex7 GROUP BY user_id, variant
+        HAVING SUM(CASE WHEN NOT is_post THEN 1 ELSE 0 END) > 0
+           AND SUM(CASE WHEN is_post THEN 1 ELSE 0 END) > 0),
+      st7 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS DOUBLE) AS sx,
+               CAST(SUM(yq) AS DOUBLE) AS sy,
+               CAST(SUM(xq * xq) AS DOUBLE) AS sxx,
+               CAST(SUM(xq * yq) AS DOUBLE) AS sxy,
+               CAST(SUM(yq * yq) AS DOUBLE) AS syy
+        FROM pu7)
+      SELECT n,
+             (sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS cov,
+             (sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS var_x,
+             (syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS var_y
+      FROM st7) g
+    UNION ALL
+    -- r7 session 3: difference-in-differences over the 2×2
+    -- variant × period design (operators.relational.diff_in_diff) —
+    -- one 4-cell aggregate of exact cent sums, means as the same
+    -- integer-ratio doubles, NULL if any cell is empty
+    SELECT 'did', NULL, NULL, g.n_pre, g.n_post,
+           ROUND((g.m_a_pre - g.m_b_pre) / 100.0, 4),
+           ROUND((g.m_a_post - g.m_b_post) / 100.0, 4),
+           ROUND(((g.m_a_post - g.m_a_pre)
+                  - (g.m_b_post - g.m_b_pre)) / 100.0, 4)
+    FROM (
+      WITH ex8 AS (
+        SELECT CASE WHEN CAST(('0x' || substring(
+                        md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS variant,
+               CAST(ROUND(value * 100) AS BIGINT) AS vq,
+               ts >= TIMESTAMP '2024-01-16 00:00:00' AS is_post
+        FROM events WHERE value IS NOT NULL),
+      cl8 AS (
+        SELECT CAST(SUM(CASE WHEN variant = 'a' AND NOT is_post
+                             THEN vq ELSE 0 END) AS BIGINT) AS s_a_pre,
+               CAST(SUM(CASE WHEN variant = 'a' AND NOT is_post
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c_a_pre,
+               CAST(SUM(CASE WHEN variant = 'a' AND is_post
+                             THEN vq ELSE 0 END) AS BIGINT) AS s_a_post,
+               CAST(SUM(CASE WHEN variant = 'a' AND is_post
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c_a_post,
+               CAST(SUM(CASE WHEN variant = 'b' AND NOT is_post
+                             THEN vq ELSE 0 END) AS BIGINT) AS s_b_pre,
+               CAST(SUM(CASE WHEN variant = 'b' AND NOT is_post
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c_b_pre,
+               CAST(SUM(CASE WHEN variant = 'b' AND is_post
+                             THEN vq ELSE 0 END) AS BIGINT) AS s_b_post,
+               CAST(SUM(CASE WHEN variant = 'b' AND is_post
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c_b_post
+        FROM ex8)
+      SELECT c_a_pre + c_b_pre AS n_pre,
+             c_a_post + c_b_post AS n_post,
+             CASE WHEN c_a_pre > 0 THEN s_a_pre / c_a_pre END AS m_a_pre,
+             CASE WHEN c_a_post > 0 THEN s_a_post / c_a_post END
+               AS m_a_post,
+             CASE WHEN c_b_pre > 0 THEN s_b_pre / c_b_pre END AS m_b_pre,
+             CASE WHEN c_b_post > 0 THEN s_b_post / c_b_post END
+               AS m_b_post
+      FROM cl8) g
+    UNION ALL
+    -- r7 session 3: post-stratification estimator
+    -- (operators.relational.post_stratified_effect) — per-stratum
+    -- mean diffs micro-quantized (×10⁴ on cents), cross-stratum
+    -- weighted sum in exact BIGINTs; strata observed in one variant
+    -- only are excluded from both the sum and N
+    SELECT 'strat', NULL, NULL, g.n_strata, g.n_events,
+           ROUND(g.effect_q / g.n_events / 1000000.0, 4), NULL, NULL
+    FROM (
+      WITH ex9 AS (
+        SELECT event_type,
+               CASE WHEN CAST(('0x' || substring(
+                        md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS variant,
+               CAST(ROUND(value * 100) AS BIGINT) AS vq
+        FROM events WHERE value IS NOT NULL),
+      ps9 AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN variant = 'a' THEN vq ELSE 0 END)
+                    AS BIGINT) AS s_a,
+               CAST(SUM(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 'b' THEN vq ELSE 0 END)
+                    AS BIGINT) AS s_b,
+               CAST(SUM(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM ex9 GROUP BY 1),
+      bt9 AS (
+        SELECT CAST(ROUND((s_a / n_a - s_b / n_b) * 10000) AS BIGINT)
+                 AS dq,
+               n_a + n_b AS n_s
+        FROM ps9 WHERE n_a > 0 AND n_b > 0)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(n_s) AS BIGINT) AS n_events,
+             CAST(SUM(dq * n_s) AS BIGINT) AS effect_q
+      FROM bt9) g
     """,
     tags=("split", "sampling", "abtest", "winsorize", "bootstrap",
-          "isotonic", "trend", "anova", "fdr"),
+          "isotonic", "trend", "anova", "fdr", "causal", "cuped"),
     parts=("split", "ttest", "mwu", "ks", "chi2", "wins", "boot",
-           "iso", "ols", "theil", "mk", "benford", "anova", "bh"),
+           "iso", "ols", "theil", "mk", "benford", "anova", "bh",
+           "cuped", "cuped_var", "did", "strat"),
 )
 def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment-infrastructure suite, tagged:
@@ -1223,6 +1424,27 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       slopes rounded 9 dp BEFORE the order statistic so both engines
       pick the identical middle pair. n1 = points, n2 = pairs,
       v1 = slope.
+    * ``cuped``/``cuped_var`` — r7 session 3: CUPED variance
+      reduction (operators.relational.cuped_estimate, Deng et al.
+      2013): per-user pre-period mean as the covariate (milli-dollar
+      quantized — keeps Σx² < 2^53 through sf1 so the exact BIGINT
+      sufficient sums cast to double exactly on both engines), pooled
+      θ = cov/var, adjusted effect and var(Y_adj) read off ONE
+      aggregate algebraically — per-unit adjusted values never
+      materialize. n1/n2 = arm unit counts (row 1) / n units (row 2),
+      v = θ, raw effect, adjusted effect / var(Y), var(Y_adj),
+      reduction %.
+    * ``did`` — r7 session 3: difference-in-differences over the 2×2
+      variant × mid-month-period design
+      (operators.relational.diff_in_diff): one 4-cell aggregate of
+      exact cent sums; the parallel-trends contrast
+      (Δpost − Δpre) in dollars. n1/n2 = pre/post rows,
+      v1/v2/v3 = pre diff, post diff, DiD.
+    * ``strat`` — r7 session 3: post-stratification estimator
+      (operators.relational.post_stratified_effect): per-event-type
+      mean diffs micro-quantized, stratum-size-weighted sum runs in
+      exact BIGINTs; one-variant strata excluded from sum and N.
+      n1/n2 = strata used / events used, v1 = stratified effect.
     """
     from ..operators.cleaning import deterministic_split
     from ..operators.relational import (chi2_independence,
@@ -1232,6 +1454,7 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = deterministic_split(docs, "doc_id", train_pct=80)
     nullL = F.lit(None).cast("long")
     nullD = F.lit(None).cast("double")
+    nullS = F.lit(None).cast("string")
     split = (out.groupBy("lang", "split")
              .agg(F.count(F.lit(1)).alias("n1"))
              .select(F.lit("split").alias("part"),
@@ -1439,11 +1662,73 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round("p_adj", 6).alias("v2"),
                   F.when(F.col("rejected"), 1.0).otherwise(0.0)
                    .alias("v3")))
+    from ..operators.relational import (cuped_estimate, diff_in_diff,
+                                        post_stratified_effect)
+
+    # cuped / cuped_var / did / strat — r7 session 3: the causal-
+    # adjustment estimators next to the raw tests. Shared quantized
+    # event view: value → exact cents, period split at mid-month.
+    cut_ts = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    evx = (assigned.filter(F.col("value").isNotNull())
+           .select("user_id", "variant", "event_type",
+                   F.round(F.col("value") * 100).cast("long").alias("vq"),
+                   (F.col("ts") >= cut_ts).alias("is_post")))
+    # per-user pre/post means quantized to milli-dollars (cents·10):
+    # keeps Σx² < 2^53 through sf1 so the sufficient sums cast to
+    # double exactly on both engines (operator docstring)
+    per_user = (evx.groupBy("user_id", "variant")
+                .agg(F.sum(F.when(~F.col("is_post"), F.col("vq")))
+                     .alias("pre_s"),
+                     F.sum(F.when(~F.col("is_post"), 1).otherwise(0))
+                     .alias("pre_n"),
+                     F.sum(F.when(F.col("is_post"), F.col("vq")))
+                     .alias("post_s"),
+                     F.sum(F.when(F.col("is_post"), 1).otherwise(0))
+                     .alias("post_n"))
+                .filter((F.col("pre_n") > 0) & (F.col("post_n") > 0))
+                .select("variant",
+                        F.round(F.col("pre_s") / F.col("pre_n") * 10)
+                        .cast("long").alias("xq"),
+                        F.round(F.col("post_s") / F.col("post_n") * 10)
+                        .cast("long").alias("yq")))
+    cu = cuped_estimate(per_user)
+    cuped = cu.select(F.lit("cuped").alias("part"),
+                      nullS.alias("k1"), nullS.alias("k2"),
+                      F.col("n_a").alias("n1"), F.col("n_b").alias("n2"),
+                      fround(F.col("theta")).alias("v1"),
+                      fround(F.col("raw_effect") / F.lit(1e3)).alias("v2"),
+                      fround(F.col("adj_effect") / F.lit(1e3)).alias("v3"))
+    cupedv = cu.select(F.lit("cuped_var").alias("part"),
+                       nullS.alias("k1"), nullS.alias("k2"),
+                       F.col("n").alias("n1"),
+                       F.lit(None).cast("long").alias("n2"),
+                       fround(F.col("var_y") / F.lit(1e6)).alias("v1"),
+                       fround(F.col("var_adj") / F.lit(1e6)).alias("v2"),
+                       fround(F.col("var_reduction_pct")).alias("v3"))
+    dd = (diff_in_diff(evx, value_col="vq")
+          .select(F.lit("did").alias("part"),
+                  nullS.alias("k1"), nullS.alias("k2"),
+                  F.col("n_pre").alias("n1"), F.col("n_post").alias("n2"),
+                  fround(F.col("pre_diff") / F.lit(1e2)).alias("v1"),
+                  fround(F.col("post_diff") / F.lit(1e2)).alias("v2"),
+                  fround(F.col("did") / F.lit(1e2)).alias("v3")))
+    strat = (post_stratified_effect(evx, "event_type", value_col="vq",
+                                    micro=10_000)
+             .select(F.lit("strat").alias("part"),
+                     nullS.alias("k1"), nullS.alias("k2"),
+                     F.col("n_strata").alias("n1"),
+                     F.col("n_events").alias("n2"),
+                     fround(F.col("effect_q") / F.col("n_events")
+                            / F.lit(1e6)).alias("v1"),
+                     nullD.alias("v2"), nullD.alias("v3")))
+
     return (split.unionByName(tt).unionByName(mw).unionByName(ks)
             .unionByName(c2)
             .unionByName(wins).unionByName(boot).unionByName(iso)
             .unionByName(ols).unionByName(theil).unionByName(mk)
-            .unionByName(bf).unionByName(anova).unionByName(bh))
+            .unionByName(bf).unionByName(anova).unionByName(bh)
+            .unionByName(cuped).unionByName(cupedv)
+            .unionByName(dd).unionByName(strat))
 
 
 @register(

@@ -44,27 +44,58 @@ _DUCK_COS = """
       SELECT query_id, neighbor_id, cos,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, neighbor_id) AS rnk
-      FROM scored)
-    SELECT CAST(query_id AS BIGINT)    AS query_id,
+      FROM scored),
+    -- r7 session 3: hard-negative mining — same scored table, near-
+    -- duplicates (cos >= 0.4, the corpus's q41 near-dup notion)
+    -- excluded BEFORE ranking; identical cosine doubles on both
+    -- engines make the threshold bitwise-stable
+    hneg AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored WHERE cos < 0.4)
+    SELECT 'topk' AS part,
+           CAST(query_id AS BIGINT)    AS query_id,
            CAST(neighbor_id AS BIGINT) AS neighbor_id,
            ROUND(cos, 4)               AS cosine,
            CAST(rnk AS INTEGER)        AS rank
     FROM ranked WHERE rnk <= 10
+    UNION ALL
+    SELECT 'hardneg', CAST(query_id AS BIGINT),
+           CAST(neighbor_id AS BIGINT), ROUND(cos, 4),
+           CAST(rnk AS INTEGER)
+    FROM hneg WHERE rnk <= 10
     """,
-    tags=("similarity", "topk"),
+    tags=("similarity", "topk", "hardneg", "contrastive"),
+    parts=("topk", "hardneg"),
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for 5 probe vectors — the ANN ground truth.
-    All-JVM array math (zip_with/aggregate in double); the probe side
-    is broadcast so the corpus never shuffles for the join."""
+    """Exact cosine retrieval for 5 probe vectors, tagged parts:
+
+    * ``topk`` — exact cosine top-10 — the ANN ground truth. All-JVM
+      array math (zip_with/aggregate in double); the probe side is
+      broadcast so the corpus never shuffles for the join.
+    * ``hardneg`` — r7 session 3: hard-negative mining for
+      contrastive embedding training
+      (operators.similarity.hard_negative_topk): per anchor, the
+      top-10 highest-cosine candidates BELOW the corpus's near-dup
+      threshold (0.4 — q41's) — the InfoNCE/triplet pairs a training
+      pipeline mines against the full corpus. Same broadcast plan;
+      the exclusion is a pre-rank filter.
+    """
     # fan_out: 64-dim dot products over every corpus row are scan-
     # stage work; recover parallelism on the single-row-group file
     # (io.scan_fanout; measured 0.54s -> 0.37s at sf0.1)
+    from ..operators.similarity import hard_negative_topk
+
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     queries = emb.filter(F.col("vec_id") < 5)
     out = brute_force_topk(emb, queries, k=10)
-    return out.select("query_id", "neighbor_id",
-                      fround(F.col("cosine")).alias("cosine"), "rank")
+    hn = hard_negative_topk(emb, queries, k=10, dup_threshold=0.4)
+    sel = lambda df, tag: df.select(  # noqa: E731
+        F.lit(tag).alias("part"), "query_id", "neighbor_id",
+        fround(F.col("cosine")).alias("cosine"), "rank")
+    return sel(out, "topk").unionByName(sel(hn, "hardneg"))
 
 
 @register(

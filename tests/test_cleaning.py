@@ -1163,3 +1163,100 @@ def test_quantile_normalize_hand_computed_and_null_group(spark):
                    ("B", 20.0, 20.0), ("~", 5.0, 20.0),
                    ("~", 5.0, 20.0)]
     assert len(out) == len(rows)  # no rows lost to the join
+
+
+def test_cuped_estimate_numpy_parity_and_guards(spark):
+    """CUPED readouts vs a direct numpy computation, plus the
+    degenerate var(X)=0 and one-arm guards."""
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        cuped_estimate,
+    )
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(100, 2000, size=60)
+    y = x + rng.randint(-50, 300, size=60)
+    variant = np.where(np.arange(60) % 2 == 0, "a", "b")
+    df = spark.createDataFrame(
+        [(str(variant[i]), int(x[i]), int(y[i])) for i in range(60)],
+        "variant string, xq long, yq long")
+    got = cuped_estimate(df).collect()[0]
+
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    assert abs(got["theta"] - theta) < 1e-9
+    raw = y[variant == "a"].mean() - y[variant == "b"].mean()
+    assert abs(got["raw_effect"] - raw) < 1e-9
+    adj = raw - theta * (x[variant == "a"].mean()
+                         - x[variant == "b"].mean())
+    assert abs(got["adj_effect"] - adj) < 1e-9
+    # identity: var_adj equals the variance of the adjusted values
+    y_adj = y - theta * (x - x.mean())
+    assert abs(got["var_adj"] - np.var(y_adj)) < 1e-6
+    assert 0.0 <= got["var_reduction_pct"] <= 100.0
+    # strong pre/post correlation here -> real reduction
+    assert got["var_reduction_pct"] > 50.0
+
+    # var(X) = 0 -> theta/adj/var_adj/reduction all NULL
+    const = spark.createDataFrame(
+        [("a", 5, 10), ("b", 5, 20), ("a", 5, 12)],
+        "variant string, xq long, yq long")
+    g = cuped_estimate(const).collect()[0]
+    assert g["theta"] is None and g["adj_effect"] is None
+    assert g["var_adj"] is None and g["var_reduction_pct"] is None
+    assert g["raw_effect"] is not None
+
+    # one-arm input -> raw/adj NULL, counts still real
+    one = spark.createDataFrame([("a", 1, 2), ("a", 3, 4)],
+                                "variant string, xq long, yq long")
+    g1 = cuped_estimate(one).collect()[0]
+    assert g1["n_b"] == 0 and g1["raw_effect"] is None
+
+
+def test_diff_in_diff_hand_computed(spark):
+    from bigdata_spark_assignment_spark.operators.relational import (
+        diff_in_diff,
+    )
+
+    rows = [
+        # variant, is_post, vq     cell means: a_pre 10, a_post 30,
+        ("a", False, 10), ("a", False, 10),  # b_pre 20, b_post 25
+        ("a", True, 20), ("a", True, 40),
+        ("b", False, 15), ("b", False, 25),
+        ("b", True, 25),
+    ]
+    df = spark.createDataFrame(rows, "variant string, is_post boolean, vq long")
+    g = diff_in_diff(df).collect()[0]
+    assert g["n_pre"] == 4 and g["n_post"] == 3
+    assert g["mean_a_pre"] == 10.0 and g["mean_a_post"] == 30.0
+    assert g["mean_b_pre"] == 20.0 and g["mean_b_post"] == 25.0
+    assert g["pre_diff"] == -10.0 and g["post_diff"] == 5.0
+    assert g["did"] == (30.0 - 10.0) - (25.0 - 20.0)
+
+    # empty cell -> NULL estimate, counts intact
+    df2 = spark.createDataFrame(rows[:4], "variant string, is_post boolean, vq long")
+    g2 = diff_in_diff(df2).collect()[0]
+    assert g2["did"] is None and g2["n_pre"] == 2
+
+
+def test_post_stratified_effect_hand_computed(spark):
+    from bigdata_spark_assignment_spark.operators.relational import (
+        post_stratified_effect,
+    )
+
+    rows = [
+        # stratum s1: a mean 20, b mean 10 -> diff 10, n_s 4
+        ("s1", "a", 15), ("s1", "a", 25), ("s1", "b", 5), ("s1", "b", 15),
+        # stratum s2: a mean 100, b mean 90 -> diff 10, n_s 3
+        ("s2", "a", 100), ("s2", "b", 80), ("s2", "b", 100),
+        # stratum s3: one-sided -> excluded entirely
+        ("s3", "a", 999),
+    ]
+    df = spark.createDataFrame(rows, "stratum string, variant string, vq long")
+    g = post_stratified_effect(df, "stratum", micro=100).collect()[0]
+    assert g["n_strata"] == 2
+    assert g["n_events"] == 7
+    # both strata diff 10 -> dq 1000 each; effect_q = 1000*4 + 1000*3
+    assert g["effect_q"] == 7000
+    # estimate in vq units: 7000 / 7 / 100 = 10
+    assert g["effect_q"] / g["n_events"] / 100 == 10.0

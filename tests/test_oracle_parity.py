@@ -50,7 +50,11 @@ def test_rows_only_queries_run(spark, sf_smoke):
                                   # r7 session 3: NB classifier parts
                                   # (micro-nat integer scores) join
                                   # the scale-stable set
-                                  "q36_lang_id_confusion"])
+                                  "q36_lang_id_confusion",
+                                  # r7 session 3: CUPED/DiD/strat
+                                  # causal-adjustment legs (exact
+                                  # BIGINT sufficient stats)
+                                  "q62_deterministic_hash_split"])
 def test_pinned_contracts_hold_at_other_scales(spark, name, sf_dir):
     q = REGISTRY[name]
     ok, msg = compare_query_to_oracle(spark, sf_dir, q.fn, q.oracle)

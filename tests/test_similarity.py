@@ -236,3 +236,42 @@ def test_pca_fit_project_numpy_parity_and_plan(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan
+
+
+def test_hard_negative_topk_excludes_near_dups(spark):
+    """Hand-built corpus: the near-duplicate of each anchor must be
+    excluded, the remaining candidates ranked by cosine."""
+    import math
+
+    from bigdata_spark_assignment_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negative_topk,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    # anchor 0 at angle 0; near-dup at 5deg (cos~0.996); negatives at
+    # 30/60/85 deg (cos ~0.866/0.5/0.087)
+    rows = [(0, unit(0.0)), (10, unit(math.radians(5))),
+            (11, unit(math.radians(30))), (12, unit(math.radians(60))),
+            (13, unit(math.radians(85)))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = emb.filter("vec_id = 0")
+
+    hn = hard_negative_topk(emb, anchors, k=3, dup_threshold=0.9)
+    got = [(r["neighbor_id"], r["rank"]) for r in
+           sorted(hn.collect(), key=lambda r: r["rank"])]
+    assert got == [(11, 1), (12, 2), (13, 3)]   # 10 excluded as dup
+
+    # floor cuts the easy negative (cos 0.087 < 0.3)
+    hf = hard_negative_topk(emb, anchors, k=3, dup_threshold=0.9,
+                            floor=0.3)
+    assert sorted(r["neighbor_id"] for r in hf.collect()) == [11, 12]
+
+    # without exclusion, the dup ranks first — the two operators agree
+    # on the tail ordering
+    bf = brute_force_topk(emb, anchors, k=4)
+    order = [r["neighbor_id"] for r in
+             sorted(bf.collect(), key=lambda r: r["rank"])]
+    assert order == [10, 11, 12, 13]
