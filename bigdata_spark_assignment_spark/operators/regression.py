@@ -18,6 +18,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -235,3 +236,102 @@ try:  # pragma: no cover - pyspark is always present in this environment
     _cloudpickle.register_pickle_by_value(sys.modules[__name__])
 except Exception:  # pyspark absent (pure-python unit context): harmless
     pass
+
+
+def split_conformal_ols(df: DataFrame, group_col: str, x_col: str,
+                        y_col: str, hash_col: str,
+                        alpha: float = 0.1) -> DataFrame:
+    """Split-conformal prediction intervals around a per-group OLS fit
+    (Vovk et al.; Lei et al. 2018) — distribution-free uncertainty
+    quantification with finite-sample guarantee: with probability
+    ≥ 1−α a fresh y lands in ŷ ± q̂, where q̂ is the
+    ⌈(n_cal+1)(1−α)⌉-th smallest calibration |residual|.
+
+    Fold assignment from the caller's deterministic ``hash_col``
+    (BIGINT): h%4 ∈ {0,1} train, 2 calibration, 3 test — the q62
+    hash-split discipline, so both engines hold out identical rows.
+
+    Exactness contract: ``x_col``/``y_col`` carry exact-integer-valued
+    quantized measures (the q07-cmat grids), so the train sufficient
+    sums are exact under any partition order; slope/intercept are a
+    fixed double tree over them, every residual is the same double on
+    any engine, and q̂ — an ORDER STATISTIC, no interpolation — picks
+    the identical value. Coverage is an exact-count ratio.
+
+    Plan shape: one grouped train aggregate; fits broadcast back onto
+    the calibration and test streams; q̂ via the distinct-|residual|
+    cumulative-count construction (no data sort — the q54 percentile
+    shape); one conditional-count aggregate for coverage. Degenerate
+    guards: zero x-variance → NULL fit (and NULL q̂/coverage);
+    ⌈(n_cal+1)(1−α)⌉ > n_cal → q̂ NULL (the infinite-interval
+    conformal case).
+
+    Returns per group: (group, n_train, n_cal, n_test, slope,
+    intercept, qhat, coverage). 100 TB: everything is a grouped
+    aggregate or a broadcast join; the only window runs over the
+    per-group distinct-residual table.
+    """
+    fold = F.col(hash_col) % 4
+    base = (df.filter(F.col(x_col).isNotNull()
+                      & F.col(y_col).isNotNull())
+            .select(F.col(group_col).alias("grp"),
+                    F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+                    fold.alias("fold")))
+
+    tr = (base.filter(F.col("fold") <= 1)
+          .groupBy("grp")
+          .agg(F.count(F.lit(1)).alias("n_train"),
+               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    tr = tr.select("grp", "n_train",
+                   *[F.col(c).cast("double").alias(c)
+                     for c in ("sx", "sy", "sxy", "sxx")])
+    n = F.col("n_train").cast("double")
+    vxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when((F.col("n_train") >= 2) & (vxx != 0), vxy / vxx)
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    fit = tr.select("grp", "n_train", slope.alias("b1"),
+                    intercept.alias("b0"))
+
+    resid = F.abs(F.col("y") - (F.col("b0") + F.col("b1") * F.col("x")))
+    # drop NULL residuals (degenerate NULL-fit groups) BEFORE the
+    # rank window: Spark orders NULLS FIRST, DuckDB NULLS LAST, so a
+    # NULL r row must never reach either engine's cumulative count
+    # (the r5 gini-guard lesson — mirror guards, don't rely on data)
+    cal = (base.filter(F.col("fold") == 2)
+           .join(F.broadcast(fit), "grp")
+           .select("grp", resid.alias("r"))
+           .filter(F.col("r").isNotNull()))
+    rc = cal.groupBy("grp", "r").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (W.partitionBy("grp").orderBy("r")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy("grp")
+    cum = F.sum("c").over(wcum)
+    n_cal = F.sum("c").over(wall)
+    k = F.ceil((n_cal + 1) * F.lit(1.0 - alpha))
+    qhat = (rc.select("grp", "r", cum.alias("cum"), k.alias("k"),
+                      n_cal.alias("n_cal"))
+            .groupBy("grp")
+            .agg(F.max("n_cal").alias("n_cal"),
+                 F.min(F.when(F.col("cum") >= F.col("k"),
+                              F.col("r"))).alias("qhat")))
+
+    tst = (base.filter(F.col("fold") == 3)
+           .join(F.broadcast(fit), "grp")
+           .join(F.broadcast(qhat), "grp")
+           .groupBy("grp")
+           .agg(F.count(F.lit(1)).alias("n_test"),
+                F.sum(F.when(resid <= F.col("qhat"), 1).otherwise(0))
+                .alias("n_covered")))
+
+    cov = F.when(F.col("n_test") > 0,
+                 F.col("n_covered") / F.col("n_test"))
+    return (fit.join(qhat, "grp", "left").join(tst, "grp", "left")
+            .select(F.col("grp").alias("group"), "n_train",
+                    F.coalesce(F.col("n_cal"), F.lit(0)).alias("n_cal"),
+                    F.coalesce(F.col("n_test"), F.lit(0)).alias("n_test"),
+                    F.col("b1").alias("slope"),
+                    F.col("b0").alias("intercept"),
+                    "qhat", cov.alias("coverage")))

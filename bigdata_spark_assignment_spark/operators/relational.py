@@ -2295,3 +2295,66 @@ def post_stratified_effect(df: DataFrame, stratum_col: str,
             .agg(F.count(F.lit(1)).alias("n_strata"),
                  F.sum("n_s").alias("n_events"),
                  F.sum(F.col("dq") * F.col("n_s")).alias("effect_q")))
+
+
+def psi_drift(df: DataFrame, value_col: str, group_col: str,
+              n_bins: int = 10, nano: int = 1_000_000_000) -> DataFrame:
+    """Population Stability Index per group against the GLOBAL
+    distribution — the standard industry drift monitor for numeric
+    features (PSI < 0.1 stable / 0.1–0.25 shifting / > 0.25 shifted):
+    PSI_g = Σ_bins (a_i − e_i)·ln(a_i/e_i), where e_i is the global
+    (reference) share of equi-depth bin i and a_i is group g's share.
+
+    Construction (all counts, one value-table window — the
+    ``equidepth_histogram`` shape):
+
+    1. (value, group) counts — one shuffle of the data;
+    2. global equi-depth bins over the distinct-VALUE table
+       (bucket = floor(cum_before·B/total), clamped — ties atomic);
+    3. per-(group, bin) and per-bin reference counts, DENSE grid via
+       groups × observed-bins crossJoin (a group's empty bin still
+       contributes a term);
+    4. add-half smoothing on BOTH shares — a_i = (c+0.5)/(n+0.5·B') —
+       so empty cells stay finite (B' = bins actually realized, which
+       can be < n_bins when distinct values are few);
+    5. each term is micro-quantized (ROUND(term·nano) — the q56
+       discipline) so the cross-bin sum runs in exact BIGINTs:
+       identical count inputs → identical doubles → identical termq
+       on any engine, partition-order invariant.
+
+    Returns (group, n_g, n_bins_used, psi_nano) — PSI in 1e-9 units
+    as an exact integer; callers divide by ``nano``.
+
+    100 TB: the only non-key window runs over the distinct-value
+    table (frontier-sized); everything downstream is domain-sized
+    (groups × bins). NULL values are excluded.
+    """
+    vcs = (df.filter(F.col(value_col).isNotNull())
+           .groupBy(value_col, group_col)
+           .agg(F.count(F.lit(1)).alias("c")))
+    tv = vcs.groupBy(value_col).agg(F.sum("c").alias("c_v"))
+    wcum = (W.orderBy(value_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy()
+    cum_before = F.sum("c_v").over(wcum) - F.col("c_v")
+    total = F.sum("c_v").over(wall)
+    bucket = F.least(
+        F.floor(cum_before * F.lit(int(n_bins)) / total),
+        F.lit(int(n_bins) - 1)).cast("long")
+    bk = tv.select(value_col, "c_v", bucket.alias("bucket"))
+    gb = bk.groupBy("bucket").agg(F.sum("c_v").alias("c_b"))
+    nb = gb.agg(F.count(F.lit(1)).alias("n_b"),
+                F.sum("c_b").alias("n_tot"))
+    sb = (vcs.join(bk.select(value_col, "bucket"), value_col)
+          .groupBy(group_col, "bucket").agg(F.sum("c").alias("c_sb")))
+    gr = vcs.groupBy(group_col).agg(F.sum("c").alias("n_g"))
+    grid = (gr.crossJoin(F.broadcast(gb)).crossJoin(F.broadcast(nb))
+            .join(sb, [group_col, "bucket"], "left"))
+    a = ((F.coalesce(F.col("c_sb"), F.lit(0)) + 0.5)
+         / (F.col("n_g") + 0.5 * F.col("n_b")))
+    e = (F.col("c_b") + 0.5) / (F.col("n_tot") + 0.5 * F.col("n_b"))
+    termq = F.round((a - e) * F.log(a / e) * F.lit(int(nano))).cast("long")
+    return (grid.select(group_col, "n_g", "n_b", termq.alias("termq"))
+            .groupBy(group_col, "n_g")
+            .agg(F.count(F.lit(1)).alias("n_bins_used"),
+                 F.sum("termq").alias("psi_nano")))

@@ -205,9 +205,54 @@ def _profile_oracle_legs() -> str:
       SELECT 'col_changed', 'o_orderstatus',
              CAST(SUM(CASE WHEN c_st THEN 1 ELSE 0 END) AS BIGINT)
       FROM dj) d
+    UNION ALL
+    -- r7 session 3: per-source PSI of n_chars vs the global
+    -- reference (operators.relational.psi_drift) — global 10-bin
+    -- equi-depth buckets (ties atomic), add-half smoothing on both
+    -- shares, each term nano-quantized so the cross-bin sum is an
+    -- exact BIGINT; emitted as nano-PSI in n
+    SELECT 'psi', 'n_chars', g.src,
+           CAST(g.n_g AS VARCHAR) || ':' || CAST(g.n_b AS VARCHAR),
+           g.psi_nano
+    FROM (
+      WITH pvc AS (
+        SELECT n_chars AS v, source AS src, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+      ptv AS (SELECT v, SUM(c) AS c_v FROM pvc GROUP BY 1),
+      pbk AS (
+        SELECT v, c_v,
+               LEAST(CAST(floor((SUM(c_v) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) - c_v) * 10 / SUM(c_v) OVER ()) AS BIGINT),
+                     9) AS bucket
+        FROM ptv),
+      pgb AS (SELECT bucket, CAST(SUM(c_v) AS BIGINT) AS c_b
+              FROM pbk GROUP BY 1),
+      pnb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+                     CAST(SUM(c_b) AS BIGINT) AS n_tot FROM pgb),
+      psb AS (SELECT s.src, b.bucket, CAST(SUM(s.c) AS BIGINT) AS c_sb
+              FROM pvc s JOIN pbk b USING (v) GROUP BY 1, 2),
+      pgr AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n_g
+              FROM pvc GROUP BY 1),
+      pterms AS (
+        SELECT pgr.src, pgr.n_g, pnb.n_b,
+               CAST(ROUND(((COALESCE(psb.c_sb, 0) + 0.5)
+                             / (pgr.n_g + 0.5 * pnb.n_b)
+                           - (pgb.c_b + 0.5)
+                             / (pnb.n_tot + 0.5 * pnb.n_b))
+                          * LN(((COALESCE(psb.c_sb, 0) + 0.5)
+                                / (pgr.n_g + 0.5 * pnb.n_b))
+                               / ((pgb.c_b + 0.5)
+                                  / (pnb.n_tot + 0.5 * pnb.n_b)))
+                          * 1000000000) AS BIGINT) AS termq
+        FROM pgr CROSS JOIN pgb CROSS JOIN pnb
+        LEFT JOIN psb ON psb.src = pgr.src AND psb.bucket = pgb.bucket)
+      SELECT src, n_g, n_b, CAST(SUM(termq) AS BIGINT) AS psi_nano
+      FROM pterms GROUP BY 1, 2, 3) g
     """,
-    tags=("cleaning", "profile", "histogram", "expectations", "diff"),
-    parts=("clean", "profile", "hist", "expect", "diff"),
+    tags=("cleaning", "profile", "histogram", "expectations", "diff",
+          "psi", "drift"),
+    parts=("clean", "profile", "hist", "expect", "diff", "psi"),
 )
 def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality suite over the documents table, tagged:
@@ -248,6 +293,12 @@ def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-column change counts from ONE full-outer key join + ONE
       conditional-sum aggregate (null-safe inequality). k1 = metric,
       k2 = column for the per-column rows, n = count.
+    * ``psi`` — r7 session 3: per-source Population Stability Index
+      of n_chars vs the global reference
+      (operators.relational.psi_drift) — the industry-standard
+      numeric-feature drift monitor (global 10-bin equi-depth
+      buckets, add-half smoothing, nano-quantized terms summed in
+      exact BIGINTs). k2 = source, s = "n_g:bins", n = nano-PSI.
     """
     docs = load_table(spark, sf_dir, "documents")
     lang_dirty = F.when(F.col("lang") == "en", "NA").otherwise(F.col("lang"))
@@ -342,8 +393,23 @@ def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("column").alias("k2"),
                     F.lit(None).cast("string").alias("s"),
                     F.col("n").cast("long").alias("n")))
+    from ..operators.relational import psi_drift
+
+    # psi — r7 session 3: per-source Population Stability Index of
+    # n_chars vs the global reference (10 global equi-depth bins,
+    # add-half smoothing, nano-quantized terms — operator docstring).
+    # The numeric-feature drift monitor beside q36's token-KL drift;
+    # emitted as exact nano-PSI integers in the n column.
+    psi = (psi_drift(docs, "n_chars", "source", n_bins=10)
+           .select(F.lit("psi").alias("part"),
+                   F.lit("n_chars").alias("k1"),
+                   F.col("source").alias("k2"),
+                   F.concat_ws(":", F.col("n_g"), F.col("n_bins_used"))
+                   .alias("s"),
+                   F.col("psi_nano").alias("n")))
     return (clean.unionByName(prof).unionByName(hist)
-            .unionByName(expect_part).unionByName(diff))
+            .unionByName(expect_part).unionByName(diff)
+            .unionByName(psi))
 
 
 @register(

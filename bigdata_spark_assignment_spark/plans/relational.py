@@ -431,10 +431,81 @@ _CMAT_CTES, _CMAT_SQL = _cmat_oracle_sql()
              SUM(xq * xp) AS sqp, SUM(xd * xt) AS sdt,
              SUM(xp * xt) AS spt
       FROM j) s
+    UNION ALL
+    -- r7 session 3: split-conformal prediction intervals around the
+    -- per-returnflag price~quantity OLS (operators.regression.
+    -- split_conformal_ols) — md5 fold split, exact-integer train
+    -- sums, q̂ = ⌈(n_cal+1)(1−α)⌉-th smallest |residual| (order
+    -- statistic, no interpolation), coverage = exact-count ratio
+    SELECT 'conformal', g.grp, ROUND(g.qhat, 4),
+           ROUND(g.coverage, 4), CAST(g.n_cal AS DOUBLE)
+    FROM (
+      WITH cb AS (
+        SELECT l_returnflag AS grp,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice) AS BIGINT) AS y,
+               (CAST(('0x' || substring(md5('cf:'
+                    || CAST(l_orderkey AS VARCHAR) || ':'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 4) AS fold
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      ctr AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_train,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM cb WHERE fold <= 1 GROUP BY 1),
+      cfit AS (
+        SELECT grp, n_train, sx, sy,
+               CASE WHEN n_train >= 2
+                     AND CAST(n_train AS DOUBLE) * sxx - sx * sx <> 0
+                    THEN (CAST(n_train AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n_train AS DOUBLE) * sxx - sx * sx)
+               END AS b1
+        FROM ctr),
+      cfit2 AS (
+        SELECT grp, n_train, b1,
+               (sy - b1 * sx) / CAST(n_train AS DOUBLE) AS b0
+        FROM cfit),
+      ccal AS (
+        SELECT cb.grp, ABS(cb.y - (f.b0 + f.b1 * cb.x)) AS r
+        FROM cb JOIN cfit2 f USING (grp)
+        WHERE cb.fold = 2 AND f.b1 IS NOT NULL),
+      crc AS (SELECT grp, r, CAST(COUNT(*) AS BIGINT) AS c
+              FROM ccal GROUP BY 1, 2),
+      ccum AS (
+        SELECT grp, r,
+               SUM(c) OVER (PARTITION BY grp ORDER BY r
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(c) OVER (PARTITION BY grp) AS n_cal
+        FROM crc),
+      cq AS (
+        SELECT grp, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+               MIN(CASE WHEN cum >= CAST(CEIL((n_cal + 1) * 0.9)
+                                        AS BIGINT)
+                        THEN r END) AS qhat
+        FROM ccum GROUP BY 1),
+      cts AS (
+        SELECT cb.grp, CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN ABS(cb.y - (f.b0 + f.b1 * cb.x))
+                                  <= q.qhat
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+        FROM cb JOIN cfit2 f USING (grp) JOIN cq q USING (grp)
+        WHERE cb.fold = 3 GROUP BY 1)
+      SELECT f.grp, q.qhat,
+             CASE WHEN t.n_test > 0 THEN t.n_cov / t.n_test END
+               AS coverage,
+             COALESCE(q.n_cal, 0) AS n_cal
+      FROM cfit2 f
+      LEFT JOIN cq q USING (grp)
+      LEFT JOIN cts t USING (grp)) g
     """,
     tags=("agg", "statistics", "ml", "grouped", "udaf", "matrix",
-          "rank"),
-    parts=("corr", "ols", "udaf", "cmat", "spearman"),
+          "rank", "conformal"),
+    parts=("corr", "ols", "udaf", "cmat", "spearman", "conformal"),
 )
 def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistics suite (A4 + grouped model fitting), tagged parts:
@@ -467,6 +538,14 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
       three pairs — average-rank tie handling, exact-integer doubled
       ranks so the sufficient-statistic sums are bit-equal across
       engines at compared scales (operator docstring).
+    * ``conformal`` — r7 session 3: split-conformal prediction
+      intervals around the per-returnflag price~quantity OLS
+      (operators.regression.split_conformal_ols): deterministic md5
+      fold split (train/cal/test), q̂ = ⌈(n_cal+1)·0.9⌉-th smallest
+      calibration |residual| via the distinct-value cumulative
+      construction, empirical test coverage (~0.9 by the conformal
+      guarantee). (grp, m1, m2, m3) = returnflag, q̂ dollars,
+      coverage, n_cal.
     * ``udaf`` — a CUSTOM Arrow-batched aggregate (SURVEY §2.8 "UDAF"
       surface, absent in the reference): grouped-agg ``pandas_udf``
       computing the per-group geometric mean of price and quantity;
@@ -598,8 +677,33 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             pk == "l_discount~l_tax", F.col("rho")))).alias("m2"),
         fround(F.max(F.when(
             pk == "l_extendedprice~l_tax", F.col("rho")))).alias("m3"))
+    # conformal (r7 session 3): split-conformal prediction intervals
+    # around the per-returnflag price~quantity OLS — the
+    # distribution-free uncertainty companion to the `ols` part.
+    # Quantized inputs on the cmat grids (quantity 1/100ths, price
+    # whole dollars) keep every sufficient sum exact; q̂ is an order
+    # statistic and coverage an exact-count ratio (operator docstring).
+    from ..operators.regression import split_conformal_ols
+
+    cf_hash = F.conv(F.substring(
+        F.md5(F.concat(F.lit("cf:"), F.col("l_orderkey").cast("string"),
+                       F.lit(":"), F.col("l_linenumber").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    cbase = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("xq"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("yq"),
+        cf_hash.alias("hf"))
+    conformal = (split_conformal_ols(cbase, "l_returnflag", "xq", "yq",
+                                     "hf", alpha=0.1)
+                 .select(F.lit("conformal").alias("part"),
+                         F.col("group").alias("grp"),
+                         fround(F.col("qhat")).alias("m1"),
+                         fround(F.col("coverage")).alias("m2"),
+                         F.col("n_cal").cast("double").alias("m3")))
     return (corr.unionByName(ols).unionByName(udaf)
-            .unionByName(cmat).unionByName(spearman))
+            .unionByName(cmat).unionByName(spearman)
+            .unionByName(conformal))
 
 
 @register(

@@ -1260,3 +1260,66 @@ def test_post_stratified_effect_hand_computed(spark):
     assert g["effect_q"] == 7000
     # estimate in vq units: 7000 / 7 / 100 = 10
     assert g["effect_q"] / g["n_events"] / 100 == 10.0
+
+
+def test_psi_drift_identical_and_shifted_groups(spark):
+    """A group distributed like the reference has PSI ≈ 0 (exactly the
+    smoothing residue); a concentrated group has a large PSI; numpy
+    re-derivation matches the nano-quantized sum."""
+    import math
+
+    from bigdata_spark_assignment_spark.operators.relational import (
+        psi_drift,
+    )
+
+    # values 0..9, 10 rows each; g1 mirrors the global mix, g2 is
+    # concentrated on values 0..1
+    rows = ([(v, "g1") for v in range(10) for _ in range(10)]
+            + [(v, "g2") for v in (0, 1) for _ in range(50)])
+    df = spark.createDataFrame(rows, "v long, g string")
+    out = {r["g"]: r for r in
+           psi_drift(df, "v", "g", n_bins=10).collect()}
+
+    assert out["g1"]["n_g"] == 100 and out["g2"]["n_g"] == 100
+    n_b = out["g1"]["n_bins_used"]
+    assert n_b == out["g2"]["n_bins_used"]
+
+    # numpy mirror of the operator's exact construction
+    import collections
+    c_v = collections.Counter(v for v, _ in rows)
+    vals = sorted(c_v)
+    total = sum(c_v.values())
+    cum = 0
+    bucket_of = {}
+    for v in vals:
+        bucket_of[v] = min(int((cum * 10) / total), 9)
+        cum += c_v[v]
+    buckets = sorted(set(bucket_of.values()))
+    assert n_b == len(buckets)
+
+    def psi_nano(group):
+        cg = collections.Counter(v for v, g in rows if g == group)
+        n_g = sum(cg.values())
+        s = 0
+        for b in buckets:
+            c_b = sum(c for v, c in c_v.items() if bucket_of[v] == b)
+            c_sb = sum(c for v, c in cg.items() if bucket_of[v] == b)
+            a = (c_sb + 0.5) / (n_g + 0.5 * len(buckets))
+            e = (c_b + 0.5) / (total + 0.5 * len(buckets))
+            s += round((a - e) * math.log(a / e) * 1e9)
+        return s
+
+    assert out["g1"]["psi_nano"] == psi_nano("g1")
+    assert out["g2"]["psi_nano"] == psi_nano("g2")
+    # qualitative: the global reference is the g1+g2 MIXTURE, so the
+    # uniform group drifts moderately and the concentrated group more
+    assert out["g2"]["psi_nano"] > out["g1"]["psi_nano"] > 0
+
+    # groups distributed identically to each other (hence to the
+    # global mixture) have a/e shares that cancel EXACTLY under
+    # add-half smoothing: PSI is integer zero
+    same = spark.createDataFrame(
+        [(v, g) for v in range(5) for g in ("p", "q") for _ in range(4)],
+        "v long, g string")
+    for r in psi_drift(same, "v", "g", n_bins=5).collect():
+        assert r["psi_nano"] == 0, r

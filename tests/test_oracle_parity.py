@@ -54,7 +54,14 @@ def test_rows_only_queries_run(spark, sf_smoke):
                                   # r7 session 3: CUPED/DiD/strat
                                   # causal-adjustment legs (exact
                                   # BIGINT sufficient stats)
-                                  "q62_deterministic_hash_split"])
+                                  "q62_deterministic_hash_split",
+                                  # r7 session 3: nano-quantized PSI
+                                  # drift leg
+                                  "q12_sentinel_cleaning",
+                                  # r7 session 3: conformal interval
+                                  # leg (order-statistic q̂, exact
+                                  # fold split)
+                                  "q07_correlation"])
 def test_pinned_contracts_hold_at_other_scales(spark, name, sf_dir):
     q = REGISTRY[name]
     ok, msg = compare_query_to_oracle(spark, sf_dir, q.fn, q.oracle)

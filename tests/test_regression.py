@@ -230,3 +230,55 @@ def test_weighted_percentiles_step_numpy_parity(spark):
     assert out["tiny"].wp50 == 1.0
     assert out["tiny"].wp75 == 1.0
     assert out["tiny"].wp25 == 1.0
+
+
+def test_split_conformal_ols_guarantee_and_order_statistic(spark):
+    """Planted linear data with uniform noise: the fit recovers the
+    line, q̂ equals the hand-computed order statistic of calibration
+    residuals, and test coverage sits near 1 − α."""
+    import numpy as np
+
+    from bigdata_spark_assignment_spark.operators.regression import (
+        split_conformal_ols,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    x = rng.randint(1, 100, size=n)
+    noise = rng.randint(-50, 51, size=n)
+    y = 7 * x + 100 + noise
+    h = rng.randint(0, 1 << 30, size=n)   # the fold hash
+    df = spark.createDataFrame(
+        [("g", int(x[i]), int(y[i]), int(h[i])) for i in range(n)],
+        "grp string, x long, y long, h long")
+    got = split_conformal_ols(df, "grp", "x", "y", "h",
+                              alpha=0.1).collect()[0]
+
+    assert abs(got["slope"] - 7) < 0.1
+    assert abs(got["intercept"] - 100) < 5
+    assert got["n_train"] + got["n_cal"] + got["n_test"] == n
+
+    # hand-compute q̂ from the same folds and fit
+    fold = h % 4
+    tx, ty = x[fold <= 1], y[fold <= 1]
+    nn = len(tx)
+    sx, sy = float(tx.sum()), float(ty.sum())
+    sxy, sxx = float((tx * ty).sum()), float((tx * tx).sum())
+    b1 = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    b0 = (sy - b1 * sx) / nn
+    r = np.abs(y[fold == 2] - (b0 + b1 * x[fold == 2]))
+    k = int(np.ceil((len(r) + 1) * 0.9))
+    qhat = np.sort(r)[k - 1]
+    assert got["qhat"] == qhat
+    assert got["n_cal"] == len(r)
+
+    # conformal guarantee: coverage within sampling noise of 0.9
+    assert 0.85 <= got["coverage"] <= 0.96
+
+    # degenerate group (constant x): NULL fit, NULL q̂/coverage
+    const = spark.createDataFrame(
+        [("c", 5, i, i) for i in range(40)],
+        "grp string, x long, y long, h long")
+    g = split_conformal_ols(const, "grp", "x", "y", "h").collect()[0]
+    assert g["slope"] is None and g["qhat"] is None
+    assert g["coverage"] is None
