@@ -292,8 +292,14 @@ def split_conformal_ols(df: DataFrame, group_col: str, x_col: str,
     vxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
     slope = F.when((F.col("n_train") >= 2) & (vxx != 0), vxy / vxx)
     intercept = (F.col("sy") - slope * F.col("sx")) / n
-    fit = tr.select("grp", "n_train", slope.alias("b1"),
-                    intercept.alias("b0"))
+    from .dedup import _track_persist
+
+    # fit feeds the calibration join, the test join AND the output
+    # row; qhat feeds test + output. Persist both (|groups| rows) or
+    # each consumer re-runs the train aggregate / the calibration
+    # rank window (identical sibling subtrees are never folded).
+    fit = _track_persist(tr.select("grp", "n_train", slope.alias("b1"),
+                                   intercept.alias("b0")))
 
     resid = F.abs(F.col("y") - (F.col("b0") + F.col("b1") * F.col("x")))
     # drop NULL residuals (degenerate NULL-fit groups) BEFORE the
@@ -311,12 +317,13 @@ def split_conformal_ols(df: DataFrame, group_col: str, x_col: str,
     cum = F.sum("c").over(wcum)
     n_cal = F.sum("c").over(wall)
     k = F.ceil((n_cal + 1) * F.lit(1.0 - alpha))
-    qhat = (rc.select("grp", "r", cum.alias("cum"), k.alias("k"),
-                      n_cal.alias("n_cal"))
-            .groupBy("grp")
-            .agg(F.max("n_cal").alias("n_cal"),
-                 F.min(F.when(F.col("cum") >= F.col("k"),
-                              F.col("r"))).alias("qhat")))
+    qhat = _track_persist(
+        rc.select("grp", "r", cum.alias("cum"), k.alias("k"),
+                  n_cal.alias("n_cal"))
+        .groupBy("grp")
+        .agg(F.max("n_cal").alias("n_cal"),
+             F.min(F.when(F.col("cum") >= F.col("k"),
+                          F.col("r"))).alias("qhat")))
 
     tst = (base.filter(F.col("fold") == 3)
            .join(F.broadcast(fit), "grp")

@@ -2329,9 +2329,15 @@ def psi_drift(df: DataFrame, value_col: str, group_col: str,
     table (frontier-sized); everything downstream is domain-sized
     (groups × bins). NULL values are excluded.
     """
-    vcs = (df.filter(F.col(value_col).isNotNull())
-           .groupBy(value_col, group_col)
-           .agg(F.count(F.lit(1)).alias("c")))
+    from .dedup import _track_persist
+
+    # vcs feeds the global value table, the per-(group,bin) counts
+    # and the group totals; bk feeds the reference bins and the bin
+    # join — persist both (domain-sized) so the data is scanned once
+    vcs = _track_persist(
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col, group_col)
+        .agg(F.count(F.lit(1)).alias("c")))
     tv = vcs.groupBy(value_col).agg(F.sum("c").alias("c_v"))
     wcum = (W.orderBy(value_col)
             .rowsBetween(W.unboundedPreceding, W.currentRow))
@@ -2341,7 +2347,8 @@ def psi_drift(df: DataFrame, value_col: str, group_col: str,
     bucket = F.least(
         F.floor(cum_before * F.lit(int(n_bins)) / total),
         F.lit(int(n_bins) - 1)).cast("long")
-    bk = tv.select(value_col, "c_v", bucket.alias("bucket"))
+    bk = _track_persist(
+        tv.select(value_col, "c_v", bucket.alias("bucket")))
     gb = bk.groupBy("bucket").agg(F.sum("c_v").alias("c_b"))
     nb = gb.agg(F.count(F.lit(1)).alias("n_b"),
                 F.sum("c_b").alias("n_tot"))

@@ -40,25 +40,41 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (l2_norm_expr(a) * l2_norm_expr(b))
 
 
-def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine top-k per query vector.
-
-    The (small) query side is broadcast, so the corpus never shuffles
-    for the join; ranking shuffles one row per (query, corpus) pair —
-    use only when |queries| is bounded.
-    Returns (query_id, neighbor_id, cosine, rank); self-matches excluded;
-    ties broken by neighbor id.
-    """
+def cosine_scored(corpus: DataFrame, queries: DataFrame,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """The (query × corpus, cosine) candidate table shared by the
+    exact retrieval operators: the (small) query side is broadcast so
+    the corpus never shuffles, self-matches excluded. A caller running
+    several rankings over the same anchors (ground-truth top-k AND
+    hard-negative mining) should build this ONCE and persist it —
+    identical sibling subtrees are never folded by AQE."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_expr(F.col("c_vec"), F.col("q_vec")))
-    )
+    return (c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    cosine_expr(F.col("c_vec"), F.col("q_vec"))
+                    .alias("cosine")))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     scored: DataFrame | None = None) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    The (small) query side is broadcast, so the corpus never shuffles
+    for the join; ranking shuffles one row per (query, corpus) pair —
+    use only when |queries| is bounded. Pass a prebuilt (persisted)
+    ``cosine_scored`` table via ``scored`` to share the candidate scan
+    with other rankings.
+    Returns (query_id, neighbor_id, cosine, rank); self-matches excluded;
+    ties broken by neighbor id.
+    """
+    if scored is None:
+        scored = cosine_scored(corpus, queries, id_col, vec_col)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                           F.col("neighbor_id"))
     return (
@@ -586,7 +602,8 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame,
                        k: int = 10, dup_threshold: float = 0.9,
                        floor: float | None = None,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       scored: DataFrame | None = None) -> DataFrame:
     """Hard-negative mining for contrastive embedding training: per
     anchor (query) vector, the top-``k`` HIGHEST-cosine candidates that
     are NOT positives — self and near-duplicates (cosine ≥
@@ -608,16 +625,9 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame,
     exclusion+rank tail — semantics per anchor are unchanged whenever
     the candidate set covers the true top-k band below the duplicate
     threshold."""
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_expr(F.col("c_vec"), F.col("q_vec")))
-        .filter(F.col("cosine") < dup_threshold)
-    )
+    if scored is None:
+        scored = cosine_scored(corpus, queries, id_col, vec_col)
+    scored = scored.filter(F.col("cosine") < dup_threshold)
     if floor is not None:
         scored = scored.filter(F.col("cosine") >= floor)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),

@@ -1117,7 +1117,11 @@ def nb_language_classifier(docs, text_col: str = "text",
     ct = _track_persist(ct)          # vocab × classes upper bound
     tot = ct.groupBy("lbl").agg(F.sum("n_tc").alias("n_c"))
     vn = ct.select("token").distinct().agg(F.count(F.lit(1)).alias("v"))
-    docs_t = tf.select("doc_id", "lbl", "is_test").distinct()
+    # doc-level table feeds priors, the test grid AND the per-class
+    # metrics — persist (|docs| rows) so the distinct over the
+    # corpus-sized tf table runs once
+    docs_t = _track_persist(
+        tf.select("doc_id", "lbl", "is_test").distinct())
     classes = (docs_t.filter(~F.col("is_test"))
                .groupBy("lbl").agg(F.count(F.lit(1)).alias("n_train_docs")))
     n_train = classes.agg(F.sum("n_train_docs").alias("nd"))

@@ -1757,7 +1757,12 @@ def deterministic_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("long").alias("xq"),
                         F.round(F.col("post_s") / F.col("post_n") * 10)
                         .cast("long").alias("yq")))
-    cu = cuped_estimate(per_user)
+    from ..operators.dedup import _track_persist
+
+    # the cuped/cuped_var rows both read this 1-row aggregate — persist
+    # it or the whole per-user chain runs twice (AQE does not fold
+    # identical sibling subtrees; the q61 lesson)
+    cu = _track_persist(cuped_estimate(per_user))
     cuped = cu.select(F.lit("cuped").alias("part"),
                       nullS.alias("k1"), nullS.alias("k2"),
                       F.col("n_a").alias("n1"), F.col("n_b").alias("n2"),

@@ -86,12 +86,17 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: 64-dim dot products over every corpus row are scan-
     # stage work; recover parallelism on the single-row-group file
     # (io.scan_fanout; measured 0.54s -> 0.37s at sf0.1)
-    from ..operators.similarity import hard_negative_topk
+    from ..operators.dedup import _track_persist
+    from ..operators.similarity import cosine_scored, hard_negative_topk
 
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     queries = emb.filter(F.col("vec_id") < 5)
-    out = brute_force_topk(emb, queries, k=10)
-    hn = hard_negative_topk(emb, queries, k=10, dup_threshold=0.4)
+    # both rankings read the same (query × corpus) cosine table —
+    # build it once, persist, rank twice
+    scored = _track_persist(cosine_scored(emb, queries))
+    out = brute_force_topk(emb, queries, k=10, scored=scored)
+    hn = hard_negative_topk(emb, queries, k=10, dup_threshold=0.4,
+                            scored=scored)
     sel = lambda df, tag: df.select(  # noqa: E731
         F.lit(tag).alias("part"), "query_id", "neighbor_id",
         fround(F.col("cosine")).alias("cosine"), "rank")
