@@ -1417,3 +1417,88 @@ def kcore_membership(pairs: DataFrame, k: int, max_rounds: int = 8,
             f"k-core peel (k={k}) did not converge in "
             f"{max_rounds} rounds")
     return edges.select(F.col("src").alias("id")).distinct()
+
+
+def dbscan_from_pairs(pairs: DataFrame, component_labels: DataFrame,
+                      min_pts: int = 3) -> dict:
+    """DBSCAN (Ester et al. 1996) given the ε-neighbor PAIR table —
+    the density-based clustering step a semantic-dedup/curation
+    pipeline runs after candidate generation: dense regions become
+    clusters, sparse points become noise instead of being glued into
+    chains the way plain connected components glues them.
+
+    Inputs: ``pairs`` (id_a < id_b, already thresholded at ε) and
+    ``component_labels`` (id, cluster_id) — the pair-graph CC labels,
+    used ONLY as a grouping key: every core-core edge lies inside one
+    pair-graph component, so the core sub-CC runs as per-component
+    numpy union-find under ``applyInPandas`` (the grouped graph form
+    this module uses for pagerank/bfs; fall back to the iterative
+    ``neardup_clusters`` on core-core edges if a component outgrows
+    an executor).
+
+    Definitions (deterministic, oracle-mirrorable):
+
+    * core: |N_ε(p)| ≥ min_pts counting p itself — deg(p)+1 ≥ min_pts;
+    * cluster: connected component of the core-core subgraph, labeled
+      by its min core id (isolated cores = singleton clusters);
+    * border: non-core with ≥ 1 core neighbor, assigned to the MIN
+      cluster label among its core neighbors (DBSCAN leaves border
+      assignment implementation-defined; min is the deterministic
+      choice);
+    * noise: everything else.
+
+    Returns dict: ``core`` (id, cl), ``border`` (id, cl) — noise is
+    the complement, counted by the caller against the corpus total.
+
+    100 TB: degree and border are key-partitioned aggregates over the
+    pair stream; the only non-relational step is the per-component
+    union-find, bounded by component size exactly like the other
+    grouped graph ops."""
+    import pandas as pd
+
+    adj = (pairs.select(F.col("id_a").alias("id"),
+                        F.col("id_b").alias("nbr"))
+           .unionByName(pairs.select(F.col("id_b").alias("id"),
+                                     F.col("id_a").alias("nbr"))))
+    deg = adj.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    core = _track_persist(
+        deg.filter(F.col("deg") + 1 >= min_pts).select("id"))
+
+    ce = (pairs.join(core.select(F.col("id").alias("id_a")), "id_a")
+          .join(core.select(F.col("id").alias("id_b")), "id_b")
+          .join(component_labels.select(F.col("id").alias("id_a"),
+                                        F.col("cluster_id").alias("grp")),
+                "id_a")
+          .select("grp", "id_a", "id_b"))
+
+    def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["id_a"], pdf["id_b"]):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(x, find(x)) for x in parent]
+        return pd.DataFrame(rows, columns=["id", "cl"])
+
+    core_cc = (ce.groupBy("grp")
+               .applyInPandas(_uf, "id long, cl long"))
+    isolated = (core.join(core_cc, "id", "left_anti")
+                .select("id", F.col("id").alias("cl")))
+    ccore = _track_persist(core_cc.unionByName(isolated))
+    border = (adj.join(ccore.select(F.col("id").alias("nbr"), "cl"),
+                       "nbr")
+              .join(core, "id", "left_anti")
+              .groupBy("id").agg(F.min("cl").alias("cl")))
+    return {"core": ccore, "border": _track_persist(border)}

@@ -371,7 +371,33 @@ def _blocked_oracle(planes: list[list[float]]) -> str:
         FROM edges e JOIN r ON e.dst = r.id
         WHERE r.label < e.src)
       SELECT id, MIN(label) AS cluster_id FROM r GROUP BY id),
-    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    -- r7 session 3: DBSCAN over the same ε-pair graph
+    -- (operators.dedup.dbscan_from_pairs): core = deg+1 >= 3,
+    -- clusters = core-core reachability (min-id label), border =
+    -- non-core with a core neighbor -> MIN core cluster, noise =
+    -- the rest
+    dbdeg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM edges GROUP BY 1),
+    dbcore AS (SELECT id FROM dbdeg WHERE deg + 1 >= 3),
+    dbccore AS (
+      WITH RECURSIVE rc(id, label) AS (
+        SELECT id, id FROM dbcore
+        UNION
+        SELECT e.src, rc.label
+        FROM edges e
+        JOIN dbcore x ON e.src = x.id
+        JOIN dbcore y ON e.dst = y.id
+        JOIN rc ON e.dst = rc.id
+        WHERE rc.label < e.src)
+      SELECT id, MIN(label) AS cl FROM rc GROUP BY id),
+    dbborder AS (
+      SELECT e.src AS id, MIN(c.cl) AS cl
+      FROM edges e JOIN dbccore c ON e.dst = c.id
+      WHERE e.src NOT IN (SELECT id FROM dbcore)
+      GROUP BY 1),
+    dbs AS (SELECT id, cl FROM dbccore
+            UNION ALL SELECT id, cl FROM dbborder)
     SELECT 'pair' AS part,
            CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
            ROUND(cos, 4) AS cosine
@@ -388,6 +414,17 @@ def _blocked_oracle(planes: list[list[float]]) -> str:
                       WHERE id <> cluster_id),
            CAST(NULL AS DOUBLE)
     FROM total
+    UNION ALL
+    SELECT 'dbscan', CAST(cl AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM dbs GROUP BY cl
+    UNION ALL
+    SELECT 'dbscan_stats',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dbccore),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dbborder),
+           CAST(total.n - (SELECT COUNT(*) FROM dbccore)
+                        - (SELECT COUNT(*) FROM dbborder) AS DOUBLE)
+    FROM total
     """
 
 
@@ -397,7 +434,8 @@ _BLOCK_PLANES = _hyperplanes(64, 3, seed=7)
 @register(
     "q67_blocked_cosine_neardup",
     oracle=_blocked_oracle(_BLOCK_PLANES),
-    tags=("similarity", "neardup", "lsh"),
+    tags=("similarity", "neardup", "lsh", "dbscan", "density"),
+    parts=("pair", "cluster", "keep", "dbscan", "dbscan_stats"),
 )
 def blocked_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB-safe all-pairs form PLUS the SemDeDup-style
@@ -417,6 +455,15 @@ def blocked_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``keep`` — the dedup decision: (n_dropped, n_kept) where every
       non-canonical member (id ≠ cluster min) is dropped — exactly the
       keep-one-per-cluster rule a semantic-dedup pass applies.
+
+    * ``dbscan``/``dbscan_stats`` — r7 session 3: DBSCAN over the
+      SAME ε-pair graph (operators.dedup.dbscan_from_pairs,
+      min_pts=3): density clustering that plain CC cannot express —
+      sparse chain links become noise instead of gluing clusters.
+      Core sub-CC runs as per-component numpy union-find grouped by
+      the already-computed CC labels; border points take the MIN
+      neighboring core cluster. Rows: (cluster, size) per density
+      cluster + one (n_core, n_border, n_noise) summary.
 
     Recall vs the unblocked q41 is the pytest contract (single-table
     blocking trades recall for linear shuffle; production unions
@@ -447,4 +494,26 @@ def blocked_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_dropped").alias("id_a"),
                 (F.col("n") - F.col("n_dropped")).alias("id_b"),
                 F.lit(None).cast("double").alias("cosine")))
-    return pair_part.unionByName(cluster_part).unionByName(keep_part)
+    from ..operators.dedup import dbscan_from_pairs
+
+    dbs = dbscan_from_pairs(pairs, labels, min_pts=3)
+    dbs_all = dbs["core"].unionByName(dbs["border"])
+    dbscan_part = (dbs_all.groupBy("cl")
+                   .agg(F.count(F.lit(1)).alias("size"))
+                   .select(F.lit("dbscan").alias("part"),
+                           F.col("cl").alias("id_a"),
+                           F.col("size").alias("id_b"),
+                           F.lit(None).cast("double").alias("cosine")))
+    stats_part = (dbs["core"].agg(F.count(F.lit(1)).alias("n_core"))
+                  .crossJoin(F.broadcast(
+                      dbs["border"].agg(F.count(F.lit(1))
+                                        .alias("n_border"))))
+                  .crossJoin(F.broadcast(n_total))
+                  .select(F.lit("dbscan_stats").alias("part"),
+                          F.col("n_core").alias("id_a"),
+                          F.col("n_border").alias("id_b"),
+                          (F.col("n") - F.col("n_core")
+                           - F.col("n_border")).cast("double")
+                          .alias("cosine")))
+    return (pair_part.unionByName(cluster_part).unionByName(keep_part)
+            .unionByName(dbscan_part).unionByName(stats_part))

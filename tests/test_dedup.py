@@ -708,3 +708,49 @@ def test_kcore_membership_round_bound_raises(spark):
     assert kcore_membership(pairs, 2, max_rounds=8,
                             round_stats=stats).count() == 0
     assert stats[-1]["converged"] and len(stats) <= 6
+
+
+def test_dbscan_from_pairs_core_border_noise(spark):
+    """Hand graph: a 4-clique + attached border point, a triangle, and
+    a sparse 2-chain — DBSCAN must keep the dense parts and drop the
+    chain as noise, unlike plain CC which would keep it."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        dbscan_from_pairs,
+        neardup_clusters,
+    )
+
+    clique = [(a, b) for i, a in enumerate([1, 2, 3, 4])
+              for b in [1, 2, 3, 4][i + 1:]]
+    pairs = clique + [(1, 5)] + [(20, 21), (20, 22), (21, 22)] + [(10, 11)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    labels = neardup_clusters(pdf)
+    dbs = dbscan_from_pairs(pdf, labels, min_pts=3)
+
+    core = {r["id"]: r["cl"] for r in dbs["core"].collect()}
+    border = {r["id"]: r["cl"] for r in dbs["border"].collect()}
+    assert core == {1: 1, 2: 1, 3: 1, 4: 1, 20: 20, 21: 20, 22: 20}
+    assert border == {5: 1}
+    # chain members are neither core nor border -> noise
+    assert 10 not in core and 10 not in border
+    assert 11 not in core and 11 not in border
+    # plain CC, by contrast, keeps the chain as a cluster
+    cc = {r["id"]: r["cluster_id"] for r in labels.collect()}
+    assert cc[10] == cc[11] == 10
+
+
+def test_dbscan_isolated_core_is_singleton_cluster(spark):
+    """A star center with min_pts=2 whose spokes are non-core: the
+    center forms a singleton density cluster, spokes become border."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        dbscan_from_pairs,
+        neardup_clusters,
+    )
+
+    pdf = spark.createDataFrame([(7, 8), (7, 9), (7, 10)],
+                                "id_a long, id_b long")
+    labels = neardup_clusters(pdf)
+    dbs = dbscan_from_pairs(pdf, labels, min_pts=4)
+    core = {r["id"]: r["cl"] for r in dbs["core"].collect()}
+    border = {r["id"]: r["cl"] for r in dbs["border"].collect()}
+    assert core == {7: 7}          # deg 3 + 1 >= 4, no core neighbors
+    assert border == {8: 7, 9: 7, 10: 7}

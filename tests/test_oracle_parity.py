@@ -61,7 +61,10 @@ def test_rows_only_queries_run(spark, sf_smoke):
                                   # r7 session 3: conformal interval
                                   # leg (order-statistic q̂, exact
                                   # fold split)
-                                  "q07_correlation"])
+                                  "q07_correlation",
+                                  # r7 session 3: DBSCAN legs (pure
+                                  # integer graph derivation)
+                                  "q67_blocked_cosine_neardup"])
 def test_pinned_contracts_hold_at_other_scales(spark, name, sf_dir):
     q = REGISTRY[name]
     ok, msg = compare_query_to_oracle(spark, sf_dir, q.fn, q.oracle)
