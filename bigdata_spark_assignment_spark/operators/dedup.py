@@ -1502,3 +1502,94 @@ def dbscan_from_pairs(pairs: DataFrame, component_labels: DataFrame,
               .join(core, "id", "left_anti")
               .groupBy("id").agg(F.min("cl").alias("cl")))
     return {"core": ccore, "border": _track_persist(border)}
+
+
+def label_propagation(pairs: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), the
+    community-detection complement to connected components over the
+    near-dup pair graph: where CC glues everything reachable, LPA
+    settles each vertex on the label held by the PLURALITY of its
+    neighbors — chains split at their weak points, blobs keep one
+    label. The classic cheap community detector for "this component
+    is really two templates bridged by one boilerplate doc".
+
+    Deterministic contract (the cross-engine differential needs one):
+    synchronous updates (all vertices step together from the previous
+    round's labels — asynchronous LPA is visit-order-dependent and
+    unverifiable), labels initialized to vertex id, a FIXED number of
+    rounds, and ties broken toward the MIN label. Fixed rounds also
+    sidestep synchronous LPA's classic bipartite oscillation: the
+    round count is part of the semantics, not a convergence knob.
+
+    Per round: one equi-join of the symmetric edge list against the
+    label table + one (id, label) count aggregate + one argmax — the
+    argmax as ``max(struct(count, -label))``, a partial-aggregable
+    expression (map-side combine) instead of a row_number window
+    (which would sort every group). 100 TB: ``rounds`` barriered
+    shuffles of the edge list, the same shape as one pagerank
+    iteration; for dup-blob-sized components prefer
+    :func:`lpa_by_component` (one job), pinned equal in pytest.
+    """
+    adj = (pairs.select(F.col("id_a").alias("id"),
+                        F.col("id_b").alias("nbr"))
+           .unionByName(pairs.select(F.col("id_b").alias("id"),
+                                     F.col("id_a").alias("nbr")))
+           .distinct())
+    adj = _track_persist(adj)
+    labels = adj.select("id").distinct().withColumn("label", F.col("id"))
+    for _ in range(rounds):
+        nbr_lab = adj.join(
+            labels.select(F.col("id").alias("nbr"), "label"), "nbr")
+        counts = (nbr_lab.groupBy("id", "label")
+                  .agg(F.count(F.lit(1)).alias("c")))
+        labels = (counts.groupBy("id")
+                  .agg(F.max(F.struct(
+                      F.col("c").alias("c"),
+                      (-F.col("label")).alias("nl"))).alias("m"))
+                  .select("id", (-F.col("m.nl")).alias("label")))
+    return labels
+
+
+def lpa_by_component(pairs: DataFrame, component_labels: DataFrame,
+                     rounds: int = 4) -> DataFrame:
+    """Same contract as :func:`label_propagation` (pytest pins the
+    differential row-identical), exploiting that labels never cross
+    connected components: group the edge list by the CC label (already
+    computed in any dedup pipeline) and run all ``rounds`` synchronous
+    updates per component in numpy under ``applyInPandas`` — ONE job,
+    two shuffles, vs ``rounds`` barriered jobs for the iterative form.
+    Right plan when components are dup-blob-sized; a giant component
+    skews one task — use the iterative operator there.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .distinct())
+    lab = component_labels.select(F.col("id").alias("src"), "cluster_id")
+    e = edges.join(lab, "src")
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+        ids, src_idx = np.unique(src, return_inverse=True)
+        # symmetric closure => every dst is also a src
+        dst_idx = np.searchsorted(ids, dst)
+        n = len(ids)
+        lab_idx = np.arange(n)
+        for _ in range(rounds):
+            # per (receiver, neighbor label) counts; argmax with
+            # count DESC, label ASC via lexsort (ids sorted => label
+            # index order == label id order)
+            key = dst_idx.astype(np.int64) * n + lab_idx[src_idx]
+            uk, cnt = np.unique(key, return_counts=True)
+            rcv, lbl = uk // n, uk % n
+            order = np.lexsort((lbl, -cnt, rcv))
+            first = np.unique(rcv[order], return_index=True)[1]
+            nxt = lab_idx.copy()
+            nxt[rcv[order][first]] = lbl[order][first]
+            lab_idx = nxt
+        return pd.DataFrame({"id": ids, "label": ids[lab_idx]})
+
+    return (e.groupBy("cluster_id")
+            .applyInPandas(_run, "id long, label long"))

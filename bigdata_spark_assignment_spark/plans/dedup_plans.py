@@ -632,6 +632,29 @@ def _kcore_peel_ctes(rounds: int) -> str:
     return ",\n    ".join(out)
 
 
+def _lpa_iter_ctes(rounds: int) -> str:
+    """Unrolled synchronous label-propagation CTEs for the q53
+    oracle: labels start at vertex id; each round every vertex takes
+    the PLURALITY label among its neighbors' previous-round labels,
+    ties toward the MIN label (ROW_NUMBER over count DESC, label ASC)
+    — the exact deterministic contract of
+    ``operators.dedup.label_propagation``. The round count is part of
+    the semantics (fixed R sidesteps synchronous LPA's bipartite
+    oscillation), so engine and oracle unroll the SAME R."""
+    out = ["lp0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
+    for k in range(rounds):
+        out.append(f"""lp{k + 1} AS MATERIALIZED (
+      SELECT id, label FROM (
+        SELECT e.src AS id, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.src
+                                  ORDER BY COUNT(*) DESC, l.label)
+                 AS rn
+        FROM edges e JOIN lp{k} l ON e.dst = l.id
+        GROUP BY e.src, l.label)
+      WHERE rn = 1)""")
+    return ",\n    ".join(out)
+
+
 @register(
     "q53_neardup_clusters",
     oracle=f"""
@@ -659,7 +682,8 @@ def _kcore_peel_ctes(rounds: int) -> str:
             FROM edges GROUP BY src),
     nstats AS (SELECT COUNT(*) AS n FROM verts),
     {_pagerank_iter_ctes(10)},
-    {_kcore_peel_ctes(8)}
+    {_kcore_peel_ctes(8)},
+    {_lpa_iter_ctes(4)}
     SELECT m.method, CAST(id AS BIGINT) AS id,
            CAST(cluster_id AS BIGINT) AS cluster_id,
            CAST(NULL AS DOUBLE) AS v
@@ -713,6 +737,14 @@ def _kcore_peel_ctes(rounds: int) -> str:
     LEFT JOIN p2_8 p2 ON p2.id = v.id
     LEFT JOIN p3_8 p3 ON p3.id = v.id
     UNION ALL
+    -- r7 session 3: synchronous label-propagation communities
+    -- (operators.dedup.label_propagation, 4 unrolled rounds,
+    -- plurality label, min tie-break) — the density-aware community
+    -- complement to the reachability labels above
+    SELECT 'lpa', CAST(id AS BIGINT), CAST(label AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM lp4
+    UNION ALL
     -- r5 session 4: BFS hop distance from each component's canonical
     -- (min-id) vertex — level-bounded recursive enumeration, MIN(dist)
     -- = shortest path, same 20-hop bound as the engine operator
@@ -751,9 +783,10 @@ def _kcore_peel_ctes(rounds: int) -> str:
         WHERE sp.hops < 20)
       SELECT id, MIN(dist) AS dist FROM sp GROUP BY id)
     """,
-    tags=("dedup", "neardup", "clustering", "pagerank", "sssp"),
+    tags=("dedup", "neardup", "clustering", "pagerank", "sssp",
+          "lpa", "community"),
     parts=("prop", "star", "pagerank", "triangles", "clustering",
-           "kcore", "bfs", "sssp"),
+           "kcore", "bfs", "sssp", "lpa"),
     part_col="method",
 )
 def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,12 +849,24 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       enumeration). cluster_id carries the distance; integer weights
       make every value exact across engines.
 
+    * ``lpa`` — r7 session 3: synchronous label propagation
+      (4 fixed rounds, plurality neighbor label, min tie-break) —
+      community detection over the same graph: chain-bridged
+      components split at their weak links where reachability
+      (``prop``/``star``) must glue them. Grouped one-job form
+      (operators.dedup.lpa_by_component); the per-round distributed
+      ``label_propagation`` is the giant-component path, pinned equal
+      in tests/test_dedup.py. The oracle unrolls the same 4 rounds
+      with the same argmax (count DESC, label ASC). cluster_id
+      carries the community label.
+
     The pair graph is persisted so the MinHash sweep is paid once
-    across all five algorithm families."""
+    across all six algorithm families."""
     from ..operators.dedup import (
         _track_persist,
         bfs_hops_by_component,
         kcore_by_component,
+        lpa_by_component,
         neardup_clusters,
         neardup_clusters_star,
         pagerank_by_component,
@@ -874,10 +919,17 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = (sssp_by_component(weighted, prop, max_rounds=20)
           .select(F.lit("sssp").alias("method"), "id",
                   F.col("dist").alias("cluster_id"), nullv))
+    # lpa: 4-round synchronous label propagation — community labels
+    # that split chain-bridged components where reachability cannot;
+    # grouped one-job form (components are dup-blob-sized), the
+    # iterative label_propagation pinned equal in tests/test_dedup.py
+    lpa = (lpa_by_component(pairs, prop, rounds=4)
+           .select(F.lit("lpa").alias("method"), "id",
+                   F.col("label").alias("cluster_id"), nullv))
     return (clus.unionByName(
             prop.select(F.lit("prop").alias("method"), "id",
                         "cluster_id", nullv))
             .unionByName(star.select(F.lit("star").alias("method"),
                                      "id", "cluster_id", nullv))
             .unionByName(pr).unionByName(tri).unionByName(kc)
-            .unionByName(bfs).unionByName(sp))
+            .unionByName(bfs).unionByName(sp).unionByName(lpa))

@@ -754,3 +754,54 @@ def test_dbscan_isolated_core_is_singleton_cluster(spark):
     border = {r["id"]: r["cl"] for r in dbs["border"].collect()}
     assert core == {7: 7}          # deg 3 + 1 >= 4, no core neighbors
     assert border == {8: 7, 9: 7, 10: 7}
+
+
+def test_label_propagation_splits_bridged_communities(spark):
+    """Two 4-cliques bridged by one edge: CC glues them into one
+    component, 4-round synchronous LPA keeps two plurality
+    communities (each clique's min id)."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        label_propagation,
+        neardup_clusters,
+    )
+
+    c1 = [(a, b) for i, a in enumerate([1, 2, 3, 4])
+          for b in [1, 2, 3, 4][i + 1:]]
+    c2 = [(a, b) for i, a in enumerate([10, 11, 12, 13])
+          for b in [10, 11, 12, 13][i + 1:]]
+    pairs = spark.createDataFrame(c1 + c2 + [(4, 10)],
+                                  "id_a long, id_b long")
+    cc = {r["id"]: r["cluster_id"]
+          for r in neardup_clusters(pairs).collect()}
+    assert len(set(cc.values())) == 1          # one reachable blob
+    lpa = {r["id"]: r["label"]
+           for r in label_propagation(pairs, rounds=4).collect()}
+    assert {lpa[i] for i in (1, 2, 3)} == {1}
+    assert {lpa[i] for i in (11, 12, 13)} == {10}
+    assert len(set(lpa.values())) == 2         # two communities
+
+
+def test_lpa_grouped_equals_iterative(spark):
+    """lpa_by_component (grouped numpy) must be row-identical to the
+    distributed iterative label_propagation on a mixed graph."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        label_propagation,
+        lpa_by_component,
+        neardup_clusters,
+    )
+
+    import random
+    rng = random.Random(11)
+    edges = {(a, a + 1) for a in range(0, 20, 2)}          # 2-chains
+    edges |= {(30 + a, 30 + b) for a in range(5)
+              for b in range(a + 1, 5)}                    # 5-clique
+    edges |= {(rng.randrange(50, 70), rng.randrange(50, 70))
+              for _ in range(40)}
+    edges = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    it = sorted((r["id"], r["label"])
+                for r in label_propagation(pairs, rounds=4).collect())
+    gr = sorted((r["id"], r["label"])
+                for r in lpa_by_component(
+                    pairs, neardup_clusters(pairs), rounds=4).collect())
+    assert it == gr and len(it) > 0
