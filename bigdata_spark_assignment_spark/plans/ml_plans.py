@@ -27,6 +27,7 @@ from pyspark.ml.feature import (
 )
 from pyspark.ml.regression import (
     DecisionTreeRegressor,
+    GBTRegressor,
     LinearRegression,
     RandomForestRegressor,
 )
@@ -70,6 +71,7 @@ def _lineitem_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'ml' AS part, 'lr' AS name, CAST(NULL AS BIGINT) AS ival, TRUE AS ok
     UNION ALL SELECT 'ml', 'dtr', 5, TRUE
     UNION ALL SELECT 'ml', 'rf', NULL, TRUE
+    UNION ALL SELECT 'ml', 'gbt', NULL, TRUE
     UNION ALL SELECT 'feat', 'n_rows',
         (SELECT COUNT(*) FROM customer), TRUE
     UNION ALL SELECT 'feat', 'feature_dim',
@@ -134,7 +136,9 @@ def ml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Main.scala:641-665``): LinearRegression at the reference's grid
     point (regParam .01, elasticNet .25, maxIter 10; M10), a
     DecisionTreeRegressor under 3-fold CV with a depth grid (M11+M14,
-    seed 10), and a RandomForestRegressor with reference defaults
+    seed 10), a GBTRegressor (r7 — the boosting sibling the
+    reference's model table omits; 10 rounds, band R² ≥ 0.7 /
+    rmse ≤ 40), and a RandomForestRegressor with reference defaults
     (M12), each on a 70/30 split (seed 10) scored with
     RegressionEvaluator RMSE + R² (M13) on the held-out split. Hashed
     as band booleans over the planted signal (lr R² ≥ 0.8, dtr ≥ 0.7,
@@ -245,12 +249,19 @@ def _ml_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
     best_depth = int(cv_model.bestModel.getMaxDepth())
 
     rf_rmse, rf_r2 = _metrics(RandomForestRegressor(seed=SEED).fit(train))
+    # r7 session 3: gradient-boosted trees (M12's ensemble sibling;
+    # pyspark.ml per SURVEY.md §2.7). 10 boosting rounds keep the fit
+    # cheap; on the planted signal boosting must beat the single tree's
+    # band floor comfortably
+    gbt_rmse, gbt_r2 = _metrics(
+        GBTRegressor(seed=SEED, maxIter=10).fit(train))
     df.unpersist()
     return [
         ("ml", "lr", None, bool(lr_r2 >= 0.8 and lr_rmse <= 40.0)),
         ("ml", "dtr", best_depth,
          bool(dtr_r2 >= 0.7 and dtr_rmse <= 40.0)),
         ("ml", "rf", None, bool(rf_r2 >= 0.6 and rf_rmse <= 40.0)),
+        ("ml", "gbt", None, bool(gbt_r2 >= 0.7 and gbt_rmse <= 40.0)),
     ]
 
 
