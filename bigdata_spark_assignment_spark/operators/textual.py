@@ -1192,3 +1192,143 @@ def nb_language_classifier(docs, text_col: str = "text",
            .select("lbl", "token", "rank", "lo_micro"))
 
     return {"pred": pred, "classes": classes, "model": model, "top": top}
+
+
+def dsir_importance_scores(docs: "DataFrame", is_target: Column,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n_buckets: int = 256) -> "DataFrame":
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    public paper) — THE modern pretraining data-selection op: score
+    every raw document by how much more likely its features are under
+    a TARGET corpus distribution than under the raw distribution,
+    then keep the highest-weight docs.
+
+    Both distributions are bag-of-hashed-word-bigram models (the
+    paper's hashed n-gram feature space): bigrams hash into
+    ``n_buckets`` buckets, each corpus's bucket probabilities are
+    add-1-smoothed MLE counts, and a document's weight is the MEAN
+    per-gram log-ratio ln p_target(b) − ln p_raw(b) (mean rather than
+    the paper's sum so the score is length-invariant — the selection
+    RANKING is what the op exists for). ``is_target`` is any boolean
+    Column over ``docs`` defining the target slice (e.g. a trusted
+    source or language); the raw distribution is the whole corpus.
+
+    md5-derived bucket ids (``hashed_weight_expr``'s idiom), so any
+    engine — including the DuckDB oracle — reproduces every bucket,
+    every smoothed probability, and every score bit-for-bit from the
+    same token stream. Docs with < 2 tokens have no features and are
+    omitted.
+
+    Plan shape (all relational, zero Python): bigrams from the
+    shuffle-free arrays_zip-against-tail (``bigram_doc_scores``'s
+    extraction), ONE bucket-keyed aggregate counting raw and target
+    occurrences together (map-side combinable; ≤ ``n_buckets`` rows
+    out), the log-ratio table broadcast back onto the occurrence
+    stream, one doc-keyed aggregate. 100 TB: the model table is
+    n_buckets rows REGARDLESS of corpus size — the whole "fit" rides
+    a broadcast; scoring is a map-side join + per-doc combine, the
+    same cost as tokenizing the corpus once.
+
+    Returns ``(scores, model)``: the (doc_id, dsir_score, n_grams)
+    frame and the fitted (bkt, rc, tc, lr) bucket table (≤ n_buckets
+    rows — the inspectable "model").
+    """
+    w = words_expr(F.col(text_col))
+    sz = F.size(w)
+    occ = (docs.filter(sz >= 2)
+           .select(F.col(id_col).alias("doc_id"),
+                   is_target.cast("boolean").alias("is_t"),
+                   F.explode(F.arrays_zip(
+                       F.slice(w, 1, sz - 1).alias("a"),
+                       F.slice(w, 2, sz - 1).alias("b"))).alias("p"))
+           .select("doc_id", "is_t",
+                   (F.conv(F.substring(
+                       F.md5(F.concat_ws(" ", F.col("p.a"),
+                                         F.col("p.b"))), 1, 8),
+                       16, 10).cast("long") % n_buckets).alias("bkt")))
+    bc = occ.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.count(F.when(F.col("is_t"), 1)).alias("tc"))
+    tot = bc.agg(F.sum("rc").alias("rtot"), F.sum("tc").alias("ttot"))
+    b = F.lit(float(n_buckets))
+    lr = (bc.crossJoin(F.broadcast(tot))
+          .select("bkt", "rc", "tc",
+                  (F.log((F.col("tc") + 1.0) / (F.col("ttot") + b))
+                   - F.log((F.col("rc") + 1.0) / (F.col("rtot") + b)))
+                  .alias("lr")))
+    return (occ.join(F.broadcast(lr.select("bkt", "lr")), "bkt")
+            .groupBy("doc_id")
+            .agg(F.avg("lr").alias("dsir_score"),
+                 F.count(F.lit(1)).alias("n_grams")), lr)
+
+
+def mmr_select(cands: "DataFrame", sims: "DataFrame",
+               lam: float = 0.7, mu: float = 0.3,
+               k: int = 5) -> "DataFrame":
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity-aware selection step a retrieval/RAG
+    pipeline runs on a candidate list: greedily pick the doc
+    maximizing ``lam·rel − mu·max_sim_to_already_selected``, so
+    near-duplicate hits stop crowding out coverage.
+
+    ``cands``: (query_id, doc_id, rel); ``sims``: (query_id, doc_a,
+    doc_b, sim) with doc_a < doc_b (missing pair ⇒ similarity 0).
+    ``lam``/``mu`` are SEPARATE literals, not λ/1−λ: IEEE ``1 − 0.7``
+    is 0.30000000000000004, and the greedy argmax must compute the
+    EXACT same doubles as the oracle's unrolled SQL — both engines
+    multiply the same literal. Ties break toward the min doc_id.
+
+    Greedy selection is inherently sequential in k but independent
+    per query — the grouped-graph-op shape: cogroup both inputs by
+    query_id and run the k steps in plain Python per group
+    (candidate lists are top-k-sized by construction; the sims table
+    is O(k²) per query). 100 TB: candidates per query are bounded by
+    the upstream top-k, so group size never scales with the corpus —
+    the expensive parts (ranking, pairwise sims) stay relational.
+
+    Returns (query_id, step, doc_id, mmr_score), step = 1..k in
+    selection order.
+    """
+
+    def _greedy(cpdf, spdf):
+        import pandas as pd
+
+        if len(cpdf) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="object"),
+                                 "step": pd.Series(dtype="int32"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "mmr_score": pd.Series(dtype="float64")})
+        qid = cpdf["query_id"].iloc[0]
+        rel = dict(zip((int(d) for d in cpdf["doc_id"]),
+                       (float(r) for r in cpdf["rel"])))
+        sim: dict = {}
+        for a, b, s in zip(spdf["doc_a"], spdf["doc_b"], spdf["sim"]):
+            sim[(int(a), int(b))] = float(s)
+            sim[(int(b), int(a))] = float(s)
+        remaining = sorted(rel)
+        selected: list[int] = []
+        rows = []
+        for step in range(1, min(k, len(rel)) + 1):
+            best_d, best_s = None, None
+            for d in remaining:           # ascending ⇒ min-id ties
+                ms = 0.0
+                for s in selected:
+                    v = sim.get((d, s), 0.0)
+                    if v > ms:
+                        ms = v
+                score = lam * rel[d] - mu * ms
+                if best_s is None or score > best_s:
+                    best_d, best_s = d, score
+            rows.append((qid, step, best_d, best_s))
+            selected.append(best_d)
+            remaining.remove(best_d)
+        return pd.DataFrame(rows, columns=["query_id", "step",
+                                           "doc_id", "mmr_score"])
+
+    return (cands.groupBy("query_id")
+            .cogroup(sims.groupBy("query_id"))
+            .applyInPandas(lambda c, s: _greedy(c, s),
+                           "query_id string, step int, doc_id long, "
+                           "mmr_score double"))

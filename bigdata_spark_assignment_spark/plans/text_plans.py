@@ -45,6 +45,10 @@ def _duck_lang_id_case() -> str:
     """
 
 
+_DSIR_B = 256   # DSIR hashed-bigram buckets (the model is B rows, always)
+_DSIR_K = 25    # DSIR selected-for-training head size
+
+
 _LANG_ID_ORACLE = f"""
     WITH s AS (
       SELECT lang, text,
@@ -228,13 +232,72 @@ _LANG_ID_ORACLE = f"""
           CROSS JOIN (SELECT SUM(n_c) AS n_all FROM nb_tot) na
           CROSS JOIN nb_vn vn))
       WHERE rank <= 3) nb
+    UNION ALL
+    -- r7 session 3: DSIR importance-resampling data selection (Xie
+    -- et al. 2023) — target slice = lang 'en', features = word
+    -- bigrams md5-hashed into {_DSIR_B} buckets, weight = mean
+    -- per-gram log-ratio of the add-1-smoothed target vs raw bucket
+    -- models (operators.textual.dsir_importance_scores)
+    SELECT part, k1, k2, n, v1, v2
+    FROM (
+      WITH dwords AS (
+        SELECT doc_id, source,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+               string_split_regex(lower(text), '\\s+') AS w
+        FROM documents),
+      docc AS (
+        SELECT doc_id, source, is_t,
+               CAST(('0x' || substr(md5(bg), 1, 8)) AS BIGINT)
+                 % {_DSIR_B} AS bkt
+        FROM (SELECT doc_id, source, is_t,
+                     unnest([array_to_string(w[i:i+1], ' ')
+                             for i in range(1, len(w))]) AS bg
+              FROM dwords WHERE len(w) >= 2)),
+      dbc AS (
+        SELECT bkt, CAST(COUNT(*) AS BIGINT) AS rc,
+               CAST(SUM(is_t) AS BIGINT) AS tc
+        FROM docc GROUP BY 1),
+      dtot AS (SELECT SUM(rc) AS rtot, SUM(tc) AS ttot FROM dbc),
+      dlr AS (
+        SELECT bkt, rc, tc,
+               ln((tc + 1.0) / (ttot + {_DSIR_B}.0))
+                 - ln((rc + 1.0) / (rtot + {_DSIR_B}.0)) AS lr
+        FROM dbc CROSS JOIN dtot),
+      dsc AS (
+        SELECT docc.doc_id, ANY_VALUE(docc.source) AS source,
+               AVG(dlr.lr) AS score, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM docc JOIN dlr USING (bkt)
+        GROUP BY docc.doc_id),
+      dsel AS (
+        SELECT doc_id, source, n_grams, ROUND(score, 4) AS rs,
+               ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC,
+                                  doc_id) AS rn
+        FROM dsc)
+      SELECT 'dsir_source' AS part, source AS k1,
+             CAST(NULL AS VARCHAR) AS k2,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(AVG(score), 4) AS v1, CAST(NULL AS DOUBLE) AS v2
+      FROM dsc GROUP BY source
+      UNION ALL
+      SELECT 'dsir_sel', source, CAST(doc_id AS VARCHAR), n_grams,
+             rs, NULL
+      FROM dsel WHERE rn <= {_DSIR_K}
+      UNION ALL
+      SELECT 'dsir_bkt', NULL, CAST(bkt AS VARCHAR), rc,
+             ROUND(lr, 4), NULL
+      FROM (SELECT bkt, rc, lr,
+                   ROW_NUMBER() OVER (ORDER BY rc DESC, bkt) AS rn
+            FROM dlr)
+      WHERE rn <= 10) dsir
 """
 
 
 @register("q36_lang_id_confusion", oracle=_LANG_ID_ORACLE,
-          tags=("text", "langid", "drift", "mi", "nb", "classifier"),
+          tags=("text", "langid", "drift", "mi", "nb", "classifier",
+                "dsir", "data-selection"),
           parts=("confusion", "drift", "mi_cells", "mi", "nb_conf",
-                 "nb_acc", "nb_cls", "nb_model", "nb_top"))
+                 "nb_acc", "nb_cls", "nb_model", "nb_top",
+                 "dsir_source", "dsir_sel", "dsir_bkt"))
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-language diagnostics, tagged:
 
@@ -264,6 +327,18 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       label-ascending). Parts: NB confusion cells, overall accuracy,
       per-class precision/recall, model card (V, train docs/tokens),
       and top-3 one-vs-rest log-odds tokens per class.
+    * ``dsir_source``/``dsir_sel``/``dsir_bkt`` — r7 session 3: DSIR
+      importance-resampling data selection (Xie et al. 2023, public
+      paper; operators.textual.dsir_importance_scores): target slice
+      = lang 'en', features = word bigrams md5-hashed into 256
+      buckets, weight = mean per-gram log-ratio of the add-1-smoothed
+      target vs raw bucket models. Per-source doc counts + mean
+      importance (the mixture-reweighting diagnostic), the top-25
+      selected-for-training docs (rank on the 4 dp rounded score,
+      doc_id ties), and the 10 heaviest model buckets (the fit is
+      inspectable). 100 TB: the model is 256 rows regardless of
+      corpus size and rides a broadcast both ways — the whole op is
+      one tokenize pass + two key-bounded aggregates.
     """
     from ..operators.textual import distribution_drift
 
@@ -358,10 +433,40 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token").alias("k2"), F.col("rank").cast("long").alias("n"),
         F.round(F.col("lo_micro") / F.lit(1e6), 6).alias("v1"),
         _null_d.alias("v2"))
+    from ..operators.textual import dsir_importance_scores
+
+    scores, model = dsir_importance_scores(
+        docs, is_target=(F.col("lang") == "en"), n_buckets=_DSIR_B)
+    dscored = scores.join(docs.select("doc_id", "source"), "doc_id")
+    dsir_source = (dscored.groupBy("source")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        fround(F.avg("dsir_score")).alias("v1"))
+                   .select(F.lit("dsir_source").alias("part"),
+                           F.col("source").alias("k1"),
+                           _null_s.alias("k2"), "n", "v1",
+                           _null_d.alias("v2")))
+    dsir_sel = (dscored.withColumn("rs", fround(F.col("dsir_score")))
+                .orderBy(F.col("rs").desc(), F.col("doc_id"))
+                .limit(_DSIR_K)
+                .select(F.lit("dsir_sel").alias("part"),
+                        F.col("source").alias("k1"),
+                        F.col("doc_id").cast("string").alias("k2"),
+                        F.col("n_grams").alias("n"),
+                        F.col("rs").alias("v1"), _null_d.alias("v2")))
+    dsir_bkt = (model.orderBy(F.col("rc").desc(), F.col("bkt"))
+                .limit(10)
+                .select(F.lit("dsir_bkt").alias("part"),
+                        _null_s.alias("k1"),
+                        F.col("bkt").cast("string").alias("k2"),
+                        F.col("rc").alias("n"),
+                        fround(F.col("lr")).alias("v1"),
+                        _null_d.alias("v2")))
     return (conf.unionByName(drift).unionByName(mi_cells)
             .unionByName(mi_row).unionByName(nb_conf)
             .unionByName(nb_acc).unionByName(nb_cls)
-            .unionByName(nb_model).unionByName(nb_top))
+            .unionByName(nb_model).unionByName(nb_top)
+            .unionByName(dsir_source).unionByName(dsir_sel)
+            .unionByName(dsir_bkt))
 
 
 _TEXT_METRICS_ORACLE = f"""
@@ -945,6 +1050,82 @@ def _phrase_oracle_legs() -> str:
     return " UNION ALL ".join(legs)
 
 
+def _mmr_ctes(k: int, pool_k: int = 10) -> str:
+    """Unrolled MMR greedy-selection CTEs for the q61 oracle
+    (operators.textual.mmr_select's contract): candidate pool = the
+    coordination top-``pool_k`` (cranked), pairwise similarity =
+    exact 3-word-shingle Jaccard among pool members, then ``k``
+    unrolled selection steps, each a ROW_NUMBER argmax of
+    0.7·rel − 0.3·max-sim-to-selected with min-doc_id ties. 0.7 and
+    0.3 are SEPARATE literals in engine and oracle (IEEE 1−0.7 ≠
+    0.3), so every step's score is the same double on both sides."""
+    out = [f"""mpool AS MATERIALIZED (
+      SELECT query_id, doc_id, CAST(match_tf AS DOUBLE) AS rel
+      FROM cranked WHERE rnk <= {pool_k}),
+    mw AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM mpool)),
+    msh AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(
+                    [concat_ws(' ', w[i], w[i+1], w[i+2])
+                     for i in generate_series(1, len(w) - 2)])
+                  ELSE [] END AS s
+      FROM mw),
+    msims AS (
+      SELECT p.query_id, p.doc_a, p.doc_b,
+             CASE WHEN len(a.s) + len(b.s)
+                       - len(list_intersect(a.s, b.s)) = 0 THEN 0.0
+                  ELSE len(list_intersect(a.s, b.s)) * 1.0
+                       / (len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s))) END AS sim
+      FROM (SELECT x.query_id, x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM mpool x JOIN mpool y
+              ON x.query_id = y.query_id AND x.doc_id < y.doc_id) p
+      JOIN msh a ON a.doc_id = p.doc_a
+      JOIN msh b ON b.doc_id = p.doc_b),
+    msym AS MATERIALIZED (
+      SELECT query_id, doc_a AS x, doc_b AS y, sim FROM msims
+      UNION ALL
+      SELECT query_id, doc_b, doc_a, sim FROM msims),
+    m1 AS MATERIALIZED (
+      SELECT query_id, doc_id, 0.7 * rel AS score, 1 AS step
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, doc_id)
+                        AS rn
+            FROM mpool)
+      WHERE rn = 1),
+    msel1 AS (SELECT query_id, doc_id FROM m1)"""]
+    for i in range(2, k + 1):
+        out.append(f"""m{i} AS MATERIALIZED (
+      SELECT query_id, doc_id, score, {i} AS step FROM (
+        SELECT c.query_id, c.doc_id,
+               0.7 * c.rel - 0.3 * COALESCE(x.ms, 0.0) AS score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY 0.7 * c.rel - 0.3 * COALESCE(x.ms, 0.0)
+                            DESC,
+                          c.doc_id) AS rn
+        FROM mpool c
+        LEFT JOIN (SELECT m.query_id, m.x AS doc_id,
+                          MAX(m.sim) AS ms
+                   FROM msym m JOIN msel{i - 1} s
+                     ON m.query_id = s.query_id AND m.y = s.doc_id
+                   GROUP BY 1, 2) x
+          ON x.query_id = c.query_id AND x.doc_id = c.doc_id
+        WHERE NOT EXISTS (SELECT 1 FROM msel{i - 1} s
+                          WHERE s.query_id = c.query_id
+                            AND s.doc_id = c.doc_id))
+      WHERE rn = 1),
+    msel{i} AS (SELECT query_id, doc_id FROM msel{i - 1}
+                UNION ALL SELECT query_id, doc_id FROM m{i})""")
+    out.append("mall AS (" + " UNION ALL ".join(
+        f"SELECT * FROM m{i}" for i in range(1, k + 1)) + ")")
+    return ",\n    ".join(out)
+
+
 @register(
     "q61_tfidf_top_terms",
     oracle=f"""
@@ -1013,7 +1194,11 @@ def _phrase_oracle_legs() -> str:
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY ROUND(score, 6) DESC,
                                             doc_id) AS rnk
-      FROM rrf)
+      FROM rrf),
+    -- r7 session 3: MMR diversity re-ranking over the coordination
+    -- top-10 pool (operators.textual.mmr_select) — 5 unrolled greedy
+    -- steps, exact shingle-Jaccard redundancy penalty
+    {_mmr_ctes(5)}
     SELECT 'tfidf' AS part, doc_id, term, tf, df, tfidf AS v,
            CAST(rnk AS INTEGER) AS rnk
     FROM ranked WHERE rnk <= 3
@@ -1025,6 +1210,10 @@ def _phrase_oracle_legs() -> str:
     SELECT 'rrf', doc_id, query_id, ns, NULL, ROUND(score, 6),
            CAST(rnk AS INTEGER)
     FROM rrfranked WHERE rnk <= {_BM25_K}
+    UNION ALL
+    SELECT 'mmr', doc_id, query_id, CAST(step AS BIGINT), NULL,
+           ROUND(score, 6), CAST(step AS INTEGER)
+    FROM mall
     UNION ALL
     -- r5 session 5: exact phrase occurrences per doc
     -- (operators.textual.phrase_search) — consecutive-token windows
@@ -1088,8 +1277,9 @@ def _phrase_oracle_legs() -> str:
       ON r.query_id = h.query_id
     """,
     tags=("text", "tfidf", "bm25", "retrieval", "rrf", "phrase", "bpe",
-          "eval"),
-    parts=("tfidf", "bm25", "rrf", "phrase", "bpe", "ndcg", "recall5"),
+          "eval", "mmr"),
+    parts=("tfidf", "bm25", "rrf", "phrase", "bpe", "ndcg", "recall5",
+           "mmr"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-relevance scoring in one tagged result:
@@ -1191,6 +1381,43 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(None).cast("long").alias("df"),
                    F.lit(None).cast("double").alias("v"),
                    F.col("step").cast("int").alias("rnk")))
+    from ..operators.textual import mmr_select, shingles_expr
+
+    # mmr (r7 session 3): diversity re-ranking of the coordination
+    # top-10 pool — greedy 0.7·rel − 0.3·max-shingle-Jaccard-to-
+    # selected, 5 picks per query (operators.textual.mmr_select;
+    # greedy runs per-query in a cogrouped pandas step, pool and
+    # pairwise sims stay relational — the pool is top-k-bounded, so
+    # the Python group never scales with the corpus)
+    pool = (term_match_topk(docs, _BM25_QUERIES, k=10, tf=tf_all)
+            .select("query_id", "doc_id",
+                    F.col("match_tf").alias("rel")))
+    csh = (docs.join(pool.select("doc_id").distinct(), "doc_id")
+           .select("doc_id", shingles_expr(F.col("text"), 3).alias("s")))
+    pr = (pool.select(F.col("query_id").alias("qa"),
+                      F.col("doc_id").alias("doc_a"))
+          .join(pool.select(F.col("query_id").alias("qb"),
+                            F.col("doc_id").alias("doc_b")),
+                (F.col("qa") == F.col("qb"))
+                & (F.col("doc_a") < F.col("doc_b")))
+          .select(F.col("qa").alias("query_id"), "doc_a", "doc_b"))
+    common = F.size(F.array_intersect("sa", "sb"))
+    un = F.size("sa") + F.size("sb") - common
+    sims = (pr.join(csh.select(F.col("doc_id").alias("doc_a"),
+                               F.col("s").alias("sa")), "doc_a")
+            .join(csh.select(F.col("doc_id").alias("doc_b"),
+                             F.col("s").alias("sb")), "doc_b")
+            .select("query_id", "doc_a", "doc_b",
+                    F.when(un == 0, F.lit(0.0))
+                    .otherwise(common.cast("double") / un).alias("sim")))
+    mmr = (mmr_select(pool, sims, lam=0.7, mu=0.3, k=5)
+           .select(F.lit("mmr").alias("part"), "doc_id",
+                   F.col("query_id").alias("term"),
+                   F.col("step").cast("long").alias("tf"),
+                   F.lit(None).cast("long").alias("df"),
+                   F.round("mmr_score", 6).alias("v"),
+                   F.col("step").cast("int").alias("rnk")))
+
     from ..operators.textual import retrieval_eval
 
     # ndcg / recall5 (r7): score the BM25 top-5 itself — graded
@@ -1218,7 +1445,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(None).cast("int").alias("rnk"))
     return (tfidf.unionByName(bm25).unionByName(rrf)
             .unionByName(phrase).unionByName(bpe)
-            .unionByName(ndcg).unionByName(rec))
+            .unionByName(ndcg).unionByName(rec).unionByName(mmr))
 
 
 @register(

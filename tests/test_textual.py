@@ -673,3 +673,64 @@ def test_nb_classifier_oov_doc_falls_back_to_prior(spark):
     # minus at most ~8 per class held out), so prior('aa') > prior('bb')
     assert got["pred_lbl"] == "aa"
     assert got["true_lbl"] == "bb"
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    """DSIR importance: docs sharing the target slice's vocabulary
+    must outscore docs from a disjoint vocabulary, and the model
+    table must stay within n_buckets rows."""
+    from bigdata_spark_assignment_spark.operators.textual import (
+        dsir_importance_scores,
+    )
+
+    rows = []
+    for i in range(20):                       # target: "science" text
+        rows.append((i, "atoms orbit nuclei atoms emit photons", True))
+    for i in range(20, 40):                   # raw: target-like
+        rows.append((i, "photons excite atoms atoms orbit nuclei", False))
+    for i in range(40, 60):                   # raw: boilerplate
+        rows.append((i, "click here to subscribe click here now", False))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    scores, model = dsir_importance_scores(docs, F.col("t"),
+                                           n_buckets=64)
+    got = {r["doc_id"]: r["dsir_score"] for r in scores.collect()}
+    assert len(got) == 60 and model.count() <= 64
+    like = sum(got[i] for i in range(20, 40)) / 20
+    boiler = sum(got[i] for i in range(40, 60)) / 20
+    assert like > boiler + 0.5                # clear separation
+    # single-token doc contributes no bigrams
+    one = spark.createDataFrame([(0, "word", True), (1, "a b", False)],
+                                "doc_id long, text string, t boolean")
+    s1, _ = dsir_importance_scores(one, F.col("t"), n_buckets=16)
+    assert [r["doc_id"] for r in s1.collect()] == [1]
+
+
+def test_mmr_select_defers_redundant_candidates(spark):
+    """Greedy MMR: after picking the top-relevance doc, a slightly
+    less relevant but DISSIMILAR doc must beat a near-duplicate of
+    the first pick; ties break toward the min doc_id."""
+    from bigdata_spark_assignment_spark.operators.textual import (
+        mmr_select,
+    )
+
+    cands = spark.createDataFrame(
+        [("q1", 1, 10), ("q1", 2, 10), ("q1", 3, 10)],
+        "query_id string, doc_id long, rel long")
+    # doc 2 is a near-dup of doc 1; doc 3 is unrelated — with equal
+    # relevance, the redundancy penalty alone must defer doc 2
+    sims = spark.createDataFrame(
+        [("q1", 1, 2, 0.95), ("q1", 1, 3, 0.0), ("q1", 2, 3, 0.0)],
+        "query_id string, doc_a long, doc_b long, sim double")
+    got = sorted((r["step"], r["doc_id"], r["mmr_score"])
+                 for r in mmr_select(cands, sims, k=3).collect())
+    assert [(s, d) for s, d, _ in got] == [(1, 1), (2, 3), (3, 2)]
+    # step-1 score is pure relevance; step-3 pays the redundancy
+    assert got[0][2] == 0.7 * 10
+    assert abs(got[2][2] - (0.7 * 10 - 0.3 * 0.95)) < 1e-12
+    # k caps at the pool size, and a tie prefers the smaller doc_id
+    tie = spark.createDataFrame([("q2", 5, 7), ("q2", 4, 7)],
+                                "query_id string, doc_id long, rel long")
+    empty = sims.filter("query_id = 'nope'")
+    out = {r["step"]: r["doc_id"]
+           for r in mmr_select(tie, empty, k=5).collect()}
+    assert out == {1: 4, 2: 5}
