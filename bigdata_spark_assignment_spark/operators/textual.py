@@ -1221,6 +1221,15 @@ def dsir_importance_scores(docs: "DataFrame", is_target: Column,
     same token stream. Docs with < 2 tokens have no features and are
     omitted.
 
+    Division of labor vs ``cleaning.dsir_select`` (q11): that op is
+    the SAMPLING end — hashed-unigram features, summed log-weights,
+    Gumbel top-k draw without replacement. This op is the
+    DIAGNOSTIC/REWEIGHTING end — bigram features (the paper's
+    stronger hashed n-gram space), a returned inspectable model
+    table, and length-invariant mean scores meant for per-source
+    mixture readouts and deterministic head selection (q36's legs),
+    not for probabilistic resampling.
+
     Plan shape (all relational, zero Python): bigrams from the
     shuffle-free arrays_zip-against-tail (``bigram_doc_scores``'s
     extraction), ONE bucket-keyed aggregate counting raw and target
@@ -1253,15 +1262,24 @@ def dsir_importance_scores(docs: "DataFrame", is_target: Column,
         F.count(F.when(F.col("is_t"), 1)).alias("tc"))
     tot = bc.agg(F.sum("rc").alias("rtot"), F.sum("tc").alias("ttot"))
     b = F.lit(float(n_buckets))
-    lr = (bc.crossJoin(F.broadcast(tot))
-          .select("bkt", "rc", "tc",
-                  (F.log((F.col("tc") + 1.0) / (F.col("ttot") + b))
-                   - F.log((F.col("rc") + 1.0) / (F.col("rtot") + b)))
-                  .alias("lr")))
-    return (occ.join(F.broadcast(lr.select("bkt", "lr")), "bkt")
-            .groupBy("doc_id")
-            .agg(F.avg("lr").alias("dsir_score"),
-                 F.count(F.lit(1)).alias("n_grams")), lr)
+    from .dedup import _track_persist
+
+    # persisted (2ce67ee's lesson): AQE never folds identical sibling
+    # subtrees, so the ≤n_buckets-row model and the per-doc score
+    # table would otherwise re-run the whole tokenize→hash→aggregate
+    # chain once per consumer (the q36 legs read each of them twice)
+    lr = _track_persist(
+        bc.crossJoin(F.broadcast(tot))
+        .select("bkt", "rc", "tc",
+                (F.log((F.col("tc") + 1.0) / (F.col("ttot") + b))
+                 - F.log((F.col("rc") + 1.0) / (F.col("rtot") + b)))
+                .alias("lr")))
+    scores = _track_persist(
+        occ.join(F.broadcast(lr.select("bkt", "lr")), "bkt")
+        .groupBy("doc_id")
+        .agg(F.avg("lr").alias("dsir_score"),
+             F.count(F.lit(1)).alias("n_grams")))
+    return scores, lr
 
 
 def mmr_select(cands: "DataFrame", sims: "DataFrame",

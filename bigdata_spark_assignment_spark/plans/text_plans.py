@@ -327,18 +327,20 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       label-ascending). Parts: NB confusion cells, overall accuracy,
       per-class precision/recall, model card (V, train docs/tokens),
       and top-3 one-vs-rest log-odds tokens per class.
-    * ``dsir_source``/``dsir_sel``/``dsir_bkt`` — r7 session 3: DSIR
-      importance-resampling data selection (Xie et al. 2023, public
-      paper; operators.textual.dsir_importance_scores): target slice
-      = lang 'en', features = word bigrams md5-hashed into 256
-      buckets, weight = mean per-gram log-ratio of the add-1-smoothed
-      target vs raw bucket models. Per-source doc counts + mean
-      importance (the mixture-reweighting diagnostic), the top-25
-      selected-for-training docs (rank on the 4 dp rounded score,
-      doc_id ties), and the 10 heaviest model buckets (the fit is
-      inspectable). 100 TB: the model is 256 rows regardless of
-      corpus size and rides a broadcast both ways — the whole op is
-      one tokenize pass + two key-bounded aggregates.
+    * ``dsir_source``/``dsir_sel``/``dsir_bkt`` — r7 session 3: the
+      DIAGNOSTIC view of DSIR importance weighting (Xie et al. 2023;
+      operators.textual.dsir_importance_scores — the probabilistic
+      SAMPLING end lives in cleaning.dsir_select / q11's Gumbel
+      top-k): target slice = lang 'en', features = word BIGRAMS
+      md5-hashed into 256 buckets, weight = mean per-gram log-ratio
+      of the add-1-smoothed target vs raw bucket models
+      (length-invariant, so it reads as a mixture score). Per-source
+      doc counts + mean importance (the reweighting readout beside
+      ``drift``'s KL), the top-25 deterministic head (rank on the
+      4 dp rounded score, doc_id ties), and the 10 heaviest model
+      buckets (the fit is inspectable). 100 TB: the model is 256 rows
+      regardless of corpus size and rides a broadcast both ways — the
+      whole op is one tokenize pass + two key-bounded aggregates.
     """
     from ..operators.textual import distribution_drift
 
