@@ -136,6 +136,11 @@ def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'dedup', d, d, 0, 0, TRUE
     FROM (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS d FROM events)
     UNION ALL
+    SELECT 'topk', d, d, 0, 0, TRUE
+    FROM (SELECT CAST(COUNT(DISTINCT event_type || ':' ||
+                 CAST(user_id % 100 AS VARCHAR)) AS BIGINT) AS d
+          FROM events)
+    UNION ALL
     SELECT 'late', w, w, 0, 0, TRUE
     FROM (
       SELECT CAST(COUNT(*) AS BIGINT) AS w FROM (
@@ -146,7 +151,8 @@ def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes'
              FROM events))
     """,
-    tags=("streaming", "replay", "join", "watermark", "stateful", "dedup"),
+    tags=("streaming", "replay", "join", "watermark", "stateful",
+          "dedup", "topk", "sketch"),
 )
 def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL incremental engine, driver-visible (merged r2 q68+q70):
@@ -171,6 +177,15 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       twice, duplicates at the same event time, so always inside the
       30-minute horizon); the converged output must be one row per
       event_id, identical to batch ``dropDuplicates``.
+    * ``topk`` — r7 session 3: streaming Misra-Gries heavy hitters
+      (streaming/stateful.py ``mg_heavy_hitters``) — the second
+      custom stateful operator, with ARRAY state: each hash bucket's
+      state is its full bounded MG summary, replayed in update mode.
+      Domain (event_type x user_id mod 100) sits far below the
+      per-bucket capacity, so MG never decrements, every count is
+      exact, and the last emission per item must equal the batch
+      count table integer-for-integer (the decrement path is covered
+      on a hand stream in tests/test_streaming.py).
     * ``late`` — watermark/late-data semantics, driver-visible: the
       on-time chunks replay in event-time order, then ONE extra chunk
       re-sends the EARLIEST 400 events (fresh ids, original old
@@ -202,7 +217,7 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         replay_with_late_chunk,
         run_to_memory_sink,
     )
-    from ..streaming.stateful import running_totals
+    from ..streaming.stateful import mg_heavy_hitters, running_totals
 
     import shutil
     import tempfile
@@ -261,6 +276,22 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         late_stream = run_to_memory_sink(
             tumbling_counts(with_watermark(stream5, delay="10 minutes")),
             "q68_late_sink", output_mode="append")
+
+        # topk (r7 session 3): streaming Misra-Gries heavy hitters —
+        # the second custom stateful operator, with ARRAY state (the
+        # full bounded MG summary per hash bucket). Domain =
+        # event_type x (user_id % 100) ≈ a few hundred items, capacity
+        # 1024 per bucket ⇒ MG never decrements ⇒ every count exact ⇒
+        # the converged summary must equal batch counts row-for-row
+        _mg_item = F.concat(F.col("event_type"), F.lit(":"),
+                            F.pmod(F.col("user_id"), F.lit(100))
+                            .cast("string"))
+        stream6 = replay_as_stream(spark, events, n_chunks=6,
+                                   dir_path=_dir("topk"))
+        topk_stream = run_to_memory_sink(
+            mg_heavy_hitters(stream6, _mg_item, capacity=1024,
+                             n_buckets=8),
+            "q68_topk_sink", output_mode="update")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
@@ -277,6 +308,7 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_stream = state_stream.localCheckpoint()
     dedup_stream = dedup_stream.localCheckpoint()
     late_stream = late_stream.localCheckpoint()
+    topk_stream = topk_stream.localCheckpoint()
     shutil.rmtree(scratch, ignore_errors=True)
 
     def _diff_row(part: str, stream_df: DataFrame,
@@ -350,5 +382,14 @@ def stream_replay_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                      late_stream.filter(F.col("win_end") < F.lit(wm_final)),
                      late_expected)
 
+    # topk: converged MG summary = LAST emission per item (counts are
+    # monotone in the never-decrement regime, so last = max); batch
+    # path of the same operator is the exact group-by count table
+    wt = W.partitionBy("item").orderBy(F.col("mg_count").desc())
+    topk_final = (topk_stream.withColumn("rn", F.row_number().over(wt))
+                  .filter(F.col("rn") == 1).drop("rn"))
+    topk = _diff_row("topk", topk_final,
+                     mg_heavy_hitters(batch_events, _mg_item))
+
     return (tumb.unionByName(join).unionByName(stateful)
-            .unionByName(dedup).unionByName(late))
+            .unionByName(dedup).unionByName(late).unionByName(topk))

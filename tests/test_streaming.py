@@ -348,3 +348,57 @@ def test_idempotent_batch_sink_stateful_crash_resume(spark, events,
     for k, (_, n, s) in final.items():
         assert n == batch[k][0], k
         assert abs(s - batch[k][1]) < 1e-6, k
+
+
+def test_mg_heavy_hitters_stream_batch_equivalence(spark, events, tmp_path):
+    """Streaming MG with capacity above the item domain: every count
+    is exact, so the last per-item emission equals the batch count
+    table integer-for-integer."""
+    from bigdata_spark_assignment_spark.streaming.stateful import (
+        mg_heavy_hitters,
+    )
+
+    item = F.concat(F.col("event_type"), F.lit(":"),
+                    F.pmod(F.col("user_id"), F.lit(10)).cast("string"))
+    stream = replay_as_stream(spark, events, n_chunks=5,
+                              dir_path=str(tmp_path))
+    out = run_to_memory_sink(
+        mg_heavy_hitters(stream, item, capacity=512, n_buckets=4),
+        "t_mg", output_mode="update")
+    final = {}
+    for r in out.collect():      # counts monotone -> last = max
+        if r.item not in final or r.mg_count > final[r.item]:
+            final[r.item] = r.mg_count
+    batch = {r.item: r.mg_count
+             for r in mg_heavy_hitters(events, item).collect()}
+    assert final == batch and len(batch) > 10
+
+
+def test_mg_heavy_hitters_decrement_path(spark, tmp_path):
+    """Capacity BELOW the domain: the decrement branch runs, and the
+    MG guarantee holds — every item with true count > n/ (capacity+1)
+    survives, and no estimate exceeds its true count."""
+    from bigdata_spark_assignment_spark.streaming.stateful import (
+        mg_heavy_hitters,
+    )
+
+    rows = ([("hh", i) for i in range(60)]
+            + [(f"rare{i}", i) for i in range(30)])
+    df = (spark.createDataFrame(rows, "event_type string, user_id long")
+          .withColumn("ts", F.timestamp_seconds(F.col("user_id") + 1)))
+    stream = replay_as_stream(spark, df, n_chunks=3,
+                              dir_path=str(tmp_path))
+    out = run_to_memory_sink(
+        mg_heavy_hitters(stream, F.col("event_type"), capacity=4,
+                         n_buckets=1),
+        "t_mg_dec", output_mode="update")
+    final = {}
+    for r in out.collect():
+        final[r.item] = r.mg_count          # last emission wins
+    # the heavy item must survive with a lower-bounded estimate
+    n = len(rows)
+    assert "hh" in final
+    assert 60 - n // 5 <= final["hh"] <= 60
+    # summary stayed bounded
+    last_size = out.count() and len(final)
+    assert last_size <= 4 + 30  # evicted items may linger from earlier emissions
