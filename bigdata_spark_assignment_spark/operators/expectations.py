@@ -124,3 +124,47 @@ def run_expectations(checks: list[DataFrame]) -> DataFrame:
     if not checks:
         raise ValueError("no checks given")
     return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+def k_anonymity_audit(df: DataFrame, qi_cols: list[str],
+                      sensitive_col: str, k: int = 5,
+                      l_div: int = 3) -> DataFrame:
+    """Privacy audit for a table about to leave the trust boundary
+    (training-data releases, eval-set publication): k-anonymity
+    (Sweeney 2002) and distinct l-diversity (Machanavalingam et al.
+    2007) over one quasi-identifier set.
+
+    A row is k-anonymous when its QI combination is shared by ≥ k
+    rows; a QI group is l-diverse when it contains ≥ l distinct
+    sensitive values (k-anonymity alone leaks the sensitive attribute
+    when a group is homogeneous). Returns one (metric, value) row
+    each for: group count, minimum group size, groups below k,
+    rows below k, minimum distinct-sensitive per group, groups below
+    l — the numbers a release gate thresholds on.
+
+    Plan: ONE aggregation by the QI columns (count + exact distinct
+    of the sensitive column ride the same shuffle), then a tiny
+    all-group summary. 100 TB: group cardinality is the QI domain,
+    not the row count; the only full-data pass is the first combine-
+    enabled aggregate. All-integer outputs — oracle-exact by
+    construction.
+    """
+    groups = (df.groupBy(*qi_cols)
+              .agg(F.count(F.lit(1)).alias("__n"),
+                   F.countDistinct(sensitive_col).alias("__l")))
+    return (groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("__n").alias("min_group"),
+        F.count(F.when(F.col("__n") < k, 1)).alias("n_groups_below_k"),
+        F.coalesce(F.sum(F.when(F.col("__n") < k, F.col("__n"))),
+                   F.lit(0)).alias("n_rows_below_k"),
+        F.min("__l").alias("min_l"),
+        F.count(F.when(F.col("__l") < l_div, 1)).alias("n_groups_below_l"))
+        .select(F.explode(F.map_from_arrays(
+            F.array(*[F.lit(c) for c in
+                      ("n_groups", "min_group", "n_groups_below_k",
+                       "n_rows_below_k", "min_l", "n_groups_below_l")]),
+            F.array(F.col("n_groups"), F.col("min_group"),
+                    F.col("n_groups_below_k"), F.col("n_rows_below_k"),
+                    F.col("min_l"), F.col("n_groups_below_l"))))
+            .alias("metric", "value")))

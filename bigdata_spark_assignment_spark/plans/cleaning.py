@@ -249,10 +249,64 @@ def _profile_oracle_legs() -> str:
         LEFT JOIN psb ON psb.src = pgr.src AND psb.bucket = pgb.bucket)
       SELECT src, n_g, n_b, CAST(SUM(termq) AS BIGINT) AS psi_nano
       FROM pterms GROUP BY 1, 2, 3) g
+    UNION ALL
+    -- r7 session 3: k-anonymity / l-diversity release audit
+    -- (operators.expectations.k_anonymity_audit) over two QI sets;
+    -- sensitive attribute = last char of c_name; all-integer outputs
+    SELECT 'kanon', ka.qi, ka.metric, NULL, ka.n
+    FROM (
+      WITH kg1 AS (
+        SELECT COUNT(*) AS n,
+               COUNT(DISTINCT right(c_name, 1)) AS l
+        FROM customer GROUP BY c_nationkey, c_mktsegment),
+      kg2 AS (
+        SELECT COUNT(*) AS n,
+               COUNT(DISTINCT right(c_name, 1)) AS l
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT)),
+      ks1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(MIN(n) AS BIGINT) AS min_group,
+               CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_groups_below_k,
+               CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0)
+                    AS BIGINT) AS n_rows_below_k,
+               CAST(MIN(l) AS BIGINT) AS min_l,
+               CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_groups_below_l
+        FROM kg1),
+      ks2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(MIN(n) AS BIGINT) AS min_group,
+               CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_groups_below_k,
+               CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0)
+                    AS BIGINT) AS n_rows_below_k,
+               CAST(MIN(l) AS BIGINT) AS min_l,
+               CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_groups_below_l
+        FROM kg2)
+      SELECT 'nation_seg' AS qi, u.metric, u.n
+      FROM ks1, LATERAL (VALUES
+        ('n_groups', ks1.n_groups), ('min_group', ks1.min_group),
+        ('n_groups_below_k', ks1.n_groups_below_k),
+        ('n_rows_below_k', ks1.n_rows_below_k),
+        ('min_l', ks1.min_l),
+        ('n_groups_below_l', ks1.n_groups_below_l)) u(metric, n)
+      UNION ALL
+      SELECT 'nation_seg_bal', u.metric, u.n
+      FROM ks2, LATERAL (VALUES
+        ('n_groups', ks2.n_groups), ('min_group', ks2.min_group),
+        ('n_groups_below_k', ks2.n_groups_below_k),
+        ('n_rows_below_k', ks2.n_rows_below_k),
+        ('min_l', ks2.min_l),
+        ('n_groups_below_l', ks2.n_groups_below_l)) u(metric, n)) ka
     """,
     tags=("cleaning", "profile", "histogram", "expectations", "diff",
-          "psi", "drift"),
-    parts=("clean", "profile", "hist", "expect", "diff", "psi"),
+          "psi", "drift", "kanon", "privacy"),
+    parts=("clean", "profile", "hist", "expect", "diff", "psi",
+           "kanon"),
 )
 def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality suite over the documents table, tagged:
@@ -299,6 +353,13 @@ def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       numeric-feature drift monitor (global 10-bin equi-depth
       buckets, add-half smoothing, nano-quantized terms summed in
       exact BIGINTs). k2 = source, s = "n_g:bins", n = nano-PSI.
+    * ``kanon`` — r7 session 3: k-anonymity + distinct l-diversity
+      release audit (operators.expectations.k_anonymity_audit) over
+      two quasi-identifier sets on customer (coarse nation×segment;
+      fine adds the balance kilo-bucket), sensitive attribute = last
+      name char. k1 = QI set, k2 = metric (group count, min group,
+      groups/rows below k=5, min l, groups below l=3) — the integer
+      gate numbers a training-data release thresholds on.
     """
     docs = load_table(spark, sf_dir, "documents")
     lang_dirty = F.when(F.col("lang") == "en", "NA").otherwise(F.col("lang"))
@@ -407,9 +468,32 @@ def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.concat_ws(":", F.col("n_g"), F.col("n_bins_used"))
                    .alias("s"),
                    F.col("psi_nano").alias("n")))
+    from ..operators.expectations import k_anonymity_audit
+
+    # kanon — r7 session 3: k-anonymity / l-diversity release audit
+    # over two quasi-identifier sets on customer (sensitive = last
+    # name char); one combine-enabled aggregate per QI set, integer
+    # outputs the oracle re-derives exactly
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_kilo", F.floor(F.col("c_acctbal") / 1000).cast("long"))
+    sens = "__sens"
+    cust = cust.withColumn(sens, F.expr("right(c_name, 1)"))
+    kanon_rows = []
+    for qi_name, qi_cols in (
+            ("nation_seg", ["c_nationkey", "c_mktsegment"]),
+            ("nation_seg_bal",
+             ["c_nationkey", "c_mktsegment", "bal_kilo"])):
+        kanon_rows.append(
+            k_anonymity_audit(cust, qi_cols, sens, k=5, l_div=3)
+            .select(F.lit("kanon").alias("part"),
+                    F.lit(qi_name).alias("k1"),
+                    F.col("metric").alias("k2"),
+                    F.lit(None).cast("string").alias("s"),
+                    F.col("value").cast("long").alias("n")))
+    kanon = kanon_rows[0].unionByName(kanon_rows[1])
     return (clean.unionByName(prof).unionByName(hist)
             .unionByName(expect_part).unionByName(diff)
-            .unionByName(psi))
+            .unionByName(psi).unionByName(kanon))
 
 
 @register(

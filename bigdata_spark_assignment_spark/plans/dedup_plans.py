@@ -745,6 +745,31 @@ def _lpa_iter_ctes(rounds: int) -> str:
            CAST(NULL AS DOUBLE)
     FROM lp4
     UNION ALL
+    -- r7 session 3: Newman modularity of the LPA partition
+    -- (operators.dedup.modularity_nano) — per-community terms
+    -- nano-rounded to exact BIGINTs before the order-free SUM (the
+    -- psi_nano discipline). id = community count, cluster_id =
+    -- Q in nanos, v = undirected edge count
+    SELECT 'modularity', CAST(mt.n_comm AS BIGINT),
+           CAST(mt.q_nano AS BIGINT), CAST(mt.m AS DOUBLE)
+    FROM (
+      WITH mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges_lh),
+      mmc AS (SELECT a.label AS c, CAST(COUNT(*) AS BIGINT) AS m_c
+              FROM edges_lh e
+              JOIN lp4 a ON e.u = a.id
+              JOIN lp4 b ON e.v = b.id AND a.label = b.label
+              GROUP BY 1),
+      mdc AS (SELECT l.label AS c, CAST(SUM(d.deg) AS BIGINT) AS d_c
+              FROM lp4 l JOIN deg d ON l.id = d.id GROUP BY 1),
+      mterms AS (
+        SELECT CAST(ROUND((COALESCE(mmc.m_c, 0) * 1.0 / mm.m
+                     - (mdc.d_c * 1.0 / (2.0 * mm.m)) ^ 2) * 1e9)
+                    AS BIGINT) AS term_nano
+        FROM mdc CROSS JOIN mm LEFT JOIN mmc ON mmc.c = mdc.c)
+      SELECT (SELECT COUNT(*) FROM mdc) AS n_comm,
+             (SELECT SUM(term_nano) FROM mterms) AS q_nano,
+             (SELECT m FROM mm) AS m) mt
+    UNION ALL
     -- r5 session 4: BFS hop distance from each component's canonical
     -- (min-id) vertex — level-bounded recursive enumeration, MIN(dist)
     -- = shortest path, same 20-hop bound as the engine operator
@@ -786,7 +811,7 @@ def _lpa_iter_ctes(rounds: int) -> str:
     tags=("dedup", "neardup", "clustering", "pagerank", "sssp",
           "lpa", "community"),
     parts=("prop", "star", "pagerank", "triangles", "clustering",
-           "kcore", "bfs", "sssp", "lpa"),
+           "kcore", "bfs", "sssp", "lpa", "modularity"),
     part_col="method",
 )
 def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,6 +884,12 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       in tests/test_dedup.py. The oracle unrolls the same 4 rounds
       with the same argmax (count DESC, label ASC). cluster_id
       carries the community label.
+    * ``modularity`` — r7 session 3: Newman modularity Q of the LPA
+      partition (operators.dedup.modularity_nano) — the one-number
+      "did the communities beat random" check; per-community terms
+      nano-rounded to exact BIGINTs before the order-free sum (the
+      psi_nano discipline). id = community count, cluster_id = Q in
+      nanos, v = undirected edge count.
 
     The pair graph is persisted so the MinHash sweep is paid once
     across all six algorithm families."""
@@ -923,13 +954,23 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that split chain-bridged components where reachability cannot;
     # grouped one-job form (components are dup-blob-sized), the
     # iterative label_propagation pinned equal in tests/test_dedup.py
-    lpa = (lpa_by_component(pairs, prop, rounds=4)
-           .select(F.lit("lpa").alias("method"), "id",
-                   F.col("label").alias("cluster_id"), nullv))
+    from ..operators.dedup import modularity_nano
+
+    lpa_lab = _track_persist(lpa_by_component(pairs, prop, rounds=4))
+    lpa = lpa_lab.select(F.lit("lpa").alias("method"), "id",
+                         F.col("label").alias("cluster_id"), nullv)
+    # modularity: did LPA find real structure? One nano-quantized
+    # number from three key-bounded aggregates over the same graph
+    mod = (modularity_nano(pairs, lpa_lab)
+           .select(F.lit("modularity").alias("method"),
+                   F.col("n_communities").alias("id"),
+                   F.col("q_nano").alias("cluster_id"),
+                   F.col("m_edges").cast("double").alias("v")))
     return (clus.unionByName(
             prop.select(F.lit("prop").alias("method"), "id",
                         "cluster_id", nullv))
             .unionByName(star.select(F.lit("star").alias("method"),
                                      "id", "cluster_id", nullv))
             .unionByName(pr).unionByName(tri).unionByName(kc)
-            .unionByName(bfs).unionByName(sp).unionByName(lpa))
+            .unionByName(bfs).unionByName(sp).unionByName(lpa)
+            .unionByName(mod))

@@ -805,3 +805,25 @@ def test_lpa_grouped_equals_iterative(spark):
                 for r in lpa_by_component(
                     pairs, neardup_clusters(pairs), rounds=4).collect())
     assert it == gr and len(it) > 0
+
+
+def test_modularity_nano_two_triangles(spark):
+    """Two triangles bridged by one edge, perfectly partitioned:
+    Q = 2·(3/7 − (7/14)²) = 0.357142857…, nano-rounded per community
+    term (178571429 each)."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        modularity_nano,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels = spark.createDataFrame(
+        [(i, 1) for i in (1, 2, 3)] + [(i, 4) for i in (4, 5, 6)],
+        "id long, label long")
+    row = modularity_nano(pairs, labels).collect()[0]
+    assert (row["n_communities"], row["m_edges"]) == (2, 7)
+    assert row["q_nano"] == 2 * 178571429
+    # one-community partition scores Q = 0 exactly
+    one = spark.createDataFrame([(i, 1) for i in range(1, 7)],
+                                "id long, label long")
+    assert modularity_nano(pairs, one).collect()[0]["q_nano"] == 0

@@ -60,3 +60,23 @@ def test_expect_subset_counts_child_rows(spark):
     assert r.status == "fail"           # NULL fk is not a violation
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_k_anonymity_audit_hand_table(spark):
+    """Hand table: QI group sizes 3/5, sensitive diversity 3/1 — the
+    audit must report min group 3, one group below k=5, its 3 rows,
+    min l 1, one group below l=3."""
+    from bigdata_spark_assignment_spark.operators.expectations import (
+        k_anonymity_audit,
+    )
+
+    rows = [("a", 1, "x"), ("a", 1, "y"), ("a", 1, "z"),
+            ("b", 2, "x"), ("b", 2, "x"), ("b", 2, "x"),
+            ("b", 2, "x"), ("b", 2, "x")]
+    df = spark.createDataFrame(rows, "qi1 string, qi2 int, sens string")
+    got = {r["metric"]: r["value"]
+           for r in k_anonymity_audit(df, ["qi1", "qi2"], "sens",
+                                      k=5, l_div=3).collect()}
+    assert got == {"n_groups": 2, "min_group": 3,
+                   "n_groups_below_k": 1, "n_rows_below_k": 3,
+                   "min_l": 1, "n_groups_below_l": 1}
