@@ -1084,8 +1084,45 @@ def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(s.seg_avg, 4) AS seg_avg
       FROM customer c JOIN seg s ON c.c_mktsegment = s.c_mktsegment
       WHERE c.c_acctbal > s.seg_avg)
+    UNION ALL
+    -- r7 session 3: TPC-H Q14 (promo revenue share) — conditional
+    -- ratio aggregate over one shipdate month
+    SELECT 'q14', NULL, NULL, NULL,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0.0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4),
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END)
+                AS DOUBLE),
+           CAST(NULL AS TIMESTAMP)
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    UNION ALL
+    -- r7 session 3: the Q21 EXISTS / NOT-EXISTS double correlation
+    -- (strict-latest shipper on multi-supplier orders), spelled in
+    -- the classic correlated form the engine decorrelates to windows
+    SELECT 'q21', s.s_suppkey, s.s_name, CAST(NULL AS VARCHAR),
+           CAST(t.numwait AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS TIMESTAMP)
+    FROM (
+      WITH ms AS MATERIALIZED (
+        SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sd
+        FROM lineitem GROUP BY 1, 2)
+      SELECT l1.l_suppkey AS sk, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM ms l1
+      WHERE EXISTS (SELECT 1 FROM ms l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM ms l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.sd >= l1.sd)
+      GROUP BY 1 ORDER BY numwait DESC, sk LIMIT 10) t
+    JOIN supplier s ON s.s_suppkey = t.sk
     """,
-    tags=("join", "tpch"),
+    tags=("join", "tpch", "exists", "ratio"),
+    parts=("q3", "q10", "q5", "q17", "q18", "seg", "q14", "q21"),
 )
 def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H analytics suite in one tagged result (merged r2
@@ -1117,6 +1154,16 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``seg`` — customers above their segment's average balance: the
       correlated-aggregate pattern as ONE window aggregate (no
       self-join), where the SQL formulation is a grouped subquery.
+    * ``q14`` (r7 session 3) — promo revenue share: the conditional-
+      ratio aggregate (two same-order sums in ONE aggregate, so
+      partial-sum ulp cancels in the ratio); month filter pushed to
+      the scan, part dim broadcast.
+    * ``q21``-shape (r7 session 3) — the EXISTS / NOT-EXISTS double
+      correlation (strict-latest shipper on multi-supplier orders),
+      decorrelated to three window functions sharing one orderkey
+      partitioning; the oracle spells the classic correlated form.
+      The driver schema has no l_receiptdate, so "late delivery"
+      becomes "latest shipper" — the correlation shape is the test.
     """
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -1230,8 +1277,68 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    fround(F.col("c_acctbal")).alias("v1"),
                    fround(F.col("seg_avg")).alias("v2"),
                    F.lit(None).cast("timestamp_ntz").alias("d")))
+
+    # q14 (r7 session 3): promo-revenue share — the conditional-ratio
+    # aggregate over one month; date filter pushes into the scan, the
+    # part dim broadcasts, ONE aggregate carries both sums (the ratio
+    # divides two same-order sums, so partial-sum ulp cancels under
+    # the 4 dp grid; the absolute total is deliberately NOT emitted)
+    m0 = F.lit("1997-09-01").cast("timestamp_ntz")
+    m1 = F.lit("1997-10-01").cast("timestamp_ntz")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    q14 = (li.filter((F.col("l_shipdate") >= m0)
+                     & (F.col("l_shipdate") < m1))
+           .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+           .agg((100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                               .otherwise(0.0)) / F.sum(rev))
+                .alias("ratio"),
+                F.count(F.when(F.col("p_type") == "PROMO", 1))
+                .alias("np"))
+           .select(F.lit("q14").alias("part"),
+                   F.lit(None).cast("long").alias("k"),
+                   F.lit(None).cast("string").alias("s1"),
+                   F.lit(None).cast("string").alias("s2"),
+                   fround(F.col("ratio")).alias("v1"),
+                   F.col("np").cast("double").alias("v2"),
+                   F.lit(None).cast("timestamp_ntz").alias("d")))
+
+    # q21-shape (r7 session 3): the EXISTS / NOT-EXISTS double
+    # correlation (suppliers who were the strict-latest shipper on a
+    # multi-supplier order), decorrelated Spark-side as windows over
+    # ONE (order, supplier, max shipdate) aggregate — count, max and
+    # tie-count share a single partitioning; the oracle spells the
+    # classic correlated EXISTS/NOT EXISTS form. Top-10 by
+    # (numwait DESC, suppkey). No l_receiptdate in the driver schema,
+    # so "late" is replaced by "latest shipper" — the join/correlation
+    # SHAPE is the thing under test.
+    ms = (li.groupBy("l_orderkey", "l_suppkey")
+          .agg(F.max("l_shipdate").alias("sd")))
+    wo = W.partitionBy("l_orderkey")
+    st = (ms.withColumn("ns", F.count(F.lit(1)).over(wo))
+          .withColumn("mx", F.max("sd").over(wo)))
+    st = st.withColumn(
+        "n_at_mx",
+        F.sum(F.when(F.col("sd") == F.col("mx"), 1).otherwise(0))
+        .over(wo))
+    q21 = (st.filter((F.col("ns") >= 2) & (F.col("sd") == F.col("mx"))
+                     & (F.col("n_at_mx") == 1))
+           .groupBy("l_suppkey")
+           .agg(F.count(F.lit(1)).alias("numwait"))
+           .orderBy(F.col("numwait").desc(), F.col("l_suppkey"))
+           .limit(10)
+           .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+                 F.col("l_suppkey") == F.col("s_suppkey"))
+           .select(F.lit("q21").alias("part"),
+                   F.col("s_suppkey").alias("k"),
+                   F.col("s_name").alias("s1"),
+                   F.lit(None).cast("string").alias("s2"),
+                   F.col("numwait").cast("double").alias("v1"),
+                   F.lit(None).cast("double").alias("v2"),
+                   F.lit(None).cast("timestamp_ntz").alias("d")))
+
     return (q3.unionByName(q10).unionByName(q5).unionByName(q17)
-            .unionByName(q18).unionByName(seg))
+            .unionByName(q18).unionByName(seg)
+            .unionByName(q14).unionByName(q21))
 
 
 # Phase telemetry for the bench (VERDICT r3 "What's wrong" #2): q69's
