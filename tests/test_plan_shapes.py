@@ -364,3 +364,70 @@ def test_profile_stats_pass_is_one_aggregate(spark, sf_oracle):
          .toString())
     assert "Join" not in p or "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_dsir_model_broadcasts_onto_occurrences(spark, sf_oracle):
+    from pyspark.sql import functions as F
+
+    """r7 session 3 (q36 dsir): the ≤n_buckets-row log-ratio model
+    must be the BUILD side of the scoring join — a shuffle of the
+    occurrence stream on bucket id means the broadcast regressed."""
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.textual import (
+        dsir_importance_scores,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    scores, _ = dsir_importance_scores(docs, F.col("lang") == "en",
+                                       n_buckets=64)
+    p = scores._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q21_decorrelation_is_windows_not_self_joins(spark, sf_oracle):
+    """r7 session 3 (q58 q21): the EXISTS/NOT-EXISTS correlation must
+    plan as window functions over the (order, supplier) aggregate —
+    zero joins of lineitem against itself (the correlated spelling
+    would scan the fact three times)."""
+    from bigdata_spark_assignment_spark.io import load_table
+
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_oracle, "lineitem")
+    from pyspark.sql import Window as W
+    ms = (li.groupBy("l_orderkey", "l_suppkey")
+          .agg(F.max("l_shipdate").alias("sd")))
+    wo = W.partitionBy("l_orderkey")
+    st = (ms.withColumn("ns", F.count(F.lit(1)).over(wo))
+          .withColumn("mx", F.max("sd").over(wo)))
+    st = st.withColumn(
+        "n_at_mx",
+        F.sum(F.when(F.col("sd") == F.col("mx"), 1).otherwise(0))
+        .over(wo))
+    out = (st.filter((F.col("ns") >= 2) & (F.col("sd") == F.col("mx"))
+                     & (F.col("n_at_mx") == 1))
+           .groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait")))
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    # the whole decorrelation is aggregates + windows: the (order,
+    # supplier) combine, ONE window-stack exchange on orderkey (the
+    # three window exprs share it), and the final suppkey group-by —
+    # a fourth exchange or any join means the shape regressed
+    assert p.count("Exchange") <= 3
+
+
+def test_lpa_argmax_is_partial_aggregable(spark, sf_oracle):
+    """r7 session 3 (q53 lpa): the per-round plurality argmax must be
+    a hash aggregate over max(struct(...)), not a row_number window
+    (which would sort every group per round)."""
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        label_propagation,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                  "id_a long, id_b long")
+    p = (label_propagation(pairs, rounds=2)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in p
+    assert "partial_max" in p or "HashAggregate" in p
