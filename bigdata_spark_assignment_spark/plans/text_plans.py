@@ -1573,12 +1573,28 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / (n * syy - sy * sy), 4)
                     ELSE 1.0 END END AS zipf_r2
       FROM zsum)
+    -- r7 session 3: Chao1 vocabulary richness from the same
+    -- frequency table (bias-corrected: D + f1(f1-1)/(2(f2+1)))
+    , chao AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab_seen,
+             CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS vocab_singletons,
+             CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS vocab_doubletons,
+             ROUND(COUNT(*)
+                   + SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                     * (SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) - 1)
+                     / (2.0 * (SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
+                               + 1)), 4) AS chao1_vocab
+      FROM zrank GROUP BY lang)
     SELECT rep.*, lm.avg_unigram_logprob, lm.min_unigram_logprob,
            lm.n_flag_lowprob, lm.avg_clf_score, lm.n_flag_clf,
            blm.avg_bigram_logprob, blm.avg_bigram_ppl,
-           zipf.zipf_slope, zipf.zipf_r2
+           zipf.zipf_slope, zipf.zipf_r2,
+           chao.vocab_seen, chao.vocab_singletons,
+           chao.vocab_doubletons, chao.chao1_vocab
     FROM rep JOIN lm USING (lang) JOIN blm USING (lang)
-         JOIN zipf USING (lang)
+         JOIN zipf USING (lang) JOIN chao USING (lang)
     """,
     tags=("text", "quality", "dedup", "gopher", "lm", "bigram",
           "zipf"),
@@ -1619,6 +1635,14 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
       via ``regression.grouped_ols``'s closed form — the
       vocabulary-shape health metric (natural text slopes ≈ −1;
       boilerplate flattens it, template-exploded vocab steepens it).
+
+    * ``vocab_seen``/``vocab_singletons``/``vocab_doubletons``/
+      ``chao1_vocab`` — r7 session 3: Chao1 nonparametric vocabulary-
+      richness estimate (Chao 1984, bias-corrected
+      D + f1(f1−1)/(2(f2+1))) per lang, from the SAME frequency table
+      the Zipf fit ranks — "how much vocabulary the population holds
+      beyond this sample", the corpus-coverage planning number.
+      Exact-integer inputs; the oracle re-derives all four columns.
 
     No reference precedent (the reference processes no free text);
     this is the §2.9 training-data-quality surface.
@@ -1680,8 +1704,8 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), WS_SPLIT)).alias("t"))
         .filter(F.col("t") != ""))
     wz = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "t")
-    ztop = (ltok.groupBy("lang", "t")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    zfreq = ltok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    ztop = (zfreq
             .withColumn("rk", F.row_number().over(wz))
             .filter(F.col("rk") <= 100)
             .select("lang",
@@ -1691,8 +1715,24 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("group").alias("lang"),
                     fround("slope").alias("zipf_slope"),
                     fround("r2").alias("zipf_r2")))
+    # chao1 (r7 session 3): nonparametric vocabulary-richness estimate
+    # (Chao 1984, bias-corrected form D + f1(f1-1)/(2(f2+1))) from the
+    # SAME per-lang frequency table zipf ranks — "how much vocabulary
+    # does the full population hold beyond this sample", the corpus-
+    # coverage planning number. All inputs are exact integers.
+    chao = (zfreq.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("vocab_seen"),
+                 F.count(F.when(F.col("cnt") == 1, 1)).alias("f1c"),
+                 F.count(F.when(F.col("cnt") == 2, 1)).alias("f2c"))
+            .select("lang", "vocab_seen",
+                    F.col("f1c").alias("vocab_singletons"),
+                    F.col("f2c").alias("vocab_doubletons"),
+                    fround(F.col("vocab_seen")
+                           + F.col("f1c") * (F.col("f1c") - 1)
+                           / (2.0 * (F.col("f2c") + 1)))
+                    .alias("chao1_vocab")))
     return (_repetition_lang_agg(fracs).join(lm, "lang")
-            .join(blm, "lang").join(zipf, "lang"))
+            .join(blm, "lang").join(zipf, "lang").join(chao, "lang"))
 
 
 def _repetition_lang_agg(fracs: DataFrame) -> DataFrame:
