@@ -1585,14 +1585,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
                      * (SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) - 1)
                      / (2.0 * (SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
-                               + 1)), 4) AS chao1_vocab
+                               + 1)), 4) AS chao1_vocab,
+             ROUND(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                   / CAST(SUM(cnt) AS DOUBLE), 4) AS gt_unseen_mass
       FROM zrank GROUP BY lang)
     SELECT rep.*, lm.avg_unigram_logprob, lm.min_unigram_logprob,
            lm.n_flag_lowprob, lm.avg_clf_score, lm.n_flag_clf,
            blm.avg_bigram_logprob, blm.avg_bigram_ppl,
            zipf.zipf_slope, zipf.zipf_r2,
            chao.vocab_seen, chao.vocab_singletons,
-           chao.vocab_doubletons, chao.chao1_vocab
+           chao.vocab_doubletons, chao.chao1_vocab,
+           chao.gt_unseen_mass
     FROM rep JOIN lm USING (lang) JOIN blm USING (lang)
          JOIN zipf USING (lang) JOIN chao USING (lang)
     """,
@@ -1642,7 +1645,10 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
       D + f1(f1−1)/(2(f2+1))) per lang, from the SAME frequency table
       the Zipf fit ranks — "how much vocabulary the population holds
       beyond this sample", the corpus-coverage planning number.
-      Exact-integer inputs; the oracle re-derives all four columns.
+      Exact-integer inputs; the oracle re-derives every column.
+      ``gt_unseen_mass`` is the Good-Turing missing-mass companion
+      (f1/N): the probability the NEXT sampled token is a type this
+      sample has never seen — the stop-crawling/keep-crawling signal.
 
     No reference precedent (the reference processes no free text);
     this is the §2.9 training-data-quality surface.
@@ -1723,14 +1729,21 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     chao = (zfreq.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("vocab_seen"),
                  F.count(F.when(F.col("cnt") == 1, 1)).alias("f1c"),
-                 F.count(F.when(F.col("cnt") == 2, 1)).alias("f2c"))
+                 F.count(F.when(F.col("cnt") == 2, 1)).alias("f2c"),
+                 F.sum("cnt").alias("n_tok"))
             .select("lang", "vocab_seen",
                     F.col("f1c").alias("vocab_singletons"),
                     F.col("f2c").alias("vocab_doubletons"),
                     fround(F.col("vocab_seen")
                            + F.col("f1c") * (F.col("f1c") - 1)
                            / (2.0 * (F.col("f2c") + 1)))
-                    .alias("chao1_vocab")))
+                    .alias("chao1_vocab"),
+                    # Good-Turing unseen probability mass f1/N — the
+                    # sample-coverage companion: how much of the
+                    # population's token distribution this sample has
+                    # NOT seen yet (Gale & Sampson's missing mass)
+                    fround(F.col("f1c") / F.col("n_tok").cast("double"))
+                    .alias("gt_unseen_mass")))
     return (_repetition_lang_agg(fracs).join(lm, "lang")
             .join(blm, "lang").join(zipf, "lang").join(chao, "lang"))
 
