@@ -153,6 +153,42 @@ def scan_fanout(df: DataFrame, min_bytes: int = FANOUT_MIN_BYTES) -> DataFrame:
     return df.repartition(cores)
 
 
+def fanout_cache(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Fan out to session parallelism AND persist — for suite slots
+    that make SEVERAL per-byte-heavy passes (tokenize / regex / Arrow
+    legs) over a small-file input whose scan is one task (one row
+    group — see :func:`scan_fanout`).
+
+    :func:`scan_fanout` alone was measured a LOSS for exactly these
+    slots (r7, FANOUT_MIN_BYTES note): without a persist every pass
+    re-pays the repartition shuffle and still starts from the
+    single-task scan. With the persist, the input is shuffled ONCE and
+    the N heavy passes read a parallelism-wide cache — at sf0.1 this
+    turned the q36 six-pass slot from serial single-core tokenization
+    into 32-way cached passes. The persist is tracked in the dedup
+    FIFO scope (bounded; released by scope exit or eviction).
+
+    ``n`` picks the fan-out width. Default = session parallelism —
+    right when the passes are genuinely CPU-bound (regex scoring, NB
+    training, 600k-row quantized aggregates). Slots whose passes are
+    CHEAP but numerous should pass a small ``n``: each cached stage
+    costs ~5-15 ms of task launch per partition at local[32], so 20
+    light legs × 32 partitions is pure scheduler overhead (measured
+    r8: q12 4.5s → 10.4s at full width).
+
+    100 TB: inputs arrive as thousands of row groups, the scan already
+    fans out, and a blanket repartition would shuffle the full corpus
+    — so production callers keep the plain scan and this helper is
+    explicitly the small-input/multi-pass shape. The repartition is
+    Spark's sort-based round-robin (deterministic).
+    """
+    from .operators.dedup import _track_persist
+
+    spark = df.sparkSession
+    return _track_persist(
+        df.repartition(n or spark.sparkContext.defaultParallelism))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                validate: bool = True, fan_out: bool = False,
                fan_out_min_bytes: int = FANOUT_MIN_BYTES) -> DataFrame:

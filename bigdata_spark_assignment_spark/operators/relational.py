@@ -1607,14 +1607,19 @@ def spearman_correlations(df: DataFrame,
     Returns one row per pair: (x_col, y_col, rho); rho is NULL when
     either side is constant (zero rank variance).
 
-    Determinism contract: doubled average ranks (2·cnt_less + n + 1)
-    are exact INTEGERS carried as doubles, so every partial sum is
-    exact (integer-valued doubles) while N³/12 < 2⁵³ — i.e. bit-equal
-    across engines, partitionings, and thread counts at any
-    oracle-compared scale (N ≤ ~470k); beyond that the sums degrade
-    gracefully to ordinary double precision instead of overflowing.
-    The closed form then combines the sums in a FIXED expression tree
-    (each op one IEEE rounding, identical cross-engine).
+    Determinism contract (r8, ADVICE r7): doubled average ranks
+    (2·cnt_less + n + 1) are exact BIGINTs; rank sums and rank-product
+    sums are EXACT at any N — products stay within int64 (max (2N)²,
+    fine to N ~1.5e9) and are summed as DECIMAL(30,0) — so the
+    aggregate is independent of partition order and thread count,
+    full stop. The 1-row stats then convert to double and combine in
+    a FIXED expression tree (each op one IEEE rounding). Cross-engine
+    bit-parity additionally needs the exact-int→double conversions to
+    agree: both the JVM's BigDecimal path and DuckDB's HUGEINT path
+    are correctly rounded below 2⁶³, i.e. while 4N³/3 < 2⁶³
+    (N ≲ 1.9e6 — every oracle-compared scale; sf1's 6M rows exceed it,
+    where the engine stays exact/deterministic but DuckDB's two-word
+    HUGEINT→double conversion may sit 1 ulp off).
 
     Plan: per-column distinct-value count tables, cumulative-count
     window over each (O(distinct values) state, a single-partition
@@ -1638,16 +1643,22 @@ def spearman_correlations(df: DataFrame,
               .select(c,
                       (2 * F.coalesce(F.sum("__n").over(w_prev),
                                       F.lit(0))
-                       + F.col("__n") + 1).cast("double")
+                       + F.col("__n") + 1)
                       .alias(f"__r_{c}")))
         ranked = ranked.join(rt, c)
+
+    def _exact_sum(expr: Column) -> Column:
+        # int64 products summed as DECIMAL(30,0): exact at any N, then
+        # ONE correctly-rounded conversion to double (see docstring)
+        return F.sum(expr.cast("decimal(20,0)")).cast("double")
+
     aggs = [F.count(F.lit(1)).cast("double").alias("__N")]
     for c in cols:
         r = F.col(f"__r_{c}")
-        aggs.append(F.sum(r).alias(f"__s_{c}"))
-        aggs.append(F.sum(r * r).alias(f"__ss_{c}"))
+        aggs.append(_exact_sum(r).alias(f"__s_{c}"))
+        aggs.append(_exact_sum(r * r).alias(f"__ss_{c}"))
     for x, y in pairs:
-        aggs.append(F.sum(F.col(f"__r_{x}") * F.col(f"__r_{y}"))
+        aggs.append(_exact_sum(F.col(f"__r_{x}") * F.col(f"__r_{y}"))
                     .alias(f"__sp_{x}_{y}"))
     row = ranked.agg(*aggs)
 

@@ -915,6 +915,9 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     — 3× less aggregation state than separate percentile calls)."""
     from ..operators.relational import weighted_percentiles_step
 
+    # (r8: a fanout_cache of the 3-column projection was measured a
+    # wash here — the multiset percentile buffers pay their cost in
+    # the 32-way partial-merge, not the scan)
     li = load_table(spark, sf_dir, "lineitem")
     pcts = F.percentile("l_extendedprice",
                         F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))

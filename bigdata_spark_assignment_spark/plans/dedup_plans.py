@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import fanout_cache, load_table
 from ..operators.dedup import (
     dedup_exact,
     neardup_pairs_exact_jaccard,
@@ -153,7 +153,11 @@ def dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       dedup cannot see and substring matching must.
     """
     from ..operators.dedup import shared_window_stats
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out (size-gated, io.scan_fanout): a no-op at the small
+    # bench scales — r8 measured a cached fan-out a LOSS here — but
+    # recovers scan parallelism at sf1+ (SCALE r5 #6)
+    docs = (load_table(spark, sf_dir, "documents", fan_out=True)
+            .select("doc_id", "text"))
     doubled = docs.unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     exact = (dedup_exact(doubled, ["text"],
@@ -418,7 +422,7 @@ def neardup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified at τ=0.6 — must equal
     the brute-force oracle pair set (precision is exact by
     construction; recall loss ~2e-5/pair at this banding)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     out = neardup_pairs_minhash(docs, "doc_id", "text", threshold=0.6,
                                 num_hashes=48, bands=24)
     return out.select("id_a", "id_b", fround(F.col("jaccard")).alias("jaccard"))
@@ -458,7 +462,8 @@ def neardup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs are excluded by the id-offset filter (their
     recall/precision contract lives in tests/test_dedup.py, which
     property-tests the Hamming semantics the oracle can't see)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (load_table(spark, sf_dir, "documents", fan_out=True)
+            .select("doc_id", "text"))
     doubled = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat_ws(" ", F.col("text"), F.col("text")).alias("text"))
@@ -905,7 +910,7 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_counts,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fanout_cache(load_table(spark, sf_dir, "documents"))
     pairs = _track_persist(
         neardup_pairs_minhash(docs, "doc_id", "text", threshold=0.6))
     prop = neardup_clusters(pairs)

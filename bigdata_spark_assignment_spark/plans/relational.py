@@ -311,145 +311,192 @@ _CMAT_SCALE = {"l_quantity": 100.0, "l_price_k": 1000.0,
                "l_discount": 100.0, "l_tax": 100.0}
 
 
-def _cmat_oracle_sql() -> str:
-    """The cmat CTEs + legs, generated from the same column/scale
-    tables the engine uses so pair naming, quantization, and the
+# q07 rounding-grid metadata: decimals per (part, column) readout —
+# consumed by the grid-distance lint (tests/test_grid_distance.py),
+# which runs the UNROUNDED oracle (_q07_oracle(rounded=False)) at all
+# three driver scales and asserts every readout sits far from its
+# ROUND boundary. m3 of `conformal` is an exact integer (n_cal) and
+# carries no entry.
+Q07_GRID_DECIMALS: dict[tuple[str, str], int] = {
+    **{("corr", m): 4 for m in ("m1", "m2", "m3")},
+    ("ols", "m1"): 3, ("ols", "m2"): 3, ("ols", "m3"): 4,
+    ("udaf", "m1"): 4, ("udaf", "m2"): 4,
+    ("cmat", "m1"): 4, ("cmat", "m2"): 4,
+    **{("spearman", m): 4 for m in ("m1", "m2", "m3")},
+    ("conformal", "m1"): 4, ("conformal", "m2"): 4,
+}
+
+
+def _q07_oracle(rounded: bool = True) -> str:
+    """The full q07 oracle, generated from the same column/quantizer
+    tables the engine uses so pair naming, quantization, and every
     closed-form expression tree cannot drift between the two sides.
-    Returns (ctes, union_of_legs)."""
+
+    ``rounded=False`` emits the same query with every final ROUND
+    stripped (quantizer ROUNDs are kept — they are semantics, not
+    presentation) — the grid-distance lint runs that variant to
+    measure how far each readout sits from its rounding boundary.
+
+    Determinism design (r8, closing the two-round q07 hash red): every
+    leg is derived from EXACT integer sufficient statistics over ONE
+    quantized projection (CTE ``q07b``), then combined in a fixed
+    DOUBLE expression tree mirrored verbatim by the engine. Exact
+    integer stats → bit-identical doubles at any parallelism on any
+    host; the only remaining cross-engine freedom is the final
+    LN/EXP ulp (udaf leg), which the grid lint bounds.
+    """
+    def R(expr: str, k: int = 4) -> str:
+        return f"ROUND({expr}, {k})" if rounded else f"({expr})"
+
     q_cols = ",\n             ".join(
         f"CAST(ROUND({_CMAT_SRC[c]} * {_CMAT_QUANT[c]}) AS BIGINT) AS {c}"
         for c in _CMAT_COLS)
-    stats = [f"CAST(COUNT(*) AS DOUBLE) AS n"]
+    not_null = " AND ".join(
+        f"{_CMAT_SRC[c]} IS NOT NULL" for c in _CMAT_COLS)
+    base = f"""q07b AS (
+      SELECT l_returnflag AS grp,
+             {q_cols},
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+             (CAST(('0x' || substring(md5('cf:'
+                  || CAST(l_orderkey AS VARCHAR) || ':'
+                  || CAST(l_linenumber AS VARCHAR)), 1, 8))
+               AS BIGINT) % 4) AS fold
+      FROM lineitem
+      WHERE {not_null})"""
+
+    stats = ["CAST(COUNT(*) AS DOUBLE) AS n"]
     stats += [f"CAST(SUM({c}) AS DOUBLE) AS s_{c}" for c in _CMAT_COLS]
     stats += [f"CAST(SUM({a} * {b}) AS DOUBLE) AS p_{a}_{b}"
               for i, a in enumerate(_CMAT_COLS) for b in _CMAT_COLS[i:]]
-    not_null = " AND ".join(
-        f"{_CMAT_SRC[c]} IS NOT NULL" for c in _CMAT_COLS)
+    cmat_s = f"""cmat_s AS (
+      SELECT {', '.join(stats)}
+      FROM q07b)"""
 
     def cov(a: str, b: str) -> str:
         # mirrors operators.relational.covariance_matrix._cov exactly:
         # (p_ab - s_a*s_b/n)/n, evaluated in DOUBLE
         return f"((p_{a}_{b} - s_{a} * s_{b} / n) / n)"
 
-    legs = []
+    def corr_expr(a: str, b: str) -> str:
+        return f"{cov(a, b)} / SQRT({cov(a, a)} * {cov(b, b)})"
+
+    cmat_legs = []
     for i, a in enumerate(_CMAT_COLS):
         for b in _CMAT_COLS[i:]:
             scale = _CMAT_SCALE[a] * _CMAT_SCALE[b]
-            legs.append(f"""SELECT 'cmat', '{a}~{b}',
-           ROUND({cov(a, b)} / {scale!r}, 4),
-           ROUND({cov(a, b)} / SQRT({cov(a, a)} * {cov(b, b)}), 4),
+            cmat_legs.append(f"""SELECT 'cmat', '{a}~{b}',
+           {R(f"{cov(a, b)} / {scale!r}")},
+           {R(corr_expr(a, b))},
            CAST(NULL AS DOUBLE)
     FROM cmat_s""")
-    ctes = f"""cmat_q AS (
-      SELECT {q_cols}
-      FROM lineitem
-      WHERE {not_null}),
-    cmat_s AS (
-      SELECT {', '.join(stats)}
-      FROM cmat_q)"""
-    return ctes, "\n    UNION ALL\n    ".join(legs)
+    cmat_sql = "\n    UNION ALL\n    ".join(cmat_legs)
 
+    # corr: the same three pairs the r1 leg computed with raw-double
+    # F.corr — now read off cmat_s's exact integer statistics (the
+    # r7-verdict one-line reuse), so the readout shares cmat's
+    # bit-parity guarantee instead of comparing two engines' one-pass
+    # double corr algorithms.
+    corr_sql = f"""SELECT 'corr' AS part, CAST(NULL AS VARCHAR) AS grp,
+           {R(corr_expr('l_quantity', 'l_price_k'))} AS m1,
+           {R(corr_expr('l_discount', 'l_tax'))} AS m2,
+           {R(corr_expr('l_price_k', 'l_tax'))} AS m3
+    FROM cmat_s"""
 
-_CMAT_CTES, _CMAT_SQL = _cmat_oracle_sql()
-
-
-@register(
-    "q07_correlation",
-    oracle=f"""
-    WITH {_CMAT_CTES}
-    SELECT 'corr' AS part, CAST(NULL AS VARCHAR) AS grp,
-           ROUND(corr(l_quantity, l_extendedprice), 4) AS m1,
-           ROUND(corr(l_discount, l_tax), 4)           AS m2,
-           ROUND(corr(l_extendedprice, l_tax), 4)      AS m3
-    FROM lineitem
-    UNION ALL
-    SELECT 'ols', l_returnflag,
-           ROUND(covar_pop(l_extendedprice, l_quantity)
-                 / var_pop(l_quantity), 3),
-           ROUND(AVG(l_extendedprice)
-                 - covar_pop(l_extendedprice, l_quantity)
-                   / var_pop(l_quantity) * AVG(l_quantity), 3),
-           ROUND(POWER(corr(l_extendedprice, l_quantity), 2), 4)
-    FROM lineitem GROUP BY l_returnflag
-    UNION ALL
-    SELECT 'udaf', l_returnflag,
-           ROUND(EXP(AVG(LN(l_extendedprice))), 4),
-           ROUND(EXP(AVG(LN(l_quantity))), 4),
-           CAST(NULL AS DOUBLE)
-    FROM lineitem GROUP BY l_returnflag
-    UNION ALL
-    {_CMAT_SQL}
-    UNION ALL
-    -- r7: Spearman rank correlation, same three pairs — doubled
-    -- average ranks are exact integers carried in doubles (every
-    -- partial sum exact below 2^53, so the unordered SUMs are
-    -- thread/partition invariant at compared scales), combined in
-    -- the same fixed closed-form expression tree as the engine
-    SELECT 'spearman', NULL,
-           ROUND((s.N * s.sqp - s.sq * s.sp)
-                 / SQRT((s.N * s.sqq - s.sq * s.sq)
-                        * (s.N * s.spp - s.sp * s.sp)), 4),
-           ROUND((s.N * s.sdt - s.sd * s.st)
-                 / SQRT((s.N * s.sdd - s.sd * s.sd)
-                        * (s.N * s.stt - s.st * s.st)), 4),
-           ROUND((s.N * s.spt - s.sp * s.st)
-                 / SQRT((s.N * s.spp - s.sp * s.sp)
-                        * (s.N * s.stt - s.st * s.st)), 4)
+    # ols: grouped closed-form fit from exact integer sums over the
+    # quantized grid (x = quantity hundredths, y = whole dollars —
+    # the conformal leg's proven headroom); slope reported per
+    # ORIGINAL quantity unit (×100).
+    ols_sql = f"""SELECT 'ols', g.grp, {R('g.m1', 3)}, {R('g.m2', 3)},
+           {R('g.m3')}
     FROM (
-      WITH sbase AS (
-        SELECT l_quantity AS q, l_extendedprice AS p,
-               l_discount AS d, l_tax AS t
-        FROM lineitem
-        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-          AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
-      cq AS (SELECT q AS v, COUNT(*) AS n FROM sbase GROUP BY 1),
-      rq AS (SELECT v, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY v
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 + n + 1 AS DOUBLE) AS r FROM cq),
-      cp AS (SELECT p AS v, COUNT(*) AS n FROM sbase GROUP BY 1),
-      rp AS (SELECT v, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY v
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 + n + 1 AS DOUBLE) AS r FROM cp),
-      cd AS (SELECT d AS v, COUNT(*) AS n FROM sbase GROUP BY 1),
-      rd AS (SELECT v, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY v
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 + n + 1 AS DOUBLE) AS r FROM cd),
-      ct AS (SELECT t AS v, COUNT(*) AS n FROM sbase GROUP BY 1),
-      rt AS (SELECT v, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY v
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 + n + 1 AS DOUBLE) AS r FROM ct),
+      WITH os AS (
+        SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(l_quantity) AS DOUBLE) AS sx,
+               CAST(SUM(l_price_k) AS DOUBLE) AS sy,
+               CAST(SUM(l_quantity * l_price_k) AS DOUBLE) AS sxy,
+               CAST(SUM(l_quantity * l_quantity) AS DOUBLE) AS sxx,
+               CAST(SUM(l_price_k * l_price_k) AS DOUBLE) AS syy
+        FROM q07b GROUP BY grp),
+      od AS (
+        SELECT grp, n, sx, sy,
+               n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS den,
+               n * syy - sy * sy AS deny
+        FROM os)
+      SELECT grp,
+             CASE WHEN den <> 0 THEN (num / den) * 100 END AS m1,
+             CASE WHEN den <> 0 THEN (sy - (num / den) * sx) / n END
+               AS m2,
+             CASE WHEN den <> 0 AND deny <> 0
+                  THEN (num * num) / (den * deny) END AS m3
+      FROM od) g"""
+
+    # udaf: geometric mean on the exact log-grid — per row, ln of the
+    # quantized integer is itself quantized to 1e-9 nats and summed as
+    # an exact BIGINT, so the sum is order-invariant in both engines;
+    # one LN/EXP ulp moves the readout ~1e-12 (grid lint bounds it).
+    def geomean(col: str) -> str:
+        return (f"EXP(CAST(SUM(CAST(ROUND(LN({col}) * 1e9) AS BIGINT))"
+                f" AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e9)) / 100")
+
+    udaf_sql = f"""SELECT 'udaf', grp,
+           {R(geomean('pc'))},
+           {R(geomean('l_quantity'))},
+           CAST(NULL AS DOUBLE)
+    FROM q07b GROUP BY grp"""
+
+    # spearman: doubled average ranks over the quantized domains are
+    # exact BIGINTs; rank sums and rank-product sums stay exact
+    # integers (HUGEINT here, DECIMAL in the engine) and convert to
+    # double correctly rounded while < 2^63 (N ≲ 1.9e6 — all compared
+    # scales); the closed form then combines them in the engine's
+    # exact expression tree.
+    rank_ctes = []
+    for tag, col in (("q", "l_quantity"), ("p", "pc"),
+                     ("d", "l_discount"), ("t", "l_tax")):
+        rank_ctes.append(
+            f"c{tag} AS (SELECT {col} AS v, COUNT(*) AS n "
+            f"FROM q07b GROUP BY 1),\n"
+            f"      r{tag} AS (SELECT v, 2 * COALESCE(SUM(n) OVER (ORDER BY v\n"
+            f"                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)\n"
+            f"                 + n + 1 AS r FROM c{tag})")
+
+    def rho(x: str, y: str) -> str:
+        return (f"(s.N * s.s{x}{y} - s.s{x} * s.s{y})"
+                f" / SQRT((s.N * s.s{x}{x} - s.s{x} * s.s{x})"
+                f" * (s.N * s.s{y}{y} - s.s{y} * s.s{y}))")
+
+    spearman_sql = f"""SELECT 'spearman', NULL,
+           {R(rho('q', 'p'))},
+           {R(rho('d', 't'))},
+           {R(rho('p', 't'))}
+    FROM (
+      WITH {','.join(rank_ctes)},
       j AS (
         SELECT rq.r AS xq, rp.r AS xp, rd.r AS xd, rt.r AS xt
-        FROM sbase b
-        JOIN rq ON b.q = rq.v JOIN rp ON b.p = rp.v
-        JOIN rd ON b.d = rd.v JOIN rt ON b.t = rt.v)
+        FROM q07b b
+        JOIN rq ON b.l_quantity = rq.v JOIN rp ON b.pc = rp.v
+        JOIN rd ON b.l_discount = rd.v JOIN rt ON b.l_tax = rt.v)
       SELECT CAST(COUNT(*) AS DOUBLE) AS N,
-             SUM(xq) AS sq, SUM(xp) AS sp,
-             SUM(xd) AS sd, SUM(xt) AS st,
-             SUM(xq * xq) AS sqq, SUM(xp * xp) AS spp,
-             SUM(xd * xd) AS sdd, SUM(xt * xt) AS stt,
-             SUM(xq * xp) AS sqp, SUM(xd * xt) AS sdt,
-             SUM(xp * xt) AS spt
-      FROM j) s
-    UNION ALL
-    -- r7 session 3: split-conformal prediction intervals around the
-    -- per-returnflag price~quantity OLS (operators.regression.
-    -- split_conformal_ols) — md5 fold split, exact-integer train
-    -- sums, q̂ = ⌈(n_cal+1)(1−α)⌉-th smallest |residual| (order
-    -- statistic, no interpolation), coverage = exact-count ratio
-    SELECT 'conformal', g.grp, ROUND(g.qhat, 4),
-           ROUND(g.coverage, 4), CAST(g.n_cal AS DOUBLE)
+             CAST(SUM(xq) AS DOUBLE) AS sq, CAST(SUM(xp) AS DOUBLE) AS sp,
+             CAST(SUM(xd) AS DOUBLE) AS sd, CAST(SUM(xt) AS DOUBLE) AS st,
+             CAST(SUM(xq * xq) AS DOUBLE) AS sqq,
+             CAST(SUM(xp * xp) AS DOUBLE) AS spp,
+             CAST(SUM(xd * xd) AS DOUBLE) AS sdd,
+             CAST(SUM(xt * xt) AS DOUBLE) AS stt,
+             CAST(SUM(xq * xp) AS DOUBLE) AS sqp,
+             CAST(SUM(xd * xt) AS DOUBLE) AS sdt,
+             CAST(SUM(xp * xt) AS DOUBLE) AS spt
+      FROM j) s"""
+
+    # conformal: unchanged construction (already exact: integer fold
+    # split, closed-form fit from exact sums, order-statistic q̂,
+    # exact-count coverage) — now reading the shared q07b projection.
+    conformal_sql = f"""SELECT 'conformal', g.grp, {R('g.qhat')},
+           {R('g.coverage')}, CAST(g.n_cal AS DOUBLE)
     FROM (
       WITH cb AS (
-        SELECT l_returnflag AS grp,
-               CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
-               CAST(ROUND(l_extendedprice) AS BIGINT) AS y,
-               (CAST(('0x' || substring(md5('cf:'
-                    || CAST(l_orderkey AS VARCHAR) || ':'
-                    || CAST(l_linenumber AS VARCHAR)), 1, 8))
-                 AS BIGINT) % 4) AS fold
-        FROM lineitem
-        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        SELECT grp, l_quantity AS x, l_price_k AS y, fold FROM q07b),
       ctr AS (
         SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_train,
                CAST(SUM(x) AS DOUBLE) AS sx,
@@ -501,111 +548,175 @@ _CMAT_CTES, _CMAT_SQL = _cmat_oracle_sql()
              COALESCE(q.n_cal, 0) AS n_cal
       FROM cfit2 f
       LEFT JOIN cq q USING (grp)
-      LEFT JOIN cts t USING (grp)) g
-    """,
+      LEFT JOIN cts t USING (grp)) g"""
+
+    return f"""
+    WITH {base},
+    {cmat_s}
+    {corr_sql}
+    UNION ALL
+    {ols_sql}
+    UNION ALL
+    {udaf_sql}
+    UNION ALL
+    {cmat_sql}
+    UNION ALL
+    {spearman_sql}
+    UNION ALL
+    {conformal_sql}
+    """
+
+
+@register(
+    "q07_correlation",
+    oracle=_q07_oracle(),
     tags=("agg", "statistics", "ml", "grouped", "udaf", "matrix",
           "rank", "conformal"),
     parts=("corr", "ols", "udaf", "cmat", "spearman", "conformal"),
 )
 def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistics suite (A4 + grouped model fitting), tagged parts:
+    """Statistics suite (A4 + grouped model fitting), tagged parts.
 
-    * ``corr`` — Pearson correlation, several pairs in ONE aggregation
-      job. The reference runs 28 separate ``df.stat.corr`` jobs
-      (``Main.scala:229-247``) — one full pass per pair; expressing
-      the pairs as one multi-aggregate shares a single scan.
-      (m1, m2, m3) = qty~price, disc~tax, price~tax.
-    * ``ols`` — MODEL-PER-KEY: one simple OLS regression
-      (extendedprice ~ quantity) fit per l_returnflag group with
-      ``applyInPandas`` + numpy lstsq — the grouped-ML pattern (fit a
-      model per airline/customer/segment) that per-row SQL cannot
-      express. The oracle re-derives each group's fit in CLOSED FORM
-      (slope = covar_pop/var_pop, intercept from the means,
-      R² = corr²) — so the distributed grouped fit is checked against
-      an independent engine's algebra, not against Spark.
-      (m1, m2, m3) = slope, intercept, R².
-    * ``cmat`` — r6: the full covariance/correlation MATRIX of four
-      measures (operators.relational.covariance_matrix): one
-      sufficient-statistics aggregate (n, p sums, p(p+1)/2
-      cross-products), entries as closed forms exploded to long
-      format — upper triangle incl. diagonals (cov = variance,
-      corr = 1). The oracle recomputes every entry with DuckDB's own
-      covar_pop/corr (an independent stable one-pass algorithm), so
-      our algebra is checked against a different implementation, not
-      mirrored. (grp, m1, m2) = pair, cov_pop, corr.
-    * ``spearman`` — r7: Spearman rank correlation
-      (operators.relational.spearman_correlations) over the same
-      three pairs — average-rank tie handling, exact-integer doubled
-      ranks so the sufficient-statistic sums are bit-equal across
-      engines at compared scales (operator docstring).
-    * ``conformal`` — r7 session 3: split-conformal prediction
-      intervals around the per-returnflag price~quantity OLS
-      (operators.regression.split_conformal_ols): deterministic md5
-      fold split (train/cal/test), q̂ = ⌈(n_cal+1)·0.9⌉-th smallest
-      calibration |residual| via the distinct-value cumulative
-      construction, empirical test coverage (~0.9 by the conformal
-      guarantee). (grp, m1, m2, m3) = returnflag, q̂ dollars,
-      coverage, n_cal.
-    * ``udaf`` — a CUSTOM Arrow-batched aggregate (SURVEY §2.8 "UDAF"
-      surface, absent in the reference): grouped-agg ``pandas_udf``
-      computing the per-group geometric mean of price and quantity;
-      the oracle pins the result in closed form (EXP(AVG(LN x))).
+    r8 restructure (the two-round driver q07 hash red): ONE persisted
+    quantized projection (``base``: the cmat integer grids + price
+    cents + the conformal fold hash — one lineitem scan for the whole
+    slot) feeds every leg, and every leg is a fixed DOUBLE closed form
+    over EXACT integer sufficient statistics, mirrored verbatim by the
+    oracle (``_q07_oracle``). No leg's value depends on partition
+    count, combine order, thread count, or host; the rounding-grid
+    distances are linted at all three scales
+    (tests/test_grid_distance.py).
+
+    * ``corr`` — Pearson correlation of the three r1 pairs
+      (qty~price, disc~tax, price~tax), read off the SAME exact
+      int64 sufficient statistics the ``cmat`` leg aggregates
+      (operators.relational.covariance_matrix) — one multi-aggregate
+      pass where the reference runs 28 separate ``df.stat.corr`` jobs
+      (``Main.scala:229-247``).
+    * ``ols`` — MODEL-PER-KEY: one OLS fit (price ~ quantity) per
+      l_returnflag group with ``applyInPandas`` — the grouped-ML
+      pattern per-row SQL cannot express. The fit itself is the exact
+      closed form over int64 sums of the quantized grid (x = quantity
+      hundredths, y = whole dollars), so the grouped-Python fit and
+      the oracle's independent SQL algebra produce bit-identical
+      doubles. (m1, m2, m3) = slope per original qty unit, intercept
+      dollars, R².
+    * ``cmat`` — full covariance/correlation MATRIX of four measures
+      from one sufficient-statistics aggregate
+      (operators.relational.covariance_matrix), upper triangle
+      exploded long; inputs quantized to native fixed-point grids so
+      the int64 stats are exact in both engines (see _CMAT_COLS
+      comments). (grp, m1, m2) = pair, cov_pop, corr.
+    * ``spearman`` — rank correlation over the same three pairs
+      (operators.relational.spearman_correlations): average-rank tie
+      handling on the QUANTIZED domains; doubled ranks are exact
+      integers, rank sums exact DECIMAL (engine) / HUGEINT (oracle),
+      both converting to double correctly rounded below 2^63
+      (N ≲ 1.9e6 — every compared scale).
+    * ``conformal`` — split-conformal prediction intervals around the
+      per-returnflag OLS (operators.regression.split_conformal_ols):
+      md5 fold split, q̂ = ⌈(n_cal+1)·0.9⌉-th smallest calibration
+      |residual| (order statistic), coverage an exact-count ratio.
+      (grp, m1, m2, m3) = returnflag, q̂ dollars, coverage, n_cal.
+    * ``udaf`` — a CUSTOM Arrow-batched grouped aggregate (SURVEY
+      §2.8 "UDAF" surface): per-group geometric mean of price and
+      quantity on the exact log-grid — each row contributes
+      ROUND(LN(grid_int)·1e9) as an int64, summed exactly, so the
+      aggregate is order-invariant and the only cross-engine freedom
+      is the final LN/EXP ulp (~1e-12 of the readout; grid-linted).
       Scale honesty: grouped-agg pandas UDAFs do NO map-side partial
-      aggregation — every raw row shuffles to its group and
-      parallelism is bounded by group count, so this surface is for
-      aggregates that genuinely need the full group in memory. An
-      algebraic aggregate like this one should ship as native
-      expressions in production (exactly the oracle's closed form —
-      partial-aggregated, codegen). (m1, m2, m3) = geomean(price),
-      geomean(quantity), NULL.
+      aggregation — every raw row shuffles to its group; an algebraic
+      aggregate like this ships as native expressions in production.
+      (m1, m2, m3) = geomean(price), geomean(quantity), NULL.
 
-    100 TB notes: applyInPandas ships each GROUP through Arrow to one
-    python worker — right when per-group data fits an executor (the
-    contract of grouped ML); for huge groups, fit from sufficient
-    statistics instead (exactly the closed form the oracle uses, all
-    native aggregates). Group count bounds parallelism, so salt or
-    sub-sample giant groups upstream.
+    100 TB notes: the persisted base is a narrow integer projection
+    (7 columns) — at cluster scale it hash-partitions by nothing and
+    simply caches the scan; every leg is one partial-aggregated pass
+    over it except ols/udaf, whose applyInPandas groups are bounded
+    by returnflag cardinality (salt or fit-from-stats for giant
+    groups — exactly the closed form the oracle uses).
     """
     import pandas as pd
 
+    from ..operators.regression import split_conformal_ols
+    from ..operators.relational import (covariance_matrix,
+                                        spearman_correlations)
+
     li = load_table(spark, sf_dir, "lineitem")
-    corr = li.agg(
+    cf_hash = F.conv(F.substring(
+        F.md5(F.concat(F.lit("cf:"), F.col("l_orderkey").cast("string"),
+                       F.lit(":"), F.col("l_linenumber").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    src_cols = sorted({_CMAT_SRC[c] for c in _CMAT_COLS})
+    # fanout_cache, not a bare persist: the one-row-group testdata
+    # scan is a single task, and a 1-partition cache would run every
+    # leg's partial aggregation single-core (io.fanout_cache)
+    from ..io import fanout_cache
+
+    base = fanout_cache(
+        li.na.drop(subset=src_cols)
+          .select(
+              "l_returnflag",
+              *[F.round(F.col(_CMAT_SRC[c]) * _CMAT_QUANT[c])
+                 .cast("bigint").alias(c) for c in _CMAT_COLS],
+              F.round(F.col("l_extendedprice") * 100)
+               .cast("bigint").alias("pc"),
+              (cf_hash % 4).alias("fold")))
+
+    # cmat + corr: one covariance_matrix subtree (exact int64 stats —
+    # quantized inputs select the integral fast path), consumed twice:
+    # exploded long for cmat, pivoted to the three r1 pairs for corr.
+    cm = covariance_matrix(base.select(*_CMAT_COLS), list(_CMAT_COLS))
+    scale_map = F.create_map(*[
+        x for c in _CMAT_COLS for x in (F.lit(c), F.lit(_CMAT_SCALE[c]))])
+    cmat = (cm.select(F.lit("cmat").alias("part"),
+                      F.concat_ws("~", "col_a", "col_b").alias("grp"),
+                      fround(F.col("cov_pop")
+                             / (scale_map[F.col("col_a")]
+                                * scale_map[F.col("col_b")])).alias("m1"),
+                      fround(F.col("corr")).alias("m2"),
+                      F.lit(None).cast("double").alias("m3")))
+
+    def _pair(a: str, b: str) -> Column:
+        return F.max(F.when((F.col("col_a") == a) & (F.col("col_b") == b),
+                            F.col("corr")))
+
+    corr = cm.agg(
         F.lit("corr").alias("part"),
         F.lit(None).cast("string").alias("grp"),
-        fround(F.corr("l_quantity", "l_extendedprice")).alias("m1"),
-        fround(F.corr("l_discount", "l_tax")).alias("m2"),
-        fround(F.corr("l_extendedprice", "l_tax")).alias("m3"),
-    )
+        fround(_pair("l_quantity", "l_price_k")).alias("m1"),
+        fround(_pair("l_discount", "l_tax")).alias("m2"),
+        fround(_pair("l_price_k", "l_tax")).alias("m3"))
 
     def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
         import pandas as _pd
-        x = pdf["l_quantity"].to_numpy(dtype=float)
-        y = pdf["l_extendedprice"].to_numpy(dtype=float)
-        # degenerate-group guards (ADVICE r4): constant x makes the
-        # closed-form covar/var the oracle uses NULL (division by
-        # zero), and lstsq would return a diverging least-norm fit —
-        # emit NULL instead; constant y (ss_tot == 0) has no defined
-        # R², emit NULL. Keeps the UDF total on any input.
-        if float(((x - x.mean()) ** 2).sum()) == 0.0:
-            slope = intercept = r2 = None
+        # exact int64 sums of the quantized grid (bounds: per-element
+        # products <= 5.2e8, per-group sums <= ~8e14 at sf1 — far
+        # inside int64), then the oracle's DOUBLE tree verbatim: each
+        # int->double conversion and each arithmetic op rounds once,
+        # identically in both engines.
+        x = pdf["l_quantity"].to_numpy(dtype=np.int64)
+        y = pdf["l_price_k"].to_numpy(dtype=np.int64)
+        nf = float(len(x))
+        sx = float(int(x.sum())); sy = float(int(y.sum()))
+        sxy = float(int((x * y).sum())); sxx = float(int((x * x).sum()))
+        syy = float(int((y * y).sum()))
+        num = nf * sxy - sx * sy
+        den = nf * sxx - sx * sx
+        deny = nf * syy - sy * sy
+        if den == 0.0:
+            m1 = m2 = m3 = None
         else:
-            a = np.stack([x, np.ones_like(x)], axis=1)
-            (slope, intercept), *_ = np.linalg.lstsq(a, y, rcond=None)
-            pred = slope * x + intercept
-            ss_res = float(((y - pred) ** 2).sum())
-            ss_tot = float(((y - y.mean()) ** 2).sum())
-            r2 = 1.0 - ss_res / ss_tot if ss_tot != 0.0 else None
-        # raw floats out — rounding happens engine-side with fround
-        # (HALF_UP) below; Python's round() is banker's rounding and
-        # would diverge from the oracle's ROUND on exact halves
+            slope_g = num / den
+            m1 = slope_g * 100
+            m2 = (sy - slope_g * sx) / nf
+            m3 = (num * num) / (den * deny) if deny != 0.0 else None
         return _pd.DataFrame({
             "grp": [pdf["l_returnflag"].iloc[0]],
-            "m1": [slope],
-            "m2": [intercept],
-            "m3": [r2]})
+            "m1": [m1], "m2": [m2], "m3": [m3]})
 
-    ols = (li.select("l_returnflag", "l_quantity", "l_extendedprice")
+    ols = (base.select("l_returnflag", "l_quantity", "l_price_k")
            .groupBy("l_returnflag")
            .applyInPandas(_fit, "grp string, m1 double, m2 double, m3 double")
            .select(F.lit("ols").alias("part"), "grp",
@@ -615,87 +726,47 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.functions import pandas_udf
 
-    def _geomean(v):
+    def _geomean_grid(v):
         import numpy as np
-        return float(np.exp(np.log(v.to_numpy(dtype=float)).mean()))
+        a = v.to_numpy(dtype=np.float64)
+        # exact log-grid: ln of each (positive) grid integer quantized
+        # to 1e-9 nats and summed as int64 (<= ~1e17 at sf1 per
+        # group); sum order cannot matter. The oracle mirrors
+        # ROUND(LN(v)*1e9) — a 1-ulp LN disagreement flips one grid
+        # unit, moving the mean by ~1e-16 relative: harmless.
+        units = np.round(np.log(a) * 1e9).astype(np.int64)
+        total = int(units.sum())
+        return float(np.exp(total / (len(a) * 1e9)))
 
-    # real type objects (module has no future-annotations, but keep
-    # the explicit form consistent with the other Arrow UDFs)
-    _geomean.__annotations__ = {"v": pd.Series, "return": float}
-    geomean = pandas_udf(_geomean, "double")
-    udaf = (li.groupBy("l_returnflag")
-            .agg(fround(geomean("l_extendedprice")).alias("m1"),
-                 fround(geomean("l_quantity")).alias("m2"))
+    _geomean_grid.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = pandas_udf(_geomean_grid, "double")
+    udaf = (base.groupBy("l_returnflag")
+            .agg(geomean("pc").alias("g1"),
+                 geomean("l_quantity").alias("g2"))
             .select(F.lit("udaf").alias("part"),
-                    F.col("l_returnflag").alias("grp"), "m1", "m2",
+                    F.col("l_returnflag").alias("grp"),
+                    fround(F.col("g1") / 100).alias("m1"),
+                    fround(F.col("g2") / 100).alias("m2"),
                     F.lit(None).cast("double").alias("m3")))
-    from ..operators.relational import covariance_matrix
 
-    # cmat — the matrix generalization of the `corr` part: every
-    # pairwise covariance AND correlation of four measures from ONE
-    # sufficient-statistics aggregate (closed forms on the 1-row
-    # result, exploded long). Inputs are quantized to their native
-    # fixed-point grids (×100 — cents / hundredths), which makes
-    # covariance_matrix take its EXACT decimal-sum path: the stats,
-    # and so the rounded doubles, are identical at any parallelism
-    # and mirror the oracle's HUGEINT sums bit-for-bit (see the
-    # _CMAT_COLS comment for the r6 flake this closes). Covariance is
-    # reported in original units by dividing out the pair's scale
-    # product; correlation is scale-invariant.
-    src = li.select(*[
-        F.round(F.col(_CMAT_SRC[c]) * _CMAT_QUANT[c])
-         .cast("bigint").alias(c)
-        for c in _CMAT_COLS])
-    scale_map = F.create_map(*[
-        x for c in _CMAT_COLS for x in (F.lit(c), F.lit(_CMAT_SCALE[c]))])
-    cmat = (covariance_matrix(src, list(_CMAT_COLS))
-            .select(F.lit("cmat").alias("part"),
-                    F.concat_ws("~", "col_a", "col_b").alias("grp"),
-                    fround(F.col("cov_pop")
-                           / (scale_map[F.col("col_a")]
-                              * scale_map[F.col("col_b")])).alias("m1"),
-                    fround(F.col("corr")).alias("m2"),
-                    F.lit(None).cast("double").alias("m3")))
-    # spearman (r7): rank correlation over the same three pairs —
-    # monotonic association robust to the price tail; exact-integer
-    # doubled average ranks keep both engines bit-equal (operator
-    # docstring has the 2^53 determinism-window arithmetic)
-    from ..operators.relational import spearman_correlations
-
-    sp_pairs = [("l_quantity", "l_extendedprice"),
-                ("l_discount", "l_tax"),
-                ("l_extendedprice", "l_tax")]
-    sp = spearman_correlations(li, sp_pairs)
+    sp_pairs = [("l_quantity", "pc"), ("l_discount", "l_tax"),
+                ("pc", "l_tax")]
+    sp = spearman_correlations(base, sp_pairs)
     pk = F.concat_ws("~", "x_col", "y_col")
     spearman = sp.agg(
         F.lit("spearman").alias("part"),
         F.lit(None).cast("string").alias("grp"),
         fround(F.max(F.when(
-            pk == "l_quantity~l_extendedprice", F.col("rho"))))
-        .alias("m1"),
+            pk == "l_quantity~pc", F.col("rho")))).alias("m1"),
         fround(F.max(F.when(
             pk == "l_discount~l_tax", F.col("rho")))).alias("m2"),
         fround(F.max(F.when(
-            pk == "l_extendedprice~l_tax", F.col("rho")))).alias("m3"))
-    # conformal (r7 session 3): split-conformal prediction intervals
-    # around the per-returnflag price~quantity OLS — the
-    # distribution-free uncertainty companion to the `ols` part.
-    # Quantized inputs on the cmat grids (quantity 1/100ths, price
-    # whole dollars) keep every sufficient sum exact; q̂ is an order
-    # statistic and coverage an exact-count ratio (operator docstring).
-    from ..operators.regression import split_conformal_ols
+            pk == "pc~l_tax", F.col("rho")))).alias("m3"))
 
-    cf_hash = F.conv(F.substring(
-        F.md5(F.concat(F.lit("cf:"), F.col("l_orderkey").cast("string"),
-                       F.lit(":"), F.col("l_linenumber").cast("string"))),
-        1, 8), 16, 10).cast("long")
-    cbase = li.select(
-        "l_returnflag",
-        F.round(F.col("l_quantity") * 100).cast("long").alias("xq"),
-        F.round(F.col("l_extendedprice")).cast("long").alias("yq"),
-        cf_hash.alias("hf"))
-    conformal = (split_conformal_ols(cbase, "l_returnflag", "xq", "yq",
-                                     "hf", alpha=0.1)
+    # base's fold is already hf % 4; the operator's internal % 4 is
+    # the identity on {0,1,2,3}
+    conformal = (split_conformal_ols(base, "l_returnflag", "l_quantity",
+                                     "l_price_k", "fold", alpha=0.1)
                  .select(F.lit("conformal").alias("part"),
                          F.col("group").alias("grp"),
                          fround(F.col("qhat")).alias("m1"),

@@ -342,11 +342,14 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       regardless of corpus size and rides a broadcast both ways — the
       whole op is one tokenize pass + two key-bounded aggregates.
     """
+    from ..io import fanout_cache
     from ..operators.textual import distribution_drift
 
-    # fan_out: lang-id n-gram regex scoring is per-byte scan work
-    # (io.scan_fanout; SCALE_r5 flagged this family at 2/32 at sf1)
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # fanout_cache (r8): this slot makes ~8 per-byte-heavy passes over
+    # documents (lang-id regex, drift tokenize, NB tokenize/score,
+    # DSIR bigrams) — shuffle the one-row-group scan to full
+    # parallelism ONCE and let every pass read the cache
+    docs = fanout_cache(load_table(spark, sf_dir, "documents"))
     conf = (
         docs.select("lang", lang_id_expr(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
@@ -1431,7 +1434,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (tf_all.join(F.broadcast(qterms), "term")
             .groupBy("query_id", "doc_id")
             .agg(F.count(F.lit(1)).alias("rel")))
-    ev = retrieval_eval(bm, cand, k=_BM25_K)
+    # persisted: ndcg AND recall5 read it — identical sibling
+    # subtrees are never folded, so without this the candidate join +
+    # eval would run twice
+    ev = _track_persist(retrieval_eval(bm, cand, k=_BM25_K))
     nulls = [F.lit(None).cast("long").alias("doc_id")]
     ndcg = ev.select(F.lit("ndcg").alias("part"), *nulls,
                      F.col("query_id").alias("term"),
