@@ -48,7 +48,17 @@ BENCH_EXCLUDE: set[str] = {"q43_ml_suite",
                            # composed self-check whose MinHash stage is
                            # exactly q34 (already benched) — benching it
                            # would double-count the same work
-                           "q71_decontamination_and_leakage_split"}
+                           "q71_decontamination_and_leakage_split",
+                           # r8 de-overload (VERDICT r7 #5): companion
+                           # slots registered past the driver prefix,
+                           # carrying the legs relocated OUT of the
+                           # scored q62/q56 suites; benching them would
+                           # re-pay the shared subtrees the relocation
+                           # removed. Held green by driver_sim/pytest.
+                           "q75_abtest_extras",
+                           "q76_temporal_extras",
+                           "q77_textual_extras",
+                           "q78_graph_extras"}
 
 # The driver records only the trailing 2000 chars of stdout and parses
 # the JSON line out of that window (BENCH_r01.json: the line was 2011

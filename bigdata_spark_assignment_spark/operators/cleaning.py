@@ -367,7 +367,12 @@ def dsir_select(docs: DataFrame, text_col: str, target_pred: Column,
                     .cast("long"), F.lit(n_buckets))
     vocab = (toks.select("__tok").distinct()
              .select("__tok", bucket.alias("b")))
-    tb = (toks.join(F.broadcast(vocab), "__tok")
+    # NO broadcast hint (ADVICE r7): the vocabulary is unbounded — a
+    # web corpus has 1e8+ distinct tokens, which would OOM a forced
+    # broadcast build side. AQE broadcasts it at runtime when the
+    # measured size is small (every test/bench scale) and falls back
+    # to a shuffle join on __tok when it is not.
+    tb = (toks.join(vocab, "__tok")
           .select("__id", "__t", "b"))
     # ONE counting pass: per-bucket raw/target counts together (the
     # bucket table is O(n_buckets)); grand totals are a second tiny

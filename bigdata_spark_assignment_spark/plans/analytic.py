@@ -841,13 +841,22 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q54_exact_percentiles",
     oracle="""
-    WITH base AS (
+    WITH liq AS (
+      -- r8 (ADVICE r7): integer-cent quantization — interpolated
+      -- medians of exact integers land on the quarter-cent grid, so
+      -- the 4dp readout provably cannot sit near a ROUND boundary
+      -- even though Spark and DuckDB interpolate with different
+      -- expression trees
+      SELECT l_returnflag, l_quantity,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    base AS (
       SELECT l_returnflag,
-             ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-             ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
-             ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             ROUND(quantile_cont(pc, 0.25) / 100, 4) AS p25,
+             ROUND(quantile_cont(pc, 0.50) / 100, 4) AS p50,
+             ROUND(quantile_cont(pc, 0.75) / 100, 4) AS p75,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM lineitem
+      FROM liq
       GROUP BY l_returnflag),
     -- r6: quantity-WEIGHTED percentiles, step convention — smallest
     -- price whose cumulative quantity reaches p*W (inverse weighted
@@ -881,24 +890,23 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- is itself the verified value here; the nonzero-tail and MAD=0
     -- guard cases are pinned in tests/test_io_and_skew.py.
     medt AS (
-      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
-      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+      SELECT l_returnflag, quantile_cont(pc, 0.5) AS med
+      FROM liq GROUP BY 1),
     madt AS (
       SELECT l.l_returnflag,
-             quantile_cont(ABS(l.l_extendedprice - m.med), 0.5) AS mad
-      FROM lineitem l JOIN medt m USING (l_returnflag)
-      WHERE l.l_extendedprice IS NOT NULL GROUP BY 1),
+             quantile_cont(ABS(l.pc - m.med), 0.5) AS mad
+      FROM liq l JOIN medt m USING (l_returnflag)
+      GROUP BY 1),
     mo AS (
       SELECT l.l_returnflag,
-             ROUND(CASE WHEN d.mad > 0 THEN d.mad END, 4) AS mad,
+             ROUND(CASE WHEN d.mad > 0 THEN d.mad / 100 END, 4) AS mad,
              CAST(CASE WHEN d.mad > 0 THEN
-               SUM(CASE WHEN 0.6745 * ABS(l.l_extendedprice - m.med)
+               SUM(CASE WHEN 0.6745 * ABS(l.pc - m.med)
                              / d.mad > 3.5 THEN 1 ELSE 0 END)
              END AS BIGINT) AS n_out
-      FROM lineitem l
+      FROM liq l
       JOIN medt m USING (l_returnflag)
       JOIN madt d ON l.l_returnflag = d.l_returnflag
-      WHERE l.l_extendedprice IS NOT NULL
       GROUP BY l.l_returnflag, m.med, d.mad)
     SELECT base.*, wp.wp25, wp.wp50, wp.wp75, mo.mad, mo.n_out
     FROM base JOIN wp USING (l_returnflag)
@@ -919,7 +927,17 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wash here — the multiset percentile buffers pay their cost in
     # the 32-way partial-merge, not the scan)
     li = load_table(spark, sf_dir, "lineitem")
-    pcts = F.percentile("l_extendedprice",
+    # r8 (ADVICE r7): the interpolated-percentile legs run on
+    # integer CENTS and divide back to dollars at readout —
+    # interpolated medians of exact integers land on the quarter-cent
+    # grid, provably >= 0.25e-4 from any 4dp ROUND boundary, even
+    # though the two engines interpolate with different expression
+    # trees (Spark a+(b-a)f vs DuckDB's lerp)
+    liq = (li.filter(F.col("l_extendedprice").isNotNull())
+           .select("l_returnflag",
+                   F.round(F.col("l_extendedprice") * 100)
+                    .cast("bigint").alias("pc")))
+    pcts = F.percentile("pc",
                         F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     # persisted (r7): the 3-row percentile aggregate feeds the rounded
     # base columns AND the MAD leg's unrounded group medians — one
@@ -927,12 +945,12 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _track_persist
 
     stats = _track_persist(
-        li.groupBy("l_returnflag")
+        liq.groupBy("l_returnflag")
         .agg(pcts.alias("ps"), F.count(F.lit(1)).alias("n")))
     base = stats.select("l_returnflag",
-                        fround(F.element_at("ps", 1)).alias("p25"),
-                        fround(F.element_at("ps", 2)).alias("p50"),
-                        fround(F.element_at("ps", 3)).alias("p75"),
+                        fround(F.element_at("ps", 1) / 100).alias("p25"),
+                        fround(F.element_at("ps", 2) / 100).alias("p50"),
+                        fround(F.element_at("ps", 3) / 100).alias("p75"),
                         "n")
     # r6: quantity-weighted percentiles (step convention — exact, see
     # operators.relational.weighted_percentiles_step)
@@ -953,9 +971,11 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     med_df = stats.select("l_returnflag",
                           F.element_at("ps", 2).alias("med"))
-    mo = (mad_outlier_stats(li, "l_extendedprice", ["l_returnflag"],
+    # cents in, dollars out: the modified-z is scale-invariant, so
+    # n_out is unchanged by the grid; mad divides back at readout
+    mo = (mad_outlier_stats(liq, "pc", ["l_returnflag"],
                             med_df=med_df)
-          .select("l_returnflag", fround("mad").alias("mad"),
+          .select("l_returnflag", fround(F.col("mad") / 100).alias("mad"),
                   F.col("n_outliers").alias("n_out")))
     return base.join(wp, "l_returnflag").join(mo, "l_returnflag")
 
@@ -1157,9 +1177,12 @@ def _acf_sql(max_lag: int) -> str:
 _ACF_SQL = _acf_sql(max_lag=5)
 
 
-@register(
-    "q56_temporal_join_suite",
-    oracle=f"""
+# q56/q76 oracle legs (r8, VERDICT r7 #5 — same de-overload as
+# q62/q75): the shared event CTEs plus one SQL block per part
+# tag; q56 keeps the headline temporal joins, q76 takes the
+# forecasting/changepoint/overlap companions past the driver
+# prefix.
+_Q56_SHARED_WITH = """
     WITH views AS (
       SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
       FROM events WHERE event_type = 'view'),
@@ -1173,20 +1196,26 @@ _ACF_SQL = _acf_sql(max_lag=5)
              MIN(CAST(ts AS TIMESTAMP)) AS w_start,
              MIN(CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS w_end
       FROM events GROUP BY user_id)
+"""
+
+_Q56_LEG_SQL: dict[str, str] = {
+    "asof": """
     SELECT 'asof' AS part, v.event_id AS id, v.user_id,
            p.ts AS ts_asof, ROUND(p.pvalue, 4) AS v,
            CAST(NULL AS BIGINT) AS n
     FROM views v
     ASOF LEFT JOIN purchases p
       ON v.user_id = p.user_id AND v.ts >= p.ts
-    UNION ALL
+""",
+    "range": """
     SELECT 'range', NULL, e.user_id, NULL,
            ROUND(SUM(e.value), 4), CAST(COUNT(*) AS BIGINT)
     FROM events e JOIN iv ON e.user_id = iv.user_id
       AND CAST(e.ts AS TIMESTAMP) >= iv.w_start
       AND CAST(e.ts AS TIMESTAMP) <= iv.w_end
     GROUP BY e.user_id
-    UNION ALL
+""",
+    "resample": """
     -- r5: per-user 15-min resample of the first hour with forward-fill
     -- gap repair (operators.relational.resample_ffill)
     SELECT 'resample',
@@ -1215,7 +1244,8 @@ _ACF_SQL = _acf_sql(max_lag=5)
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
       FROM grid g LEFT JOIN obs o
         ON g.user_id = o.user_id AND g.bts = o.bts) f
-    UNION ALL
+""",
+    "interp": """
     -- r5 session 5: linear-interpolation gap repair on the same grid
     -- (operators.relational.resample_interp): interior gaps linear on
     -- bucket index, trailing gaps carry forward, leading gaps NULL
@@ -1262,7 +1292,8 @@ _ACF_SQL = _acf_sql(max_lag=5)
              wf AS (PARTITION BY user_id ORDER BY bi
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     ) f
-    UNION ALL
+""",
+    "anomaly": """
     -- r5 session 3: median/MAD modified z-score outliers per
     -- event_type (operators.relational.robust_anomalies) — both
     -- engines' EXACT interpolated medians must agree
@@ -1288,14 +1319,16 @@ _ACF_SQL = _acf_sql(max_lag=5)
       USING (event_type)
     WHERE s.mad > 0
       AND abs(0.6745 * (e.vq - s.med) / s.mad) > 3.5
-    UNION ALL
+""",
+    "ewma": f"""
     -- r5 session 4: finite-horizon EWMA (alpha=0.5, H=8) per user —
     -- same unrolled weight literals, same summation order as the
     -- engine's lag-chain window expression
     SELECT 'ewma', event_id, user_id, NULL,
            ROUND(({_EWMA_NUM}) / ({_EWMA_DEN}), 4), NULL
     FROM events
-    UNION ALL
+""",
+    "holt": f"""
     -- r7: finite-horizon Holt double-exponential forecast
     -- (alpha=0.5, beta=0.3, H=8) per user — the linear fold
     -- collapsed onto shared per-lag weight literals (operators.
@@ -1305,7 +1338,8 @@ _ACF_SQL = _acf_sql(max_lag=5)
                 THEN ROUND(({_HOLT_LVL}) + ({_HOLT_TRD}), 4) END,
            NULL
     FROM events
-    UNION ALL
+""",
+    "cusum": """
     -- r5 session 4: CUSUM change-point per user — peak |S_t| of the
     -- mean-deviation cumsum, argmax on the ROUNDED statistic (float
     -- discipline: the series mean is an unordered double aggregate)
@@ -1337,12 +1371,8 @@ _ACF_SQL = _acf_sql(max_lag=5)
                          AND CURRENT ROW),
                w_all AS (PARTITION BY user_id))) m
     WHERE m.rk = 1
-    UNION ALL
-    -- r5 session 5: sample autocorrelation r_1..r_5 per user
-    -- (operators.relational.acf) — same lag-chain windows, same
-    -- global-mean centering, ratio rounded on both engines
-    {_ACF_SQL}
-    UNION ALL
+""",
+    "seasonal": """
     -- r5 session 5: additive seasonal decomposition per user
     -- (operators.relational.seasonal_decompose, period 6, ±3 MA):
     -- trend as the engine's EXPLICIT left-to-right lag/lead chain
@@ -1379,7 +1409,8 @@ _ACF_SQL = _acf_sql(max_lag=5)
           WINDOW w AS (PARTITION BY user_id
                        ORDER BY CAST(ts AS TIMESTAMP), event_id)))
       WINDOW wp AS (PARTITION BY user_id, phase)) s
-    UNION ALL
+""",
+    "overlap": """
     -- r6: interval-overlap join — plain theta overlap here, the
     -- engine's bin-and-refine plan must be row-identical
     SELECT 'overlap', g.a_user, NULL, NULL, NULL, g.n_ov
@@ -1395,14 +1426,79 @@ _ACF_SQL = _acf_sql(max_lag=5)
       FROM aiv a LEFT JOIN biv b
         ON a.w_start <= b.p_end AND b.p_start <= a.w_end
       GROUP BY 1) g
-    """,
+""",
+    "acf": f"""
+    -- r5 session 5: sample autocorrelation r_1..r_5 per user
+    -- (operators.relational.acf) — same lag-chain windows, same
+    -- global-mean centering, ratio rounded on both engines
+    {_ACF_SQL}
+""",
+}
+
+Q56_PARTS = ('asof', 'range', 'resample', 'interp', 'anomaly', 'ewma', 'acf', 'seasonal')
+Q76_PARTS = ('holt', 'cusum', 'overlap')
+
+
+def _q56_oracle(tags) -> str:
+    union = "\n    UNION ALL\n".join(_Q56_LEG_SQL[t] for t in tags)
+    # _Q56_SHARED_WITH already begins with the WITH keyword; explicit
+    # casts keep a bare-NULL first leg from drifting the column types
+    # (tests/test_oracle_types.py)
+    return (f"{_Q56_SHARED_WITH}"
+            f" SELECT CAST(part AS VARCHAR) AS part,"
+            f" CAST(id AS BIGINT) AS id,"
+            f" CAST(user_id AS BIGINT) AS user_id,"
+            f" CAST(ts_asof AS TIMESTAMP) AS ts_asof,"
+            f" CAST(v AS DOUBLE) AS v, CAST(n AS BIGINT) AS n FROM (\n"
+            f"{union}\n    ) u(part, id, user_id, ts_asof, v, n)")
+
+
+@register(
+    "q56_temporal_join_suite",
+    oracle=_q56_oracle(Q56_PARTS),
     tags=("join", "asof", "range", "resample", "anomaly", "ewma",
-          "holt", "acf", "interp", "seasonal", "overlap"),
-    parts=("asof", "range", "resample", "interp", "anomaly", "ewma",
-           "holt", "cusum", "acf", "seasonal", "overlap"),
+          "acf", "interp", "seasonal"),
+    parts=Q56_PARTS,
 )
 def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temporal joins in one tagged result (merged r2 q56+q57 to free
+    """Temporal-join suite, HEADLINE slot: as-of join, binned range
+    join, resample+ffill, interpolation, robust anomalies, EWMA,
+    ACF, and seasonal decomposition. Leg construction and design
+    notes live in :func:`_temporal_suite_legs`; the Holt forecast,
+    CUSUM changepoint, and interval-overlap companions moved to
+    ``q76_temporal_extras`` (r8 de-overload — VERDICT r7 #5).
+    """
+    legs = _temporal_suite_legs(spark, sf_dir)
+    out = legs[Q56_PARTS[0]]
+    for t in Q56_PARTS[1:]:
+        out = out.unionByName(legs[t])
+    return out
+
+
+@register(
+    "q76_temporal_extras",
+    oracle=_q56_oracle(Q76_PARTS),
+    tags=("holt", "cusum", "overlap", "forecast", "changepoint"),
+    parts=Q76_PARTS,
+)
+def temporal_extras_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal suite, companion slot (r8, VERDICT r7 #5): the Holt
+    double-exponential forecast, CUSUM changepoint, and
+    interval-overlap join over the same event streams. Registered
+    past the driver's 50-entry prefix; held green by
+    tests/driver_sim.py (SELFCHECK) + tests/test_oracle_parity.py,
+    excluded from bench.py (see q75's note).
+    """
+    legs = _temporal_suite_legs(spark, sf_dir)
+    out = legs[Q76_PARTS[0]]
+    for t in Q76_PARTS[1:]:
+        out = out.unionByName(legs[t])
+    return out
+
+
+def _temporal_suite_legs(spark: SparkSession,
+                         sf_dir: str) -> "dict[str, DataFrame]":
+    """Per-leg builders for the q56/q76 temporal suites:
     driver prefix slots):
 
     * ``asof`` — as-of join (operators.relational.asof_join): every
@@ -1643,10 +1739,9 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.lit(None).cast("timestamp_ntz").alias("ts_asof"),
                   F.col("resid_micro").alias("v"),
                   F.col("phase").alias("n")))
-    return (asof.unionByName(rng).unionByName(rs).unionByName(ip)
-            .unionByName(anom).unionByName(ew).unionByName(ho)
-            .unionByName(cp)
-            .unionByName(ac).unionByName(sd).unionByName(ov))
+    return {"asof": asof, "range": rng, "resample": rs,
+            "interp": ip, "anomaly": anom, "ewma": ew, "holt": ho,
+            "cusum": cp, "acf": ac, "seasonal": sd, "overlap": ov}
 
 
 @register(

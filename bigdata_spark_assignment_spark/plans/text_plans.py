@@ -49,7 +49,11 @@ _DSIR_B = 256   # DSIR hashed-bigram buckets (the model is B rows, always)
 _DSIR_K = 25    # DSIR selected-for-training head size
 
 
-_LANG_ID_ORACLE = f"""
+# q36/q77 oracle pieces (r8, VERDICT r7 #5 de-overload): the lang-id
+# suite had grown to 12 part tags; the per-cell MI diagnostic and
+# the DSIR selection legs move to q77_textual_extras past the
+# driver prefix. The marker-score CTE is shared.
+_Q36_SHARED_WITH = f"""
     WITH s AS (
       SELECT lang, text,
              {_duck_marker_score('en')} AS s_en,
@@ -57,13 +61,18 @@ _LANG_ID_ORACLE = f"""
              {_duck_marker_score('de')} AS s_de,
              {_duck_marker_score('fr')} AS s_fr
       FROM documents)
+"""
+
+_Q36_LEG_SQL: dict[str, str] = {
+    "confusion": f"""
     SELECT 'confusion' AS part, lang AS k1,
            {_duck_lang_id_case()} AS k2,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
     FROM s
     GROUP BY 1, 2, 3
-    UNION ALL
+""",
+    "drift": """
     -- r5 session 3: per-source unigram entropy + KL vs the corpus
     -- mixture (operators.textual.distribution_drift) — formula
     -- arrangement mirrored verbatim ((s*1.0/ng), single ln)
@@ -83,7 +92,8 @@ _LANG_ID_ORACLE = f"""
       SELECT st.source, st.token, st.s, ns.ng, ct.c, nt.n
       FROM st JOIN ns USING (source) JOIN ct USING (token) CROSS JOIN nt)
     GROUP BY source, ng
-    UNION ALL
+""",
+    "mi_cells": """
     -- r6: pointwise MI per observed (lang, source) cell
     SELECT 'mi_cells', g.lang, g.source, g.n_ab,
            ROUND(ln(g.n_ab * g.n * 1.0 / (g.na * g.nb)), 6), NULL
@@ -95,7 +105,8 @@ _LANG_ID_ORACLE = f"""
              SUM(n_ab) OVER (PARTITION BY source) AS nb,
              SUM(n_ab) OVER () AS n
       FROM cl) g
-    UNION ALL
+""",
+    "mi": """
     -- r6: mutual information + Cramér's V summary (same cell table;
     -- chi2 via the zero-cell-free identity chi2 = n + sum((o-e)^2/e - e))
     SELECT 'mi', 'lang|source', NULL, m.n, ROUND(m.mi, 6),
@@ -129,7 +140,8 @@ _LANG_ID_ORACLE = f"""
              FROM sc)
       SELECT CASE WHEN k > 1 THEN sqrt(chi2 / (n * (k - 1))) END AS v
       FROM ag) v
-    UNION ALL
+""",
+    "nb": """
     -- r7 session 3: multinomial Naive Bayes language classifier
     -- (operators.textual.nb_language_classifier) — the LEARNED
     -- companion to the marker heuristic. Micro-nat quantized
@@ -232,7 +244,8 @@ _LANG_ID_ORACLE = f"""
           CROSS JOIN (SELECT SUM(n_c) AS n_all FROM nb_tot) na
           CROSS JOIN nb_vn vn))
       WHERE rank <= 3) nb
-    UNION ALL
+""",
+    "dsir": f"""
     -- r7 session 3: DSIR importance-resampling data selection (Xie
     -- et al. 2023) — target slice = lang 'en', features = word
     -- bigrams md5-hashed into {_DSIR_B} buckets, weight = mean
@@ -289,17 +302,71 @@ _LANG_ID_ORACLE = f"""
                    ROW_NUMBER() OVER (ORDER BY rc DESC, bkt) AS rn
             FROM dlr)
       WHERE rn <= 10) dsir
-"""
+""",
+}
+
+Q36_PARTS = ("confusion", "drift", "mi", "nb_conf", "nb_acc",
+             "nb_cls", "nb_model", "nb_top")
+Q77_PARTS = ("mi_cells", "dsir_source", "dsir_sel", "dsir_bkt")
 
 
-@register("q36_lang_id_confusion", oracle=_LANG_ID_ORACLE,
-          tags=("text", "langid", "drift", "mi", "nb", "classifier",
-                "dsir", "data-selection"),
-          parts=("confusion", "drift", "mi_cells", "mi", "nb_conf",
-                 "nb_acc", "nb_cls", "nb_model", "nb_top",
-                 "dsir_source", "dsir_sel", "dsir_bkt"))
+def _q36_oracle(leg_keys) -> str:
+    union = "\n    UNION ALL\n".join(_Q36_LEG_SQL[t] for t in leg_keys)
+    return (f"{_Q36_SHARED_WITH}"
+            f" SELECT part, k1, k2, n, v1, v2 FROM (\n{union}\n"
+            f"    ) u(part, k1, k2, n, v1, v2)")
+
+
+_LANG_ID_ORACLE = _q36_oracle(("confusion", "drift", "mi", "nb"))
+_TEXTUAL_EXTRAS_ORACLE = _q36_oracle(("mi_cells", "dsir"))
+
+
+@register(
+    "q36_lang_id_confusion",
+    oracle=_LANG_ID_ORACLE,
+    tags=("text", "langid", "drift", "mi", "nb", "classifier"),
+    parts=Q36_PARTS,
+)
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-language diagnostics, tagged:
+    """Corpus-language diagnostics, HEADLINE slot: the heuristic
+    lang-id confusion table, per-source distribution drift, the
+    lang-x-source mutual-information summary, and the learned NB
+    classifier family. Leg construction and design notes live in
+    :func:`_lang_suite_legs`; the per-cell MI diagnostic and the
+    DSIR selection legs moved to ``q77_textual_extras`` (r8
+    de-overload — VERDICT r7 #5).
+    """
+    legs = _lang_suite_legs(spark, sf_dir)
+    out = legs[Q36_PARTS[0]]
+    for t in Q36_PARTS[1:]:
+        out = out.unionByName(legs[t])
+    return out
+
+
+@register(
+    "q77_textual_extras",
+    oracle=_TEXTUAL_EXTRAS_ORACLE,
+    tags=("text", "mi", "dsir", "data-selection"),
+    parts=Q77_PARTS,
+)
+def textual_extras_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-language diagnostics, companion slot (r8, VERDICT r7
+    #5): the per-cell pointwise-MI table and the DSIR importance
+    legs (per-source weights, deterministic top-k head, heaviest
+    model buckets). Registered past the driver's 50-entry prefix;
+    held green by tests/driver_sim.py + tests/test_oracle_parity.py,
+    excluded from bench.py (see q75's note).
+    """
+    legs = _lang_suite_legs(spark, sf_dir)
+    out = legs[Q77_PARTS[0]]
+    for t in Q77_PARTS[1:]:
+        out = out.unionByName(legs[t])
+    return out
+
+
+def _lang_suite_legs(spark: SparkSession,
+                     sf_dir: str) -> "dict[str, DataFrame]":
+    """Per-leg builders for the q36/q77 language suites, tagged:
 
     * ``confusion`` — heuristic language ID vs the labeled lang column
       as a confusion table. (Accuracy is whatever the marker lists
@@ -466,12 +533,11 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("rc").alias("n"),
                         fround(F.col("lr")).alias("v1"),
                         _null_d.alias("v2")))
-    return (conf.unionByName(drift).unionByName(mi_cells)
-            .unionByName(mi_row).unionByName(nb_conf)
-            .unionByName(nb_acc).unionByName(nb_cls)
-            .unionByName(nb_model).unionByName(nb_top)
-            .unionByName(dsir_source).unionByName(dsir_sel)
-            .unionByName(dsir_bkt))
+    return {"confusion": conf, "drift": drift, "mi_cells": mi_cells,
+            "mi": mi_row, "nb_conf": nb_conf, "nb_acc": nb_acc,
+            "nb_cls": nb_cls, "nb_model": nb_model, "nb_top": nb_top,
+            "dsir_source": dsir_source, "dsir_sel": dsir_sel,
+            "dsir_bkt": dsir_bkt}
 
 
 _TEXT_METRICS_ORACLE = f"""
