@@ -173,6 +173,17 @@ def main() -> None:
                 phases[f"{name}.{tag}"] = round(
                     time.perf_counter() - t0, 3)
 
+        # drain the tracked-persist pool between slots (r8): a suite
+        # query plus its attribution runs can enqueue ~2x its live
+        # frames; without the drain, the NEXT slot's persists could
+        # evict frames this loop no longer needs anyway, and memory
+        # accumulates across 46 slots
+        from bigdata_spark_assignment_spark.operators.dedup import (
+            unpersist_dedup_caches,
+        )
+
+        unpersist_dedup_caches()
+
     total = round(sum(timings.values()), 3)
 
     def line_for(qs: dict[str, float]) -> str:

@@ -42,7 +42,14 @@ from .textual import shingles_expr
 # actions inside one); operators called OUTSIDE any scope fall back to
 # a bounded FIFO — beyond ``_FALLBACK_CAP`` frames the oldest is
 # unpersisted (safe: Spark recomputes on next use).
-_FALLBACK_CAP = 8
+# r8: 8 was too tight — one q53 run legitimately holds ~12 live
+# frames (docs fan-out, pair graph, per-algorithm edge/vertex
+# frames), so the FIFO evicted the MinHash pair graph MID-QUERY and
+# the evicted sweep recomputed (bench sample swing 8.9s → 17.4s).
+# The frames are narrow per-query intermediates; 32 of them fit any
+# executor profile we target, and bench.py additionally drains the
+# pool between suite slots (unpersist_dedup_caches).
+_FALLBACK_CAP = 32
 _SCOPES: list[list[DataFrame]] = [[]]  # [0] = bounded global fallback
 
 

@@ -1008,16 +1008,32 @@ def covariance_matrix(df: DataFrame, cols: list[str],
         return (F.col(f"__p_{a}_{b}")
                 - F.col(f"__s_{a}") * F.col(f"__s_{b}") / nn) / nn
 
+    # r8: stage the p(p+1)/2 covariances through NAMED columns before
+    # deriving the correlations. Inlining _cov into every corr entry
+    # re-expanded each covariance subtree up to p+2 times — for p=4
+    # that is a ~10x larger expression forest, which cost q07 seconds
+    # of driver analysis + janino codegen per run. CollapseProject
+    # keeps the staging (each alias is non-cheap and multiply
+    # referenced), and the VALUES are bit-identical: the same IEEE
+    # tree evaluated once and reused instead of re-evaluated.
+    cov_cols = [F.col("__n")]
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            cov_cols.append(_cov(a, b).alias(f"__c_{a}_{b}"))
+    covs = row.select(*cov_cols)
+
     structs = []
     for i, a in enumerate(cols):
         for b in cols[i:]:
             corr = F.try_divide(
-                _cov(a, b), F.sqrt(_cov(a, a) * _cov(b, b)))
+                F.col(f"__c_{a}_{b}"),
+                F.sqrt(F.col(f"__c_{a}_{a}") * F.col(f"__c_{b}_{b}")))
             structs.append(F.struct(
                 F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
                 F.col("__n").cast("long").alias("n"),
-                _cov(a, b).alias("cov_pop"), corr.alias("corr")))
-    return row.select(F.inline(F.array(*structs)))
+                F.col(f"__c_{a}_{b}").alias("cov_pop"),
+                corr.alias("corr")))
+    return covs.select(F.inline(F.array(*structs)))
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None,

@@ -707,7 +707,7 @@ def bpe_learn_merges(docs: "DataFrame", text_col: str,
              .filter(F.col("word") != "")
              .groupBy("word").agg(F.count(F.lit(1)).alias("weight"))
              .select(F.split("word", "").alias("syms"), "weight")
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     spark = docs.sparkSession
     merges: list[tuple] = []
     for step in range(1, n_merges + 1):
@@ -719,11 +719,18 @@ def bpe_learn_merges(docs: "DataFrame", text_col: str,
             break
         l, r, w = got[0]["l"], got[0]["r"], got[0]["pair_weight"]
         merges.append((step, l, r, l + r, w))
+        # LAZY checkpoints (r8): eager ones cost one extra job per
+        # round — 16 tiny jobs of pure scheduling for an 8-merge fit;
+        # lazy still truncates lineage at the next round's take(1),
+        # which materializes the checkpoint as part of the argmax job
+        # (an AQE-off variant measured no better: per-round cost is
+        # the ~0.4s two-stage job latency floor of local[32], not
+        # adaptive re-planning)
         words = (words.select(
                      _merge_pair_fold(F.col("syms"), F.lit(l),
                                       F.lit(r)).alias("syms"),
                      "weight")
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
     return spark.createDataFrame(
         merges, "step int, l string, r string, merged string, "
                 "pair_weight bigint")

@@ -648,20 +648,26 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(":"), F.col("l_linenumber").cast("string"))),
         1, 8), 16, 10).cast("long")
     src_cols = sorted({_CMAT_SRC[c] for c in _CMAT_COLS})
-    # fanout_cache, not a bare persist: the one-row-group testdata
-    # scan is a single task, and a 1-partition cache would run every
-    # leg's partial aggregation single-core (io.fanout_cache)
-    from ..io import fanout_cache
+    # fan out BEFORE the quantize/md5 projection: the one-row-group
+    # testdata scan is a single task, and a projection written below
+    # the repartition fuses into that scan stage — measured 3.5s of
+    # single-core md5 work; raw-rows-first, project-above-exchange
+    # runs it 32-way (and a 1-partition cache would run every leg's
+    # partial aggregation single-core — the io.fanout_cache note)
+    from ..operators.dedup import _track_persist
 
-    base = fanout_cache(
-        li.na.drop(subset=src_cols)
-          .select(
-              "l_returnflag",
-              *[F.round(F.col(_CMAT_SRC[c]) * _CMAT_QUANT[c])
-                 .cast("bigint").alias(c) for c in _CMAT_COLS],
-              F.round(F.col("l_extendedprice") * 100)
-               .cast("bigint").alias("pc"),
-              (cf_hash % 4).alias("fold")))
+    raw = (li.na.drop(subset=src_cols)
+           .select("l_returnflag", "l_orderkey", "l_linenumber",
+                   *src_cols)
+           .repartition(spark.sparkContext.defaultParallelism))
+    base = _track_persist(
+        raw.select(
+            "l_returnflag",
+            *[F.round(F.col(_CMAT_SRC[c]) * _CMAT_QUANT[c])
+               .cast("bigint").alias(c) for c in _CMAT_COLS],
+            F.round(F.col("l_extendedprice") * 100)
+             .cast("bigint").alias("pc"),
+            (cf_hash % 4).alias("fold")))
 
     # cmat + corr: one covariance_matrix subtree (exact int64 stats —
     # quantized inputs select the integral fast path), consumed twice:
