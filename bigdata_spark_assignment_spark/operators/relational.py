@@ -1637,28 +1637,67 @@ def spearman_correlations(df: DataFrame,
     where the engine stays exact/deterministic but DuckDB's two-word
     HUGEINT→double conversion may sit 1 ulp off).
 
-    Plan: per-column distinct-value count tables, cumulative-count
-    window over each (O(distinct values) state, a single-partition
-    sort of the DISTINCT domain — not the rows), ranks joined back
-    (AQE broadcasts the small domains), ONE sufficient-statistics
-    aggregate, pairs exploded from the 1-row result. (A persist of
-    the listwise frame was measured a wash at sf0.1 — the 1 + n_cols
-    subtree scans cost what one materialization + cache reads cost —
-    so the operator stays stateless.) At 100 TB quantize heavy-tailed
-    value domains to a grid first — Spearman on the bucketed process
-    equals Spearman of the bucketed ranks, and the domain table
-    stays bounded.
+    Plan: per-column distinct-value count tables; doubled average
+    ranks via a TWO-LEVEL distributed prefix sum over the
+    range-partitioned domain (each range partition computes its local
+    before-me cumulative, partition totals prefix-sum into broadcast
+    offsets — no single-partition sort anywhere, so a near-unique
+    domain like price cents ranks at full parallelism); ranks joined
+    back (AQE broadcasts the small domains), ONE
+    sufficient-statistics aggregate, pairs exploded from the 1-row
+    result. (A persist of the listwise frame was measured a wash at
+    sf0.1 — the 1 + n_cols subtree scans cost what one
+    materialization + cache reads cost — so the operator stays
+    stateless.) At 100 TB quantize heavy-tailed value domains to a
+    grid first if even the distinct table is huge — Spearman on the
+    bucketed process equals Spearman of the bucketed ranks.
     """
     cols = sorted({c for p in pairs for c in p})
     d = df.select(*cols).na.drop()
+    spark = df.sparkSession
+    n_range = spark.sparkContext.defaultParallelism
     ranked = d
     for c in cols:
-        w_prev = (W.orderBy(c)
-                  .rowsBetween(W.unboundedPreceding, -1))
-        rt = (d.groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
+        # r8: TWO-LEVEL distributed ranking instead of one global
+        # window. A near-unique domain (price cents: ~N distinct
+        # values) made the old single-partition cumulative window a
+        # serial sort of the whole domain — the q07 spearman leg's
+        # bottleneck at sf0.1 and a non-starter at 100 TB. The domain
+        # is split into ``n_range`` ORDER-PRESERVING buckets by a
+        # PURE FUNCTION of the value (min/max-scaled) — NOT
+        # repartitionByRange + spark_partition_id, whose sampled
+        # boundaries are re-drawn per subtree evaluation and silently
+        # desynced the offsets branch from the ranks branch (caught
+        # by the q07 oracle). Each bucket computes its local
+        # before-me cumulative; bucket totals (≤n_range rows)
+        # prefix-sum into offsets broadcast back. Ranks are a
+        # property of the ordered multiset, so bucket skew affects
+        # parallelism only, never values.
+        cnt = d.groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
+        mm = cnt.agg(F.min(c).alias("__mn"),
+                     F.max(c).alias("__mx"))
+        vd = F.col(c).cast("double")
+        bkt = F.floor((vd - F.col("__mn"))
+                      * F.lit(float(n_range))
+                      / (F.col("__mx") - F.col("__mn") + F.lit(1.0))) \
+            .cast("int")
+        cnt = (cnt.crossJoin(F.broadcast(mm))
+               .select(c, "__n", bkt.alias("__b")))
+        w_in = (W.partitionBy("__b").orderBy(c)
+                .rowsBetween(W.unboundedPreceding, -1))
+        loc = cnt.withColumn(
+            "__cum_in", F.coalesce(F.sum("__n").over(w_in), F.lit(0)))
+        w_off = (W.orderBy("__b")
+                 .rowsBetween(W.unboundedPreceding, -1))
+        offs = (cnt.groupBy("__b")
+                .agg(F.sum("__n").alias("__tot"))
+                .withColumn("__off",
+                            F.coalesce(F.sum("__tot").over(w_off),
+                                       F.lit(0)))
+                .select("__b", "__off"))
+        rt = (loc.join(F.broadcast(offs), "__b")
               .select(c,
-                      (2 * F.coalesce(F.sum("__n").over(w_prev),
-                                      F.lit(0))
+                      (2 * (F.col("__cum_in") + F.col("__off"))
                        + F.col("__n") + 1)
                       .alias(f"__r_{c}")))
         ranked = ranked.join(rt, c)
