@@ -62,6 +62,14 @@ def test_rows_only_queries_run(spark, sf_smoke):
                                   # leg (order-statistic q̂, exact
                                   # fold split)
                                   "q07_correlation",
+                                  # r8: the companion slots inherit
+                                  # the multi-scale pins their legs
+                                  # carried inside q62/q56/q36/q53
+                                  # before the de-overload
+                                  "q75_abtest_extras",
+                                  "q76_temporal_extras",
+                                  "q77_textual_extras",
+                                  "q78_graph_extras",
                                   # r7 session 3: DBSCAN legs (pure
                                   # integer graph derivation)
                                   "q67_blocked_cosine_neardup"])
