@@ -1656,6 +1656,12 @@ def spearman_correlations(df: DataFrame,
     d = df.select(*cols).na.drop()
     spark = df.sparkSession
     n_range = spark.sparkContext.defaultParallelism
+    # ONE min/max aggregate for every ranked column (bucket bounds
+    # below) — per-column aggregates cost a subtree each for a 1-row
+    # answer
+    mm_all = d.agg(*[x for c in cols
+                     for x in (F.min(c).alias(f"__mn_{c}"),
+                               F.max(c).alias(f"__mx_{c}"))])
     ranked = d
     for c in cols:
         # r8: TWO-LEVEL distributed ranking instead of one global
@@ -1674,14 +1680,13 @@ def spearman_correlations(df: DataFrame,
         # property of the ordered multiset, so bucket skew affects
         # parallelism only, never values.
         cnt = d.groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
-        mm = cnt.agg(F.min(c).alias("__mn"),
-                     F.max(c).alias("__mx"))
         vd = F.col(c).cast("double")
-        bkt = F.floor((vd - F.col("__mn"))
+        bkt = F.floor((vd - F.col(f"__mn_{c}"))
                       * F.lit(float(n_range))
-                      / (F.col("__mx") - F.col("__mn") + F.lit(1.0))) \
+                      / (F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
+                         + F.lit(1.0))) \
             .cast("int")
-        cnt = (cnt.crossJoin(F.broadcast(mm))
+        cnt = (cnt.crossJoin(F.broadcast(mm_all))
                .select(c, "__n", bkt.alias("__b")))
         w_in = (W.partitionBy("__b").orderBy(c)
                 .rowsBetween(W.unboundedPreceding, -1))
