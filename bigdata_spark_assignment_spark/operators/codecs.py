@@ -396,37 +396,86 @@ def dct_matrix(n: int) -> np.ndarray:
 
 _JPEG_DCT = dct_matrix(8)
 
+# Fixed-point scales for the exact-integer pHash pipeline below.
+_PHASH_PX_SCALE = 16        # input quantized to 1/16 gray level
+_PHASH_MEAN_SCALE = 256     # block means kept as 1/256 fixed point
+_PHASH_DCT_SCALE = 1 << 14  # DCT basis quantized to 2^-14
+_PHASH_DCT_Q: "np.ndarray | None" = None
+
+
+def _phash_dct_q() -> "np.ndarray":
+    """Quantized 32×32 DCT-II basis for phash64: round(D·2^14) as
+    int64. Built once per process. The rounding must agree across
+    libms for the hash to be environment-independent, so every entry
+    is asserted to sit far (>1e-6, vs the ~1e-12 worst-case 1-ulp
+    cos() wobble at this scale) from a .5 rounding boundary — if a
+    platform's cos() could ever flip a table entry, this raises at
+    first use instead of silently changing hashes."""
+    global _PHASH_DCT_Q
+    if _PHASH_DCT_Q is None:
+        d = dct_matrix(32) * _PHASH_DCT_SCALE
+        frac_dist = np.abs(d - np.floor(d) - 0.5)
+        if float(frac_dist.min()) < 1e-6:  # pragma: no cover
+            raise AssertionError(
+                "phash DCT table entry within 1e-6 of a rounding "
+                "boundary; hash would be libm-sensitive")
+        _PHASH_DCT_Q = np.rint(d).astype(np.int64)
+    return _PHASH_DCT_Q
+
 
 def phash64(pixels) -> int:
     """64-bit perceptual image hash (the public pHash construction):
     downsample to 32×32, 2-D DCT, keep the 8×8 low-frequency corner,
     and emit one bit per coefficient — above/below the median of the
     63 non-DC coefficients (DC itself carries only global brightness
-    and is excluded from the median but kept as bit 0 vs median, which
-    is the common variant). Robust to re-encoding, mild noise, and
-    resizing; pairs with ``dedup.neardup_pairs_hamming64`` for
-    image near-dup at corpus scale."""
+    and is excluded). Robust to re-encoding, mild noise, and resizing;
+    pairs with ``dedup.neardup_pairs_hamming64`` for image near-dup at
+    corpus scale.
+
+    Determinism contract (r8): the entire pipeline is EXACT integer
+    arithmetic — input quantized to 1/16 gray level, area-mean
+    downsample as integer block sums with floor-divided 1/256
+    fixed-point means, the DCT as an int64 matmul against the
+    quantized basis (``_phash_dct_q``; numpy integer matmul does not
+    touch BLAS), and the median as the sorted middle element. A float
+    DCT here was measured producing DIFFERENT hash bits across BLAS
+    kernels/SIMD widths on the same data (the r8 q49 driver-sim
+    mismatch): structured images park many coefficients exactly at
+    the median knife-edge, where float summation order decides the
+    bit. Integer-valued inputs (every decoded payload) therefore hash
+    identically on every host, and the q49 oracle may pin hash-derived
+    literals. Bounds: |quantized pixel| < 2^14 (0..255 gray × up to 3
+    summed channels × 16), block area ≤ 2^14 for images to 4096², so
+    |centered fixed-point mean| < 2^22, |D·X·Dᵀ| ≤ 32²·2^24·2^22
+    = 2^56 — no int64 overflow."""
     px = np.asarray(pixels, dtype=np.float64)
     if px.ndim == 3:
-        px = px.mean(axis=2)
+        # explicit per-channel adds (fixed order, no reduction kernel)
+        px = sum(px[:, :, k] for k in range(px.shape[2]))
     if px.ndim != 2 or px.size == 0:
         raise ValueError("pixels must be a non-empty 2-D/3-D array")
+    # quantize once: exact for integer-valued input (×16 is exact in
+    # float64; rint is a single correctly-rounded IEEE op per element)
+    pxi = np.rint(px * _PHASH_PX_SCALE).astype(np.int64)
     # area-MEAN downsample (not nearest-neighbor): averaging is the
     # low-pass step that makes the hash noise-robust
-    if px.shape[0] < 32:
-        px = np.repeat(px, -(-32 // px.shape[0]), axis=0)
-    if px.shape[1] < 32:
-        px = np.repeat(px, -(-32 // px.shape[1]), axis=1)
-    h, w = px.shape
+    if pxi.shape[0] < 32:
+        pxi = np.repeat(pxi, -(-32 // pxi.shape[0]), axis=0)
+    if pxi.shape[1] < 32:
+        pxi = np.repeat(pxi, -(-32 // pxi.shape[1]), axis=1)
+    h, w = pxi.shape
     yb = np.arange(32) * h // 32
     xb = np.arange(32) * w // 32
-    sums = np.add.reduceat(np.add.reduceat(px, yb, axis=0), xb, axis=1)
+    sums = np.add.reduceat(np.add.reduceat(pxi, yb, axis=0), xb, axis=1)
     ylen = np.diff(np.append(yb, h)).reshape(-1, 1)
     xlen = np.diff(np.append(xb, w)).reshape(1, -1)
-    small = sums / (ylen * xlen)
-    d32 = dct_matrix(32)
-    coef = (d32 @ (small - small.mean()) @ d32.T)[:8, :8].reshape(64)
-    med = float(np.median(coef[1:]))
+    # fixed-point block means: floor division is exact and total-order
+    # independent; the shared bias cancels in the bit comparisons
+    small = (sums * _PHASH_MEAN_SCALE) // (ylen * xlen)
+    centered = small - (int(small.sum()) // small.size)
+    dq = _phash_dct_q()
+    coef = (dq @ centered @ dq.T)[:8, :8].reshape(64)
+    med = int(np.sort(coef[1:])[31])         # exact middle of 63 ints
     bits = coef > med
     out = 0
     for i in range(63):                      # 63 bits: keep sign bit clear

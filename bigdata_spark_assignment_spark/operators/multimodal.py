@@ -688,9 +688,13 @@ def phash_assets(assets: DataFrame, id_col: str = "doc_id",
                 rows = np.frombuffer(data, dtype=np.uint8,
                                      count=stride * h,
                                      offset=offset).reshape(h, stride)
-                gray = rows[::-1, : w * 3].reshape(h, w, 3).mean(axis=2)
+                # integer channel SUM (not float mean): keeps phash64's
+                # exact-integer pipeline exact end-to-end (grayscale is
+                # scale-free for the hash — see codecs.phash64 r8 note)
+                chans = (rows[::-1, : w * 3].reshape(h, w, 3)
+                         .astype(np.int64))
                 ids.append(int(i))
-                sigs.append(phash64(gray))
+                sigs.append(phash64(chans))
             yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
                                 "phash": pd.Series(sigs, dtype="int64")})
 

@@ -831,18 +831,24 @@ def multimodal_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- r6 (VERDICT r5 #5): pHash driver row. The BMP fixtures are pure
     -- functions of doc_id (ramp pixels over 91 distinct geometries
     -- among ids 0..199), so the 200 perceptual hashes are
-    -- SCALE-INVARIANT and one unkeyed pinned literal suffices:
-    -- 91 distinct hashes; popcount sum 6135 (min 27 / max 31 per
-    -- hash — 63-bit construction, sign clear); hash pmod-10007 sum
-    -- 1074823; 127 Hamming<=3 pairs = exactly the C(c,2) repeats of
-    -- each geometry (18 configs x 3 ids + 73 x 2 = 54+73), threshold
-    -- 3 chosen because the 4x16-bit chunk LSH is pigeonhole-COMPLETE
-    -- there, making the engine count exact, not approximate.
+    -- SCALE-INVARIANT and one unkeyed pinned literal suffices.
+    -- r8 re-pin: phash64 is now EXACT integer arithmetic end-to-end
+    -- (codecs._phash_dct_q) after the float DCT was caught emitting
+    -- BLAS-kernel-dependent bits (driver-sim hash mismatch at r8 HEAD
+    -- on unchanged code). The ramp fixtures are perfect planes
+    -- (w*h <= 144 < 256, pixel = w*y + x), so the interior 7x7 DCT
+    -- corner is exactly zero and the old popcounts ~27-31 were float
+    -- noise on exact zeros — unpinnable by construction. Exact
+    -- values: 63 distinct hashes (planes collide more than noise
+    -- did); popcount sum 931 (min 0 / max 10 per hash — 63-bit
+    -- construction, sign clear); hash pmod-10007 sum 821241; 6081
+    -- Hamming<=3 pairs, still an EXACT count because the 4x16-bit
+    -- chunk LSH is pigeonhole-COMPLETE at threshold 3.
     UNION ALL SELECT 'phash' AS part, 'all' AS grp,
-       CAST(200 AS BIGINT) AS n_assets, CAST(91 AS BIGINT) AS n_distinct,
-       CAST(6135 AS DOUBLE) AS m1, CAST(1074823 AS DOUBLE) AS m2,
-       CAST(127 AS DOUBLE) AS m3, CAST(27 AS DOUBLE) AS m4,
-       CAST(31 AS DOUBLE) AS m5
+       CAST(200 AS BIGINT) AS n_assets, CAST(63 AS BIGINT) AS n_distinct,
+       CAST(931 AS DOUBLE) AS m1, CAST(821241 AS DOUBLE) AS m2,
+       CAST(6081 AS DOUBLE) AS m3, CAST(0 AS DOUBLE) AS m4,
+       CAST(10 AS DOUBLE) AS m5
     """,
     tags=("multimodal", "pandas-udf", "codec", "phash"),
     parts=("stub", "bmp_native", "png_native", "jpeg_native",
