@@ -1656,56 +1656,106 @@ def spearman_correlations(df: DataFrame,
     d = df.select(*cols).na.drop()
     spark = df.sparkSession
     n_range = spark.sparkContext.defaultParallelism
-    # ONE min/max aggregate for every ranked column (bucket bounds
-    # below) — per-column aggregates cost a subtree each for a 1-row
-    # answer
-    mm_all = d.agg(*[x for c in cols
-                     for x in (F.min(c).alias(f"__mn_{c}"),
-                               F.max(c).alias(f"__mx_{c}"))])
-    ranked = d
-    for c in cols:
-        # r8: TWO-LEVEL distributed ranking instead of one global
-        # window. A near-unique domain (price cents: ~N distinct
-        # values) made the old single-partition cumulative window a
-        # serial sort of the whole domain — the q07 spearman leg's
-        # bottleneck at sf0.1 and a non-starter at 100 TB. The domain
-        # is split into ``n_range`` ORDER-PRESERVING buckets by a
-        # PURE FUNCTION of the value (min/max-scaled) — NOT
-        # repartitionByRange + spark_partition_id, whose sampled
-        # boundaries are re-drawn per subtree evaluation and silently
-        # desynced the offsets branch from the ranks branch (caught
-        # by the q07 oracle). Each bucket computes its local
-        # before-me cumulative; bucket totals (≤n_range rows)
-        # prefix-sum into offsets broadcast back. Ranks are a
-        # property of the ordered multiset, so bucket skew affects
-        # parallelism only, never values.
-        cnt = d.groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
-        vd = F.col(c).cast("double")
-        bkt = F.floor((vd - F.col(f"__mn_{c}"))
-                      * F.lit(float(n_range))
-                      / (F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
-                         + F.lit(1.0))) \
+    # r8: TWO-LEVEL distributed ranking instead of one global window.
+    # A near-unique domain (price cents: ~N distinct values) made the
+    # old single-partition cumulative window a serial sort of the
+    # whole domain — the q07 spearman leg's bottleneck at sf0.1 and a
+    # non-starter at 100 TB. The domain is split into ``n_range``
+    # ORDER-PRESERVING buckets by a PURE FUNCTION of the value
+    # (min/max-scaled) — NOT repartitionByRange + spark_partition_id,
+    # whose sampled boundaries are re-drawn per subtree evaluation and
+    # silently desynced the offsets branch from the ranks branch
+    # (caught by the q07 oracle). Each bucket computes its local
+    # before-me cumulative; bucket totals (≤n_range rows per column)
+    # prefix-sum into offsets broadcast back. Ranks are a property of
+    # the ordered multiset, so bucket skew affects parallelism only,
+    # never values.
+    #
+    # r8 session 2: when every ranked column shares one dtype, ALL
+    # rank tables are built in ONE melted pass (explode to
+    # (column, value), one groupBy, one windowed prefix-sum, one
+    # persisted rank table filtered per column at join time) — the
+    # per-column builds cost ~0.7s of pure stage overhead EACH at
+    # sf0.1 even for a 9-value domain (measured; 4.6s → 2.9s warm for
+    # the q07 leg). Heterogeneous dtypes fall back to the per-column
+    # loop (the melt array needs one element type; casting join keys
+    # to a common type could collide past 2^53).
+    dtypes = dict(d.dtypes)
+    if len({dtypes[c] for c in cols}) == 1:
+        melted = (d.select(F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"), F.col(c).alias("v"))
+            for c in cols])).alias("e"))
+            .select(F.col("e.c").alias("__c"), F.col("e.v").alias("__v")))
+        cnt = melted.groupBy("__c", "__v").agg(
+            F.count(F.lit(1)).alias("__n"))
+        mm = cnt.groupBy("__c").agg(F.min("__v").alias("__mn"),
+                                    F.max("__v").alias("__mx"))
+        vd = F.col("__v").cast("double")
+        bkt = F.floor((vd - F.col("__mn")) * F.lit(float(n_range))
+                      / (F.col("__mx") - F.col("__mn") + F.lit(1.0))) \
             .cast("int")
-        cnt = (cnt.crossJoin(F.broadcast(mm_all))
-               .select(c, "__n", bkt.alias("__b")))
-        w_in = (W.partitionBy("__b").orderBy(c)
+        cntb = (cnt.join(F.broadcast(mm), "__c")
+                .select("__c", "__v", "__n", bkt.alias("__b")))
+        w_in = (W.partitionBy("__c", "__b").orderBy("__v")
                 .rowsBetween(W.unboundedPreceding, -1))
-        loc = cnt.withColumn(
+        loc = cntb.withColumn(
             "__cum_in", F.coalesce(F.sum("__n").over(w_in), F.lit(0)))
-        w_off = (W.orderBy("__b")
+        w_off = (W.partitionBy("__c").orderBy("__b")
                  .rowsBetween(W.unboundedPreceding, -1))
-        offs = (cnt.groupBy("__b")
+        offs = (cntb.groupBy("__c", "__b")
                 .agg(F.sum("__n").alias("__tot"))
                 .withColumn("__off",
                             F.coalesce(F.sum("__tot").over(w_off),
                                        F.lit(0)))
-                .select("__b", "__off"))
-        rt = (loc.join(F.broadcast(offs), "__b")
-              .select(c,
-                      (2 * (F.col("__cum_in") + F.col("__off"))
-                       + F.col("__n") + 1)
-                      .alias(f"__r_{c}")))
-        ranked = ranked.join(rt, c)
+                .select("__c", "__b", "__off"))
+        from .dedup import _track_persist
+
+        rt_all = _track_persist(
+            loc.join(F.broadcast(offs), ["__c", "__b"])
+            .select("__c", "__v",
+                    (2 * (F.col("__cum_in") + F.col("__off"))
+                     + F.col("__n") + 1).alias("__r")))
+        ranked = d
+        for c in cols:
+            ranked = ranked.join(
+                rt_all.filter(F.col("__c") == c)
+                .select(F.col("__v").alias(c),
+                        F.col("__r").alias(f"__r_{c}")), c)
+    else:
+        # ONE min/max aggregate for every ranked column — per-column
+        # aggregates cost a subtree each for a 1-row answer
+        mm_all = d.agg(*[x for c in cols
+                         for x in (F.min(c).alias(f"__mn_{c}"),
+                                   F.max(c).alias(f"__mx_{c}"))])
+        ranked = d
+        for c in cols:
+            cnt = d.groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
+            vd = F.col(c).cast("double")
+            bkt = F.floor((vd - F.col(f"__mn_{c}"))
+                          * F.lit(float(n_range))
+                          / (F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
+                             + F.lit(1.0))) \
+                .cast("int")
+            cnt = (cnt.crossJoin(F.broadcast(mm_all))
+                   .select(c, "__n", bkt.alias("__b")))
+            w_in = (W.partitionBy("__b").orderBy(c)
+                    .rowsBetween(W.unboundedPreceding, -1))
+            loc = cnt.withColumn(
+                "__cum_in", F.coalesce(F.sum("__n").over(w_in), F.lit(0)))
+            w_off = (W.orderBy("__b")
+                     .rowsBetween(W.unboundedPreceding, -1))
+            offs = (cnt.groupBy("__b")
+                    .agg(F.sum("__n").alias("__tot"))
+                    .withColumn("__off",
+                                F.coalesce(F.sum("__tot").over(w_off),
+                                           F.lit(0)))
+                    .select("__b", "__off"))
+            rt = (loc.join(F.broadcast(offs), "__b")
+                  .select(c,
+                          (2 * (F.col("__cum_in") + F.col("__off"))
+                           + F.col("__n") + 1)
+                          .alias(f"__r_{c}")))
+            ranked = ranked.join(rt, c)
 
     def _exact_sum(expr: Column) -> Column:
         # int64 products summed as DECIMAL(30,0): exact at any N, then
