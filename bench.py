@@ -58,7 +58,8 @@ BENCH_EXCLUDE: set[str] = {"q43_ml_suite",
                            "q75_abtest_extras",
                            "q76_temporal_extras",
                            "q77_textual_extras",
-                           "q78_graph_extras"}
+                           "q78_graph_extras",
+                           "q79_retrieval_extras"}
 
 # The driver records only the trailing 2000 chars of stdout and parses
 # the JSON line out of that window (BENCH_r01.json: the line was 2011

@@ -832,9 +832,8 @@ _Q53_LEG_SQL: dict[str, str] = {
 """,
 }
 
-Q53_PARTS = ("prop", "star", "pagerank", "triangles", "clustering",
-             "kcore", "lpa", "modularity")
-Q78_PARTS = ("bfs", "sssp")
+Q53_PARTS = ("prop", "star", "triangles", "clustering")
+Q78_PARTS = ("bfs", "sssp", "pagerank", "kcore", "lpa", "modularity")
 
 
 def _q53_oracle(leg_keys, iters: bool) -> str:
@@ -846,22 +845,23 @@ def _q53_oracle(leg_keys, iters: bool) -> str:
 
 @register(
     "q53_neardup_clusters",
-    oracle=_q53_oracle(("prop_star", "pagerank", "triangles",
-                        "clustering", "kcore", "lpa", "modularity"),
-                       iters=True),
-    tags=("dedup", "neardup", "clustering", "pagerank", "lpa",
-          "community"),
+    oracle=_q53_oracle(("prop_star", "triangles", "clustering"),
+                       iters=False),
+    tags=("dedup", "neardup", "clustering", "components"),
     parts=Q53_PARTS,
     part_col="method",
 )
 def neardup_clusters_query(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """Graph analytics over the MinHash near-dup pair graph,
-    HEADLINE slot: both connected-components algorithms (prop/star),
-    PageRank, triangles + clustering coefficient, k-core, LPA and
-    modularity. Leg construction and design notes live in
-    :func:`_graph_suite_legs`; the BFS/SSSP traversal legs moved to
-    ``q78_graph_extras`` (r8 de-overload — VERDICT r7 #5).
+    HEADLINE slot: both connected-components algorithms (prop/star)
+    plus triangles + clustering coefficient — the slot's cost and
+    hash risk now track its headline operator (near-dup clustering).
+    Leg construction and design notes live in
+    :func:`_graph_suite_legs`; the BFS/SSSP traversal legs and the
+    iterative analytics (PageRank, k-core, LPA, modularity) live in
+    ``q78_graph_extras`` (r8 de-overload — VERDICT r7 #5; iterative
+    legs moved r8 session 2).
     """
     legs = _graph_suite_legs(spark, sf_dir)
     out = legs[Q53_PARTS[0]]
@@ -872,15 +872,19 @@ def neardup_clusters_query(spark: SparkSession,
 
 @register(
     "q78_graph_extras",
-    oracle=_q53_oracle(("bfs", "sssp"), iters=False),
-    tags=("dedup", "graph", "bfs", "sssp", "traversal"),
+    oracle=_q53_oracle(("bfs", "sssp", "pagerank", "kcore",
+                        "lpa", "modularity"), iters=True),
+    tags=("dedup", "graph", "bfs", "sssp", "traversal", "pagerank",
+          "lpa", "community"),
     parts=Q78_PARTS,
     part_col="method",
 )
 def graph_extras_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph suite, companion slot (r8, VERDICT r7 #5): BFS hop
     distance and weighted shortest paths from each component's
-    canonical vertex, over the same persisted pair graph.
+    canonical vertex, plus the iterative analytics (PageRank, k-core,
+    LPA, modularity — moved r8 session 2), over the same persisted
+    pair graph.
     Registered past the driver's 50-entry prefix; held green by
     tests/driver_sim.py + tests/test_oracle_parity.py, excluded
     from bench.py (see q75's note).

@@ -305,9 +305,10 @@ _Q36_LEG_SQL: dict[str, str] = {
 """,
 }
 
-Q36_PARTS = ("confusion", "drift", "mi", "nb_conf", "nb_acc",
+Q36_PARTS = ("confusion", "nb_conf", "nb_acc",
              "nb_cls", "nb_model", "nb_top")
-Q77_PARTS = ("mi_cells", "dsir_source", "dsir_sel", "dsir_bkt")
+Q77_PARTS = ("drift", "mi", "mi_cells",
+             "dsir_source", "dsir_sel", "dsir_bkt")
 
 
 def _q36_oracle(leg_keys) -> str:
@@ -317,24 +318,26 @@ def _q36_oracle(leg_keys) -> str:
             f"    ) u(part, k1, k2, n, v1, v2)")
 
 
-_LANG_ID_ORACLE = _q36_oracle(("confusion", "drift", "mi", "nb"))
-_TEXTUAL_EXTRAS_ORACLE = _q36_oracle(("mi_cells", "dsir"))
+_LANG_ID_ORACLE = _q36_oracle(("confusion", "nb"))
+_TEXTUAL_EXTRAS_ORACLE = _q36_oracle(
+    ("drift", "mi", "mi_cells", "dsir"))
 
 
 @register(
     "q36_lang_id_confusion",
     oracle=_LANG_ID_ORACLE,
-    tags=("text", "langid", "drift", "mi", "nb", "classifier"),
+    tags=("text", "langid", "nb", "classifier"),
     parts=Q36_PARTS,
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-language diagnostics, HEADLINE slot: the heuristic
-    lang-id confusion table, per-source distribution drift, the
-    lang-x-source mutual-information summary, and the learned NB
-    classifier family. Leg construction and design notes live in
-    :func:`_lang_suite_legs`; the per-cell MI diagnostic and the
-    DSIR selection legs moved to ``q77_textual_extras`` (r8
-    de-overload — VERDICT r7 #5).
+    lang-id confusion table plus the learned NB classifier family —
+    the slot's cost and hash risk now track its headline operator
+    (the two language classifiers). Leg construction and design notes
+    live in :func:`_lang_suite_legs`; the corpus-mixture diagnostics
+    (drift, MI summary, per-cell MI) and the DSIR selection legs
+    live in ``q77_textual_extras`` (r8 de-overload — VERDICT r7 #5;
+    drift/mi moved r8 session 2).
     """
     legs = _lang_suite_legs(spark, sf_dir)
     out = legs[Q36_PARTS[0]]
@@ -346,16 +349,18 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q77_textual_extras",
     oracle=_TEXTUAL_EXTRAS_ORACLE,
-    tags=("text", "mi", "dsir", "data-selection"),
+    tags=("text", "drift", "mi", "dsir", "data-selection"),
     parts=Q77_PARTS,
 )
 def textual_extras_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-language diagnostics, companion slot (r8, VERDICT r7
-    #5): the per-cell pointwise-MI table and the DSIR importance
-    legs (per-source weights, deterministic top-k head, heaviest
-    model buckets). Registered past the driver's 50-entry prefix;
-    held green by tests/driver_sim.py + tests/test_oracle_parity.py,
-    excluded from bench.py (see q75's note).
+    #5): per-source distribution drift (entropy + KL), the
+    mutual-information summary row, the per-cell pointwise-MI table
+    and the DSIR importance legs (per-source weights, deterministic
+    top-k head, heaviest model buckets). Registered past the
+    driver's 50-entry prefix; held green by tests/driver_sim.py +
+    tests/test_oracle_parity.py, excluded from bench.py (see q75's
+    note).
     """
     legs = _lang_suite_legs(spark, sf_dir)
     out = legs[Q77_PARTS[0]]
@@ -1203,10 +1208,7 @@ def _mmr_ctes(k: int, pool_k: int = 10) -> str:
     return ",\n    ".join(out)
 
 
-@register(
-    "q61_tfidf_top_terms",
-    oracle=f"""
-    WITH tokens AS (
+_Q61_BASE_CTES = f"""tokens AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
       FROM documents),
     toks AS (SELECT * FROM tokens WHERE length(term) >= 2),
@@ -1271,11 +1273,13 @@ def _mmr_ctes(k: int, pool_k: int = 10) -> str:
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY ROUND(score, 6) DESC,
                                             doc_id) AS rnk
-      FROM rrf),
-    -- r7 session 3: MMR diversity re-ranking over the coordination
-    -- top-10 pool (operators.textual.mmr_select) — 5 unrolled greedy
-    -- steps, exact shingle-Jaccard redundancy penalty
-    {_mmr_ctes(5)}
+      FROM rrf)"""
+
+
+@register(
+    "q61_tfidf_top_terms",
+    oracle=f"""
+    WITH {_Q61_BASE_CTES}
     SELECT 'tfidf' AS part, doc_id, term, tf, df, tfidf AS v,
            CAST(rnk AS INTEGER) AS rnk
     FROM ranked WHERE rnk <= 3
@@ -1287,10 +1291,6 @@ def _mmr_ctes(k: int, pool_k: int = 10) -> str:
     SELECT 'rrf', doc_id, query_id, ns, NULL, ROUND(score, 6),
            CAST(rnk AS INTEGER)
     FROM rrfranked WHERE rnk <= {_BM25_K}
-    UNION ALL
-    SELECT 'mmr', doc_id, query_id, CAST(step AS BIGINT), NULL,
-           ROUND(score, 6), CAST(step AS INTEGER)
-    FROM mall
     UNION ALL
     -- r5 session 5: exact phrase occurrences per doc
     -- (operators.textual.phrase_search) — consecutive-token windows
@@ -1305,6 +1305,40 @@ def _mmr_ctes(k: int, pool_k: int = 10) -> str:
     FROM (SELECT * FROM (VALUES {_BPE_PINNED_VALUES})
           t(card, step, merged, pw)
           WHERE card = (SELECT COUNT(*) FROM lineitem))
+    """,
+    tags=("text", "tfidf", "bm25", "retrieval", "rrf", "phrase",
+          "bpe"),
+    parts=("tfidf", "bm25", "rrf", "phrase", "bpe"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-relevance scoring, HEADLINE slot: TF-IDF top terms, BM25
+    ranked retrieval, reciprocal-rank fusion, exact phrase search and
+    BPE merge learning over one shared persisted inverted index — the
+    slot's cost and hash risk track its headline retrieval operators.
+    Leg construction and design notes live in
+    :func:`_retrieval_suite_legs`; the evaluation/diversity legs
+    (nDCG, max-grade recall, MMR re-ranking) live in
+    ``q79_retrieval_extras`` (r8 session 2 de-overload — the VERDICT
+    r7 #5 pattern)."""
+    legs = _retrieval_suite_legs(spark, sf_dir)
+    out = legs["tfidf"]
+    for t in ("bm25", "rrf", "phrase", "bpe"):
+        out = out.unionByName(legs[t])
+    return out
+
+
+@register(
+    "q79_retrieval_extras",
+    oracle=f"""
+    WITH {_Q61_BASE_CTES},
+    -- r7 session 3: MMR diversity re-ranking over the coordination
+    -- top-10 pool (operators.textual.mmr_select) — 5 unrolled greedy
+    -- steps, exact shingle-Jaccard redundancy penalty
+    {_mmr_ctes(5)}
+    SELECT 'mmr' AS part, doc_id, query_id AS term,
+           CAST(step AS BIGINT) AS tf, NULL AS df,
+           ROUND(score, 6) AS v, CAST(step AS INTEGER) AS rnk
+    FROM mall
     UNION ALL
     -- r7: nDCG@5 + max-grade recall@5 of the BM25 ranking itself
     -- (operators.textual.retrieval_eval): graded rel = matched query
@@ -1353,13 +1387,27 @@ def _mmr_ctes(k: int, pool_k: int = 10) -> str:
       WHERE b.rnk <= 5 AND b.n_matched = mx.mx GROUP BY 1) h
       ON r.query_id = h.query_id
     """,
-    tags=("text", "tfidf", "bm25", "retrieval", "rrf", "phrase", "bpe",
-          "eval", "mmr"),
-    parts=("tfidf", "bm25", "rrf", "phrase", "bpe", "ndcg", "recall5",
-           "mmr"),
+    tags=("text", "retrieval", "eval", "ndcg", "recall", "mmr"),
+    parts=("mmr", "ndcg", "recall5"),
 )
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-relevance scoring in one tagged result:
+def retrieval_extras_query(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Retrieval suite, companion slot (r8 session 2 de-overload):
+    MMR diversity re-ranking, nDCG@5 and max-grade recall@5 of the
+    BM25 ranking — all over the same shared inverted index the q61
+    legs use. Registered past the driver's 50-entry prefix; held
+    green by tests/driver_sim.py + tests/test_oracle_parity.py,
+    excluded from bench.py (see q75's note)."""
+    legs = _retrieval_suite_legs(spark, sf_dir)
+    out = legs["mmr"]
+    for t in ("ndcg", "recall5"):
+        out = out.unionByName(legs[t])
+    return out
+
+
+def _retrieval_suite_legs(spark: SparkSession,
+                          sf_dir: str) -> "dict[str, DataFrame]":
+    """Per-leg builders for the q61/q79 retrieval suites:
 
     * ``tfidf`` — top-3 TF-IDF terms per document (first 20 docs) —
       relational TF-IDF (operators.textual.tf_idf_terms), checked
@@ -1523,9 +1571,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_hit_max").alias("df"),
                     fround("recall_max").alias("v"),
                     F.lit(None).cast("int").alias("rnk"))
-    return (tfidf.unionByName(bm25).unionByName(rrf)
-            .unionByName(phrase).unionByName(bpe)
-            .unionByName(ndcg).unionByName(rec).unionByName(mmr))
+    return {"tfidf": tfidf, "bm25": bm25, "rrf": rrf,
+            "phrase": phrase, "bpe": bpe, "mmr": mmr,
+            "ndcg": ndcg, "recall5": rec}
 
 
 @register(

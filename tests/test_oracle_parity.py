@@ -70,6 +70,7 @@ def test_rows_only_queries_run(spark, sf_smoke):
                                   "q76_temporal_extras",
                                   "q77_textual_extras",
                                   "q78_graph_extras",
+                                  "q79_retrieval_extras",
                                   # r7 session 3: DBSCAN legs (pure
                                   # integer graph derivation)
                                   "q67_blocked_cosine_neardup"])

@@ -32,7 +32,8 @@ from bigdata_spark_assignment_spark.plans.registry import (
 
 DRIVER_CHECKED_PREFIX = 50
 COMPANION_SLOTS = ("q75_abtest_extras", "q76_temporal_extras",
-                   "q77_textual_extras", "q78_graph_extras")
+                   "q77_textual_extras", "q78_graph_extras",
+                   "q79_retrieval_extras")
 
 
 def test_registry_is_exactly_saturated():
