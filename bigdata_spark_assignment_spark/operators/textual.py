@@ -669,8 +669,49 @@ def _adjacent_pairs(words: "DataFrame") -> "DataFrame":
             .agg(F.sum("weight").alias("pair_weight")))
 
 
+_BPE_SCHEMA = ("step int, l string, r string, merged string, "
+               "pair_weight bigint")
+
+
+def _bpe_fit_vocab(vocab: "dict[tuple, int]",
+                   n_merges: int) -> "list[tuple]":
+    """Canonical Sennrich BPE over a collected (symbols → weight)
+    vocabulary: overlapping adjacent-pair counts, (count desc, l asc,
+    r asc) tie-break, leftmost non-overlapping merge apply — the
+    exact contract of the distributed loop below (pinned equal in
+    tests/test_textual.py)."""
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + c
+        if not counts:
+            break
+        (l, r), w = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, l + r, w))
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out: list = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new_vocab[k] = new_vocab.get(k, 0) + c
+        vocab = new_vocab
+    return merges
+
+
 def bpe_learn_merges(docs: "DataFrame", text_col: str,
-                     n_merges: int = 8) -> "DataFrame":
+                     n_merges: int = 8,
+                     coalesce_to: int | None = None,
+                     driver_fit_max_vocab: int | None = None
+                     ) -> "DataFrame":
     """Learn ``n_merges`` BPE merge rules from a corpus
     → (step, l, r, merged, pair_weight), step 1-based in learn order.
 
@@ -697,17 +738,44 @@ def bpe_learn_merges(docs: "DataFrame", text_col: str,
     aggregate + TakeOrdered job over it. Tokenizer training is
     inherently sequential in the merge list — the parallelism is
     within rounds, as in every published distributed BPE.
+    ``coalesce_to``: callers training on a known-small slice pass 1
+    so each round is a single-task job; the default None keeps
+    vocab-sized parallelism for corpus-scale training.
+    ``driver_fit_max_vocab``: the bounded-sample fast path. One
+    distributed word-count aggregate, then — if the DISTINCT vocab
+    fits the threshold — the merge loop runs driver-side over the
+    collected (word, weight) table via :func:`_bpe_fit_vocab` (same
+    tie-break and leftmost-non-overlapping apply; the fitted MODEL is
+    a bounded driver artifact either way). Tokenizer training in
+    production runs on a fixed sample of the corpus, and the
+    iterative per-round Spark jobs are pure scheduling overhead at
+    sample scale: the q61 leg (500 docs → 31-word vocab) fits in one
+    job + one ≤vocab collect instead of 8 rounds × 2 jobs. Vocabs
+    over the threshold fall through to the distributed loop, which
+    stays the corpus-scale default. (The driver path iterates Python
+    code points; words containing astral-plane characters should use
+    the distributed path whose char split is pinned by the tests.)
     Rows-only operator (no SQL oracle): the loop is iterative with a
     data-dependent argmax; pinned instead against a pure-Python
-    reference BPE in tests/test_textual.py.
+    reference BPE in tests/test_textual.py (which also pins the
+    driver path equal to the distributed one).
     """
-    words = (docs
-             .select(F.explode(F.split(F.lower(F.col(text_col)),
-                                       WS_SPLIT)).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("word").agg(F.count(F.lit(1)).alias("weight"))
-             .select(F.split("word", "").alias("syms"), "weight")
-             .localCheckpoint(eager=False))
+    spark_ = docs.sparkSession
+    wt = (docs
+          .select(F.explode(F.split(F.lower(F.col(text_col)),
+                                    WS_SPLIT)).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy("word").agg(F.count(F.lit(1)).alias("weight")))
+    if driver_fit_max_vocab:
+        head = wt.take(driver_fit_max_vocab + 1)
+        if len(head) <= driver_fit_max_vocab:
+            vocab = {tuple(r["word"]): r["weight"] for r in head}
+            return spark_.createDataFrame(
+                _bpe_fit_vocab(vocab, n_merges), _BPE_SCHEMA)
+    words = wt.select(F.split("word", "").alias("syms"), "weight")
+    if coalesce_to:
+        words = words.coalesce(coalesce_to)
+    words = words.localCheckpoint(eager=False)
     spark = docs.sparkSession
     merges: list[tuple] = []
     for step in range(1, n_merges + 1):

@@ -1497,8 +1497,13 @@ def _retrieval_suite_legs(spark: SparkSession,
     # iterative cost stays flat across scales (the merge list is
     # pinned per scale in _BPE_PINNED — the oracle side of the
     # contract). doc_id = step, term = merged pair, tf = pair weight.
+    # driver_fit_max_vocab: the slice's vocab is 31 distinct words —
+    # the bounded-sample driver fit replaces 8 rounds x 2 tiny Spark
+    # jobs (~5.5s of scheduling at sf0.1) with one aggregate + one
+    # 31-row collect (see the operator docstring)
     bpe = (bpe_learn_merges(docs.filter(F.col("doc_id") < 500),
-                            "text", n_merges=8)
+                            "text", n_merges=8,
+                            driver_fit_max_vocab=4096)
            .select(F.lit("bpe").alias("part"),
                    F.col("step").cast("long").alias("doc_id"),
                    F.col("merged").alias("term"),

@@ -396,6 +396,21 @@ def test_bpe_learn_matches_reference(spark):
            .orderBy("step").collect()]
     assert got == ref_merges
 
+    # r8 session 2: the bounded-sample driver fit must emit the SAME
+    # merge list as the distributed loop (and the reference)
+    got_drv = [(r.l, r.r, r.pair_weight) for r in
+               bpe_learn_merges(docs, "text", n_merges=10,
+                                driver_fit_max_vocab=1000)
+               .orderBy("step").collect()]
+    assert got_drv == ref_merges
+    # a threshold below the vocab size falls through to the
+    # distributed loop
+    got_fall = [(r.l, r.r, r.pair_weight) for r in
+                bpe_learn_merges(docs, "text", n_merges=10,
+                                 driver_fit_max_vocab=2)
+                .orderBy("step").collect()]
+    assert got_fall == ref_merges
+
     applied = {tuple(r.toks): r.weight for r in
                spark.createDataFrame(list(ww.items()), ["word", "weight"])
                .select(bpe_apply_expr(
