@@ -420,6 +420,24 @@ def test_spearman_correlations_ties_and_guards(spark):
     assert got[("y", "z")] == -1.0
     assert got[("x", "c")] is None
 
+    # r8 session 2: the homogeneous-dtype MELTED rank build (one
+    # exploded pass) and the heterogeneous per-column fallback must
+    # produce identical rho — force the fallback by casting one
+    # column to a different integer width
+    from pyspark.sql import functions as F
+    idf = spark.createDataFrame(
+        [(1, 10, 40), (2, 20, 30), (2, 30, 20), (3, 40, 10)],
+        ["x", "y", "z"])
+    melt = {(r.x_col, r.y_col): r.rho for r in
+            spearman_correlations(
+                idf, [("x", "y"), ("x", "z")]).collect()}
+    fall = {(r.x_col, r.y_col): r.rho for r in
+            spearman_correlations(
+                idf.withColumn("x", F.col("x").cast("int")),
+                [("x", "y"), ("x", "z")]).collect()}
+    assert melt == fall
+    assert abs(melt[("x", "y")] - math.sqrt(0.9)) < 1e-12
+
 
 def test_kaplan_meier_hand_computed(spark):
     """r7: KM estimator vs hand math — (a) S multiplies only at death
