@@ -98,3 +98,47 @@ def test_grid_metadata_covers_every_rounded_readout():
         ("udaf", "m1"), ("udaf", "m2"),
         ("cmat", "m1"), ("cmat", "m2"),
         ("conformal", "m1"), ("conformal", "m2")}
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_q54_percentile_readouts_sit_off_the_rounding_grid(sf_dir):
+    """r8 session 2: the q54 tier-3 claim, MEASURED. The interpolated
+    quartiles of integer cents land on the quarter-cent grid (always
+    ≥ 5e-5 from a 4dp boundary), but the MAD leg's second
+    interpolation lands on the 1/16-cent grid, whose k/1600-dollar
+    points CAN coincide with a ROUND boundary in theory — so measure
+    the actual distances at every driver scale instead of trusting
+    the algebra. (Measured today: every readout sits exactly ON a
+    4dp grid point — maximal distance.)"""
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    rows = con.execute("""
+    WITH liq AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    med AS (SELECT l_returnflag, quantile_cont(pc, 0.5) AS med
+            FROM liq GROUP BY 1),
+    dev AS (SELECT liq.l_returnflag, ABS(pc - med) AS d
+            FROM liq JOIN med USING (l_returnflag)),
+    mad AS (SELECT l_returnflag, quantile_cont(d, 0.5) AS mad
+            FROM dev GROUP BY 1)
+    SELECT b.p25 / 100, b.p50 / 100, b.p75 / 100, m.mad / 100
+    FROM (SELECT l_returnflag,
+                 quantile_cont(pc, 0.25) AS p25,
+                 quantile_cont(pc, 0.50) AS p50,
+                 quantile_cont(pc, 0.75) AS p75
+          FROM liq GROUP BY 1) b
+    JOIN mad m USING (l_returnflag)
+    """).fetchall()
+    assert len(rows) == 3
+    offenders = [
+        (i, v, _dist_from_grid(float(v), 4))
+        for r in rows for i, v in enumerate(r)
+        if v is not None and _dist_from_grid(float(v), 4) < 1e-6]
+    assert not offenders, (
+        f"{sf_dir}: q54 readouts within 1e-6 of the 4dp boundary "
+        f"— quantize the MAD interpolation coarser: {offenders}")
