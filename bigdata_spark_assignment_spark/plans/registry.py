@@ -52,10 +52,92 @@ REGISTRY: dict[str, Query] = {}
 FLOAT_DECIMALS = 4
 
 
+def _plus_zero(sql: str) -> str:
+    """Rewrite every ``ROUND(...)`` in oracle SQL to ``(ROUND(...) + 0.0)``.
+
+    Tier-0 representation identity (the r6-r8 ``q07_correlation`` driver
+    red): DuckDB's ``ROUND`` preserves IEEE signed zero — a tiny
+    negative covariance rounds to **-0.0** — while Spark's ``F.round``
+    goes through BigDecimal, which has no signed zero, and lands on
+    **+0.0**. Python ``==`` (and the old driver-sim comparator) treats
+    ``-0.0 == 0.0`` as equal, but the driver's value hash serializes the
+    float and distinguishes them. ``-0.0 + 0.0 = +0.0`` under IEEE-754
+    round-to-nearest, and ``x + 0.0`` is exact for every other double
+    (including NULL passthrough), so the rewrite is a sign-of-zero
+    normalizer and nothing else. All testdata numerics are DOUBLE (no
+    DECIMAL columns), so the ``+ 0.0`` never widens a type.
+
+    Applied mechanically at registration — the one choke point every
+    oracle passes through — instead of per-site, so no generator can
+    reintroduce the class. The scanner skips ``--`` comments and
+    ``'...'`` string literals, matches ``ROUND(`` case-insensitively at
+    a word boundary, and recurses into nested ROUNDs.
+    """
+    up = sql.upper()
+    out: list[str] = []
+    i, n = 0, len(sql)
+
+    def skip_string(j: int) -> int:
+        # j points at the opening quote; return index past closing quote
+        j += 1
+        while j < n:
+            if sql[j] == "'":
+                if j + 1 < n and sql[j + 1] == "'":  # escaped ''
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return n
+
+    def skip_comment(j: int) -> int:
+        k = sql.find("\n", j)
+        return n if k < 0 else k
+
+    while i < n:
+        ch = sql[i]
+        if ch == "-" and sql[i:i + 2] == "--":
+            j = skip_comment(i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == "'":
+            j = skip_string(i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if (up.startswith("ROUND(", i)
+                and (i == 0 or not (sql[i - 1].isalnum()
+                                    or sql[i - 1] == "_"))):
+            depth, j = 1, i + 6
+            while j < n and depth:
+                c = sql[j]
+                if c == "'":
+                    j = skip_string(j)
+                    continue
+                if c == "-" and sql[j:j + 2] == "--":
+                    j = skip_comment(j)
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                j += 1
+            inner = sql[i + 6:j - 1]
+            out.append("(" + sql[i:i + 6] + _plus_zero(inner) + ") + 0.0)")
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def register(name: str, oracle: str | None = None, doc: str = "",
              tags: tuple[str, ...] = (), parts: tuple[str, ...] = (),
              part_col: str = "part"):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    # signed-zero normalization: every oracle passes through here once
+    oracle = _plus_zero(oracle) if oracle is not None else None
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
@@ -69,9 +151,22 @@ def register(name: str, oracle: str | None = None, doc: str = "",
 
 
 def fround(col: Column | str, decimals: int = FLOAT_DECIMALS) -> Column:
-    """Engine-side float stabilizer; oracle SQL mirrors with ROUND(x, n)."""
+    """Engine-side float stabilizer; oracle SQL mirrors with
+    ``(ROUND(x, n) + 0.0)``.
+
+    Signed-zero normalization (tier-0 representation identity): Spark's
+    ``F.round`` goes through BigDecimal and already emits +0.0 for any
+    zero result, but DuckDB's ``ROUND`` preserves IEEE -0.0, so every
+    oracle ROUND is emitted as ``(ROUND(x, n) + 0.0)`` and the engine
+    side mirrors the normalization explicitly (type-preserving
+    ``when(r == 0, abs(r))`` rather than ``+ 0.0``, which would widen
+    DECIMAL to DOUBLE) so neither side can ever hand the driver's value
+    hash a -0.0. Python ``==`` treats -0.0 == +0.0 as equal; the hash
+    does not — the exact class behind the r6-r8 q07_correlation red.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c, decimals)
+    r = F.round(c, decimals)
+    return F.when(r == 0, F.abs(r)).otherwise(r)
 
 
 def ordered_names() -> list[str]:

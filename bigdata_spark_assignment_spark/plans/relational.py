@@ -346,6 +346,15 @@ def _q07_oracle(rounded: bool = True) -> str:
     LN/EXP ulp (udaf leg), which the grid lint bounds.
     """
     def R(expr: str, k: int = 4) -> str:
+        # Signed zero (the r6-r8 driver red): DuckDB's ROUND preserves
+        # IEEE -0.0 (this leg's cmat l_discount~l_tax covariance is a
+        # tiny negative that rounds to -0.0 at sf0.01) while Spark's
+        # F.round goes through BigDecimal and lands on +0.0. Python ==
+        # calls them equal; the driver's value hash does not. The
+        # normalization ("+ 0.0", since -0.0 + 0.0 = +0.0) is applied
+        # mechanically to EVERY oracle ROUND at registration —
+        # registry._plus_zero — so no individual generator can
+        # reintroduce the class.
         return f"ROUND({expr}, {k})" if rounded else f"({expr})"
 
     q_cols = ",\n             ".join(
@@ -653,13 +662,18 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the repartition fuses into that scan stage — measured 3.5s of
     # single-core md5 work; raw-rows-first, project-above-exchange
     # runs it 32-way (and a 1-partition cache would run every leg's
-    # partial aggregation single-core — the io.fanout_cache note)
+    # partial aggregation single-core — the io.fanout_cache note).
+    # size-gated (r9, per the r8 audit): an unconditional repartition
+    # would full-shuffle the projected fact table at cluster scale,
+    # where the scan already fans out naturally — scan_fanout no-ops
+    # whenever planned partitions >= parallelism.
     from ..operators.dedup import _track_persist
+    from ..io import scan_fanout
 
-    raw = (li.na.drop(subset=src_cols)
-           .select("l_returnflag", "l_orderkey", "l_linenumber",
-                   *src_cols)
-           .repartition(spark.sparkContext.defaultParallelism))
+    raw = scan_fanout(
+        li.na.drop(subset=src_cols)
+          .select("l_returnflag", "l_orderkey", "l_linenumber",
+                  *src_cols))
     base = _track_persist(
         raw.select(
             "l_returnflag",

@@ -54,8 +54,14 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # Floats normalize to repr-of-rounded, NOT the float itself: the
+    # driver's value hash serializes the float, and -0.0 hashes apart
+    # from +0.0 even though Python's == (tuple compare) calls them
+    # equal. round() preserves the sign of zero, so repr keeps the
+    # distinction ("-0.0" vs "0.0") and this sim can catch the exact
+    # class that stayed hidden through rounds 6-8 (q07 cmat).
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 6)
+        return "NaN" if math.isnan(v) else repr(round(v, 6))
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     return v
