@@ -49,15 +49,18 @@ BENCH_EXCLUDE: set[str] = {"q43_ml_suite",
                            # exactly q34 (already benched) — benching it
                            # would double-count the same work
                            "q71_decontamination_and_leakage_split",
-                           # r8 de-overload (VERDICT r7 #5): companion
-                           # slots registered past the driver prefix,
-                           # carrying the legs relocated OUT of the
-                           # scored q62/q56 suites; benching them would
-                           # re-pay the shared subtrees the relocation
-                           # removed. Held green by driver_sim/pytest.
+                           # r8 de-overload (VERDICT r7 #5): the five
+                           # *_extras slots carry the legs relocated
+                           # OUT of the scored q62/q56/q36/q53 suites;
+                           # benching them would re-pay the shared
+                           # subtrees the relocation removed. Bench
+                           # exclusion is independent of the driver's
+                           # 50-slot correctness prefix — r9 rotated
+                           # q09/q13 INTO that prefix (VERDICT r8 #6)
+                           # while all five stay unbenched.
                            "q75_abtest_extras",
-                           "q76_temporal_extras",
-                           "q77_textual_extras",
+                           "q09_temporal_extras",
+                           "q13_textual_extras",
                            "q78_graph_extras",
                            "q79_retrieval_extras"}
 

@@ -1466,7 +1466,7 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACF, and seasonal decomposition. Leg construction and design
     notes live in :func:`_temporal_suite_legs`; the Holt forecast,
     CUSUM changepoint, and interval-overlap companions moved to
-    ``q76_temporal_extras`` (r8 de-overload — VERDICT r7 #5).
+    ``q09_temporal_extras`` (r8 de-overload — VERDICT r7 #5).
     """
     legs = _temporal_suite_legs(spark, sf_dir)
     out = legs[Q56_PARTS[0]]
@@ -1476,7 +1476,7 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q76_temporal_extras",
+    "q09_temporal_extras",
     oracle=_q56_oracle(Q76_PARTS),
     tags=("holt", "cusum", "overlap", "forecast", "changepoint"),
     parts=Q76_PARTS,

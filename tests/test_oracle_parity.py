@@ -67,8 +67,8 @@ def test_rows_only_queries_run(spark, sf_smoke):
                                   # carried inside q62/q56/q36/q53
                                   # before the de-overload
                                   "q75_abtest_extras",
-                                  "q76_temporal_extras",
-                                  "q77_textual_extras",
+                                  "q09_temporal_extras",
+                                  "q13_textual_extras",
                                   "q78_graph_extras",
                                   "q79_retrieval_extras",
                                   # r7 session 3: DBSCAN legs (pure
