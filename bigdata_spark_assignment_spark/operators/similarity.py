@@ -191,10 +191,13 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+CHUNK_TARGET_ROWS = 256
+
+
 def neardup_pairs_cosine_vectorized(emb: DataFrame, threshold: float = 0.4,
                                     id_col: str = "vec_id",
                                     vec_col: str = "embedding",
-                                    n_chunks: int = 8) -> DataFrame:
+                                    n_chunks: int | None = None) -> DataFrame:
     """All-pairs cosine ≥ threshold via block-matrix numpy — the
     vectorized fast path for exhaustive near-dup.
 
@@ -206,11 +209,22 @@ def neardup_pairs_cosine_vectorized(emb: DataFrame, threshold: float = 0.4,
     at sf0.1 (52s → ~1s for 1.25B pairs).
 
     Cost model: each row is shipped to n_chunks groups, so shuffle
-    volume is n_chunks × corpus and block size is (n/n_chunks)² — pick
-    n_chunks so a block's float64 matrix fits executor memory. This IS
-    still O(n²) compute: at 100 TB block on an LSH bucket / cluster id
-    instead (``neardup_pairs_cosine`` with ``block_col``).
+    volume is n_chunks × corpus and block size is (n/n_chunks)² —
+    n_chunks must grow with the corpus so a block's float64 Gram
+    matrix keeps fitting executor memory. ``n_chunks=None`` (default)
+    pins that occupancy bound instead of fixing the chunk count: one
+    COUNT of the corpus sizes ``n_chunks = ceil(n / CHUNK_TARGET_ROWS)``,
+    so per-block work is ≤ CHUNK_TARGET_ROWS² at every scale and only
+    the (inherent, exact-op) total O(n²) compute grows — the r8 scale
+    audit flagged the previous fixture-fixed count, whose per-block
+    occupancy grew linearly with corpus. The COUNT is one cheap
+    metadata-backed pass, noise against the quadratic body it sizes.
+    This IS still O(n²) compute: at 100 TB block on an LSH bucket /
+    cluster id instead (``neardup_pairs_cosine`` with ``block_col``).
     """
+    if n_chunks is None:
+        import math
+        n_chunks = max(1, math.ceil(emb.count() / CHUNK_TARGET_ROWS))
 
     def block(keys, pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np

@@ -709,7 +709,6 @@ def _bpe_fit_vocab(vocab: "dict[tuple, int]",
 
 def bpe_learn_merges(docs: "DataFrame", text_col: str,
                      n_merges: int = 8,
-                     coalesce_to: int | None = None,
                      driver_fit_max_vocab: int | None = None
                      ) -> "DataFrame":
     """Learn ``n_merges`` BPE merge rules from a corpus
@@ -738,9 +737,6 @@ def bpe_learn_merges(docs: "DataFrame", text_col: str,
     aggregate + TakeOrdered job over it. Tokenizer training is
     inherently sequential in the merge list — the parallelism is
     within rounds, as in every published distributed BPE.
-    ``coalesce_to``: callers training on a known-small slice pass 1
-    so each round is a single-task job; the default None keeps
-    vocab-sized parallelism for corpus-scale training.
     ``driver_fit_max_vocab``: the bounded-sample fast path. One
     distributed word-count aggregate, then — if the DISTINCT vocab
     fits the threshold — the merge loop runs driver-side over the
@@ -752,14 +748,23 @@ def bpe_learn_merges(docs: "DataFrame", text_col: str,
     sample scale: the q61 leg (500 docs → 31-word vocab) fits in one
     job + one ≤vocab collect instead of 8 rounds × 2 jobs. Vocabs
     over the threshold fall through to the distributed loop, which
-    stays the corpus-scale default. (The driver path iterates Python
-    code points; words containing astral-plane characters should use
-    the distributed path whose char split is pinned by the tests.)
+    stays the corpus-scale default; the probed word table is
+    persisted first so the fallback reuses the counted aggregate
+    instead of paying a second corpus pass (r8 ADVICE). Symbol
+    inventory parity (r9, resolving the r8 ADVICE caveat): the
+    driver path iterates Python code points, and the distributed
+    ``F.split(word, '')`` ALSO yields code points — Java's regex
+    empty-pattern split is surrogate-pair-aware (measured on Spark
+    4.1: ``split('𝕏a', '')`` → ``['𝕏', 'a']``, not UTF-16 halves) —
+    so the two paths learn identical merges on astral-plane input;
+    tests/test_textual.py pins that equality on a U+1D54F corpus.
     Rows-only operator (no SQL oracle): the loop is iterative with a
     data-dependent argmax; pinned instead against a pure-Python
     reference BPE in tests/test_textual.py (which also pins the
     driver path equal to the distributed one).
     """
+    from .dedup import _track_persist
+
     spark_ = docs.sparkSession
     wt = (docs
           .select(F.explode(F.split(F.lower(F.col(text_col)),
@@ -767,14 +772,17 @@ def bpe_learn_merges(docs: "DataFrame", text_col: str,
           .filter(F.col("word") != "")
           .groupBy("word").agg(F.count(F.lit(1)).alias("weight")))
     if driver_fit_max_vocab:
+        # persist BEFORE the probe: take() executes the full word-count
+        # aggregate, and without the cache the over-threshold fallback
+        # would rebuild it from the raw corpus — one wasted pass on
+        # exactly the large-vocab case the threshold protects.
+        wt = _track_persist(wt)
         head = wt.take(driver_fit_max_vocab + 1)
         if len(head) <= driver_fit_max_vocab:
             vocab = {tuple(r["word"]): r["weight"] for r in head}
             return spark_.createDataFrame(
                 _bpe_fit_vocab(vocab, n_merges), _BPE_SCHEMA)
     words = wt.select(F.split("word", "").alias("syms"), "weight")
-    if coalesce_to:
-        words = words.coalesce(coalesce_to)
     words = words.localCheckpoint(eager=False)
     spark = docs.sparkSession
     merges: list[tuple] = []

@@ -120,8 +120,16 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding near-dup at cosine ≥ 0.4 via the block-matrix
     numpy path (Arrow + applyInPandas, one matmul per chunk-pair block;
-    ~50× the interpreted array-expression formulation at sf0.1). Still
-    O(n²) — the 100 TB path blocks on an LSH bucket instead
+    ~50× the interpreted array-expression formulation at sf0.1).
+
+    r9 (closing the r8 scale flag): the chunk count is no longer
+    fixture-fixed — the operator auto-sizes it from a corpus COUNT so
+    per-block occupancy is pinned at CHUNK_TARGET_ROWS (256; at the
+    benched sf0.1 corpus of 2000 vectors that resolves to the same 8
+    chunks as before, so the bench slot is unchanged). Only the
+    exact-op's inherent O(n²) total compute grows with the corpus;
+    block memory and straggler size do not. Still O(n²) — the 100 TB
+    path blocks on an LSH bucket instead
     (operators.similarity.neardup_pairs_cosine with block_col)."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = neardup_pairs_cosine_vectorized(emb, threshold=0.4)

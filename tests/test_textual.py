@@ -422,6 +422,37 @@ def test_bpe_learn_matches_reference(spark):
     assert applied == ref_applied
 
 
+def test_bpe_driver_fit_astral_plane_parity(spark):
+    """r9, resolving the r8 ADVICE caveat: the driver fit iterates
+    Python code points; a UTF-16-code-unit split distributed-side would
+    learn a DIFFERENT symbol inventory on astral-plane characters (the
+    surrogate-half pair would out-count every real pair here). Measured
+    on Spark 4.1, ``F.split(word, '')`` is surrogate-pair-aware (Java
+    regex empty-pattern split yields code points), so both paths must
+    produce the identical merge list on a U+1D54F corpus — and neither
+    may ever emit a lone surrogate half."""
+    from bigdata_spark_assignment_spark.operators.textual import (
+        bpe_learn_merges,
+    )
+    texts = ["\U0001D54Fa \U0001D54Fa \U0001D54Fa ba ba"]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    dist = [(r.l, r.r, r.merged, r.pair_weight) for r in
+            bpe_learn_merges(docs, "text", n_merges=3)
+            .orderBy("step").collect()]
+    drv = [(r.l, r.r, r.merged, r.pair_weight) for r in
+           bpe_learn_merges(docs, "text", n_merges=3,
+                            driver_fit_max_vocab=1000)
+           .orderBy("step").collect()]
+    assert drv == dist
+    # ('𝕏','a') dominates (weight 3 vs ba's 2) — only a code-point
+    # split can produce it; a code-unit split would first merge the
+    # surrogate halves and change the list
+    assert dist[0][:2] == ("\U0001D54F", "a")
+    halves = {s for _, _, m, _ in dist for s in m
+              if 0xD800 <= ord(s) <= 0xDFFF}
+    assert not halves, "distributed split emitted a lone surrogate half"
+
+
 def test_distribution_drift_entropy_and_kl(spark):
     """r5 session 3: (a) KL ≥ 0 with equality iff the group matches the
     corpus mixture; (b) uniform group entropy = ln(V) exactly; (c) a
