@@ -257,15 +257,20 @@ def neardup_pairs_cosine_vectorized(emb: DataFrame, threshold: float = 0.4,
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                       F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
                       .cast("int").alias("ck"))
-    # fan each row out to every chunk-pair group it participates in
-    fanned = base.withColumn(
-        "g",
-        F.explode(F.array_distinct(F.array(*[
-            F.struct(F.least(F.col("ck"), F.lit(o)).alias("gi"),
-                     F.greatest(F.col("ck"), F.lit(o)).alias("gj"))
-            for o in range(n_chunks)
-        ]))))
-    out = (fanned.select("id", "vec", "ck", "g.gi", "g.gj")
+    # fan each row out to every chunk-pair group it participates in:
+    # explode a 0..n_chunks-1 sequence and derive (gi, gj) = sorted
+    # (ck, o) arithmetically — a CONSTANT-size expression regardless of
+    # n_chunks (the previous literal array of n_chunks structs would
+    # blow up codegen once auto-sizing pushes the chunk count into the
+    # thousands at cluster scale). Each row meets every o exactly once,
+    # so every unordered chunk pair it belongs to appears exactly once.
+    fanned = (base
+              .withColumn("o", F.explode(
+                  F.sequence(F.lit(0), F.lit(n_chunks - 1))))
+              .select("id", "vec", "ck",
+                      F.least(F.col("ck"), F.col("o")).alias("gi"),
+                      F.greatest(F.col("ck"), F.col("o")).alias("gj")))
+    out = (fanned
            .groupBy("gi", "gj")
            .applyInPandas(block, schema="id_a long, id_b long, cosine double"))
     # (i,i) blocks emit each within-chunk pair once (lo<hi); (i,j)
