@@ -34,8 +34,13 @@ def _norm_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # queries already round floats; this guards residual ulp noise
-        return round(v, 6)
+        # queries already round floats; this guards residual ulp noise.
+        # repr-of-rounded, NOT the float itself: the driver's value
+        # hash serializes the float, so -0.0 and +0.0 must compare
+        # UNEQUAL here exactly as they hash apart there (the r6-r8 q07
+        # class — Python round() preserves the sign of zero, and repr
+        # keeps "-0.0" vs "0.0" distinct where tuple == would not).
+        return repr(round(v, 6))
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):

@@ -192,3 +192,7 @@ def test_driver_sim_comparator_is_hash_faithful():
     # and the invariant that repr-normalization actually separates them
     assert repr(round(-0.0, 6)) != repr(round(0.0, 6))
     assert repr(round(-1e-9, 6)) == "-0.0"
+    # the pytest-side comparator (oracle_utils) must hold the same line
+    from tests.oracle_utils import _norm_val
+    assert _norm_val(-0.0) != _norm_val(0.0)
+    assert _norm_val(-1e-9) == "-0.0" and _norm_val(1e-9) == "0.0"
