@@ -191,7 +191,13 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-CHUNK_TARGET_ROWS = 256
+# Per-block occupancy bound for the auto-sized chunk count below.
+# Swept 256/512/1024 at sf0.1 (2000 vecs) and 10× (20000 vecs), warm
+# medians: 512 dominates 256 on BOTH scales (0.57s vs 0.78s at sf0.1;
+# 1.9s vs 3.1s at 10× — fewer Arrow groups and half the fan-out
+# shuffle), while 1024 buys nothing further. A 512² float64 Gram block
+# is 2 MiB — far inside executor memory at any scale.
+CHUNK_TARGET_ROWS = 512
 
 
 def neardup_pairs_cosine_vectorized(emb: DataFrame, threshold: float = 0.4,

@@ -124,12 +124,12 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r9 (closing the r8 scale flag): the chunk count is no longer
     fixture-fixed — the operator auto-sizes it from a corpus COUNT so
-    per-block occupancy is pinned at CHUNK_TARGET_ROWS (256; at the
-    benched sf0.1 corpus of 2000 vectors that resolves to the same 8
-    chunks as before, so the bench slot is unchanged). Only the
-    exact-op's inherent O(n²) total compute grows with the corpus;
-    block memory and straggler size do not. Still O(n²) — the 100 TB
-    path blocks on an LSH bucket instead
+    per-block occupancy is pinned at CHUNK_TARGET_ROWS (512, swept
+    against 256/1024 at both sf0.1 and 10× — see the operator). Only
+    the exact-op's inherent O(n²) total compute grows with the corpus;
+    block memory and straggler size do not (measured 10×: 9.45× with
+    the fixed count in r8 → ~3.4× warm-paired with the pin). Still
+    O(n²) — the 100 TB path blocks on an LSH bucket instead
     (operators.similarity.neardup_pairs_cosine with block_col)."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = neardup_pairs_cosine_vectorized(emb, threshold=0.4)
