@@ -228,6 +228,10 @@ def run_sf1_full(spark) -> dict:
                     if samples and n in base:
                         base[n] = samples[0]
 
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        unpersist_dedup_caches,
+    )
+
     timings, rows = {}, []
     for name in sorted(REGISTRY):
         if name in _bench.BENCH_EXCLUDE:
@@ -236,6 +240,11 @@ def run_sf1_full(spark) -> dict:
         REGISTRY[name].fn(spark, SF1_DIR) \
             .write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 2)
+        # drain the tracked-persist pool between slots, exactly like
+        # bench.py (r9): without it, 46 slots of 10x-sized persisted
+        # frames accumulate and later slots absorb eviction/GC noise —
+        # q07's sf1 absolute swung 22.8->33.3s purely by suite position
+        unpersist_dedup_caches()
         b = base.get(name)
         ratio = round(timings[name] / b, 1) if b else None
         flag = " SUPER-LINEAR" if ratio is not None and ratio > 10 else ""
