@@ -78,3 +78,21 @@ def test_replay_with_late_chunk_empty_late_df(spark, sf_smoke):
     # emitted row must exist identically in the batch aggregate
     assert got.count() > 0
     assert got.exceptAll(batch).count() == 0
+
+
+def test_neardup_vectorized_autosize_degenerate_corpora(spark, sf_smoke):
+    """r9: the occupancy-pinned auto chunk count (ceil(n / 512)) must
+    degrade cleanly at the edges — an EMPTY corpus sizes to one chunk
+    and returns zero rows (no division/explode error), and a singleton
+    corpus has no pairs."""
+    from bigdata_spark_assignment_spark.io import load_table
+    from bigdata_spark_assignment_spark.operators.similarity import (
+        neardup_pairs_cosine_vectorized,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    assert neardup_pairs_cosine_vectorized(emb.limit(0)).count() == 0
+    assert neardup_pairs_cosine_vectorized(emb.limit(1)).count() == 0
+    # a 2-row corpus exercises the single diagonal block exactly once
+    two = neardup_pairs_cosine_vectorized(emb.limit(2), threshold=-1.0)
+    assert two.count() == 1
