@@ -431,3 +431,30 @@ def test_lpa_argmax_is_partial_aggregable(spark, sf_oracle):
          ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in p
     assert "partial_max" in p or "HashAggregate" in p
+
+
+def test_q41_fanout_is_one_exchange_constant_explode(spark, sf_oracle):
+    """r9: the occupancy-pinned q41 rewrite must keep the exact shape
+    its 100 TB story claims — one pruned scan, a CONSTANT-size explode
+    (the 0..n_chunks-1 sequence folds to a literal array; no literal
+    struct-per-chunk expression that grows with the auto-sized count),
+    exactly ONE hash Exchange on (gi, gj), and the Arrow group map."""
+    p = _plan(spark, sf_oracle, "q41_embedding_neardup_cosine")
+    assert p.count("Exchange") == 2   # one node: tree line + detail
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # column pruning: the corpus scan reads only (vec_id, embedding)
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in p
+
+
+def test_q07_base_fanout_is_size_gated(spark, sf_oracle):
+    """r9 (VERDICT r8 #7): q07's base projection uses io.scan_fanout,
+    not an unconditional repartition. At sf0.01 the lineitem file is
+    under FANOUT_MIN_BYTES, so the gate must hold and the plan must
+    contain NO round-robin repartition Exchange — the signature the
+    old unconditional .repartition() always left. (At the benched
+    sf0.1 the file is 10.3 MiB and the gate fires; at cluster scale
+    the partition-count gate makes it a no-op again.)"""
+    p = _plan(spark, sf_oracle, "q07_correlation")
+    assert "REPARTITION_BY_NUM" not in p
+    assert "RoundRobinPartitioning" not in p
