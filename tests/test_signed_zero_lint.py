@@ -196,3 +196,29 @@ def test_driver_sim_comparator_is_hash_faithful():
     from tests.oracle_utils import _norm_val
     assert _norm_val(-0.0) != _norm_val(0.0)
     assert _norm_val(-1e-9) == "-0.0" and _norm_val(1e-9) == "0.0"
+
+
+def test_plus_zero_value_identity_property():
+    """Property: for any double x and scale k, the normalized oracle
+    ROUND equals the raw one on VALUE for every input, and on SIGN for
+    every input except a zero result, which must come out +0.0."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(x=st.floats(allow_nan=False, allow_infinity=False,
+                       width=64),
+           k=st.integers(min_value=0, max_value=8))
+    def check(x, k):
+        q = f"SELECT ROUND(CAST({x!r} AS DOUBLE), {k})"
+        a = con.execute(q).fetchone()[0]
+        b = con.execute(_plus_zero(q)).fetchone()[0]
+        assert a == b  # value identity (== treats ±0.0 equal — next line)
+        if b == 0.0:
+            assert math.copysign(1.0, b) > 0  # normalized zero
+        else:
+            assert math.copysign(1.0, a) == math.copysign(1.0, b)
+
+    check()
