@@ -49,20 +49,24 @@ BENCH_EXCLUDE: set[str] = {"q43_ml_suite",
                            # exactly q34 (already benched) — benching it
                            # would double-count the same work
                            "q71_decontamination_and_leakage_split",
-                           # r8 de-overload (VERDICT r7 #5): the five
+                           # r8 de-overload (VERDICT r7 #5): the
                            # *_extras slots carry the legs relocated
-                           # OUT of the scored q62/q56/q36/q53 suites;
-                           # benching them would re-pay the shared
-                           # subtrees the relocation removed. Bench
-                           # exclusion is independent of the driver's
-                           # 50-slot correctness prefix — r9 rotated
-                           # q09/q13 INTO that prefix (VERDICT r8 #6)
-                           # while all five stay unbenched.
-                           "q75_abtest_extras",
-                           "q09_temporal_extras",
-                           "q13_textual_extras",
-                           "q78_graph_extras",
-                           "q79_retrieval_extras"}
+                           # OUT of the scored q62/q56/q36/q53/q61
+                           # suites; benching them would re-pay the
+                           # shared subtrees the relocation removed.
+                           # Bench exclusion is independent of the
+                           # driver's 50-slot correctness prefix —
+                           # rotation renames (r9: q76/q77→q09/q13;
+                           # r10: q78/q79→q15/q17 in, q09/q13→q76/q77
+                           # back out, q75 split into q22+q75) track
+                           # the SAME underlying queries, so the
+                           # benched set stays the identical 46 slots.
+                           "q22_abtest_nonparam_extras",
+                           "q75_abtest_trend_extras",
+                           "q76_temporal_extras",
+                           "q77_textual_extras",
+                           "q15_graph_extras",
+                           "q17_retrieval_extras"}
 
 # The driver records only the trailing 2000 chars of stdout and parses
 # the JSON line out of that window (BENCH_r01.json: the line was 2011
@@ -133,11 +137,15 @@ def main() -> None:
     # since r3) plus the two heaviest suites (r8 session 2: q07
     # swung 11.7-17.2s and q36 5.3-12.2s across same-code runs — the
     # microVM steal-window class in BASELINE.md's variance tables).
+    # q06 joined in r10 (VERDICT r9 #3): it went 1.18→2.04s r8→r9
+    # with no code change and no repeat samples to adjudicate the
+    # delta; medians make the next such swing self-explaining.
     # All samples are disclosed in BENCH_DETAIL.json repeat_samples.
     repeat_median = {"q52_corpus_prep_stats": 3,
                      "q53_neardup_clusters": 3,
                      "q07_correlation": 3,
-                     "q36_lang_id_confusion": 3}
+                     "q36_lang_id_confusion": 3,
+                     "q06_agg_distinct_suite": 3}
 
     from bigdata_spark_assignment_spark.plans.relational import Q69_PHASES
 

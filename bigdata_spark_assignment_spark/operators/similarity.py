@@ -224,7 +224,13 @@ def neardup_pairs_cosine_vectorized(emb: DataFrame, threshold: float = 0.4,
     the (inherent, exact-op) total O(n²) compute grows — the r8 scale
     audit flagged the previous fixture-fixed count, whose per-block
     occupancy grew linearly with corpus. The COUNT is one cheap
-    metadata-backed pass, noise against the quadratic body it sizes.
+    metadata-backed pass, noise against the quadratic body it sizes —
+    BUT it is an EAGER Spark job at call time (r9 ADVICE): if ``emb``
+    carries expensive upstream lineage (filters/joins rather than a
+    table scan), that lineage is computed twice, once for the count
+    and once for the fan-out. Persist ``emb`` first, or pass
+    ``n_chunks`` explicitly, in that case; every in-repo caller reads
+    a table scan, where the count is a parquet-footer metadata pass.
     This IS still O(n²) compute: at 100 TB block on an LSH bucket /
     cluster id instead (``neardup_pairs_cosine`` with ``block_col``).
     """

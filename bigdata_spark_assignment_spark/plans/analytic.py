@@ -1466,7 +1466,7 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACF, and seasonal decomposition. Leg construction and design
     notes live in :func:`_temporal_suite_legs`; the Holt forecast,
     CUSUM changepoint, and interval-overlap companions moved to
-    ``q09_temporal_extras`` (r8 de-overload — VERDICT r7 #5).
+    ``q76_temporal_extras`` (r8 de-overload — VERDICT r7 #5).
     """
     legs = _temporal_suite_legs(spark, sf_dir)
     out = legs[Q56_PARTS[0]]
@@ -1476,18 +1476,21 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q09_temporal_extras",
+    "q76_temporal_extras",
     oracle=_q56_oracle(Q76_PARTS),
     tags=("holt", "cusum", "overlap", "forecast", "changepoint"),
     parts=Q76_PARTS,
 )
 def temporal_extras_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temporal suite, companion slot (r8, VERDICT r7 #5): the Holt
+    """Temporal suite, second slot (r8, VERDICT r7 #5): the Holt
     double-exponential forecast, CUSUM changepoint, and
-    interval-overlap join over the same event streams. Registered
-    past the driver's 50-entry prefix; held green by
-    tests/driver_sim.py (SELFCHECK) + tests/test_oracle_parity.py,
-    excluded from bench.py (see q75's note).
+    interval-overlap join over the same event streams.
+    Driver-checked as q09_temporal_extras in r9 (CORRECTNESS_r09
+    green); rotated back OUT of the 50-entry prefix in r10 (renamed
+    q09->q76) to make room for the never-checked companions (VERDICT
+    r9 #1). Held green by tests/driver_sim.py (SELFCHECK) +
+    tests/test_oracle_parity.py meanwhile; excluded from bench.py
+    (see q75's note).
     """
     legs = _temporal_suite_legs(spark, sf_dir)
     out = legs[Q76_PARTS[0]]
@@ -2077,7 +2080,7 @@ def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q73_scd2_merge",
+    "q19_scd2_merge",
     oracle="""
     WITH e AS (
       SELECT user_id, event_id, event_type AS tier,

@@ -818,8 +818,9 @@ _BOOT_W = _poisson_w_sql(
 # auditability knee — one leg's hash risk condemned 17 unrelated
 # operators and every leg inflated the scored bench. The suite now
 # splits into q62 (the headline hash-split + the core estimators)
-# and q75_abtest_extras (the remaining tests), each slot's oracle
-# assembled from the same per-leg SQL.
+# and the remaining tests — q22_abtest_nonparam_extras +
+# q75_abtest_trend_extras since the r10 split (VERDICT r9 #2) —
+# each slot's oracle assembled from the same per-leg SQL.
 _Q62_LEG_SQL: dict[str, str] = {
     "split": """
     WITH b AS (
@@ -1524,7 +1525,14 @@ _Q62_LEG_SQL: dict[str, str] = {
 }
 
 Q62_PARTS = ('split', 'ttest', 'chi2', 'iso', 'anova', 'cuped', 'cuped_var', 'did')
-Q75_PARTS = ('mwu', 'ks', 'wins', 'boot', 'ols', 'theil', 'mk', 'benford', 'bh', 'strat')
+# r10 (VERDICT r9 #2): the 10-part q75_abtest_extras was the only
+# slot that could never rotate into the driver's checked prefix under
+# the 8-part audit cap. It splits into two 5-part slots along the
+# natural seam: the nonparametric/resampling readouts (rank, ECDF,
+# winsorized, bootstrap, FDR correction) vs the trend/structure
+# readouts (OLS, Theil-Sen, Mann-Kendall, Benford, post-strat).
+Q22_PARTS = ('mwu', 'ks', 'wins', 'boot', 'bh')
+Q75_PARTS = ('ols', 'theil', 'mk', 'benford', 'strat')
 
 
 def _legs_oracle(tags) -> str:
@@ -1560,7 +1568,8 @@ def deterministic_split_query(spark: SparkSession,
     exact int64 grid), and the causal-adjustment trio
     ``cuped``/``cuped_var``/``did``. Leg construction and the
     per-leg design notes live in :func:`_experiment_suite_legs`;
-    the companion tests moved to ``q75_abtest_extras`` (r8
+    the companion tests moved to ``q22_abtest_nonparam_extras`` /
+    ``q75_abtest_trend_extras`` (one slot until the r10 split; r8
     de-overload — VERDICT r7 #5).
     """
     legs = _experiment_suite_legs(spark, sf_dir)
@@ -1571,23 +1580,51 @@ def deterministic_split_query(spark: SparkSession,
 
 
 @register(
-    "q75_abtest_extras",
+    "q22_abtest_nonparam_extras",
+    oracle=_legs_oracle(Q22_PARTS),
+    tags=("abtest", "rank", "ks", "winsorize", "bootstrap", "fdr"),
+    parts=Q22_PARTS,
+)
+def abtest_nonparam_extras_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Experiment-infrastructure suite, nonparametric/resampling
+    half (r10 split of q75_abtest_extras — VERDICT r9 #2): the
+    Mann-Whitney U rank test (``mwu``), two-sample
+    Kolmogorov-Smirnov (``ks``), winsorized metric readout
+    (``wins``), Poisson-bootstrap CI (``boot``) and
+    Benjamini-Hochberg FDR correction (``bh``) over the same
+    md5-assigned variants as q62. Five part tags — prefix-eligible
+    under the 8-part audit cap, and driver-checked from r10.
+    Excluded from bench.py (its cost would re-pay the shared
+    subtrees the r8 de-overload removed from the scored suite).
+    """
+    legs = _experiment_suite_legs(spark, sf_dir)
+    out = legs[Q22_PARTS[0]]
+    for t in Q22_PARTS[1:]:
+        out = out.unionByName(legs[t])
+    return out
+
+
+@register(
+    "q75_abtest_trend_extras",
     oracle=_legs_oracle(Q75_PARTS),
-    tags=("abtest", "winsorize", "bootstrap", "trend", "fdr",
-          "benford", "stratified"),
+    tags=("abtest", "trend", "theil", "mannkendall", "benford",
+          "stratified"),
     parts=Q75_PARTS,
 )
-def abtest_extras_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Experiment-infrastructure suite, companion slot (r8, VERDICT
-    r7 #5): the remaining oracle-checked tests over the same
-    md5-assigned variants — ``mwu``, ``ks``, ``wins``, ``boot``,
-    ``ols``/``theil``/``mk`` trend reads, ``benford``, ``bh``,
-    ``strat``. Registered PAST the driver's 50-entry prefix (name
-    sorts after q74) so the driver-scored surface keeps its 50
-    slots; this slot is held green by tests/driver_sim.py
-    (SELFCHECK) and tests/test_oracle_parity.py, and is excluded
-    from bench.py (its cost would re-pay the shared subtrees the
-    de-overload removed from the scored suite).
+def abtest_trend_extras_query(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Experiment-infrastructure suite, trend/structure half (r10
+    split of q75_abtest_extras — VERDICT r9 #2): grouped OLS trend
+    (``ols``), Theil-Sen slope (``theil``), Mann-Kendall test
+    (``mk``), Benford first-digit audit (``benford``) and the
+    post-stratification estimator (``strat``) over the same
+    md5-assigned variants as q62. Companion slot this round (name
+    sorts past the 50-entry prefix); five part tags make it
+    prefix-eligible, scheduled to rotate in r11 (COVERAGE.md
+    rotation table). Held green by tests/driver_sim.py (SELFCHECK)
+    and tests/test_oracle_parity.py; excluded from bench.py (see
+    q22's note).
     """
     legs = _experiment_suite_legs(spark, sf_dir)
     out = legs[Q75_PARTS[0]]

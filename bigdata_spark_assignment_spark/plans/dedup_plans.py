@@ -660,9 +660,9 @@ def _lpa_iter_ctes(rounds: int) -> str:
     return ",\n    ".join(out)
 
 
-# q53/q78 oracle pieces (r8, VERDICT r7 #5 de-overload): the graph
+# q53/q15 oracle pieces (r8, VERDICT r7 #5 de-overload): the graph
 # suite had 10 method tags; the BFS/SSSP traversal legs move to
-# q78_graph_extras past the driver prefix. CORE carries the
+# q15_graph_extras (q78 until the r10 prefix rotation). CORE carries the
 # MATERIALIZED pair/edge/reach CTEs both slots need; ITER the
 # pagerank/kcore/lpa unrolls only q53 references.
 _Q53_CTES_CORE = f"""
@@ -833,7 +833,7 @@ _Q53_LEG_SQL: dict[str, str] = {
 }
 
 Q53_PARTS = ("prop", "star", "triangles", "clustering")
-Q78_PARTS = ("bfs", "sssp", "pagerank", "kcore", "lpa", "modularity")
+Q15_PARTS = ("bfs", "sssp", "pagerank", "kcore", "lpa", "modularity")
 
 
 def _q53_oracle(leg_keys, iters: bool) -> str:
@@ -860,8 +860,8 @@ def neardup_clusters_query(spark: SparkSession,
     Leg construction and design notes live in
     :func:`_graph_suite_legs`; the BFS/SSSP traversal legs and the
     iterative analytics (PageRank, k-core, LPA, modularity) live in
-    ``q78_graph_extras`` (r8 de-overload — VERDICT r7 #5; iterative
-    legs moved r8 session 2).
+    ``q15_graph_extras`` (r8 de-overload — VERDICT r7 #5; iterative
+    legs moved r8 session 2; renamed q78→q15 in the r10 rotation).
     """
     legs = _graph_suite_legs(spark, sf_dir)
     out = legs[Q53_PARTS[0]]
@@ -871,34 +871,36 @@ def neardup_clusters_query(spark: SparkSession,
 
 
 @register(
-    "q78_graph_extras",
+    "q15_graph_extras",
     oracle=_q53_oracle(("bfs", "sssp", "pagerank", "kcore",
                         "lpa", "modularity"), iters=True),
     tags=("dedup", "graph", "bfs", "sssp", "traversal", "pagerank",
           "lpa", "community"),
-    parts=Q78_PARTS,
+    parts=Q15_PARTS,
     part_col="method",
 )
 def graph_extras_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph suite, companion slot (r8, VERDICT r7 #5): BFS hop
-    distance and weighted shortest paths from each component's
+    """Graph suite, second slot (r8, VERDICT r7 #5 de-overload): BFS
+    hop distance and weighted shortest paths from each component's
     canonical vertex, plus the iterative analytics (PageRank, k-core,
     LPA, modularity — moved r8 session 2), over the same persisted
     pair graph.
-    Registered past the driver's 50-entry prefix; held green by
-    tests/driver_sim.py + tests/test_oracle_parity.py, excluded
-    from bench.py (see q75's note).
+    r10 rotation (VERDICT r9 #1): renamed q78_graph_extras →
+    q15_graph_extras to sort INTO the driver's 50-entry checked
+    prefix — it had never had a driver CORRECTNESS row. Still
+    excluded from bench.py (its legs would re-pay q53's shared
+    subtrees; bench exclusion is independent of the prefix).
     """
     legs = _graph_suite_legs(spark, sf_dir)
-    out = legs[Q78_PARTS[0]]
-    for t in Q78_PARTS[1:]:
+    out = legs[Q15_PARTS[0]]
+    for t in Q15_PARTS[1:]:
         out = out.unionByName(legs[t])
     return out
 
 
 def _graph_suite_legs(spark: SparkSession,
                       sf_dir: str) -> "dict[str, DataFrame]":
-    """Per-leg builders for the q53/q78 graph suites, tagged:
+    """Per-leg builders for the q53/q15 graph suites, tagged:
 
     * ``prop`` / ``star`` — connected components via BOTH engines'
       algorithms: iterative min-label propagation

@@ -71,18 +71,27 @@ def _plus_zero(sql: str) -> str:
     oracle passes through — instead of per-site, so no generator can
     reintroduce the class. The scanner skips ``--`` comments and
     ``'...'`` string literals, matches ``ROUND(`` case-insensitively at
-    a word boundary, and recurses into nested ROUNDs.
+    a word boundary, and recurses into nested ROUNDs. The match
+    uppercases only the 6-char slice under the cursor (r9 ADVICE: a
+    whole-string ``sql.upper()`` can CHANGE LENGTH — 'ß'→'SS',
+    ligatures — silently desyncing positions after such a char).
+    ``"``-delimited identifiers are skipped like string literals (r9
+    ADVICE: an identifier such as ``"round(x"`` would otherwise be
+    rewritten into invalid SQL; a ``"`` INSIDE a '...' literal — q37
+    carries one in its punctuation set — was always safe because
+    skip_string consumes it).
     """
-    up = sql.upper()
     out: list[str] = []
     i, n = 0, len(sql)
 
-    def skip_string(j: int) -> int:
-        # j points at the opening quote; return index past closing quote
+    def skip_string(j: int, quote: str = "'") -> int:
+        # j points at the opening quote; return index past closing
+        # quote. quote='"' skips a delimited identifier the same way
+        # (doubled-quote escape is common to both in SQL).
         j += 1
         while j < n:
-            if sql[j] == "'":
-                if j + 1 < n and sql[j + 1] == "'":  # escaped ''
+            if sql[j] == quote:
+                if j + 1 < n and sql[j + 1] == quote:  # escaped
                     j += 2
                     continue
                 return j + 1
@@ -100,19 +109,19 @@ def _plus_zero(sql: str) -> str:
             out.append(sql[i:j])
             i = j
             continue
-        if ch == "'":
-            j = skip_string(i)
+        if ch == "'" or ch == '"':
+            j = skip_string(i, ch)
             out.append(sql[i:j])
             i = j
             continue
-        if (up.startswith("ROUND(", i)
+        if (sql[i:i + 6].upper() == "ROUND("
                 and (i == 0 or not (sql[i - 1].isalnum()
                                     or sql[i - 1] == "_"))):
             depth, j = 1, i + 6
             while j < n and depth:
                 c = sql[j]
-                if c == "'":
-                    j = skip_string(j)
+                if c == "'" or c == '"':
+                    j = skip_string(j, c)
                     continue
                 if c == "-" and sql[j:j + 2] == "--":
                     j = skip_comment(j)

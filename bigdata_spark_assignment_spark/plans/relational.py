@@ -1049,25 +1049,37 @@ def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("double").alias("v1"),
         F.round("share", 6).alias("v2"))
 
+    radius_part = q50_radius_leg(spark, sf_dir)
+    return join_part.unionByName(diag_part).unionByName(radius_part)
+
+
+def q50_radius_leg(spark: SparkSession, sf_dir: str,
+                   side: int | None = None) -> DataFrame:
+    """q50's grid-blocked radius-join leg, factored out so
+    tools/scale_runs.py can time it in isolation and under a FORCED
+    plane side (the r10 q50-density experiment — VERDICT r9 #5).
+
+    Density-preserving plane: a real 10× corpus covers more AREA at
+    the same point density — densifying a fixed plane instead makes
+    candidate pairs grow quadratically and measures a different
+    physical regime (the r6 sf1 run read 49.7× exactly this way).
+    side stays EXACTLY 1000 at every driver-checked scale (points ≤
+    150k, where the oracle's `% 1000` literal applies) and grows as
+    sqrt(points) beyond — metadata-only count, the q43 precedent.
+    reference density: sf0.1's 25k points on the 1000x1000 plane.
+    n_pts is the every-4th-event slice ≈ rows/4 — derived from the
+    UNFILTERED row count (parquet-footer metadata, no scan; the r7
+    bench audit caught the filtered count paying a full eager scan
+    per invocation). side is a density knob, not semantics: the
+    oracle's `% 1000` literal applies wherever n_pts ≤ 150k, and a
+    ±1 wobble in the quarter-count can't move max(1000, √·) there.
+    """
     from ..operators.spatial import radius_neighbor_stats
 
     ev = load_table(spark, sf_dir, "events")
-    # Density-preserving plane: a real 10× corpus covers more AREA at
-    # the same point density — densifying a fixed plane instead makes
-    # candidate pairs grow quadratically and measures a different
-    # physical regime (the r6 sf1 run read 49.7× exactly this way).
-    # side stays EXACTLY 1000 at every driver-checked scale (points ≤
-    # 150k, where the oracle's `% 1000` literal applies) and grows as
-    # sqrt(points) beyond — metadata-only count, the q43 precedent.
-    # reference density: sf0.1's 25k points on the 1000x1000 plane.
-    # n_pts is the every-4th-event slice ≈ rows/4 — derived from the
-    # UNFILTERED row count (parquet-footer metadata, no scan; the r7
-    # bench audit caught the filtered count paying a full eager scan
-    # per invocation). side is a density knob, not semantics: the
-    # oracle's `% 1000` literal applies wherever n_pts ≤ 150k, and a
-    # ±1 wobble in the quarter-count can't move max(1000, √·) there.
-    n_pts = ev.count() / 4.0
-    side = max(1000, int(1000 * math.sqrt(n_pts / 25_000.0)))
+    if side is None:
+        n_pts = ev.count() / 4.0
+        side = max(1000, int(1000 * math.sqrt(n_pts / 25_000.0)))
 
     def coord(salt: str):
         return F.conv(F.substring(
@@ -1078,14 +1090,13 @@ def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (ev.filter(F.col("event_id") % 4 == 0)
            .select(F.col("event_id").alias("id"),
                    coord("x:").alias("x"), coord("y:").alias("y")))
-    radius_part = (radius_neighbor_stats(pts, "id", "x", "y", radius=25)
-                   .select(F.lit("radius").alias("part"),
-                           F.col("id").cast("string").alias("k"),
-                           F.col("n_neighbors").cast("double")
-                           .alias("v1"),
-                           F.col("min_dist2").cast("double")
-                           .alias("v2")))
-    return join_part.unionByName(diag_part).unionByName(radius_part)
+    return (radius_neighbor_stats(pts, "id", "x", "y", radius=25)
+            .select(F.lit("radius").alias("part"),
+                    F.col("id").cast("string").alias("k"),
+                    F.col("n_neighbors").cast("double")
+                    .alias("v1"),
+                    F.col("min_dist2").cast("double")
+                    .alias("v2")))
 
 
 @register(

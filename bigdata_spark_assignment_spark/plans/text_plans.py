@@ -51,8 +51,8 @@ _DSIR_K = 25    # DSIR selected-for-training head size
 
 # q36/q77 oracle pieces (r8, VERDICT r7 #5 de-overload): the lang-id
 # suite had grown to 12 part tags; the per-cell MI diagnostic and
-# the DSIR selection legs move to q13_textual_extras past the
-# driver prefix. The marker-score CTE is shared.
+# the DSIR selection legs move to q77_textual_extras (q13 during its
+# r9 prefix tour). The marker-score CTE is shared.
 _Q36_SHARED_WITH = f"""
     WITH s AS (
       SELECT lang, text,
@@ -336,7 +336,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the two language classifiers). Leg construction and design notes
     live in :func:`_lang_suite_legs`; the corpus-mixture diagnostics
     (drift, MI summary, per-cell MI) and the DSIR selection legs
-    live in ``q13_textual_extras`` (r8 de-overload — VERDICT r7 #5;
+    live in ``q77_textual_extras`` (r8 de-overload — VERDICT r7 #5;
     drift/mi moved r8 session 2).
     """
     legs = _lang_suite_legs(spark, sf_dir)
@@ -347,20 +347,22 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q13_textual_extras",
+    "q77_textual_extras",
     oracle=_TEXTUAL_EXTRAS_ORACLE,
     tags=("text", "drift", "mi", "dsir", "data-selection"),
     parts=Q77_PARTS,
 )
 def textual_extras_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-language diagnostics, companion slot (r8, VERDICT r7
+    """Corpus-language diagnostics, second slot (r8, VERDICT r7
     #5): per-source distribution drift (entropy + KL), the
     mutual-information summary row, the per-cell pointwise-MI table
     and the DSIR importance legs (per-source weights, deterministic
-    top-k head, heaviest model buckets). Registered past the
-    driver's 50-entry prefix; held green by tests/driver_sim.py +
-    tests/test_oracle_parity.py, excluded from bench.py (see q75's
-    note).
+    top-k head, heaviest model buckets). Driver-checked as
+    q13_textual_extras in r9 (CORRECTNESS_r09 green); rotated back
+    OUT of the 50-entry prefix in r10 (renamed q13→q77) to make room
+    for the never-checked companions (VERDICT r9 #1). Held green by
+    tests/driver_sim.py + tests/test_oracle_parity.py meanwhile;
+    excluded from bench.py (see q75's note).
     """
     legs = _lang_suite_legs(spark, sf_dir)
     out = legs[Q77_PARTS[0]]
@@ -1318,8 +1320,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Leg construction and design notes live in
     :func:`_retrieval_suite_legs`; the evaluation/diversity legs
     (nDCG, max-grade recall, MMR re-ranking) live in
-    ``q79_retrieval_extras`` (r8 session 2 de-overload — the VERDICT
-    r7 #5 pattern)."""
+    ``q17_retrieval_extras`` (r8 session 2 de-overload — the VERDICT
+    r7 #5 pattern; renamed q79→q17 in the r10 prefix rotation)."""
     legs = _retrieval_suite_legs(spark, sf_dir)
     out = legs["tfidf"]
     for t in ("bm25", "rrf", "phrase", "bpe"):
@@ -1328,7 +1330,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q79_retrieval_extras",
+    "q17_retrieval_extras",
     oracle=f"""
     WITH {_Q61_BASE_CTES},
     -- r7 session 3: MMR diversity re-ranking over the coordination
@@ -1392,12 +1394,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def retrieval_extras_query(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
-    """Retrieval suite, companion slot (r8 session 2 de-overload):
+    """Retrieval suite, second slot (r8 session 2 de-overload):
     MMR diversity re-ranking, nDCG@5 and max-grade recall@5 of the
     BM25 ranking — all over the same shared inverted index the q61
-    legs use. Registered past the driver's 50-entry prefix; held
-    green by tests/driver_sim.py + tests/test_oracle_parity.py,
-    excluded from bench.py (see q75's note)."""
+    legs use. r10 rotation (VERDICT r9 #1): renamed
+    q79_retrieval_extras → q17_retrieval_extras to sort INTO the
+    driver's 50-entry checked prefix — it had never had a driver
+    CORRECTNESS row. Still excluded from bench.py (see q75's note)."""
     legs = _retrieval_suite_legs(spark, sf_dir)
     out = legs["mmr"]
     for t in ("ndcg", "recall5"):
@@ -1407,7 +1410,7 @@ def retrieval_extras_query(spark: SparkSession,
 
 def _retrieval_suite_legs(spark: SparkSession,
                           sf_dir: str) -> "dict[str, DataFrame]":
-    """Per-leg builders for the q61/q79 retrieval suites:
+    """Per-leg builders for the q61/q17 retrieval suites:
 
     * ``tfidf`` — top-3 TF-IDF terms per document (first 20 docs) —
       relational TF-IDF (operators.textual.tf_idf_terms), checked
@@ -1582,7 +1585,7 @@ def _retrieval_suite_legs(spark: SparkSession,
 
 
 @register(
-    "q74_repetition_ngram_filters",
+    "q21_repetition_ngram_filters",
     oracle="""
     WITH words AS (
       SELECT doc_id, lang,
@@ -1880,7 +1883,7 @@ def repetition_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _repetition_lang_agg(fracs: DataFrame) -> DataFrame:
-    """Shared per-lang rollup of the q74 coverage fractions."""
+    """Shared per-lang rollup of the q21 (né q74) coverage fractions."""
     return fracs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         fround(F.avg("top2_frac")).alias("avg_top2gram_frac"),
@@ -1894,7 +1897,7 @@ def _repetition_lang_agg(fracs: DataFrame) -> DataFrame:
 
 
 def repetition_fracs_relational(docs: DataFrame) -> DataFrame:
-    """Pure-relational q74 coverage fractions (equivalence witness for
+    """Pure-relational q21 coverage fractions (equivalence witness for
     the Arrow path): posexplode words -> window ``lead`` to build
     positional 2-/5-grams (codegen, unlike the interpreted HOF
     ``ngrams_expr``) -> hash agg keyed (doc_id, n, gram) -> per-doc

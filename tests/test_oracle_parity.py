@@ -41,7 +41,7 @@ def test_rows_only_queries_run(spark, sf_smoke):
                                   # micro-quantized anomaly/cusum
                                   # hardening and zipf respectively
                                   "q56_temporal_join_suite",
-                                  "q74_repetition_ngram_filters",
+                                  "q21_repetition_ngram_filters",
                                   # r7 all-scale audit fixes: loo sum
                                   # NULLed (mest lesson), raw-exact
                                   # first_component
@@ -62,15 +62,18 @@ def test_rows_only_queries_run(spark, sf_smoke):
                                   # leg (order-statistic q̂, exact
                                   # fold split)
                                   "q07_correlation",
-                                  # r8: the companion slots inherit
+                                  # r8: the *_extras slots inherit
                                   # the multi-scale pins their legs
                                   # carried inside q62/q56/q36/q53
-                                  # before the de-overload
-                                  "q75_abtest_extras",
-                                  "q09_temporal_extras",
-                                  "q13_textual_extras",
-                                  "q78_graph_extras",
-                                  "q79_retrieval_extras",
+                                  # before the de-overload (r10
+                                  # rotation names; q75 split into
+                                  # q22 + q75 halves)
+                                  "q22_abtest_nonparam_extras",
+                                  "q75_abtest_trend_extras",
+                                  "q76_temporal_extras",
+                                  "q77_textual_extras",
+                                  "q15_graph_extras",
+                                  "q17_retrieval_extras",
                                   # r7 session 3: DBSCAN legs (pure
                                   # integer graph derivation)
                                   "q67_blocked_cosine_neardup"])

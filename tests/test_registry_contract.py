@@ -4,12 +4,13 @@
 entries 51+ silently got the weaker rows-only check). All 50 slots are
 used and all are oracle-backed, so the contract is SATURATED.
 
-r8 (VERDICT r7 #5 de-overload): two COMPANION slots exist PAST the
-checked prefix — q75/q76 carry the experiment/temporal legs relocated
-out of the overloaded q62/q56 suites. They stay fully oracle-backed
-(held green by tests/driver_sim.py + test_oracle_parity, not by the
-driver) and must keep sorting AFTER every prefix name, or they would
-displace a real slot out of the checked prefix.
+r8 (VERDICT r7 #5 de-overload) introduced COMPANION slots PAST the
+checked prefix; since r9 a rotation schedule (COVERAGE.md) renames a
+few each round so every slot earns a driver CORRECTNESS row within
+two rounds. Companions stay fully oracle-backed (held green by
+tests/driver_sim.py + test_oracle_parity, not by the driver) and
+must keep sorting AFTER every prefix name, or they would displace a
+real slot out of the checked prefix.
 
 MERGE DISCIPLINE — read before registering anything new:
 a registration that sorts inside the prefix would push a query out of
@@ -17,8 +18,9 @@ the checked 50 and silently downgrade it to rows-only. New operators
 must either (a) merge into an existing themed suite query as a new
 oracle-checked ``part`` (the established pattern: q31 dedup parts,
 q68 stream parts, q49 codec parts), (b) land in a companion slot
-named past q74, or (c) explicitly displace a weaker query AND update
-this test with a note. These asserts make any move deliberate.
+named past the highest prefix name (q68 this round), or (c)
+explicitly displace a weaker query AND update this test with a note.
+These asserts make any move deliberate.
 """
 
 from __future__ import annotations
@@ -32,19 +34,27 @@ from bigdata_spark_assignment_spark.plans.registry import (
 
 DRIVER_CHECKED_PREFIX = 50
 # Slots that sort past the driver's 50-entry checked prefix this round.
-# Rotation policy (VERDICT r8 #6): with 55 oracle-backed slots and a
-# 50-entry driver prefix, five slots are always outside independent
-# driver checking — so each round ~2 of them are renamed to sort INTO
-# the prefix (renames are free; the oracle and engine fn are
-# unchanged), pushing the highest-sorting previously-checked slots out
-# for one round. r9: the r8 companions q76_temporal/q77_textual became
-# q09_temporal_extras/q13_textual_extras (now driver-checked); q73/q74
-# rotate out (driver-green in r8, held by driver_sim/pytest meanwhile).
-# q75_abtest_extras stays a companion: its 10 part tags exceed the
-# 8-part audit knee below, which applies to prefix slots.
-COMPANION_SLOTS = ("q73_scd2_merge", "q74_repetition_ngram_filters",
-                   "q75_abtest_extras", "q78_graph_extras",
-                   "q79_retrieval_extras")
+# Rotation policy (VERDICT r8 #6, schedule in COVERAGE.md): with 56
+# oracle-backed slots and a 50-entry driver prefix, six slots are
+# always outside independent driver checking — so each round several
+# are renamed to sort INTO the prefix (renames are free; the oracle
+# and engine fn are unchanged), pushing previously-checked slots out
+# for at most two rounds. r10 (VERDICT r9 #1/#2): the never-checked
+# companions rotated in — q78→q15_graph_extras,
+# q79→q17_retrieval_extras, q73→q19_scd2_merge,
+# q74→q21_repetition_ngram_filters — and the 10-part
+# q75_abtest_extras (which the 8-part audit knee below barred from
+# the prefix forever) split into q22_abtest_nonparam_extras (in the
+# prefix) + q75_abtest_trend_extras (companion, rotates in r11).
+# Rotated out: q09→q76_temporal_extras, q13→q77_textual_extras
+# (driver-green in r9), plus q69/q71/q72 displaced by the three net
+# new low names (driver-green r9; q71 was already bench-excluded).
+COMPANION_SLOTS = ("q69_csv_roundtrip_check",
+                   "q71_decontamination_and_leakage_split",
+                   "q72_heavy_hitters",
+                   "q75_abtest_trend_extras",
+                   "q76_temporal_extras",
+                   "q77_textual_extras")
 
 
 def test_registry_is_exactly_saturated():

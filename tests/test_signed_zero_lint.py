@@ -78,6 +78,23 @@ class TestPlusZeroMechanics:
         out = _plus_zero("ROUND((a - b) / (c + d), 6)")
         assert out == "(ROUND((a - b) / (c + d), 6) + 0.0)"
 
+    def test_quoted_identifier_skipped(self):
+        # r9 ADVICE: a "-delimited identifier containing round( must
+        # not be rewritten into invalid SQL
+        sql = 'SELECT "round(x" FROM t'
+        assert _plus_zero(sql) == sql
+        sql2 = 'SELECT "ROUND(a)", ROUND(y, 2) FROM t'
+        assert _plus_zero(sql2) == \
+            'SELECT "ROUND(a)", (ROUND(y, 2) + 0.0) FROM t'
+
+    def test_length_changing_casefold_does_not_desync(self):
+        # r9 ADVICE: 'ß'.upper() == 'SS' — a whole-string .upper()
+        # shifts every later position by one and the old scanner
+        # would misplace the rewrite after such a char
+        sql = "SELECT 'ß', ROUND(y, 2) FROM t"
+        assert _plus_zero(sql) == \
+            "SELECT 'ß', (ROUND(y, 2) + 0.0) FROM t"
+
     def test_duckdb_equivalence_and_sign(self):
         con = duckdb.connect()
         raw = "SELECT ROUND(CAST(-0.00003 AS DOUBLE), 4) AS v"
@@ -133,19 +150,23 @@ class TestSignedZeroRegression:
         import __spark_entry__ as mod
 
         def unwrapped_sites(sql: str) -> int:
-            up, n, i, bad = sql.upper(), len(sql), 0, 0
+            # mirrors registry._plus_zero's scanner: slice-level
+            # case folding (whole-string .upper() can change LENGTH —
+            # 'ß'→'SS' — and desync positions, r9 ADVICE) and
+            # "-quoted identifier skipping
+            n, i, bad = len(sql), 0, 0
             while i < n:
                 if sql[i] == "-" and sql[i:i + 2] == "--":
                     j = sql.find("\n", i)
                     i = n if j < 0 else j
                     continue
-                if sql[i] == "'":
-                    j = i + 1
-                    while j < n and sql[j] != "'":
+                if sql[i] in ("'", '"'):
+                    q, j = sql[i], i + 1
+                    while j < n and sql[j] != q:
                         j += 1
                     i = j + 1
                     continue
-                if (up.startswith("ROUND(", i)
+                if (sql[i:i + 6].upper() == "ROUND("
                         and (i == 0 or not (sql[i - 1].isalnum()
                                             or sql[i - 1] == "_"))):
                     depth, j = 1, i + 6

@@ -54,8 +54,8 @@ HEADLINE = ["q01_pricing_summary", "q05_join_fact_fact",
             "q34_neardup_minhash_lsh", "q52_corpus_prep_stats",
             "q53_neardup_clusters", "q67_blocked_cosine_neardup",
             # r3 additions
-            "q31_dedup_suite", "q72_heavy_hitters", "q73_scd2_merge",
-            "q74_repetition_ngram_filters",
+            "q31_dedup_suite", "q72_heavy_hitters", "q19_scd2_merge",
+            "q21_repetition_ngram_filters",
             # r3 session-3 additions: grouped OLS/UDAF over 6M rows
             # (2M rows/group through Arrow), packing + mixture windows,
             # multi-format round-trip at 10x
@@ -532,6 +532,76 @@ def run_graphrounds(spark) -> dict:
     return out
 
 
+def run_q50_density(spark) -> dict:
+    """VERDICT r9 #5: retire the standing q50 scale footnote by
+    MEASURING the three regimes instead of asserting them.
+
+    q50's radius leg derives its integer plane from md5(event_id), so
+    the plane's AREA is a query knob (``side``), not a fixture
+    property: the registered query grows side as sqrt(points) past the
+    driver-checked scales (plans.relational.q50_radius_leg, the r6
+    fix), which IS the constant-density 10× fixture — each replica
+    adds area, not density. This experiment times, cold, in order:
+
+    * the registered full slot at sf0.1 and sf1 (the bench pairing);
+    * the radius leg ALONE at both scales under the auto side
+      (sf0.1: 1000; sf1: 3162 — constant density). Constant density ×
+      10 points ≈ 10× pair work: a ratio near the ~10× work ratio
+      with flat per-pair cost means the leg scales LINEARLY and the
+      slot's high suite ratio is saturation of local[32] by a leg
+      with no sub-linear term, not a plan defect;
+    * the radius leg at sf1 with side FORCED to 1000 — the pre-r6
+      constant-AREA (densified) regime, for contrast: candidate
+      pairs grow ~100×, so this run should dwarf the constant-density
+      one (r6 measured 162.7s for the slot in this regime).
+    """
+    from bigdata_spark_assignment_spark.plans import REGISTRY
+    from bigdata_spark_assignment_spark.plans.relational import (
+        q50_radius_leg,
+    )
+
+    if not os.path.isdir(SF1_DIR):
+        build_sf1(spark)
+    import bench as _bench
+    _bench._warmup(spark)
+
+    name = "q50_salted_join_hot_keys"
+    out: dict = {}
+    for tag, d in (("sf0.1", SRC), ("sf1", SF1_DIR)):
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, d) \
+            .write.format("noop").mode("overwrite").save()
+        full = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        q50_radius_leg(spark, d) \
+            .write.format("noop").mode("overwrite").save()
+        rad = round(time.perf_counter() - t0, 2)
+        out[tag] = {"full_slot_s": full,
+                    "radius_leg_const_density_s": rad,
+                    "join_diag_residual_s": round(full - rad, 2)}
+        print(f"  q50density {tag}: full={full}s radius={rad}s",
+              flush=True)
+    t0 = time.perf_counter()
+    q50_radius_leg(spark, SF1_DIR, side=1000) \
+        .write.format("noop").mode("overwrite").save()
+    flat = round(time.perf_counter() - t0, 2)
+    out["sf1_radius_const_AREA_side1000_s"] = flat
+    out["ratios"] = {
+        "full_slot": round(out["sf1"]["full_slot_s"]
+                           / out["sf0.1"]["full_slot_s"], 1),
+        "radius_const_density": round(
+            out["sf1"]["radius_leg_const_density_s"]
+            / out["sf0.1"]["radius_leg_const_density_s"], 1),
+        "join_diag_residual": round(
+            out["sf1"]["join_diag_residual_s"]
+            / max(out["sf0.1"]["join_diag_residual_s"], 0.01), 1),
+        "const_area_vs_const_density_at_sf1": round(
+            flat / out["sf1"]["radius_leg_const_density_s"], 1),
+    }
+    print(json.dumps({"q50_density": out}), flush=True)
+    return out
+
+
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_session(app_name="scale-runs")
@@ -541,6 +611,8 @@ def main() -> None:
     if what == "sf1-full":
         build_sf1(spark)
         run_sf1_full(spark)
+    if what == "q50density":
+        run_q50_density(spark)
     if what in ("cc500k", "all"):
         run_cc500k(spark)
     if what in ("hh", "all"):
