@@ -27,9 +27,14 @@ Two workloads:
   dir — the cluster-fault-tolerant configuration a 100 TB run needs
   (VERDICT r2 #5). Verifies the planted pairs/clusters exactly.
 
-Usage:  python tools/scale_runs.py [sf1|sf1-full|cc500k|all]
+Usage:  python tools/scale_runs.py
+        [sf1|sf1-full|sf1-paired|q50density|cc500k|all]
 (``sf1-full`` = VERDICT r3 #2: the ENTIRE bench suite at 10× with
-per-query ratios vs BENCH_DETAIL.json's sf0.1 numbers.)
+per-query ratios vs BENCH_DETAIL.json's sf0.1 numbers.
+``sf1-paired`` = r10: interleaved same-process cold pairing — both
+ends of each ratio see the same host minute, retiring the
+cross-session denominator artifact. ``q50density`` = VERDICT r9 #5:
+per-leg q50 measurement incl. the forced constant-area contrast.)
 """
 
 from __future__ import annotations
@@ -67,6 +72,16 @@ def _replicate(df, n: int):
         *[F.lit(i) for i in range(n)]))))
 
 
+# A 10x corpus ships in ~10x the FILES, not one: the driver's sf0.1
+# tables are single-file/single-row-group (scan = 1 task), and
+# replicating them into another single file makes every sf1 scan
+# start serial - measuring fixture layout, not the engine (r10; the
+# q50-plane r6 precedent). 32 files ~ local[32]'s split count for a
+# table this size on a real cluster; engine-side scan_fanout stays in
+# place for genuinely single-file inputs.
+SF1_FILES = 32
+
+
 def build_sf1(spark) -> None:
     if os.path.isdir(SF1_DIR):
         shutil.rmtree(SF1_DIR)
@@ -95,27 +110,32 @@ def build_sf1(spark) -> None:
      .withColumn("l_partkey", _offset("l_partkey", part_span))
      .withColumn("l_suppkey", _offset("l_suppkey", supp_span))
      .drop("__r")
+     .repartition(SF1_FILES)
      .write.mode("overwrite").parquet(f"{SF1_DIR}/lineitem.parquet"))
 
     (_replicate(orders, REPLICAS)
      .withColumn("o_orderkey", _offset("o_orderkey", key_span))
      .withColumn("o_custkey", _offset("o_custkey", cust_span))
      .drop("__r")
+     .repartition(SF1_FILES)
      .write.mode("overwrite").parquet(f"{SF1_DIR}/orders.parquet"))
 
     (_replicate(cust, REPLICAS)
      .withColumn("c_custkey", _offset("c_custkey", cust_span))
      .drop("__r")
+     .repartition(SF1_FILES)
      .write.mode("overwrite").parquet(f"{SF1_DIR}/customer.parquet"))
 
     (_replicate(supp, REPLICAS)
      .withColumn("s_suppkey", _offset("s_suppkey", supp_span))
      .drop("__r")
+     .repartition(SF1_FILES)
      .write.mode("overwrite").parquet(f"{SF1_DIR}/supplier.parquet"))
 
     (_replicate(part, REPLICAS)
      .withColumn("p_partkey", _offset("p_partkey", part_span))
      .drop("__r")
+     .repartition(SF1_FILES)
      .write.mode("overwrite").parquet(f"{SF1_DIR}/part.parquet"))
 
     # fixed-size geography dims stay constant at any SF (as in TPC-H)
@@ -145,6 +165,7 @@ def build_sf1(spark) -> None:
      .withColumn("doc_id", F.col("doc_id") + F.col("__r") * F.lit(n_docs))
      .withColumn("text", rotated)
      .drop("__r")
+     .repartition(SF1_FILES)
      .write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet"))
 
     # load_table, not raw spark.read: events.ts may ship as parquet
@@ -162,6 +183,7 @@ def build_sf1(spark) -> None:
      .withColumn("event_id",
                  F.col("event_id") + F.col("__r") * F.lit(n_events))
      .drop("__r")
+     .repartition(SF1_FILES)
      .write.mode("overwrite").parquet(f"{SF1_DIR}/events.parquet"))
 
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
@@ -174,6 +196,7 @@ def build_sf1(spark) -> None:
      .withColumn("vec_id", F.col("vec_id") + F.col("__r") * F.lit(n_vec))
      .withColumn("embedding", rotated)
      .drop("__r")
+     .repartition(SF1_FILES)
      .write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet"))
     print(f"sf1 build: {time.perf_counter()-t0:.1f}s -> {SF1_DIR}",
           flush=True)
@@ -532,6 +555,63 @@ def run_graphrounds(spark) -> dict:
     return out
 
 
+def run_sf1_paired(spark) -> dict:
+    """r10 protocol upgrade: INTERLEAVED cold pairing. The r8-r10
+    scale records all paid a denominator problem — the sf0.1 base came
+    from a bench run in a DIFFERENT session, sometimes hours away, and
+    the host's state moved between them (r10: the same-code 46-slot
+    cold base read 145.0s at round open and 114.0s at close, swinging
+    the sf1 ratio 2.19-2.88x with zero code change). Here each slot
+    runs sf0.1 then sf1 back-to-back in the same process, so both ends
+    of every ratio see the same host minute; per-slot ratios and the
+    total are then host-drift-robust. Persist pools are drained after
+    each side, exactly like bench.py."""
+    import bench as _bench
+    from bigdata_spark_assignment_spark.operators.dedup import (
+        unpersist_dedup_caches,
+    )
+    from bigdata_spark_assignment_spark.plans import REGISTRY
+    from bigdata_spark_assignment_spark.plans.similarity_plans import (
+        _ivf_centers_for,
+        _pca_fit_for,
+        _pq_books_for,
+    )
+
+    if not os.path.isdir(SF1_DIR):
+        build_sf1(spark)
+    _bench._warmup(spark)
+    for d in (SRC, SF1_DIR):  # index builds are once-per-corpus costs
+        _ivf_centers_for(spark, d, n_cells=16)
+        _pq_books_for(spark, d, m=8, k_codes=64)
+        _pca_fit_for(spark, d, k=2)
+
+    rows: dict = {}
+    tot_s, tot_b = 0.0, 0.0
+    for name in sorted(REGISTRY):
+        if name in _bench.BENCH_EXCLUDE:
+            continue
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        q.fn(spark, SRC).write.format("noop").mode("overwrite").save()
+        small = time.perf_counter() - t0
+        unpersist_dedup_caches()
+        t0 = time.perf_counter()
+        q.fn(spark, SF1_DIR) \
+            .write.format("noop").mode("overwrite").save()
+        big = time.perf_counter() - t0
+        unpersist_dedup_caches()
+        tot_s += small
+        tot_b += big
+        rows[name] = {"sf01_s": round(small, 2), "sf1_s": round(big, 2),
+                      "ratio": round(big / small, 1)}
+        print(f"  paired {name}: {small:.2f}s -> {big:.2f}s "
+              f"({big / small:.1f}x)", flush=True)
+    out = {"sf01_total_s": round(tot_s, 1), "sf1_total_s": round(tot_b, 1),
+           "ratio_total": round(tot_b / tot_s, 2), "queries": rows}
+    print(json.dumps({"sf1_paired": out}), flush=True)
+    return out
+
+
 def run_q50_density(spark) -> dict:
     """VERDICT r9 #5: retire the standing q50 scale footnote by
     MEASURING the three regimes instead of asserting them.
@@ -613,6 +693,8 @@ def main() -> None:
         run_sf1_full(spark)
     if what == "q50density":
         run_q50_density(spark)
+    if what == "sf1-paired":
+        run_sf1_paired(spark)
     if what in ("cc500k", "all"):
         run_cc500k(spark)
     if what in ("hh", "all"):
