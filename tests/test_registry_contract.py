@@ -107,7 +107,10 @@ def test_no_slot_is_overloaded_past_the_audit_knee():
     """VERDICT r7 #3/#5: a 50-slot contract hiding hundreds of
     operators means one slot's red hash condemns its unrelated
     co-tenants, and every added leg inflates the scored bench. Cap
-    part tags per slot."""
+    part tags per slot — INCLUDING companions since the r10 q75
+    split (VERDICT r9 #2): a companion over the cap could never
+    rotate into the checked prefix, silently exempting its legs from
+    driver verification forever."""
     over = {n: len(q.parts) for n, q in REGISTRY.items()
-            if len(q.parts) > 8 and n not in COMPANION_SLOTS}
-    assert not over, f"driver slots past 8 part tags: {over}"
+            if len(q.parts) > 8}
+    assert not over, f"slots past 8 part tags: {over}"
