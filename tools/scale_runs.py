@@ -565,7 +565,11 @@ def run_sf1_paired(spark) -> dict:
     runs sf0.1 then sf1 back-to-back in the same process, so both ends
     of every ratio see the same host minute; per-slot ratios and the
     total are then host-drift-robust. Persist pools are drained after
-    each side, exactly like bench.py."""
+    each side, exactly like bench.py. Unlike bench.py, q69's
+    sink-write phase is NOT subtracted — it appears on BOTH sides of
+    the pair, so the slot's ratio still reads write-inclusive scaling
+    (a deliberate difference: this harness measures scaling shape,
+    not the scored suite seconds)."""
     import bench as _bench
     from bigdata_spark_assignment_spark.operators.dedup import (
         unpersist_dedup_caches,
