@@ -11,7 +11,7 @@ Measurement discipline (VERDICT r3 "What's wrong" #2/#3):
 * the two iterative/persist-heavy queries (q52, q53) are run three
   times and report the MEDIAN — their single-shot numbers inherited
   ±5s of host noise (BASELINE.md documents 4-9s swings on q53);
-* q69's tempdir SINK-WRITE phase (a correctness check, not engine
+* q09's (né q69) tempdir SINK-WRITE phase (a correctness check, not engine
   throughput) is measured inside the query (plans.relational
   Q69_PHASES) and SUBTRACTED from its suite entry; the write seconds
   are reported separately in BENCH_DETAIL.json under "phases".
@@ -48,7 +48,7 @@ BENCH_EXCLUDE: set[str] = {"q43_ml_suite",
                            # composed self-check whose MinHash stage is
                            # exactly q34 (already benched) — benching it
                            # would double-count the same work
-                           "q71_decontamination_and_leakage_split",
+                           "q13_decontamination_and_leakage_split",
                            # r8 de-overload (VERDICT r7 #5): the
                            # *_extras slots carry the legs relocated
                            # OUT of the scored q62/q56/q36/q53/q61
@@ -58,13 +58,15 @@ BENCH_EXCLUDE: set[str] = {"q43_ml_suite",
                            # driver's 50-slot correctness prefix —
                            # rotation renames (r9: q76/q77→q09/q13;
                            # r10: q78/q79→q15/q17 in, q09/q13→q76/q77
-                           # back out, q75 split into q22+q75) track
+                           # back out, q75 split into q22+q75; r11:
+                           # the whole companion set swapped — see
+                           # BASELINE.md §Round-11 rename map) track
                            # the SAME underlying queries, so the
                            # benched set stays the identical 46 slots.
                            "q22_abtest_nonparam_extras",
-                           "q75_abtest_trend_extras",
-                           "q76_temporal_extras",
-                           "q77_textual_extras",
+                           "q03_abtest_trend_extras",
+                           "q25_temporal_extras",
+                           "q27_textual_extras",
                            "q15_graph_extras",
                            "q17_retrieval_extras"}
 
@@ -141,11 +143,35 @@ def main() -> None:
     # with no code change and no repeat samples to adjudicate the
     # delta; medians make the next such swing self-explaining.
     # All samples are disclosed in BENCH_DETAIL.json repeat_samples.
+    # r11 (VERDICT r10 #1a): the r10 driver run inflated scattered
+    # slots 2-5x over their same-HEAD idle values (q04 3.20 vs 0.63s,
+    # q05 4.19 vs 1.12, q21 8.99 vs 2.40, q06 3.74 vs 1.02 — the
+    # steal-window spike class in BASELINE.md's variance dossier).
+    # Extend the median protocol to every slot that spiked >=2x in
+    # that run plus the >=5s C2 tail, so one bad sample hits one
+    # measurement, not the score.
     repeat_median = {"q52_corpus_prep_stats": 3,
                      "q53_neardup_clusters": 3,
                      "q07_correlation": 3,
                      "q36_lang_id_confusion": 3,
-                     "q06_agg_distinct_suite": 3}
+                     "q06_agg_distinct_suite": 3,
+                     # r11 spike set (driver-r10 >=2x vs same-HEAD C2)
+                     "q01_pricing_summary": 3,
+                     "q02_filter_project_cast": 3,
+                     "q04_join_broadcast_dims": 3,
+                     "q05_join_fact_fact": 3,
+                     "q21_repetition_ngram_filters": 3,
+                     "q26_semistructured_suite": 3,
+                     # r11 heavy tail (>=5s at C2 — a spike on one of
+                     # these costs the score the most)
+                     "q62_deterministic_hash_split": 3,
+                     "q67_blocked_cosine_neardup": 3,
+                     "q24_heavy_hitters": 3,
+                     "q54_exact_percentiles": 3,
+                     "q61_tfidf_top_terms": 3,
+                     "q12_sentinel_cleaning": 3,
+                     "q16_impute_suite": 3,
+                     "q23_membership_join_suite": 3}
 
     from bigdata_spark_assignment_spark.plans.relational import Q69_PHASES
 
@@ -163,14 +189,16 @@ def main() -> None:
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-            if name == "q69_csv_roundtrip_check":
+            if name == "q09_csv_roundtrip_check":
                 write_phases.append(Q69_PHASES.get("write_seconds", 0.0))
         elapsed = statistics.median(samples)
         if write_phases:
             # suite entry measures the engine (read-back + diffs);
             # sink-write seconds are reported as a separate phase
             w = statistics.median(write_phases)
-            phases["q69_sink_write_seconds"] = round(w, 3)
+            # r11 rotation renamed the slot q69→q09; the phase key
+            # follows the live name (mapping table in BASELINE.md)
+            phases["q09_sink_write_seconds"] = round(w, 3)
             elapsed = max(0.0, elapsed - w)
         timings[name] = round(elapsed, 3)
         if len(samples) > 1:
@@ -231,7 +259,7 @@ def main() -> None:
                        "suite_seconds_note":
                            "sum of per-query entries (medians for the "
                            "queries above, single runs otherwise; "
-                           "q69 excludes its sink-write phase) — not "
+                           "q09 excludes its sink-write phase) — not "
                            "one wall-clock pass",
                        "load_protocol":
                            "run on an otherwise-idle host, "

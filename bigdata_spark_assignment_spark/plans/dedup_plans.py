@@ -481,7 +481,7 @@ def neardup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q71_decontamination_and_leakage_split",
+    "q13_decontamination_and_leakage_split",
     oracle=f"""
     WITH words AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
@@ -872,8 +872,11 @@ def neardup_clusters_query(spark: SparkSession,
 
 @register(
     "q15_graph_extras",
-    oracle=_q53_oracle(("bfs", "sssp", "pagerank", "kcore",
-                        "lpa", "modularity"), iters=True),
+    # Q15_PARTS is the single source of truth for the oracle legs too
+    # (r10 ADVICE): a duplicate literal tuple here could drift from
+    # parts= without test_declared_parts_match_actual_tags noticing
+    # the oracle-side omission.
+    oracle=_q53_oracle(Q15_PARTS, iters=True),
     tags=("dedup", "graph", "bfs", "sssp", "traversal", "pagerank",
           "lpa", "community"),
     parts=Q15_PARTS,

@@ -59,7 +59,7 @@ HEADLINE = ["q01_pricing_summary", "q05_join_fact_fact",
             "q34_neardup_minhash_lsh", "q52_corpus_prep_stats",
             "q53_neardup_clusters", "q67_blocked_cosine_neardup",
             # r3 additions
-            "q31_dedup_suite", "q72_heavy_hitters", "q19_scd2_merge",
+            "q31_dedup_suite", "q24_heavy_hitters", "q19_scd2_merge",
             "q21_repetition_ngram_filters",
             # r3 session-3 additions: grouped OLS/UDAF over 6M rows
             # (2M rows/group through Arrow), packing + mixture windows,
@@ -660,9 +660,18 @@ def run_q50_density(spark) -> dict:
         q50_radius_leg(spark, d) \
             .write.format("noop").mode("overwrite").save()
         rad = round(time.perf_counter() - t0, 2)
+        # full and rad are two independently-timed cold runs, so host
+        # variance can make full < rad; clamp the residual at 0 and
+        # flag it (r10 ADVICE) — a negative "join+diag cost" is
+        # measurement noise, not information
+        residual = round(full - rad, 2)
         out[tag] = {"full_slot_s": full,
                     "radius_leg_const_density_s": rad,
-                    "join_diag_residual_s": round(full - rad, 2)}
+                    "join_diag_residual_s": max(residual, 0.0)}
+        if residual < 0:
+            out[tag]["join_diag_residual_note"] = (
+                f"raw residual {residual}s was negative (independent "
+                "cold-run timing noise); clamped to 0")
         print(f"  q50density {tag}: full={full}s radius={rad}s",
               flush=True)
     t0 = time.perf_counter()
@@ -676,9 +685,15 @@ def run_q50_density(spark) -> dict:
         "radius_const_density": round(
             out["sf1"]["radius_leg_const_density_s"]
             / out["sf0.1"]["radius_leg_const_density_s"], 1),
-        "join_diag_residual": round(
+        # meaningless if either residual collapsed into timing noise
+        # (clamped at 0 / sub-100ms): report null rather than a
+        # nonsense ratio (r10 ADVICE)
+        "join_diag_residual": (round(
             out["sf1"]["join_diag_residual_s"]
-            / max(out["sf0.1"]["join_diag_residual_s"], 0.01), 1),
+            / out["sf0.1"]["join_diag_residual_s"], 1)
+            if min(out["sf1"]["join_diag_residual_s"],
+                   out["sf0.1"]["join_diag_residual_s"]) >= 0.1
+            else None),
         "const_area_vs_const_density_at_sf1": round(
             flat / out["sf1"]["radius_leg_const_density_s"], 1),
     }
