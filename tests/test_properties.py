@@ -228,9 +228,19 @@ def test_jpeg_roundtrip_any_geometry_bounded_error(h, w, seed):
     out = decode_jpeg(encode_jpeg(px))
     assert (out["width"], out["height"]) == (w, h)
     # worst case is white noise; DC-exactness keeps the mean tight even
-    # when AC structure is mangled (small images give noisier means)
-    assert abs(out["feat_mean"] - px.mean()) < 6.0
-    assert abs(out["feat_std"] - px.astype(float).std()) < 16.0
+    # when AC structure is mangled (small images give noisier means).
+    # DC-exactness only protects the mean of FULL 8x8 blocks: an image
+    # smaller than one block is edge-padded to 8x8 and cropped after
+    # decode, so its mean rides the coarsely-quantized AC coefficients
+    # instead (a 2x2 255/0 checkerboard measures mean error 16.0, std
+    # error 36.6 under adversarial search; full-block geometry stays
+    # <= 2.3 / 6.6) — the same behavior as any pad-and-crop JPEG codec.
+    if min(h, w) >= 8:
+        mean_tol, std_tol = 6.0, 16.0
+    else:
+        mean_tol, std_tol = 24.0, 48.0
+    assert abs(out["feat_mean"] - px.mean()) < mean_tol
+    assert abs(out["feat_std"] - px.astype(float).std()) < std_tol
 
 
 @given(st.lists(st.integers(0, 10**6), min_size=2, max_size=3),
