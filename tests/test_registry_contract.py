@@ -114,3 +114,55 @@ def test_no_slot_is_overloaded_past_the_audit_knee():
     over = {n: len(q.parts) for n, q in REGISTRY.items()
             if len(q.parts) > 8}
     assert not over, f"slots past 8 part tags: {over}"
+
+
+def test_bench_median_slots_are_registered_and_benched():
+    """The bench's median-of-3 protection (bench.py repeat_median) is
+    keyed by slot name. A rotation rename that misses the bench dict
+    would silently demote the slot back to single-shot — the exact
+    spike exposure the medians exist to remove (BASELINE.md r10/r11
+    variance dossiers). Guard: every repeat_median key must be a
+    registered slot that is actually benched, and every benched slot
+    whose committed closing median cost is >=2s must carry median
+    protection (the r11 session-2 protocol)."""
+    import importlib.util
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # re-read the dict straight from main()'s source; it is a literal
+    import ast
+    with open(os.path.join(root, "bench.py")) as f:
+        tree = ast.parse(f.read())
+    repeat_keys: set[str] = set()
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign)
+                and any(getattr(t, "id", None) == "repeat_median"
+                        for t in node.targets)):
+            repeat_keys = {ast.literal_eval(k)
+                           for k in node.value.keys}
+    assert repeat_keys, "repeat_median dict not found in bench.py"
+
+    benched = set(REGISTRY) - bench.BENCH_EXCLUDE
+    unknown = repeat_keys - set(REGISTRY)
+    assert not unknown, f"repeat_median keys not in REGISTRY: {unknown}"
+    excluded = repeat_keys & bench.BENCH_EXCLUDE
+    assert not excluded, (
+        f"repeat_median keys are bench-excluded: {excluded}")
+
+    detail_path = os.path.join(root, "BENCH_DETAIL.json")
+    if os.path.exists(detail_path):
+        with open(detail_path) as f:
+            detail = json.load(f)
+        if detail.get("sf") == 0.1:
+            heavy = {n for n, s in detail["queries"].items()
+                     if s >= 2.0 and n in benched}
+            unprotected = heavy - repeat_keys
+            assert not unprotected, (
+                f">=2s benched slots without median protection: "
+                f"{unprotected}")
