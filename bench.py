@@ -14,7 +14,14 @@ Measurement discipline (VERDICT r3 "What's wrong" #2/#3):
 * q09's (né q69) tempdir SINK-WRITE phase (a correctness check, not engine
   throughput) is measured inside the query (plans.relational
   Q69_PHASES) and SUBTRACTED from its suite entry; the write seconds
-  are reported separately in BENCH_DETAIL.json under "phases".
+  are reported separately in BENCH_DETAIL.json under "phases";
+* every slot whose typical cost is >=2s is a median-of-3 (r11; the
+  full set and all samples are disclosed in BENCH_DETAIL.json);
+* session bootstrap is excluded: besides the JVM/Arrow/checkpoint
+  warmups, every benched plan runs once at sf0.001 before the timing
+  loop so analyzer JIT + whole-stage codegen compile up front
+  (_warm_plans — r11 session 2, A/B-verified 3x; a long-running
+  Spark application pays those once per process, not per query).
 """
 
 from __future__ import annotations
