@@ -11,7 +11,7 @@ Measurement discipline (VERDICT r3 "What's wrong" #2/#3):
 * the two iterative/persist-heavy queries (q52, q53) are run three
   times and report the MEDIAN — their single-shot numbers inherited
   ±5s of host noise (BASELINE.md documents 4-9s swings on q53);
-* q09's (né q69) tempdir SINK-WRITE phase (a correctness check, not engine
+* q69's tempdir SINK-WRITE phase (a correctness check, not engine
   throughput) is measured inside the query (plans.relational
   Q69_PHASES) and SUBTRACTED from its suite entry; the write seconds
   are reported separately in BENCH_DETAIL.json under "phases";
@@ -55,7 +55,7 @@ BENCH_EXCLUDE: set[str] = {"q43_ml_suite",
                            # composed self-check whose MinHash stage is
                            # exactly q34 (already benched) — benching it
                            # would double-count the same work
-                           "q13_decontamination_and_leakage_split",
+                           "q71_decontamination_and_leakage_split",
                            # r8 de-overload (VERDICT r7 #5): the
                            # *_extras slots carry the legs relocated
                            # OUT of the scored q62/q56/q36/q53/q61
@@ -65,15 +65,16 @@ BENCH_EXCLUDE: set[str] = {"q43_ml_suite",
                            # driver's 50-slot correctness prefix —
                            # rotation renames (r9: q76/q77→q09/q13;
                            # r10: q78/q79→q15/q17 in, q09/q13→q76/q77
-                           # back out, q75 split into q22+q75; r11:
-                           # the whole companion set swapped — see
-                           # BASELINE.md §Round-11 rename map) track
-                           # the SAME underlying queries, so the
-                           # benched set stays the identical 46 slots.
+                           # back out, q75 split into q22+q75; r11 is
+                           # an OPTIMIZATION round: the registered
+                           # name set is frozen at the r10 layout, no
+                           # rotation) track the SAME underlying
+                           # queries, so the benched set stays the
+                           # identical 46 slots.
                            "q22_abtest_nonparam_extras",
-                           "q03_abtest_trend_extras",
-                           "q25_temporal_extras",
-                           "q27_textual_extras",
+                           "q75_abtest_trend_extras",
+                           "q76_temporal_extras",
+                           "q77_textual_extras",
                            "q15_graph_extras",
                            "q17_retrieval_extras"}
 
@@ -117,7 +118,7 @@ def _warmup(spark) -> None:
     spark.range(1000).localCheckpoint().count()
 
 
-def _warm_plans(spark, registry, exclude: set) -> None:
+def _warm_plans(spark, registry, exclude: set, sf_dir: str) -> None:
     """Pay per-plan SESSION costs before the timing loop: the first
     construction+execution of each slot's plan JIT-compiles the
     analyzer/optimizer paths it exercises and janino-compiles its
@@ -138,11 +139,20 @@ def _warm_plans(spark, registry, exclude: set) -> None:
         unpersist_dedup_caches,
     )
 
+    # warm on the smallest sibling fixture of the benched dir (sf0.001
+    # when benching sf0.1) so the warm pass costs ~1s of data work; if
+    # no smaller sibling exists, warm on the benched dir itself — the
+    # pass is outside the timed loop either way
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")),
+                            "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+
     for name in sorted(registry):
         if name in exclude:
             continue
         try:
-            (registry[name].fn(spark, "/root/testdata/sf0.001")
+            (registry[name].fn(spark, warm_dir)
              .write.format("noop").mode("overwrite").save())
         except Exception as exc:  # pragma: no cover - warmup only
             print(f"warmup {name} failed: {exc}", file=sys.stderr)
@@ -172,7 +182,7 @@ def main() -> None:
     spark = get_session(app_name="bench")
     _warmup(spark)
     _warm_ivf_index(spark, sf_dir)
-    _warm_plans(spark, REGISTRY, BENCH_EXCLUDE)
+    _warm_plans(spark, REGISTRY, BENCH_EXCLUDE, sf_dir)
 
     # median-of-3 for the queries whose single-shot time swings with
     # host load: the iterative persist/checkpoint slots (q52/q53,
@@ -206,19 +216,19 @@ def main() -> None:
                      # these costs the score the most)
                      "q62_deterministic_hash_split": 3,
                      "q67_blocked_cosine_neardup": 3,
-                     "q24_heavy_hitters": 3,
+                     "q72_heavy_hitters": 3,
                      "q54_exact_percentiles": 3,
                      "q61_tfidf_top_terms": 3,
                      "q12_sentinel_cleaning": 3,
                      "q16_impute_suite": 3,
                      "q23_membership_join_suite": 3,
                      # r11 second pass: the remaining >=3s single-shot
-                     # slots (mid-round run read q09 4.0s / q11 3.8 /
+                     # slots (mid-round run read q69 4.0s / q11 3.8 /
                      # q42 3.5 / q56 3.2 on a slow window; q19 spiked
                      # 1.9x in the driver's r10 run) — with these, no
                      # slot a steal window can inflate past ~6s is
                      # scored off one sample
-                     "q09_csv_roundtrip_check": 3,
+                     "q69_csv_roundtrip_check": 3,
                      "q11_split_sample_counts": 3,
                      "q19_scd2_merge": 3,
                      "q42_ann_methods_recall": 3,
@@ -238,7 +248,7 @@ def main() -> None:
                      "q50_salted_join_hot_keys": 3,
                      "q35_neardup_simhash": 3,
                      "q55_approx_sketches": 3,
-                     "q80_sessionization": 3}
+                     "q30_sessionization": 3}
 
     from bigdata_spark_assignment_spark.plans.relational import Q69_PHASES
 
@@ -256,16 +266,14 @@ def main() -> None:
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-            if name == "q09_csv_roundtrip_check":
+            if name == "q69_csv_roundtrip_check":
                 write_phases.append(Q69_PHASES.get("write_seconds", 0.0))
         elapsed = statistics.median(samples)
         if write_phases:
             # suite entry measures the engine (read-back + diffs);
             # sink-write seconds are reported as a separate phase
             w = statistics.median(write_phases)
-            # r11 rotation renamed the slot q69→q09; the phase key
-            # follows the live name (mapping table in BASELINE.md)
-            phases["q09_sink_write_seconds"] = round(w, 3)
+            phases["q69_sink_write_seconds"] = round(w, 3)
             elapsed = max(0.0, elapsed - w)
         timings[name] = round(elapsed, 3)
         if len(samples) > 1:
@@ -326,7 +334,7 @@ def main() -> None:
                        "suite_seconds_note":
                            "sum of per-query entries (medians for the "
                            "queries above, single runs otherwise; "
-                           "q09 excludes its sink-write phase) — not "
+                           "q69 excludes its sink-write phase) — not "
                            "one wall-clock pass",
                        "load_protocol":
                            "run on an otherwise-idle host, "

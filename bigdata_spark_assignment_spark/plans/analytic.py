@@ -24,7 +24,7 @@ from .registry import fround, register
 
 
 @register(
-    "q78_window_suite",
+    "q18_window_suite",
     oracle="""
     SELECT 'topk' AS part, o_orderkey AS id, o_orderpriority AS grp,
            ROUND(o_totalprice, 4) AS v1, CAST(NULL AS DOUBLE) AS v2, rn
@@ -81,7 +81,7 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q79_rollup_cube_gsets",
+    "q20_rollup_cube_gsets",
     oracle="""
     SELECT 'rollup' AS op, l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
@@ -551,7 +551,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q80_sessionization",
+    "q30_sessionization",
     oracle="""
     WITH e AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts_us FROM events),
@@ -1466,7 +1466,7 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACF, and seasonal decomposition. Leg construction and design
     notes live in :func:`_temporal_suite_legs`; the Holt forecast,
     CUSUM changepoint, and interval-overlap companions moved to
-    ``q25_temporal_extras`` (r8 de-overload — VERDICT r7 #5).
+    ``q76_temporal_extras`` (r8 de-overload — VERDICT r7 #5).
     """
     legs = _temporal_suite_legs(spark, sf_dir)
     out = legs[Q56_PARTS[0]]
@@ -1476,7 +1476,7 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q25_temporal_extras",
+    "q76_temporal_extras",
     oracle=_q56_oracle(Q76_PARTS),
     tags=("holt", "cusum", "overlap", "forecast", "changepoint"),
     parts=Q76_PARTS,
@@ -1848,7 +1848,7 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q24_heavy_hitters",
+    "q72_heavy_hitters",
     oracle="""
     WITH toks AS (
       SELECT token

@@ -497,7 +497,7 @@ def sentinel_cleaning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q74_day_part_bucketize",
+    "q14_day_part_bucketize",
     oracle="""
     WITH d AS (
       SELECT CASE WHEN event_id % 97 = 0 THEN 9999
@@ -819,7 +819,7 @@ _BOOT_W = _poisson_w_sql(
 # operators and every leg inflated the scored bench. The suite now
 # splits into q62 (the headline hash-split + the core estimators)
 # and the remaining tests — q22_abtest_nonparam_extras +
-# q03_abtest_trend_extras since the r10 split (VERDICT r9 #2) —
+# q75_abtest_trend_extras since the r10 split (VERDICT r9 #2) —
 # each slot's oracle assembled from the same per-leg SQL.
 _Q62_LEG_SQL: dict[str, str] = {
     "split": """
@@ -1569,7 +1569,7 @@ def deterministic_split_query(spark: SparkSession,
     ``cuped``/``cuped_var``/``did``. Leg construction and the
     per-leg design notes live in :func:`_experiment_suite_legs`;
     the companion tests moved to ``q22_abtest_nonparam_extras`` /
-    ``q03_abtest_trend_extras`` (one slot until the r10 split; r8
+    ``q75_abtest_trend_extras`` (one slot until the r10 split; r8
     de-overload — VERDICT r7 #5).
     """
     legs = _experiment_suite_legs(spark, sf_dir)
@@ -1606,7 +1606,7 @@ def abtest_nonparam_extras_query(spark: SparkSession,
 
 
 @register(
-    "q03_abtest_trend_extras",
+    "q75_abtest_trend_extras",
     oracle=_legs_oracle(Q75_PARTS),
     tags=("abtest", "trend", "theil", "mannkendall", "benford",
           "stratified"),

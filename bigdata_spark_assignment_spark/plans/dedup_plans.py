@@ -481,7 +481,7 @@ def neardup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q13_decontamination_and_leakage_split",
+    "q71_decontamination_and_leakage_split",
     oracle=f"""
     WITH words AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),

@@ -798,7 +798,7 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q70_union_by_name",
+    "q08_union_by_name",
     oracle="""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(o_totalprice), 4) AS total
@@ -828,7 +828,7 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q73_topk_orders",
+    "q10_topk_orders",
     oracle="""
     SELECT * FROM (
       SELECT 'topk' AS part, o_orderkey,
@@ -1453,7 +1453,7 @@ Q69_PHASES: dict[str, float] = {}
 
 
 @register(
-    "q09_csv_roundtrip_check",
+    "q69_csv_roundtrip_check",
     oracle="""
     WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer)
     SELECT p.part, n.n AS n_source, n.n AS n_back,

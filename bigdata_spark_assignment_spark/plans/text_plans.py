@@ -51,7 +51,7 @@ _DSIR_K = 25    # DSIR selected-for-training head size
 
 # q36/q77 oracle pieces (r8, VERDICT r7 #5 de-overload): the lang-id
 # suite had grown to 12 part tags; the per-cell MI diagnostic and
-# the DSIR selection legs move to q27_textual_extras (q13 during its
+# the DSIR selection legs move to q77_textual_extras (q13 during its
 # r9 prefix tour). The marker-score CTE is shared.
 _Q36_SHARED_WITH = f"""
     WITH s AS (
@@ -336,7 +336,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the two language classifiers). Leg construction and design notes
     live in :func:`_lang_suite_legs`; the corpus-mixture diagnostics
     (drift, MI summary, per-cell MI) and the DSIR selection legs
-    live in ``q27_textual_extras`` (r8 de-overload — VERDICT r7 #5;
+    live in ``q77_textual_extras`` (r8 de-overload — VERDICT r7 #5;
     drift/mi moved r8 session 2).
     """
     legs = _lang_suite_legs(spark, sf_dir)
@@ -347,7 +347,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q27_textual_extras",
+    "q77_textual_extras",
     oracle=_TEXTUAL_EXTRAS_ORACLE,
     tags=("text", "drift", "mi", "dsir", "data-selection"),
     parts=Q77_PARTS,

@@ -69,9 +69,9 @@ def test_rows_only_queries_run(spark, sf_smoke):
                                   # rotation names; q75 split into
                                   # q22 + q75 halves)
                                   "q22_abtest_nonparam_extras",
-                                  "q03_abtest_trend_extras",
-                                  "q25_temporal_extras",
-                                  "q27_textual_extras",
+                                  "q75_abtest_trend_extras",
+                                  "q76_temporal_extras",
+                                  "q77_textual_extras",
                                   "q15_graph_extras",
                                   "q17_retrieval_extras",
                                   # r7 session 3: DBSCAN legs (pure

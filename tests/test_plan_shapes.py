@@ -88,13 +88,13 @@ def test_substring_windows_are_scan_local(spark, sf_oracle):
 def test_grouping_family_is_single_scan(spark, sf_oracle):
     """q20 computes rollup+cube+gsets from ONE lineitem scan (one
     Expand, no per-family union re-scan)."""
-    p = _plan(spark, sf_oracle, "q79_rollup_cube_gsets")
+    p = _plan(spark, sf_oracle, "q20_rollup_cube_gsets")
     assert p.count("Scan parquet") <= 2  # tree + detail listing
     assert "Union" not in p
 
 
 def test_topk_uses_take_ordered_not_full_sort(spark, sf_oracle):
-    p = _plan(spark, sf_oracle, "q73_topk_orders")
+    p = _plan(spark, sf_oracle, "q10_topk_orders")
     assert "TakeOrderedAndProject" in p
 
 
@@ -111,7 +111,7 @@ def test_no_cartesian_product_anywhere(spark, sf_oracle):
     offenders = []
     for name in REGISTRY:
         if name in ("q43_ml_suite", "q68_stream_replay_suite",
-                    "q42_ann_methods_recall", "q09_csv_roundtrip_check",
+                    "q42_ann_methods_recall", "q69_csv_roundtrip_check",
                     "q11_split_sample_counts"):
             continue  # eager/estimator/stream queries: explain runs them
         try:
@@ -153,7 +153,7 @@ def _sf1_or_skip() -> str:
     # LOCAL window partition sorts ("], false, 0"), identical at
     # sf0.1 and sf1 — the original blanket "Sort " pin predates them
     # (it was skip-masked until the sf1 build existed on this host).
-    ("q73_topk_orders", ["TakeOrderedAndProject"], ["], true, 0"]),
+    ("q10_topk_orders", ["TakeOrderedAndProject"], ["], true, 0"]),
     # the TPC-H suite keeps its pushed filter and at least one
     # broadcast dim at 10x
     ("q58_tpch_suite", ["EqualTo(l_returnflag,R)", "BroadcastHashJoin"],
@@ -178,7 +178,7 @@ def test_no_cartesian_product_at_10x(spark):
     offenders = []
     for name in REGISTRY:
         if name in ("q43_ml_suite", "q68_stream_replay_suite",
-                    "q42_ann_methods_recall", "q09_csv_roundtrip_check",
+                    "q42_ann_methods_recall", "q69_csv_roundtrip_check",
                     "q11_split_sample_counts"):
             continue
         buf = io.StringIO()

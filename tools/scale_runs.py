@@ -59,7 +59,7 @@ HEADLINE = ["q01_pricing_summary", "q05_join_fact_fact",
             "q34_neardup_minhash_lsh", "q52_corpus_prep_stats",
             "q53_neardup_clusters", "q67_blocked_cosine_neardup",
             # r3 additions
-            "q31_dedup_suite", "q24_heavy_hitters", "q19_scd2_merge",
+            "q31_dedup_suite", "q72_heavy_hitters", "q19_scd2_merge",
             "q21_repetition_ngram_filters",
             # r3 session-3 additions: grouped OLS/UDAF over 6M rows
             # (2M rows/group through Arrow), packing + mixture windows,
