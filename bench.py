@@ -86,6 +86,23 @@ BENCH_EXCLUDE: set[str] = {"q43_ml_suite",
 MAX_LINE_CHARS = 1800
 
 
+def repeat_counts() -> dict[str, int]:
+    """Median-of-3 for EVERY benched slot (r12). History: q52/q53
+    since r3; the heavy/spiky tail grew the set to 32 named slots by
+    r11 — but the r11 end-of-round snapshot committed the driver's
+    8-core BENCH_DETAIL.json, where three then-unprotected slots
+    (q10/q28/q29) crossed the 2s line and turned the median-guard test
+    red at HEAD (ADVICE r11, high). Any slot can spike 3-8x in a steal
+    window (q29 0.63→2.87s with zero code change, BENCH_r11), so a
+    "protect only the typically-slow" name list is unstable by
+    construction. Uniform median-of-3 closes the failure class: one
+    bad sample hits one measurement, never the score, at any core
+    count. Cost: ~2 extra runs for the 14 sub-2s slots (~20s of
+    UNSCORED wall time; reported values stay medians). All samples
+    remain disclosed in BENCH_DETAIL.json repeat_samples."""
+    return {name: 3 for name in REGISTRY if name not in BENCH_EXCLUDE}
+
+
 def sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -141,12 +158,17 @@ def _warm_plans(spark, registry, exclude: set, sf_dir: str) -> None:
 
     # warm on the smallest sibling fixture of the benched dir (sf0.001
     # when benching sf0.1) so the warm pass costs ~1s of data work; if
-    # no smaller sibling exists, warm on the benched dir itself — the
-    # pass is outside the timed loop either way
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")),
-                            "sf0.001")
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
+    # no smaller sibling exists, SKIP plan warmup entirely (r12,
+    # VERDICT r11 #6): never execute benched queries on the benched
+    # dir outside the timed loop — that would warm the page cache and
+    # scan state on the scored data itself
+    warm_dir = os.path.join(
+        os.path.dirname(os.path.abspath(sf_dir.rstrip("/"))), "sf0.001")
+    if os.path.abspath(warm_dir) == os.path.abspath(sf_dir) \
+            or not os.path.isdir(warm_dir):
+        print("warmup: no smaller sibling fixture — plan warmup skipped",
+              file=sys.stderr)
+        return
 
     for name in sorted(registry):
         if name in exclude:
@@ -184,71 +206,7 @@ def main() -> None:
     _warm_ivf_index(spark, sf_dir)
     _warm_plans(spark, REGISTRY, BENCH_EXCLUDE, sf_dir)
 
-    # median-of-3 for the queries whose single-shot time swings with
-    # host load: the iterative persist/checkpoint slots (q52/q53,
-    # since r3) plus the two heaviest suites (r8 session 2: q07
-    # swung 11.7-17.2s and q36 5.3-12.2s across same-code runs — the
-    # microVM steal-window class in BASELINE.md's variance tables).
-    # q06 joined in r10 (VERDICT r9 #3): it went 1.18→2.04s r8→r9
-    # with no code change and no repeat samples to adjudicate the
-    # delta; medians make the next such swing self-explaining.
-    # All samples are disclosed in BENCH_DETAIL.json repeat_samples.
-    # r11 (VERDICT r10 #1a): the r10 driver run inflated scattered
-    # slots 2-5x over their same-HEAD idle values (q04 3.20 vs 0.63s,
-    # q05 4.19 vs 1.12, q21 8.99 vs 2.40, q06 3.74 vs 1.02 — the
-    # steal-window spike class in BASELINE.md's variance dossier).
-    # Extend the median protocol to every slot that spiked >=2x in
-    # that run plus the >=5s C2 tail, so one bad sample hits one
-    # measurement, not the score.
-    repeat_median = {"q52_corpus_prep_stats": 3,
-                     "q53_neardup_clusters": 3,
-                     "q07_correlation": 3,
-                     "q36_lang_id_confusion": 3,
-                     "q06_agg_distinct_suite": 3,
-                     # r11 spike set (driver-r10 >=2x vs same-HEAD C2)
-                     "q01_pricing_summary": 3,
-                     "q02_filter_project_cast": 3,
-                     "q04_join_broadcast_dims": 3,
-                     "q05_join_fact_fact": 3,
-                     "q21_repetition_ngram_filters": 3,
-                     "q26_semistructured_suite": 3,
-                     # r11 heavy tail (>=5s at C2 — a spike on one of
-                     # these costs the score the most)
-                     "q62_deterministic_hash_split": 3,
-                     "q67_blocked_cosine_neardup": 3,
-                     "q72_heavy_hitters": 3,
-                     "q54_exact_percentiles": 3,
-                     "q61_tfidf_top_terms": 3,
-                     "q12_sentinel_cleaning": 3,
-                     "q16_impute_suite": 3,
-                     "q23_membership_join_suite": 3,
-                     # r11 second pass: the remaining >=3s single-shot
-                     # slots (mid-round run read q69 4.0s / q11 3.8 /
-                     # q42 3.5 / q56 3.2 on a slow window; q19 spiked
-                     # 1.9x in the driver's r10 run) — with these, no
-                     # slot a steal window can inflate past ~6s is
-                     # scored off one sample
-                     "q69_csv_roundtrip_check": 3,
-                     "q11_split_sample_counts": 3,
-                     "q19_scd2_merge": 3,
-                     "q42_ann_methods_recall": 3,
-                     "q56_temporal_join_suite": 3,
-                     # r11 session 2: the last >=2s single-shot slots.
-                     # A same-code pair of runs minutes apart read
-                     # q49 7.03 vs 3.12s and q34 6.84 vs 3.66s — the
-                     # scattered-spike class landing on slots with no
-                     # repeat protection. With these, every slot whose
-                     # typical cost is >=2s is a median-of-3; the
-                     # remaining single-shot entries are <=1.7s each,
-                     # bounding one spike's score damage to ~2s.
-                     "q49_multimodal_feature_extract": 3,
-                     "q34_neardup_minhash_lsh": 3,
-                     "q58_tpch_suite": 3,
-                     "q31_dedup_suite": 3,
-                     "q50_salted_join_hot_keys": 3,
-                     "q35_neardup_simhash": 3,
-                     "q55_approx_sketches": 3,
-                     "q30_sessionization": 3}
+    repeat_median = repeat_counts()
 
     from bigdata_spark_assignment_spark.plans.relational import Q69_PHASES
 

@@ -461,7 +461,9 @@ def neardup_pairs_simhash(docs: DataFrame, id_col: str, text_col: str,
 
 def neardup_clusters(pairs: DataFrame, max_iter: int = 20,
                      checkpoint_dir: str | None = None,
-                     round_stats: list | None = None) -> DataFrame:
+                     round_stats: list | None = None,
+                     eager_checkpoint: bool = False,
+                     persist_edges: bool = True) -> DataFrame:
     """Connected components over a near-dup pair graph → (id,
     cluster_id) with cluster_id = min id reachable through pairs.
 
@@ -503,9 +505,12 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20,
         # lazy local checkpoint: the convergence count below is the
         # materializing action, so each round runs ONE job instead of
         # two (eager checkpoint + count) — half the per-round fixed
-        # cost; the lineage cut is identical once materialized (r11)
+        # cost; the lineage cut is identical once materialized (r11).
+        # eager_checkpoint=True restores the r10 two-job shape — the
+        # r12 A/B knob for adjudicating the driver-run regression
+        # (VERDICT r11 #1).
         def _cut(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=False)
+            return df.localCheckpoint(eager=eager_checkpoint)
 
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
@@ -515,8 +520,11 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20,
     # persist the (static) edge list across supersteps — the GraphX
     # discipline: without it every round's join re-runs the
     # union+distinct shuffle from the pair graph (r11; at cluster
-    # scale that is one full edge shuffle per round saved)
-    edges = _track_persist(edges)
+    # scale that is one full edge shuffle per round saved).
+    # persist_edges=False restores the r10 recompute-per-round shape
+    # (the r12 A/B knob).
+    if persist_edges:
+        edges = _track_persist(edges)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
     labels = _cut(labels)
@@ -570,7 +578,8 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20,
 
 def neardup_clusters_star(pairs: DataFrame, max_iter: int = 50,
                           checkpoint_dir: str | None = None,
-                          round_stats: list | None = None) -> DataFrame:
+                          round_stats: list | None = None,
+                          eager_checkpoint: bool = False) -> DataFrame:
     """Connected components by alternating large-star / small-star
     (Kiveris et al., *Connected Components in MapReduce and Beyond*,
     SoCC'14) → (id, cluster_id) with cluster_id = min id in the
@@ -605,8 +614,9 @@ def neardup_clusters_star(pairs: DataFrame, max_iter: int = 50,
         # lazy, as in neardup_clusters (r11): the per-round signature
         # aggregate is the materializing action — one job per round
         # instead of two, identical lineage cut once materialized
+        # (eager_checkpoint=True = the r10 shape, r12 A/B knob)
         def _cut(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=False)
+            return df.localCheckpoint(eager=eager_checkpoint)
 
     # Undirected edge set as (u, v) canonical pairs, self-loops dropped.
     edges = (pairs.select(F.col("id_a").alias("u"),

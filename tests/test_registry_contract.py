@@ -139,18 +139,13 @@ def test_bench_median_slots_are_registered_and_benched():
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
 
-    # re-read the dict straight from main()'s source; it is a literal
-    import ast
-    with open(os.path.join(root, "bench.py")) as f:
-        tree = ast.parse(f.read())
-    repeat_keys: set[str] = set()
-    for node in ast.walk(tree):
-        if (isinstance(node, ast.Assign)
-                and any(getattr(t, "id", None) == "repeat_median"
-                        for t in node.targets)):
-            repeat_keys = {ast.literal_eval(k)
-                           for k in node.value.keys}
-    assert repeat_keys, "repeat_median dict not found in bench.py"
+    # r12: the protection set is derived, not a name list — every
+    # benched slot is a median-of-3 (bench.repeat_counts), so the
+    # >=2s guard below is satisfied structurally at any core count
+    repeat_keys: set[str] = set(bench.repeat_counts())
+    assert repeat_keys, "bench.repeat_counts() returned no slots"
+    assert all(k >= 3 for k in bench.repeat_counts().values()), (
+        "every benched slot must run at least 3 samples (median-of-3)")
 
     benched = set(REGISTRY) - bench.BENCH_EXCLUDE
     unknown = repeat_keys - set(REGISTRY)

@@ -51,8 +51,7 @@ def main() -> None:
         try:
             df = REGISTRY[name].fn(spark, SF_DIR)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df.queryExecution() if hasattr(df, "queryExecution")
-                else df._jdf.queryExecution(), "formatted")
+                df._jdf.queryExecution(), "formatted")
             for key, pat in MARKS.items():
                 row[key] = len(re.findall(pat, plan))
         except Exception as exc:  # noqa: BLE001
