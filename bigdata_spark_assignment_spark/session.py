@@ -70,6 +70,35 @@ def get_session(app_name: str = "bigdata_spark_assignment_spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r12 (guide §2.2: fewer, larger reduce partitions): by default
+        # AQE coalescing maximizes parallelism first (parallelismFirst=
+        # true), splitting even KB-sized shuffles across every core —
+        # at local[32] that is a 32-task storm per Exchange on tiny
+        # reduce sides, and the Spark docs themselves recommend setting
+        # it false so the advisory target size is respected. At cluster
+        # scale shuffles are orders of magnitude over the 64MB advisory,
+        # so this only removes degenerate tiny-partition fan-out; CPU-
+        # heavy narrow stages that NEED width use explicit repartition
+        # (minhash signatures, fanout_cache) and are unaffected.
+        # Measured r12: suite 129.4 -> 96.3s at local[32] (A/B in
+        # OPTIMIZATION_r12.md).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        # companion to parallelismFirst=false (r12): by default AQE may
+        # NOT re-size the output partitioning of cached plans, so every
+        # persisted intermediate (dedup pair graphs, shared suite
+        # frames) stays pinned at the initial shuffle width and each
+        # cached-read stage fans to all cores regardless of size
+        # (measured via tools/count_jobs.py: q72 1510 -> 205 tasks,
+        # q30 restructure 1427 -> 82, identical results). The trade:
+        # downstream operators can no longer RELY on a cached frame's
+        # partitioning, so co-partition-designed consumers may plan an
+        # extra (cache-fed, byte-sized) exchange — negligible when the
+        # cache is small, which is exactly when AQE would coalesce it.
+        # On clusters where cached intermediates are large and their
+        # co-partitioning matters more than task-count, flip the env.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                os.environ.get("SPARK_GRAFT_CACHED_AQE", "true"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
