@@ -113,7 +113,19 @@ def run_to_memory_sink(stream_df: DataFrame, name: str,
          .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_s)
+    # availableNow is a BOUNDED drain — it always terminates — but on
+    # a degraded host window it can exceed the soft timeout, and
+    # returning early hands the caller a PARTIAL sink (r12: a
+    # stream-stream-join equivalence test read an empty table under
+    # host load). Wait out the soft timeout, then keep waiting up to a
+    # hard cap before failing loudly instead of silently truncating.
+    if not q.awaitTermination(timeout_s):
+        if not q.awaitTermination(timeout_s * 4):
+            q.stop()
+            raise TimeoutError(
+                f"memory-sink drain {name!r} still running after "
+                f"{timeout_s * 5}s — aborted (partial results would "
+                f"be silently wrong)")
     spark = stream_df.sparkSession
     return spark.table(name)
 
@@ -153,6 +165,13 @@ def run_idempotent_batch_sink(stream_df: DataFrame, out_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
+    # same slow-host guard as run_to_memory_sink: soft timeout, then a
+    # hard cap — this one already failed loudly, now it waits longer
+    # before doing so
     if not q.awaitTermination(timeout_s):
-        raise TimeoutError("idempotent batch sink drain did not finish")
+        if not q.awaitTermination(timeout_s * 4):
+            q.stop()
+            raise TimeoutError(
+                "idempotent batch sink drain did not finish "
+                f"within {timeout_s * 5}s")
     return q

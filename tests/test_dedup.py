@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_spark_assignment_spark.operators.dedup import (
@@ -398,6 +399,7 @@ def test_hot_band_cap_noop_on_clean_data(spark):
     assert capped == uncapped
 
 
+@pytest.mark.slow
 def test_fuzzy_join_edit_distance_matches_bruteforce(spark):
     """r5 session 3: the deletion-neighborhood blocked join must equal
     the brute-force cross-join truth at d=1 AND d=2 on a corpus with

@@ -68,6 +68,8 @@ def test_featurize_produces_norm_vectors(spark, fixture_tables):
     assert abs(sum(abs(v) for v in row.normFeatures.toArray()) - 1.0) < 1e-9
 
 
+# r12: retrains an MLlib model per run; q43 surface frozen since r10 — slow set
+@pytest.mark.slow
 def test_linear_regression_recovers_signal(spark, fixture_tables):
     flights, planes = fixture_tables
     pipe = FlightDelayPipeline(selector_mode="fdr", cv_folds=3)
@@ -80,6 +82,8 @@ def test_linear_regression_recovers_signal(spark, fixture_tables):
     assert metrics["lr"]["rmse"] < 16, metrics
 
 
+# r12: retrains two tree models per run; frozen surface — slow set
+@pytest.mark.slow
 def test_tree_models_run_and_beat_constant_baseline(spark, fixture_tables):
     flights, planes = fixture_tables
     pipe = FlightDelayPipeline(selector_mode=None, cv_folds=2)
@@ -119,6 +123,8 @@ def test_fdr_fwe_selector_equivalence(spark, fixture_tables):
         {m: len(s) for m, s in selected.items()})
 
 
+# r12: retrains an RF per run; frozen surface — slow set
+@pytest.mark.slow
 def test_rf_golden_range_on_planted_signal(spark, fixture_tables):
     """M12 golden range (reference publishes RF RMSE 19.17 / R² 0.726
     on real data, SURVEY §6): on the fixture's planted signal RF must
@@ -143,6 +149,7 @@ def test_cli_lifecycle_end_to_end(spark):
     assert metrics["lr"]["r2"] > 0.5
 
 
+@pytest.mark.slow
 def test_expo_shaped_metrics_discriminate_models(spark):
     """NON-planted golden ranges (r5, VERDICT r4 #2): on the
     Data-Expo-SHAPED generator (hub skew, seasonal/time-of-day delay

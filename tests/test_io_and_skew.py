@@ -499,6 +499,7 @@ def test_funnel_counts_ordered_semantics(spark):
     assert got == {1: 5, 2: 2, 3: 2}  # stage2/3: u1 and u4 only
 
 
+@pytest.mark.slow
 def test_interval_overlap_join_binned_equals_theta_join(spark):
     """Bin-and-refine interval-overlap join must be PAIR-identical to
     the naive theta join — including pairs that share several bins

@@ -281,6 +281,7 @@ def test_codec_error_paths():
         decode_wav(g[:g.index(b"data")])
 
 
+@pytest.mark.slow
 def test_extract_media_features_native_vs_stub_same_payloads(spark):
     """Both branches on the SAME real payloads: 'native' returns true
     header geometry / sample stats, 'stub' returns byte statistics;
@@ -333,6 +334,7 @@ def test_extract_features_native_branch_real_bmp(spark):
         assert (r.width, r.height) == (4 + r.doc_id % 13, 3 + r.doc_id % 7)
 
 
+@pytest.mark.slow
 def test_codec_udf_ships_by_value_to_packageless_workers(tmp_path):
     """Executors must NOT need this package importable: the vendored
     codec functions ship by value inside the UDF closure

@@ -30,6 +30,14 @@ import math
 import duckdb
 import pytest
 
+# r12 (VERDICT r11 #2): this lint re-executes EVERY oracle twice in
+# DuckDB (1 and 8 threads); the heavyweight recursive-CTE oracles put
+# the whole module at ~6 min (q67 alone 279s). It guards the ORACLE
+# text, which only changes when a plan's oracle is edited — run it
+# when touching oracles (pytest -m slow), not in the default gate.
+pytestmark = pytest.mark.slow
+import pytest
+
 from bigdata_spark_assignment_spark.io import TABLE_NAMES
 from bigdata_spark_assignment_spark.plans import REGISTRY
 

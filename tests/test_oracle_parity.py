@@ -31,8 +31,14 @@ def test_rows_only_queries_run(spark, sf_smoke):
 # literals (keyed on lineitem cardinality). The driver only checks
 # sf0.01; pin the other driver-testdata scales here so a literal/
 # measurement drift at sf0.001 or sf0.1 can't hide.
-@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
-                                    "/root/testdata/sf0.1"])
+# r12: the sf0.1 leg re-runs each pinned slot at the BENCHED scale —
+# ~5 min of pure re-execution (q67 alone 150s). The literal-keying
+# bugs it exists to catch also fire at sf0.001 (the keys are lineitem
+# cardinality), so the cheap scale stays in the default gate and the
+# sf0.1 sweep is `-m slow`.
+@pytest.mark.parametrize("sf_dir", [
+    "/root/testdata/sf0.001",
+    pytest.param("/root/testdata/sf0.1", marks=pytest.mark.slow)])
 @pytest.mark.parametrize("name", ["q42_ann_methods_recall",
                                   "q55_approx_sketches",
                                   "q61_tfidf_top_terms",

@@ -104,6 +104,8 @@ def test_returnflag_filter_pushed_through_joins(spark, sf_oracle):
     assert "BroadcastHashJoin" in p
 
 
+# r12: builds all 56 plans (~54s); audit-grade plan lint (10x variant already slow) — slow set
+@pytest.mark.slow
 def test_no_cartesian_product_anywhere(spark, sf_oracle):
     """Scale-killer sweep: no registered query may plan a
     CartesianProduct (1-row scalar crossJoins broadcast; q40's bounded
@@ -171,6 +173,7 @@ def test_plan_shapes_survive_10x_stats(spark, name, wanted, forbidden):
         assert f not in p, f"{name}@sf1 gained {f!r}"
 
 
+@pytest.mark.slow
 def test_no_cartesian_product_at_10x(spark):
     """The scale-killer sweep repeated against 10x statistics — AQE /
     the planner must not flip any 1-row broadcast into a cartesian."""

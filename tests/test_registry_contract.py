@@ -25,6 +25,8 @@ These asserts make any move deliberate.
 
 from __future__ import annotations
 
+import pytest
+
 from bigdata_spark_assignment_spark.plans import REGISTRY
 from bigdata_spark_assignment_spark.plans.registry import (
     ordered_names,
@@ -91,6 +93,8 @@ def test_oracle_backed_queries_fill_the_checked_prefix():
             f"checked slot")
 
 
+# r12: executes every slot's part-tag distinct (~78s); audit-grade attribution lint, not per-commit correctness — slow set
+@pytest.mark.slow
 def test_declared_parts_match_actual_tags(spark):
     """Queries declaring ``parts`` (bench per-part phase attribution)
     must declare exactly the distinct literal tags their 'part'

@@ -134,7 +134,12 @@ class TestSignedZeroRegression:
             mod.oracle_sql()["q07_correlation"]).fetchall()
         assert _neg_zero_cells(rows) == 0
 
-    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+    # r12: the sf0.01 sweep re-executes every oracle in DuckDB (~35s);
+    # the -0.0 class fires identically at sf0.001 — keep the cheap
+    # scale in the default gate, the big one under -m slow
+    @pytest.mark.parametrize("sf", [
+        "sf0.001",
+        pytest.param("sf0.01", marks=pytest.mark.slow)])
     def test_no_negative_zero_in_any_registered_oracle(self, sf):
         import __spark_entry__ as mod
         con = _con(f"/root/testdata/{sf}")
